@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 gets one entry in
+  * `queries` (Spark-first implementation) and, where expressible, a
+  * matching ANSI-SQL oracle in `oracleSql` run by the driver under DuckDB.
+  * Column names/aliases are kept identical on both sides (the driver
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> (Relational.pricingSummary _),
+    "q02_filter_project"   -> (Relational.filterProject _),
+    "q03_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q04_topk_orders"      -> (Relational.topkOrders _),
+    "q05_semi_join"        -> (Relational.activeCustomersBySegment _),
+    "q06_anti_join"        -> (Relational.inactiveCustomers _),
+    "q07_window_latest_order" -> (Relational.latestOrderPerCustomer _),
+    "q08_distinct"         -> (Relational.distinctFlagStatus _),
+    "q09_conditional_agg"  -> (Relational.orderStatusBreakdown _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary"  -> Relational.pricingSummarySql,
+    "q02_filter_project"   -> Relational.filterProjectSql,
+    "q03_revenue_by_nation" -> Relational.revenueByNationSql,
+    "q04_topk_orders"      -> Relational.topkOrdersSql,
+    "q05_semi_join"        -> Relational.activeCustomersBySegmentSql,
+    "q06_anti_join"        -> Relational.inactiveCustomersSql,
+    "q07_window_latest_order" -> Relational.latestOrderPerCustomerSql,
+    "q08_distinct"         -> Relational.distinctFlagStatusSql,
+    "q09_conditional_agg"  -> Relational.orderStatusBreakdownSql,
+  )
 }

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.6) expressed over the
+  * driver's TPC-H-ish testdata.
+  *
+  * Scale notes (100 TB design):
+  *  - Filters/projections are plain `Column` predicates so Catalyst pushes
+  *    them into the parquet scan (`PushedFilters` / pruned `ReadSchema`).
+  *  - Dimension joins (`nation`, `region`, tiny aggregates) are explicitly
+  *    `broadcast()`-hinted; fact-fact joins shuffle on their equi-keys and
+  *    rely on AQE for skew handling.
+  *  - Derived float columns are rounded at the output boundary only (oracle
+  *    hash parity); raw columns pass through bit-exact.
+  *  - Final `orderBy` on *small* results (post-agg / top-k) makes output
+  *    deterministic; it is a single-stage sort of a few hundred rows even
+  *    at SF 1000, never a bottleneck.
+  */
+object Relational {
+
+  private def money(c: Column): Column = round(c, 2)
+
+  /** TPC-H Q1-style pricing summary: multi-agg groupBy with derived
+    * expressions (SURVEY A2/A4/A5, F18). Map-side partial aggregation
+    * makes this a single shuffle of ~|groups| rows. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        money(avg(col("l_quantity"))).as("avg_qty"),
+        money(avg(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      | round(avg(l_quantity), 2) AS avg_qty,
+      | round(avg(l_extendedprice), 2) AS avg_price,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + narrow projection (SURVEY P1–P4): predicate and
+    * column pruning must reach the scan. Raw columns pass through
+    * bit-exact — no rounding needed. */
+  def filterProject(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-01-01").cast("timestamp"))
+          && col("l_quantity") >= 45 && col("l_discount") >= 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val filterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_quantity >= 45 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join: fact-fact shuffle join (lineitem ⋈ orders) + shuffled
+    * customer join + broadcast dims (SURVEY J1/J2/J4). Revenue per
+    * (region, nation). */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-k (SURVEY W4): orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition heap + driver merge, no global sort. */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Left-semi join (SURVEY P5/J5): customers with at least one order,
+    * counted per segment. */
+  def activeCustomersBySegment(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val activeCustomersBySegmentSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (SURVEY J3): customers with no orders. */
+  def inactiveCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  val inactiveCustomersSql: String =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window function (SURVEY W1–W3): latest order per customer via
+    * row_number over a (custkey, date desc) window. One shuffle on the
+    * partition key. */
+  def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  val latestOrderPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** DISTINCT (SURVEY A6): partial-aggregate based dedup of a 2-col key. */
+  def distinctFlagStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val distinctFlagStatusSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Conditional aggregation (SURVEY P7/F15/F18): threshold predicates
+    * folded into a single scan. */
+  def orderStatusBreakdown(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") > 300000, 1L).otherwise(0L)).as("n_high_value"),
+        money(avg(col("o_totalprice"))).as("avg_price"),
+        money(max(col("o_totalprice"))).as("max_price"),
+        money(min(col("o_totalprice"))).as("min_price"))
+      .orderBy("o_orderstatus")
+
+  val orderStatusBreakdownSql: String =
+    """SELECT o_orderstatus,
+      | count(*) AS n_orders,
+      | CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+      | round(avg(o_totalprice), 2) AS avg_price,
+      | round(max(o_totalprice), 2) AS max_price,
+      | round(min(o_totalprice), 2) AS min_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+}
