@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Relational, Scalars, Serving}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,17 @@ object SparkEntry {
     "q07_window_latest_order" -> (Relational.latestOrderPerCustomer _),
     "q08_distinct"         -> (Relational.distinctFlagStatus _),
     "q09_conditional_agg"  -> (Relational.orderStatusBreakdown _),
+    "q10_serving_latest"   -> (Serving.latestEvents _),
+    "q11_serving_by_user"  -> (Serving.eventsByUser _),
+    "q12_serving_time_range" -> (Serving.eventsTimeRange _),
+    "q13_serving_threshold" -> (Serving.highValueEvents _),
+    "q14_serving_stats"    -> (Serving.servingStats _),
+    "q15_serving_delete"   -> (Serving.deleteUserEvents _),
+    "q16_serving_keyword"  -> (Serving.keywordFacet _),
+    "q17_json_extract"     -> (Scalars.jsonExtract _),
+    "q18_orders_per_month" -> (Scalars.ordersPerMonth _),
+    "q19_activity_span"    -> (Scalars.userActivitySpan _),
+    "q20_doc_tokens"       -> (Scalars.docTokens _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -40,5 +51,16 @@ object SparkEntry {
     "q07_window_latest_order" -> Relational.latestOrderPerCustomerSql,
     "q08_distinct"         -> Relational.distinctFlagStatusSql,
     "q09_conditional_agg"  -> Relational.orderStatusBreakdownSql,
+    "q10_serving_latest"   -> Serving.latestEventsSql,
+    "q11_serving_by_user"  -> Serving.eventsByUserSql,
+    "q12_serving_time_range" -> Serving.eventsTimeRangeSql,
+    "q13_serving_threshold" -> Serving.highValueEventsSql,
+    "q14_serving_stats"    -> Serving.servingStatsSql,
+    "q15_serving_delete"   -> Serving.deleteUserEventsSql,
+    "q16_serving_keyword"  -> Serving.keywordFacetSql,
+    "q17_json_extract"     -> Scalars.jsonExtractSql,
+    "q18_orders_per_month" -> Scalars.ordersPerMonthSql,
+    "q19_activity_span"    -> Scalars.userActivitySpanSql,
+    "q20_doc_tokens"       -> Scalars.docTokensSql,
   )
 }

