@@ -1,0 +1,67 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-count feature matrix + train/test machinery (SURVEY.md §2.4
+  * A1/A3/A11, §2.3 J1/J3/J4, §2.6 SA1/SA2; reference
+  * `prepare_data_batch.ipynb:345-420,580-607`).
+  *
+  * The reference builds features in two passes (collect_list into an
+  * array, then 29 `aggregate(filter(...))` columns over it). We count
+  * directly in the aggregation — `sum(when(event_id = Ei, 1))` per
+  * template — which is a single shuffle with full map-side combine and
+  * no per-group array state: strictly better at scale, identical
+  * results (counts are order-invariant, SURVEY §7.4.2).
+  */
+object Features {
+
+  /** Wide per-block event counts: one `Ei` int column per template id. */
+  def eventCounts(tagged: DataFrame, templateIds: Seq[String]): DataFrame = {
+    val counts: Seq[Column] = templateIds.map { id =>
+      sum(when(col("event_id") === id, 1).otherwise(0)).cast("int").as(id)
+    }
+    tagged
+      .filter(col("event_id").isNotNull)
+      .groupBy(col("block_id"))
+      .agg(counts.head, counts.tail: _*)
+  }
+
+  /** Deterministic per-block event trace (reference A1, made stable by
+    * sorting on (datetime, event_id)). */
+  def eventTraces(tagged: DataFrame): DataFrame =
+    tagged
+      .filter(col("event_id").isNotNull)
+      .groupBy(col("block_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("datetime"), col("event_id")))),
+        x => x.getField("event_id")).as("event_sequence"))
+
+  /** J1: features ⋈ labels, left. 1:1 on block_id → plain shuffle join;
+    * Catalyst broadcasts automatically when the label side is small. */
+  def joinLabels(features: DataFrame, labels: DataFrame): DataFrame =
+    features.join(labels, Seq("block_id"), "left")
+
+  /** SA1 + J3: stratified test split by label column, train = complement
+    * via left-anti on the key. */
+  def stratifiedSplit(df: DataFrame, labelCol: String, keyCol: String,
+      fraction: Double, seed: Long): (DataFrame, DataFrame) = {
+    val labels = df.select(labelCol).distinct().collect().map(_.get(0))
+    val fractions = labels.map(l => l -> fraction).toMap
+    val test = df.stat.sampleBy(labelCol, fractions, seed)
+    val train = df.join(test.select(keyCol), Seq(keyCol), "left_anti")
+    (train, test)
+  }
+
+  /** A11 + J4: balanced class weights `N / (K * n_class)` joined back on
+    * the label column (broadcast — the weight dim has K rows). */
+  def withClassWeights(df: DataFrame, labelCol: String,
+      weightCol: String = "weight"): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).first().getLong(0)
+    val k = counts.count()
+    val weights = counts.withColumn(
+      weightCol, lit(total.toDouble) / (lit(k.toDouble) * col("n"))).drop("n")
+    df.join(broadcast(weights), Seq(labelCol), "left")
+  }
+}

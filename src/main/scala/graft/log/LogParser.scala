@@ -1,0 +1,63 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Raw-log-line parser (SURVEY.md §2.7 F1–F8; reference
+  * `prepare_data_batch.ipynb:168-240,762-791`).
+  *
+  * Input: one string column (default `value`, as produced by
+  * `spark.read.text`) holding lines shaped
+  * `<yyMMdd> <HHmmss> <pid> <LEVEL> <component>: <message>` with an
+  * optional `blk_<id>` token anywhere in the message.
+  *
+  * All fields are extracted with codegen'd `regexp_extract` — no UDFs —
+  * so the parse stage stays inside whole-stage codegen and the narrow
+  * projection after it lets Catalyst prune the raw column early. On a
+  * 100 TB raw-log scan this is a single map stage: no shuffle, no
+  * driver involvement, trivially parallel across file splits.
+  */
+object LogParser {
+
+  /** `081109 203518` → 2008-11-09 20:35:18 (2-digit year, base 2000). */
+  val TimestampFormat = "yyMMdd HHmmss"
+
+  private val tsRe    = "^(\\d{6}\\s+\\d{6})"
+  private val pidRe   = "^\\d{6}\\s+\\d{6}\\s+(\\d+)"
+  private val levelRe = "\\b(INFO|WARN|ERROR|DEBUG|FATAL|TRACE)\\b"
+  private val compRe  = "\\b(?:INFO|WARN|ERROR|DEBUG|FATAL|TRACE)\\s+([A-Za-z0-9$_.*]+):"
+  private val msgRe   = "\\b(?:INFO|WARN|ERROR|DEBUG|FATAL|TRACE)\\s+[A-Za-z0-9$_.*]+:\\s*(.*)"
+  private val blockRe = "(blk_[\\-0-9]+)"
+
+  /** Parse a raw-lines frame into the canonical event schema. Unmatched
+    * fields come back as `""` (regexp_extract semantics); rows without a
+    * parseable timestamp get a NULL `datetime`. */
+  def parse(raw: DataFrame, lineCol: String = "value"): DataFrame = {
+    val line = col(lineCol)
+    raw
+      .withColumn("ts_raw", regexp_extract(line, tsRe, 1))
+      .withColumn("pid", regexp_extract(line, pidRe, 1))
+      .withColumn("level", regexp_extract(line, levelRe, 1))
+      .withColumn("component", regexp_extract(line, compRe, 1))
+      .withColumn("message", regexp_extract(line, msgRe, 1))
+      .withColumn("block_id", regexp_extract(line, blockRe, 1))
+      .withColumn("datetime", to_timestamp(col("ts_raw"), TimestampFormat))
+      .withColumn("clean_line", cleanLine(line))
+      .select("datetime", "pid", "level", "component", "message",
+        "block_id", "clean_line")
+  }
+
+  /** Reference's "clean line": ISO-formatted timestamp + the rest of the
+    * line with the original `yyMMdd HHmmss ` prefix stripped
+    * (`prepare_data_batch.ipynb:787-791`). */
+  def cleanLine(line: Column): Column =
+    concat(
+      date_format(to_timestamp(regexp_extract(line, tsRe, 1), TimestampFormat),
+        "yyyy-MM-dd HH:mm:ss"),
+      lit(" "),
+      regexp_replace(line, "^\\d{6}\\s+\\d{6}\\s+", ""))
+
+  /** Keep only lines that belong to a block session (SURVEY P4). */
+  def withBlock(parsed: DataFrame): DataFrame =
+    parsed.filter(col("block_id") =!= "")
+}

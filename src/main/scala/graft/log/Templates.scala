@@ -1,0 +1,81 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-template matching (SURVEY.md §2.7 F2/F3, §7.4.1; reference
+  * `prepare_data_batch.ipynb:282-299`, `transform.py:34-47`,
+  * `ML_predict.py:57-63`).
+  *
+  * A template is a literal message with `[*]` wildcards, e.g.
+  * `[*]Receiving block[*]src:[*]dest:[*]`. The reference has three
+  * mutually inconsistent matching semantics (batch: unanchored
+  * last-match-wins; stream: anchored non-greedy; ML: unanchored
+  * first-match-wins). Our canonical semantic is **first match in
+  * template-file order, unanchored** — deterministic and the one the
+  * deployed scorer uses; `MatchMode` exposes the other two for
+  * bit-parity experiments.
+  *
+  * The match is a driver-side compiled chain of `when(rlike)` branches —
+  * one big CASE expression evaluated per row inside whole-stage codegen.
+  * The ~29-template dimension never touches the cluster as data: it is
+  * inlined into the plan (the same "manual broadcast" the reference
+  * does by `collect()`ing the template table). At 100 TB this stage is
+  * embarrassingly parallel with zero shuffle.
+  */
+object Templates {
+
+  final case class Template(id: String, pattern: String)
+
+  sealed trait MatchMode
+  object MatchMode {
+    /** Canonical: first matching template (file order) wins. */
+    case object FirstMatch extends MatchMode
+    /** Reference batch layer: last matching template wins. */
+    case object LastMatch extends MatchMode
+    /** Reference stream layer: anchored `^...$`, last match wins. */
+    case object AnchoredLast extends MatchMode
+  }
+
+  /** Compile `[*]`-wildcard template text to a Java regex: quote every
+    * literal segment, splice `.*` (DOTALL-free, single-line) between. */
+  def toRegex(template: String, anchored: Boolean = false): String = {
+    val body = template.split("\\[\\*\\]", -1)
+      .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+      .mkString(".*")
+    if (anchored) "^" + body + "$" else body
+  }
+
+  /** Load an `EventId,EventTemplate` CSV as the template dimension. */
+  def load(spark: SparkSession, path: String): Seq[Template] =
+    spark.read.option("header", "true").csv(path)
+      .collect()
+      .map(r => Template(r.getString(0), r.getString(1)))
+      .toSeq
+
+  /** The EventId column: a single CASE expression over all templates.
+    * NULL when no template matches (filtered downstream, SURVEY P3). */
+  def eventIdColumn(templates: Seq[Template], message: Column,
+      mode: MatchMode = MatchMode.FirstMatch): Column = {
+    val anchored = mode == MatchMode.AnchoredLast
+    // A first-true-wins `when` chain over the reversed list IS
+    // last-match-wins, so both orders share one code path.
+    val ordered = mode match {
+      case MatchMode.FirstMatch => templates
+      case _                    => templates.reverse
+    }
+    ordered.foldLeft(lit(null).cast("string")) { (acc, t) =>
+      // `when` chains evaluate in order; keep the first non-null.
+      coalesce(acc, when(message.rlike(toRegex(t.pattern, anchored)), lit(t.id)))
+    }
+  }
+
+  /** Tag a parsed-events frame with `event_id`. */
+  def tag(parsed: DataFrame, templates: Seq[Template],
+      mode: MatchMode = MatchMode.FirstMatch): DataFrame =
+    parsed.withColumn("event_id", eventIdColumn(templates, col("message"), mode))
+
+  /** Drop rows no template matched (reference `prepare_data_batch.ipynb:350`). */
+  def matchedOnly(tagged: DataFrame): DataFrame =
+    tagged.filter(col("event_id").isNotNull)
+}
