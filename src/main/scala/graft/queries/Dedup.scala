@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deduplication operators for the training-data pipeline (builder
+  * mandate; SURVEY.md §7.4.9): exact, normalized, n-gram Jaccard and
+  * MinHash — each expressed with codegen'd built-ins so the DuckDB
+  * oracle can verify it exactly.
+  *
+  * Scale notes (100 TB):
+  *  - Exact/normalized dedup is a hash aggregation on a digest — one
+  *    shuffle of (16-byte hash, id), never the document bodies.
+  *  - MinHash signatures are computed scan-side (map-only); the LSH
+  *    band join shuffles only (band_hash, doc_id) pairs, turning the
+  *    O(n²) similarity problem into per-bucket candidate groups.
+  *  - The pairwise-Jaccard query is intentionally linear (consecutive
+  *    ids) as the oracle-checkable kernel; all-pairs at scale goes
+  *    through the band join (q28) instead, never a cross join.
+  */
+object Dedup {
+
+  /** Portable token hash: first 15 hex digits of md5 → int in [0, p).
+    * Identical bits in Spark (`conv`) and DuckDB (hex cast). */
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private def tokenHash(t: Column): Column =
+    (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P)
+
+  /** (a_i, b_i) for the k=8 universal-hash family (a*h + b) mod p. */
+  private val HashParams: Seq[(Long, Long)] = Seq(
+    (1299721L, 104729L), (15485863L, 1299709L), (32452843L, 15485867L),
+    (49979687L, 32452867L), (67867967L, 49979693L), (86028121L, 67867979L),
+    (104395301L, 86028157L), (122949823L, 122949829L))
+
+  /** Exact dedup: group identical bodies by md5, keep the smallest id as
+    * canonical (SURVEY mandate "exact (hash-groupBy)"). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("canonical_id")
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_hash,
+      | count(*) AS n_copies,
+      | min(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY canonical_id""".stripMargin
+
+  /** Normalized dedup: case-fold + collapse non-alphanumerics before
+    * hashing (near-dup via canonicalization). */
+  private def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(normalized(col("text"))).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("canonical_id")
+
+  val normalizedDedupSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+      | count(*) AS n_copies,
+      | min(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY canonical_id""".stripMargin
+
+  /** Distinct word 3-grams of a space-tokenized text column. The
+    * short-text guard matters: Spark's `sequence(1, 0)` is a DESCENDING
+    * sequence, not empty. */
+  private def triGrams(words: Column): Column =
+    when(size(words) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ",
+          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** n-gram Jaccard similarity over consecutive doc pairs — the
+    * oracle-checkable kernel of shingle-based near-dup detection. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), triGrams(split(col("text"), " ")).as("grams"))
+    val a = g.as("a")
+    val b = g.withColumn("doc_id", col("doc_id") - 1).as("b")
+    a.join(b, Seq("doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("a.grams"), col("b.grams"))).cast("long"))
+      .select(
+        col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b"),
+        col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (size(col("a.grams")) + size(col("b.grams")) - col("n_inter")), 6)
+          .as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+      |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+      |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  /** Per-doc k=8 MinHash signature over distinct word tokens, using the
+    * portable md5-based token hash so the oracle reproduces every bit. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")), tokenHash).as("hs"))
+    val sigs = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
+        .as(s"sig_$i")
+    }
+    docs.select(col("doc_id") +: sigs: _*).orderBy("doc_id")
+  }
+
+  val minhashSignaturesSql: String = {
+    val sigCols = HashParams.zipWithIndex.map { case ((a, b), i) =>
+      s" list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647)) AS sig_$i"
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |$sigCols
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH banding over the MinHash signature (2 bands × 4 rows): docs
+    * sharing a band hash are near-dup candidates. Reports candidate
+    * buckets with >1 member — the scale path for all-pairs dedup. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    def bandHash(cols: Seq[String]): Column =
+      md5(concat_ws(",", cols.map(c => col(c).cast("string")): _*))
+    val bands = sig
+      .select(col("doc_id"), bandHash(Seq("sig_0", "sig_1", "sig_2", "sig_3")).as("band_hash"), lit(0L).as("band"))
+      .unionAll(sig.select(col("doc_id"), bandHash(Seq("sig_4", "sig_5", "sig_6", "sig_7")).as("band_hash"), lit(1L).as("band")))
+    bands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("band", "band_hash")
+  }
+
+  val minhashBandsSql: String = {
+    def band(cols: Seq[Int]): String =
+      "md5(" + cols.map(i => s"sig_$i::VARCHAR").mkString(" || ',' || ") + ")"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(list_distinct(string_split(text, ' ')),
+       |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647) AS hs
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |${HashParams.zipWithIndex.map { case ((a, b), i) =>
+            s"    list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647)) AS sig_$i"
+          }.mkString(",\n")}
+       |  FROM t),
+       |bands AS (
+       |  SELECT doc_id, ${band(Seq(0, 1, 2, 3))} AS band_hash, CAST(0 AS BIGINT) AS band FROM s
+       |  UNION ALL
+       |  SELECT doc_id, ${band(Seq(4, 5, 6, 7))} AS band_hash, CAST(1 AS BIGINT) AS band FROM s)
+       |SELECT band, band_hash, count(*) AS n_docs, min(doc_id) AS min_doc
+       |FROM bands
+       |GROUP BY band, band_hash
+       |HAVING count(*) > 1
+       |ORDER BY band, band_hash""".stripMargin
+  }
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.log.Templates
+
+/** Log-domain operator shapes (SURVEY.md §2.4 A1–A3, §2.7 F2/F3)
+  * exercised over the driver's testdata so the DuckDB oracle can gate
+  * them: `events` plays the parsed-log-lines role (user_id ≈ block_id,
+  * event_type ≈ event id), `documents.text` plays the message role for
+  * template matching. The same code paths (`graft.log.*`) run on real
+  * raw logs — see LogPipelineSpec.
+  */
+object LogOps {
+
+  /** A2 sessionize: one row per "session" (user) with span, count and a
+    * deterministic ordered trace. Single hash aggregation = one shuffle;
+    * sort_array gives intra-group determinism without a window stage. */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        (max(expr("ts_ms div 1000")) - min(expr("ts_ms div 1000")))
+          .as("duration_sec"),
+        count(lit(1)).as("num_events"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("ts_ns"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ",").as("trace"))
+      .orderBy("user_id")
+
+  val sessionizeEventsSql: String =
+    """SELECT user_id,
+      | min(epoch_ms(ts)) AS start_ms,
+      | max(epoch_ms(ts)) AS end_ms,
+      | CAST(max(epoch_ms(ts) // 1000) - min(epoch_ms(ts) // 1000) AS BIGINT) AS duration_sec,
+      | count(*) AS num_events,
+      | string_agg(event_type, ',' ORDER BY ts, event_id) AS trace
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** F2/F3 template matching through graft.log.Templates: first match in
+    * template order wins, compiled to one CASE of rlike branches. */
+  private val docTemplates = Seq(
+    Templates.Template("E1", "hash[*]join"),
+    Templates.Template("E2", "sort[*]merge"),
+    Templates.Template("E3", "window[*]scan"),
+    Templates.Template("E4", "stream"))
+
+  def templateMatchDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("event_id",
+        coalesce(
+          Templates.eventIdColumn(docTemplates, col("text")), lit("none")))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("event_id")
+
+  val templateMatchDocsSql: String =
+    """SELECT CASE
+      |   WHEN regexp_matches(text, 'hash.*join') THEN 'E1'
+      |   WHEN regexp_matches(text, 'sort.*merge') THEN 'E2'
+      |   WHEN regexp_matches(text, 'window.*scan') THEN 'E3'
+      |   WHEN regexp_matches(text, 'stream') THEN 'E4'
+      |   ELSE 'none' END AS event_id,
+      | count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY event_id
+      |ORDER BY event_id""".stripMargin
+
+  /** A3 feature matrix: wide per-key counts, one column per event type —
+    * single-pass `sum(when(...))`, full map-side combine (the scalable
+    * form of the reference's collect-then-count, SURVEY §7.4.2). */
+  def eventPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val counts = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(counts.head, counts.tail: _*)
+      .orderBy("user_id")
+  }
+
+  val eventPivotSql: String =
+    """SELECT user_id,
+      | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search over the embeddings table (builder mandate).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the query
+  * vector(s), score every row scan-side (map-only — no shuffle except
+  * the final TakeOrderedAndProject heap-merge), which is exactly how a
+  * 1000-executor cluster would do one-query-vs-100TB exact search.
+  * The LSH-bucketed variant (random hyperplane signs) is the scale
+  * path for all-pairs / many-query workloads: candidates meet in
+  * buckets, turning O(n·q) into per-bucket joins.
+  *
+  * Dot products fold left-to-right over double-cast elements — verified
+  * bit-identical to DuckDB's `list_inner_product` on double lists, so
+  * the oracle checks every digit (before a defensive round(…,6)).
+  */
+object Similarity {
+
+  /** Sequential double fold of an elementwise product. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def doubled(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact cosine top-20 neighbours of vec_id = 0. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.join(broadcast(q))
+      .withColumn("cos",
+        dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val cosineTopKSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    list_inner_product(v, qv)
+      |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cos
+      |  FROM e, q)
+      |SELECT vec_id, round(cos, 6) AS cosine
+      |FROM scored
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id ASC
+      |LIMIT 20""".stripMargin
+
+  /** Exact kNN join: top-3 neighbours for each of 5 query vectors in one
+    * pass — broadcast the query set, score scan-side, rank per query
+    * with a window (the many-queries form of cosineTopK). */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val knnJoinSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_inner_product(v, qv)
+      |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cos
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+      |  round(cos, 6) AS cosine
+      |FROM ranked
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Random-hyperplane (SimHash) LSH buckets: the sign pattern of dot
+    * products against fixed pseudo-random hyperplanes. Deterministic —
+    * hyperplane components are (-1)^bit from the vector index — so the
+    * oracle reproduces the bucketing exactly. Map-only signature, then
+    * one shuffle of (bucket, id): the ANN scale path. */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    // Hyperplane h_j[i] = +1 when floor(i / 2^j) is even else -1: a
+    // deterministic ±1 family (Walsh-like), j = 0..3 → 16 buckets.
+    def planeDot(j: Int): Column =
+      aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => when(shiftright(i.cast("long"), j) % 2 === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+    val sig = (0 until 4).map(j => when(planeDot(j) >= 0, 1L).otherwise(0L) * (1L << j))
+    e.withColumn("bucket", sig.reduce(_ + _))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+      .orderBy("bucket")
+  }
+
+  val lshBucketsSql: String = {
+    def planeDot(j: Int): String = {
+      val stride = math.pow(2, j).toLong.max(1L)
+      s"list_sum(list_transform(range(1, len(v) + 1), i -> CASE WHEN ((i - 1) // $stride) % 2 = 0 THEN v[i] ELSE -v[i] END))"
+    }
+    val sig = (0 until 4)
+      .map(j => s"(CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT CAST($sig AS BIGINT) AS bucket,
+       |  count(*) AS n_vectors, min(vec_id) AS min_vec
+       |FROM e
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
+
+  /** Per-label L2-norm envelope: order-free aggregates only (min/max/
+    * count) so doubles stay bit-stable across engines. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), sqrt(dot(doubled(col("embedding")), doubled(col("embedding")))).as("norm"))
+    e.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
+  val embeddingStatsSql: String =
+    """SELECT label, count(*) AS n_vectors,
+      | round(min(sqrt(list_inner_product(v, v))), 6) AS min_norm,
+      | round(max(sqrt(list_inner_product(v, v))), 6) AS max_norm
+      |FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+}
