@@ -29,7 +29,10 @@ object Bench {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         true
-      } catch { case _: Throwable => false }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
+      }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
@@ -39,13 +42,17 @@ object Bench {
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      execute(name, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = execute(name, sfDir)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val nFailed = results.count(!_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, Scalars, Serving}
+import graft.queries.{Dedup, LogOps, Relational, Scalars, Serving, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,18 @@ object SparkEntry {
     "q18_orders_per_month" -> (Scalars.ordersPerMonth _),
     "q19_activity_span"    -> (Scalars.userActivitySpan _),
     "q20_doc_tokens"       -> (Scalars.docTokens _),
+    "q21_sessionize"       -> (LogOps.sessionizeEvents _),
+    "q22_template_match"   -> (LogOps.templateMatchDocs _),
+    "q23_event_pivot"      -> (LogOps.eventPivot _),
+    "q24_exact_dedup"      -> (Dedup.exactDedup _),
+    "q25_normalized_dedup" -> (Dedup.normalizedDedup _),
+    "q26_ngram_jaccard"    -> (Dedup.ngramJaccard _),
+    "q27_minhash_sig"      -> (Dedup.minhashSignatures _),
+    "q28_minhash_bands"    -> (Dedup.minhashBands _),
+    "q29_cosine_topk"      -> (Similarity.cosineTopK _),
+    "q30_knn_join"         -> (Similarity.knnJoin _),
+    "q31_lsh_buckets"      -> (Similarity.lshBuckets _),
+    "q32_embedding_stats"  -> (Similarity.embeddingStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -62,5 +74,17 @@ object SparkEntry {
     "q18_orders_per_month" -> Scalars.ordersPerMonthSql,
     "q19_activity_span"    -> Scalars.userActivitySpanSql,
     "q20_doc_tokens"       -> Scalars.docTokensSql,
+    "q21_sessionize"       -> LogOps.sessionizeEventsSql,
+    "q22_template_match"   -> LogOps.templateMatchDocsSql,
+    "q23_event_pivot"      -> LogOps.eventPivotSql,
+    "q24_exact_dedup"      -> Dedup.exactDedupSql,
+    "q25_normalized_dedup" -> Dedup.normalizedDedupSql,
+    "q26_ngram_jaccard"    -> Dedup.ngramJaccardSql,
+    "q27_minhash_sig"      -> Dedup.minhashSignaturesSql,
+    "q28_minhash_bands"    -> Dedup.minhashBandsSql,
+    "q29_cosine_topk"      -> Similarity.cosineTopKSql,
+    "q30_knn_join"         -> Similarity.knnJoinSql,
+    "q31_lsh_buckets"      -> Similarity.lshBucketsSql,
+    "q32_embedding_stats"  -> Similarity.embeddingStatsSql,
   )
 }

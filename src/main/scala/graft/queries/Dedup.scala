@@ -118,7 +118,7 @@ object Dedup {
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
-        transform(array_distinct(split(col("text"), " ")), tokenHash).as("hs"))
+        transform(array_distinct(split(col("text"), " ")), tokenHash(_)).as("hs"))
     val sigs = HashParams.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
         .as(s"sig_$i")
