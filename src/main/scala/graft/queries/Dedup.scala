@@ -69,22 +69,34 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY canonical_id""".stripMargin
 
-  /** Distinct word 3-grams of a space-tokenized text column. The
-    * short-text guard matters: Spark's `sequence(1, 0)` is a DESCENDING
-    * sequence, not empty. */
-  private def triGrams(words: Column): Column =
+  /** 60-bit portable gram hash (md5 prefix), identical in DuckDB via
+    * `('0x' || substr(md5(g),1,15))::BIGINT`. Hashing shingles to longs
+    * before the join keeps document text out of the shuffle: at 100 TB
+    * the join exchanges 8-byte longs, not string n-grams. */
+  private def gramHash(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** Distinct hashed word 3-grams of a pre-split word-array column.
+    * `words` MUST be a materialized column (not an inline `split`):
+    * expressions referenced inside a higher-order-function lambda are
+    * re-evaluated per element, so an inline split would re-tokenize the
+    * document 3× per shingle (measured 8× slower). The short-text guard
+    * matters: Spark's `sequence(1, 0)` is a DESCENDING sequence, not
+    * empty. Hash-then-distinct order matches the oracle exactly. */
+  private def hashedTriGrams(words: Column): Column =
     when(size(words) >= 3,
       array_distinct(transform(
         sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ",
-          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+        i => gramHash(concat_ws(" ",
+          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))))
+      .otherwise(array().cast("array<long>"))
 
   /** n-gram Jaccard similarity over consecutive doc pairs — the
     * oracle-checkable kernel of shingle-based near-dup detection. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(s, dir)
-      .select(col("doc_id"), triGrams(split(col("text"), " ")).as("grams"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), hashedTriGrams(col("w")).as("grams"))
     val a = g.as("a")
     val b = g.withColumn("doc_id", col("doc_id") - 1).as("b")
     a.join(b, Seq("doc_id"))
@@ -104,7 +116,7 @@ object Dedup {
     """WITH g AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |      i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT)) AS grams
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
@@ -115,7 +127,7 @@ object Dedup {
 
   /** Per-doc k=8 MinHash signature over distinct word tokens, using the
     * portable md5-based token hash so the oracle reproduces every bit. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         transform(array_distinct(split(col("text"), " ")), tokenHash(_)).as("hs"))
@@ -123,8 +135,11 @@ object Dedup {
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
         .as(s"sig_$i")
     }
-    docs.select(col("doc_id") +: sigs: _*).orderBy("doc_id")
+    docs.select(col("doc_id") +: sigs: _*)
   }
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir).orderBy("doc_id")
 
   val minhashSignaturesSql: String = {
     val sigCols = HashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -145,12 +160,18 @@ object Dedup {
     * sharing a band hash are near-dup candidates. Reports candidate
     * buckets with >1 member — the scale path for all-pairs dedup. */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+    val sig = signatures(s, dir)
     def bandHash(cols: Seq[String]): Column =
       md5(concat_ws(",", cols.map(c => col(c).cast("string")): _*))
+    // Both band hashes in ONE array + posexplode: a single pass over the
+    // signature subplan (a unionAll(sig, sig) would make Catalyst compute
+    // — and scan — the signature subplan twice; it does not dedupe
+    // common subplans).
     val bands = sig
-      .select(col("doc_id"), bandHash(Seq("sig_0", "sig_1", "sig_2", "sig_3")).as("band_hash"), lit(0L).as("band"))
-      .unionAll(sig.select(col("doc_id"), bandHash(Seq("sig_4", "sig_5", "sig_6", "sig_7")).as("band_hash"), lit(1L).as("band")))
+      .select(col("doc_id"), posexplode(array(
+        bandHash(Seq("sig_0", "sig_1", "sig_2", "sig_3")),
+        bandHash(Seq("sig_4", "sig_5", "sig_6", "sig_7")))).as(Seq("band", "band_hash")))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
     bands.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") > 1)

@@ -59,24 +59,40 @@ object Similarity {
       |LIMIT 20""".stripMargin
 
   /** Exact kNN join: top-3 neighbours for each of 5 query vectors in one
-    * pass — broadcast the query set, score scan-side, rank per query
-    * with a window (the many-queries form of cosineTopK). */
+    * pass — broadcast the query set, score scan-side, then a TWO-STAGE
+    * salted top-k: local top-k per (query, salt) group, then a final
+    * top-k over the ≤ salt·k survivors per query. A window partitioned
+    * by query_id would funnel every scored row into |queries| reducer
+    * tasks — with 5 queries that's 5 tasks no matter the cluster size;
+    * the salt stage keeps all reducers busy and shrinks the final stage
+    * input to k rows per (query, salt). */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val salts = 32
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    // struct sorts lexicographically: neg_cos ASC == cos DESC, ties by
+    // vec_id ASC — deterministic without a window stage.
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         dot(col("v"), col("qv")) /
           (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .select(col("query_id"), col("vec_id"),
+        struct((-col("cos")).as("neg_cos"), col("vec_id").as("id"),
+          col("cos").as("c")).as("cand"))
+    val localTop = scored
+      .withColumn("salt", pmod(col("vec_id"), lit(salts)))
+      .groupBy(col("query_id"), col("salt"))
+      .agg(slice(sort_array(collect_list(col("cand"))), 1, k).as("cands"))
+    localTop
+      .select(col("query_id"), explode(col("cands")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(slice(sort_array(collect_list(col("cand"))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "x")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("x.id").as("neighbor_id"), round(col("x.c"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
