@@ -26,8 +26,11 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
+    * rejects ([PARQUET_TYPE_ILLEGAL]). The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft entry points —
+    * Bench, Verify, Probe, the test fixture — do so in their builders;
+    * setting it here would be a hidden session-wide mutation whose effect
+    * depends on call order). Exposed columns:
     *   - `ts_ns`  raw nanos since epoch (bit-exact, joins/sorts)
     *   - `ts_ms`  floor-divided millis (matches DuckDB `epoch_ms(ts)`)
     *   - `ts`     TimestampType truncated to micros (matches DuckDB
@@ -35,7 +38,6 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
       // `div` = integral division; a double `/` would lose precision on

@@ -92,22 +92,38 @@ object Dedup {
       .otherwise(array().cast("array<long>"))
 
   /** n-gram Jaccard similarity over consecutive doc pairs — the
-    * oracle-checkable kernel of shingle-based near-dup detection. */
+    * oracle-checkable kernel of shingle-based near-dup detection.
+    *
+    * A self-join of the gram subplan would make Catalyst scan + shingle
+    * the documents table TWICE (it does not dedupe common subplans — the
+    * round-2 plan showed two `documents` FileScans). Instead each doc
+    * emits its grams to both pair keys it participates in
+    * (posexplode of [key=id, key=id-1]) and ONE hash aggregation
+    * reassembles the 2-element pair groups: one scan, one shuffle.
+    * `first(..., ignoreNulls)` is deterministic here — each pair key
+    * receives exactly one side-0 and at most one side-1 row. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), hashedTriGrams(col("w")).as("grams"))
-    val a = g.as("a")
-    val b = g.withColumn("doc_id", col("doc_id") - 1).as("b")
-    a.join(b, Seq("doc_id"))
+    val sides = g
+      .select(posexplode(array(
+        struct(col("doc_id").as("k"), col("grams")),
+        struct((col("doc_id") - 1).as("k"), col("grams")))).as(Seq("side", "e")))
+      .select(col("side"), col("e.k").as("pair_id"), col("e.grams").as("grams"))
+    sides.groupBy(col("pair_id"))
+      .agg(
+        first(when(col("side") === 0, col("grams")), ignoreNulls = true).as("ga"),
+        first(when(col("side") === 1, col("grams")), ignoreNulls = true).as("gb"))
+      .filter(col("ga").isNotNull && col("gb").isNotNull)
       .withColumn("n_inter",
-        size(array_intersect(col("a.grams"), col("b.grams"))).cast("long"))
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .select(
-        col("doc_id").as("doc_a"),
-        (col("doc_id") + 1).as("doc_b"),
+        col("pair_id").as("doc_a"),
+        (col("pair_id") + 1).as("doc_b"),
         col("n_inter"),
         round(col("n_inter").cast("double") /
-          (size(col("a.grams")) + size(col("b.grams")) - col("n_inter")), 6)
+          (size(col("ga")) + size(col("gb")) - col("n_inter")), 6)
           .as("jaccard"))
       .orderBy("doc_a")
   }

@@ -154,7 +154,8 @@ object Relational {
   val inactiveCustomersSql: String =
     """SELECT c_custkey, c_name, c_nationkey
       |FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
   /** Window function (SURVEY W1–W3): latest order per customer via

@@ -113,8 +113,9 @@ object Serving {
 
   val deleteUserEventsSql: String =
     """SELECT event_type, count(*) AS n_remaining
-      |FROM events
-      |WHERE event_id NOT IN (SELECT event_id FROM events WHERE user_id = 13)
+      |FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM events v
+      |                  WHERE v.user_id = 13 AND v.event_id = e.event_id)
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
 
 import graft.core.Tables
+import graft.functions.{ScoredCand, TopKAggregator}
 
 /** Similarity search over the embeddings table (builder mandate).
   *
@@ -27,15 +29,27 @@ object Similarity {
 
   private def doubled(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Zero-norm-guarded cosine: a 0/0 would yield NaN, whose sort order
+    * differs between Spark (greatest) and a struct-field ascending sort
+    * (last) — and DuckDB division can disagree again. Pin the degenerate
+    * case to -2.0 (below any real cosine) on BOTH sides instead. */
+  private def cosine(v: Column, qv: Column): Column = {
+    val denom = sqrt(dot(v, v)) * sqrt(dot(qv, qv))
+    when(denom === 0.0, lit(-2.0)).otherwise(dot(v, qv) / denom)
+  }
+
+  private val cosineSqlDenom =
+    "(sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
+  private val cosineSql =
+    s"CASE WHEN $cosineSqlDenom = 0 THEN -2.0 ELSE list_inner_product(v, qv) / $cosineSqlDenom END"
+
   /** Exact cosine top-20 neighbours of vec_id = 0. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     e.join(broadcast(q))
-      .withColumn("cos",
-        dot(col("v"), col("qv")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
+      .withColumn("cos", cosine(col("v"), col("qv")))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(20)
@@ -43,14 +57,12 @@ object Similarity {
   }
 
   val cosineTopKSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
       |scored AS (
-      |  SELECT vec_id,
-      |    list_inner_product(v, qv)
-      |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cos
+      |  SELECT vec_id, $cosineSql AS cos
       |  FROM e, q)
       |SELECT vec_id, round(cos, 6) AS cosine
       |FROM scored
@@ -59,52 +71,37 @@ object Similarity {
       |LIMIT 20""".stripMargin
 
   /** Exact kNN join: top-3 neighbours for each of 5 query vectors in one
-    * pass — broadcast the query set, score scan-side, then a TWO-STAGE
-    * salted top-k: local top-k per (query, salt) group, then a final
-    * top-k over the ≤ salt·k survivors per query. A window partitioned
-    * by query_id would funnel every scored row into |queries| reducer
-    * tasks — with 5 queries that's 5 tasks no matter the cluster size;
-    * the salt stage keeps all reducers busy and shrinks the final stage
-    * input to k rows per (query, salt). */
+    * pass — broadcast the query set, score scan-side, then ONE hash
+    * aggregation with a bounded top-k aggregate (graft.functions.TopK):
+    * map-side partials keep ≤ k candidates per (partition, query), so
+    * the exchange carries ≤ partitions·q·k structs and reducer state is
+    * O(k) — no window funnel, no unbounded collect_list (the round-2
+    * defect). The aggregation itself is the salt: every scan partition
+    * reduces locally in parallel regardless of |queries|. */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val k = 3
-    val salts = 32
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // struct sorts lexicographically: neg_cos ASC == cos DESC, ties by
-    // vec_id ASC — deterministic without a window stage.
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        dot(col("v"), col("qv")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
-      .select(col("query_id"), col("vec_id"),
-        struct((-col("cos")).as("neg_cos"), col("vec_id").as("id"),
-          col("cos").as("c")).as("cand"))
-    val localTop = scored
-      .withColumn("salt", pmod(col("vec_id"), lit(salts)))
-      .groupBy(col("query_id"), col("salt"))
-      .agg(slice(sort_array(collect_list(col("cand"))), 1, k).as("cands"))
-    localTop
-      .select(col("query_id"), explode(col("cands")).as("cand"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
       .groupBy(col("query_id"))
-      .agg(slice(sort_array(collect_list(col("cand"))), 1, k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "x")))
+      .agg(topk(-col("cos"), col("vec_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top.cands")).as(Seq("pos", "x")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("x.id").as("neighbor_id"), round(col("x.c"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
   val knnJoinSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
       |scored AS (
-      |  SELECT q.query_id, e.vec_id,
-      |    list_inner_product(v, qv)
-      |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cos
+      |  SELECT q.query_id, e.vec_id, $cosineSql AS cos
       |  FROM e, q WHERE e.vec_id <> q.query_id),
       |ranked AS (
       |  SELECT query_id, vec_id, cos,
@@ -120,19 +117,31 @@ object Similarity {
     * products against fixed pseudo-random hyperplanes. Deterministic —
     * hyperplane components are (-1)^bit from the vector index — so the
     * oracle reproduces the bucketing exactly. Map-only signature, then
-    * one shuffle of (bucket, id): the ANN scale path. */
+    * one shuffle of (bucket, id): the ANN scale path.
+    *
+    * All 4 plane sums come out of ONE `aggregate` pass whose accumulator
+    * carries the element index (i, s0..s3) — no `sequence` index array
+    * is materialized and the vector is traversed once, not 4× (the
+    * round-2 q31 defect). Addition order per plane is unchanged
+    * (left-to-right), so results stay bit-identical to the oracle. */
   def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
-    // Hyperplane h_j[i] = +1 when floor(i / 2^j) is even else -1: a
-    // deterministic ±1 family (Walsh-like), j = 0..3 → 16 buckets.
-    def planeDot(j: Int): Column =
-      aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => when(shiftright(i.cast("long"), j) % 2 === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-    val sig = (0 until 4).map(j => when(planeDot(j) >= 0, 1L).otherwise(0L) * (1L << j))
-    e.withColumn("bucket", sig.reduce(_ + _))
+    def signed(acc: Column, x: Column, j: Int): Column =
+      (acc.getField(s"s$j") +
+        when(shiftright(acc.getField("i"), j) % 2 === 0, x).otherwise(-x))
+        .as(s"s$j")
+    val bucket = aggregate(
+      col("v"),
+      struct(lit(0L).as("i"), lit(0.0).as("s0"), lit(0.0).as("s1"),
+        lit(0.0).as("s2"), lit(0.0).as("s3")),
+      (acc, x) => struct(
+        (acc.getField("i") + 1L).as("i") +:
+          (0 until 4).map(j => signed(acc, x, j)): _*),
+      acc => (0 until 4)
+        .map(j => when(acc.getField(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _))
+    e.withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
       .orderBy("bucket")
