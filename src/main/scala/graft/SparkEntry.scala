@@ -51,6 +51,7 @@ object SparkEntry {
     "q30_knn_join"         -> (Similarity.knnJoin _),
     "q31_lsh_buckets"      -> (Similarity.lshBuckets _),
     "q32_embedding_stats"  -> (Similarity.embeddingStats _),
+    "q33_tumbling_metrics" -> (LogOps.tumblingMetrics _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -86,5 +87,6 @@ object SparkEntry {
     "q30_knn_join"         -> Similarity.knnJoinSql,
     "q31_lsh_buckets"      -> Similarity.lshBucketsSql,
     "q32_embedding_stats"  -> Similarity.embeddingStatsSql,
+    "q33_tumbling_metrics" -> LogOps.tumblingMetricsSql,
   )
 }

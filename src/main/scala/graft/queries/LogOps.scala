@@ -88,6 +88,28 @@ object LogOps {
       .orderBy("user_id")
   }
 
+  /** ST4 tumbling metrics, batch-equivalent form: the EXACT code path
+    * the streaming layer runs (`StreamPipeline.metrics1m`) applied to
+    * the events table — `err_1m`/`cnt_1m`/`p95_1m` per 1-minute window
+    * (the reference's aspirational metrics schema,
+    * `hbase_client.py:23-26`). Batch here, `withWatermark` + the same
+    * aggregation on a stream; oracle-checking this row set certifies
+    * the streaming aggregation logic too. */
+  def tumblingMetrics(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.metrics1m(
+      Tables.events(s, dir), "ts",
+      col("event_type") === "error", col("value"))
+      .orderBy("minute_start_ms")
+
+  val tumblingMetricsSql: String =
+    """SELECT epoch_ms(date_trunc('minute', ts)) AS minute_start_ms,
+      | count(*) AS cnt_1m,
+      | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_1m,
+      | round(quantile_cont(value, 0.95), 6) AS p95_1m
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY minute_start_ms""".stripMargin
+
   val eventPivotSql: String =
     """SELECT user_id,
       | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

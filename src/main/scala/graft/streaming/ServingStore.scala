@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed, idempotent serving store over parquet (SURVEY.md §2.1 S7/S8,
+  * §2.8 "Delivery"; reference `insert_data_to_HBase.py:6-46` — rowkey =
+  * BlockId, put = overwrite).
+  *
+  * The reference gets effective exactly-once by accident: at-least-once
+  * Kafka delivery + HBase put keyed on BlockId. This store makes the
+  * same contract explicit for a `foreachBatch` sink:
+  *
+  *  - **Upsert** = anti-join the current snapshot against the batch's
+  *    keys, union the batch (last write wins per key).
+  *  - **Versioned snapshots + atomic pointer**: each upsert writes a
+  *    fresh `v=N` directory, then atomically moves a `_CURRENT` pointer
+  *    file (version + high-water batch id). Readers never observe a
+  *    half-written snapshot; a crash mid-write leaves the pointer on
+  *    the old version.
+  *  - **Replay protection**: `foreachBatch` may re-deliver a batch
+  *    after recovery; upserts with `batchId <=` the recorded high-water
+  *    mark are skipped, making the sink idempotent (ST2).
+  *
+  * Scale note: full-snapshot rewrite is correct but O(store) per batch;
+  * at 100 TB the same pointer-swap protocol applies per key-range
+  * partition (only partitions containing batch keys are rewritten),
+  * which is exactly the compaction model of Delta/Hudi-style keyed
+  * tables. The query surface (`read`) is unchanged by that swap.
+  */
+object ServingStore {
+
+  private def pointerPath(store: String): Path = Paths.get(store, "_CURRENT")
+
+  /** (current version, highest applied batch id); (0, -1) = empty. */
+  def pointer(store: String): (Long, Long) = {
+    val p = pointerPath(store)
+    if (!Files.exists(p)) (0L, -1L)
+    else {
+      val Array(v, b) = Files.readString(p).trim.split(",")
+      (v.toLong, b.toLong)
+    }
+  }
+
+  /** Current snapshot as a DataFrame (empty-schema error if never
+    * written — callers create the store via `upsert` first). */
+  def read(spark: SparkSession, store: String): DataFrame = {
+    val (v, _) = pointer(store)
+    require(v > 0, s"serving store $store has no committed snapshot")
+    spark.read.parquet(s"$store/v=$v")
+  }
+
+  /** Apply one micro-batch as a keyed upsert. Returns false (no-op) when
+    * `batchId` was already applied — the foreachBatch replay path. */
+  def upsert(batch: DataFrame, store: String, keyCol: String, batchId: Long): Boolean = {
+    Files.createDirectories(Paths.get(store))
+    val (curVer, lastBatch) = pointer(store)
+    if (batchId <= lastBatch) return false
+    val spark = batch.sparkSession
+    val merged =
+      if (curVer == 0) batch
+      else read(spark, store)
+        .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(batch)
+    val newVer = curVer + 1
+    merged.write.mode("overwrite").parquet(s"$store/v=$newVer")
+    // Atomic pointer swap: write-temp + ATOMIC_MOVE. Readers see either
+    // the old or the new version, never a torn pointer.
+    val tmp = Paths.get(store, s"_CURRENT.tmp.$newVer")
+    Files.writeString(tmp, s"$newVer,$batchId")
+    Files.move(tmp, pointerPath(store), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // Keep the previous snapshot for in-flight readers; reap older ones.
+    (1L until curVer).foreach { old =>
+      val dir = Paths.get(store, s"v=$old")
+      if (Files.exists(dir)) Try {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+    true
+  }
+
+  /** Point/key delete (SURVEY Q7): rewrite minus the key set, same
+    * snapshot-swap protocol. `batchId` guards replays like upsert. */
+  def delete(spark: SparkSession, store: String, keyCol: String,
+      keys: Seq[String], batchId: Long): Boolean = {
+    val (curVer, lastBatch) = pointer(store)
+    if (batchId <= lastBatch || curVer == 0) return false
+    val remaining = read(spark, store).filter(!col(keyCol).isin(keys: _*))
+    val newVer = curVer + 1
+    remaining.write.mode("overwrite").parquet(s"$store/v=$newVer")
+    val tmp = Paths.get(store, s"_CURRENT.tmp.$newVer")
+    Files.writeString(tmp, s"$newVer,$batchId")
+    Files.move(tmp, pointerPath(store), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
+}

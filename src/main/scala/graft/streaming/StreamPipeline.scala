@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.log.Templates
+import graft.ml.Scorer
+
+/** The speed layer, end to end (SURVEY.md §2.8, §3.2): micro-batch
+  * source → `from_json` → stateless enrich (reusing the batch-layer
+  * parse/template/feature code) → score → checkpointed keyed upsert
+  * into the serving store.
+  *
+  * Reference chain: `kafka_consumer.py:13-40` (poll loop) →
+  * `transform.py:8-97` (re-parse) → `ML_predict.py:78-115` (score) →
+  * `insert_data_to_HBase.py:6-46` (keyed put). One message at a time,
+  * at-least-once, idempotent only by accident of the rowkey. Here the
+  * same dataflow is a Structured Streaming query: micro-batches give
+  * scan-side parallelism, the checkpoint + `ServingStore` batch-id
+  * high-water mark give effective exactly-once (ST1/ST2/ST3).
+  */
+object StreamPipeline {
+
+  /** Wire a raw `value`-column stream (Kafka-shaped; any source) into
+    * the enrich → upsert pipeline. Caller starts with MemoryStream,
+    * file source, or `KafkaIO.source`. */
+  def run(
+      rawValues: DataFrame,
+      templates: Seq[Templates.Template],
+      scorer: Scorer,
+      storePath: String,
+      checkpointDir: String,
+      threshold: Double = Scorer.DefaultThreshold): StreamingQuery =
+    StreamMessages.parse(rawValues)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val enriched = StreamTransform.enrich(batch, templates, scorer, threshold)
+        ServingStore.upsert(enriched, storePath, "block_id", batchId)
+        ()
+      }
+      .start()
+
+  /** 1-minute tumbling metrics (ST4/ST5): `err_1m`, `cnt_1m`, `p95_1m`
+    * — the reference's aspirational serving schema
+    * (`hbase_client.py:23-26`), never actually computed there. One
+    * windowed aggregation; on a stream the watermark (default 5 min,
+    * the reference's unread `WATERMARK_MINUTES`, `config.py:25`)
+    * bounds state by closing windows older than the watermark.
+    *
+    * Works identically on a batch frame (no watermark applied), so the
+    * oracle-checked q33 and the streaming path share this exact code.
+    * `percentile` is the exact interpolating aggregate — matches
+    * DuckDB's `quantile_cont` digit-for-digit before the round(…,6).
+    */
+  def metrics1m(
+      df: DataFrame,
+      tsCol: String,
+      isErr: Column,
+      value: Column,
+      watermark: String = "5 minutes"): DataFrame = {
+    val base = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    base
+      .groupBy(window(col(tsCol), "1 minute").as("w"))
+      .agg(
+        count(lit(1)).as("cnt_1m"),
+        sum(isErr.cast("long")).as("err_1m"),
+        round(percentile(value, lit(0.95)), 6).as("p95_1m"))
+      .select(unix_millis(col("w.start")).as("minute_start_ms"),
+        col("cnt_1m"), col("err_1m"), col("p95_1m"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.log.{Features, LogParser, Templates}
+import graft.ml.Scorer
+
+/** Stateless per-micro-batch enrichment (SURVEY.md §2.8 "Transform",
+  * §3.2; reference `transform.py:8-97`, `kafka_consumer.py:29-37`).
+  *
+  * The reference re-parses each message's raw `log_full` text with
+  * pandas regexes, rebuilds the per-block event counts, scores them,
+  * and attaches `features` + `prediction`. Here the SAME batch-layer
+  * code paths (`graft.log.LogParser` / `Templates` / `Features`) run
+  * over the micro-batch DataFrame — one engine, two cadences — and
+  * scoring is a codegen'd expression via `graft.ml.Scorer`.
+  *
+  * Every step is per-block-id local: the only shuffle is the
+  * `eventCounts` aggregation keyed by block_id, whose group state is
+  * one int per template — at full scale a micro-batch enrich is a
+  * short map + one tiny keyed agg, no driver involvement.
+  */
+object StreamTransform {
+
+  /** Keep only the newest message per block (last-write-wins upsert key
+    * semantics, matching the reference's rowkey=BlockId overwrite).
+    * Must run BEFORE line re-parse: two copies of one block in a batch
+    * would otherwise double its event counts. Micro-batches are small,
+    * so the row_number window is a per-batch detail, not a scale risk. */
+  def dedupeLatest(messages: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("block_id"))
+      .orderBy(col("end_ts").desc_nulls_last, col("num_lines").desc)
+    messages.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** messages + templates + scorer → messages enriched with
+    * `features array<int>`, `proba double`, `prediction int`, `ts_ms`.
+    *
+    * Blocks whose text matches no template get all-zero features — the
+    * reference's explicit fallback (`transform.py:83-86`). */
+  def enrich(
+      messages: DataFrame,
+      templates: Seq[Templates.Template],
+      scorer: Scorer,
+      threshold: Double = Scorer.DefaultThreshold): DataFrame = {
+    val ids = templates.map(_.id)
+    val deduped = dedupeLatest(messages)
+    // The block id is re-extracted from the log text itself (the
+    // reference does the same: `transform.py:26,55`), so the parse
+    // stage is exactly the batch-layer parse with no extra plumbing.
+    val lines = deduped.select(explode(split(col("log_full"), "\n")).as("value"))
+    val parsed = LogParser.withBlock(LogParser.parse(lines, "value"))
+    val tagged = Templates.tag(parsed, templates)
+    val counts = Features.eventCounts(tagged, ids)
+    val features = array(ids.map(i => coalesce(col(i), lit(0))): _*)
+    deduped
+      .join(counts, Seq("block_id"), "left")
+      .withColumn("features", features)
+      .drop(ids: _*)
+      .withColumn("proba", scorer.proba(col("features")))
+      .withColumn("prediction", (col("proba") >= threshold).cast("int"))
+      .withColumn("ts_ms", (col("end_ts").cast("double") * 1000).cast("long"))
+  }
+}

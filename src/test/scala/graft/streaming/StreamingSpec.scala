@@ -1,0 +1,201 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+import graft.log.Templates
+import graft.ml.Scorer
+
+/** Speed-layer spec: JSON codec, micro-batch enrich (reusing the batch
+  * parse/template/feature code), keyed-upsert idempotence, the full
+  * MemoryStream → foreachBatch → serving-store e2e, watermarked
+  * 1-minute metrics, and stateful sessionization across batches.
+  */
+class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private val templates = Seq(
+    Templates.Template("E1", "Receiving block[*]src:[*]dest:[*]"),
+    Templates.Template("E2", "BLOCK* NameSystem[*]allocateBlock:[*]"),
+    Templates.Template("E3", "Served block[*]to[*]"),
+    Templates.Template("E4", "deleted block[*]"))
+
+  // sigmoid(2·E1 − E3 − 2): blk_100 (E1=2,E2=1) → 0.881 ⇒ 1 at 0.83;
+  // blk_-200 (E1=1,E3=1) → 0.269 ⇒ 0.
+  private val scorer = Scorer.LinearScorer(Seq(2.0, 0.0, -1.0, 0.0), -2.0)
+
+  private def msg(blockId: String, start: String, end: String,
+      lines: Seq[String]): (String, String, String, Long, String, Long) = {
+    val durSec = (java.sql.Timestamp.valueOf(end).getTime -
+      java.sql.Timestamp.valueOf(start).getTime) / 1000
+    (blockId, start, end, durSec, lines.mkString("\n"), lines.length.toLong)
+  }
+
+  private def messagesDf(ms: Seq[(String, String, String, Long, String, Long)]) = {
+    import spark.implicits._
+    ms.toDF("block_id", "start_ts_s", "end_ts_s", "duration_sec", "log_full", "num_lines")
+      .select(col("block_id"),
+        col("start_ts_s").cast("timestamp").as("start_ts"),
+        col("end_ts_s").cast("timestamp").as("end_ts"),
+        col("duration_sec"), col("log_full"), col("num_lines"))
+  }
+
+  private val m100 = msg("blk_100", "2008-11-09 20:35:18", "2008-11-09 20:36:18", Seq(
+    "081109 203518 143 INFO dfs.DataNode$DataXceiver: Receiving block blk_100 src: /10.0.0.1:50010 dest: /10.0.0.2:50010",
+    "081109 203530 144 INFO dfs.FSNamesystem: BLOCK* NameSystem.allocateBlock: /user/job1/file.jar. blk_100",
+    "081109 203618 143 INFO dfs.DataNode$DataXceiver: Receiving block blk_100 src: /10.0.0.3:50010 dest: /10.0.0.2:50010"))
+  private val m200 = msg("blk_-200", "2008-11-09 21:00:00", "2008-11-09 22:00:00", Seq(
+    "081109 210000 201 WARN dfs.DataNode$DataXceiver: Receiving block blk_-200 src: /10.0.0.9:50010 dest: /10.0.0.2:50010",
+    "081109 220000 202 INFO dfs.DataNode$BlockSender: Served block blk_-200 to /10.0.0.4"))
+  // Updated view of blk_-200 (one more line) — the upsert overwrite case.
+  private val m200v2 = msg("blk_-200", "2008-11-09 21:00:00", "2008-11-09 22:01:00", Seq(
+    "081109 210000 201 WARN dfs.DataNode$DataXceiver: Receiving block blk_-200 src: /10.0.0.9:50010 dest: /10.0.0.2:50010",
+    "081109 220000 202 INFO dfs.DataNode$BlockSender: Served block blk_-200 to /10.0.0.4",
+    "081109 220100 203 INFO dfs.DataNode$BlockSender: Served block blk_-200 to /10.0.0.5"))
+  // No template ever matches frobnication → all-zero features fallback.
+  private val m300 = msg("blk_300", "2008-11-10 00:00:01", "2008-11-10 00:00:01", Seq(
+    "081110 000001 300 ERROR dfs.DataNode: Unexpected frobnication of blk_300"))
+
+  test("from_json parse inverts to_json and drops malformed values") {
+    import spark.implicits._
+    val json = StreamMessages.toJson(messagesDf(Seq(m100, m200)))
+      .as[String].collect().toSeq
+    val parsed = StreamMessages.parse((json :+ "{not json" :+ """{"other":1}""").toDF("value"))
+    parsed.count() shouldBe 2
+    val r = parsed.filter(col("block_id") === "blk_100").head()
+    r.getAs[java.sql.Timestamp]("start_ts").toString shouldBe "2008-11-09 20:35:18.0"
+    r.getAs[Long]("num_lines") shouldBe 3
+    r.getAs[String]("log_full") should include("allocateBlock")
+  }
+
+  test("enrich rebuilds features from log text and scores them") {
+    val out = StreamTransform.enrich(messagesDf(Seq(m100, m200, m300)), templates, scorer)
+    out.count() shouldBe 3
+    val rows = out.collect().map(r => r.getAs[String]("block_id") -> r).toMap
+    rows("blk_100").getAs[Seq[Int]]("features") shouldBe Seq(2, 1, 0, 0)
+    rows("blk_100").getAs[Int]("prediction") shouldBe 1
+    rows("blk_-200").getAs[Seq[Int]]("features") shouldBe Seq(1, 0, 1, 0)
+    rows("blk_-200").getAs[Int]("prediction") shouldBe 0
+    rows("blk_300").getAs[Seq[Int]]("features") shouldBe Seq(0, 0, 0, 0)
+    rows("blk_300").getAs[Long]("ts_ms") shouldBe
+      java.sql.Timestamp.valueOf("2008-11-10 00:00:01").getTime
+  }
+
+  test("enrich dedupes to the newest message per block before counting") {
+    val out = StreamTransform.enrich(messagesDf(Seq(m200, m200v2)), templates, scorer)
+    out.count() shouldBe 1
+    val r = out.head()
+    r.getAs[Long]("num_lines") shouldBe 3
+    // Counts come from v2's lines only — not doubled by the stale copy.
+    r.getAs[Seq[Int]]("features") shouldBe Seq(1, 0, 2, 0)
+  }
+
+  test("serving store upsert is keyed, versioned and replay-idempotent") {
+    val store = Files.createTempDirectory("graft-store").toString
+    val b0 = StreamTransform.enrich(messagesDf(Seq(m100, m200)), templates, scorer)
+    ServingStore.upsert(b0, store, "block_id", 0L) shouldBe true
+    val b1 = StreamTransform.enrich(messagesDf(Seq(m200v2, m300)), templates, scorer)
+    ServingStore.upsert(b1, store, "block_id", 1L) shouldBe true
+
+    val snap = ServingStore.read(spark, store)
+    snap.count() shouldBe 3
+    snap.filter(col("block_id") === "blk_-200").head()
+      .getAs[Long]("num_lines") shouldBe 3 // v2 won
+
+    // Replayed batch (same id) is a no-op: same pointer, same content.
+    val before = ServingStore.pointer(store)
+    ServingStore.upsert(b1, store, "block_id", 1L) shouldBe false
+    ServingStore.pointer(store) shouldBe before
+    ServingStore.read(spark, store).count() shouldBe 3
+
+    // Keyed delete rewrites minus the key set.
+    ServingStore.delete(spark, store, "block_id", Seq("blk_300"), 2L) shouldBe true
+    ServingStore.read(spark, store).count() shouldBe 2
+  }
+
+  test("e2e: MemoryStream -> from_json -> enrich -> foreachBatch upsert") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = Files.createTempDirectory("graft-store-e2e").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[String]
+    val query = StreamPipeline.run(
+      input.toDF().select(col("value")), templates, scorer, store, checkpoint)
+    try {
+      input.addData(StreamMessages.toJson(messagesDf(Seq(m100, m200))).as[String].collect(): _*)
+      query.processAllAvailable()
+      ServingStore.read(spark, store).count() shouldBe 2
+
+      input.addData(StreamMessages.toJson(messagesDf(Seq(m200v2, m300))).as[String].collect(): _*)
+      query.processAllAvailable()
+      val snap = ServingStore.read(spark, store).collect()
+        .map(r => r.getAs[String]("block_id") -> r).toMap
+      snap should have size 3
+      snap("blk_-200").getAs[Long]("num_lines") shouldBe 3
+      snap("blk_100").getAs[Int]("prediction") shouldBe 1
+      snap("blk_300").getAs[Seq[Int]]("features") shouldBe Seq(0, 0, 0, 0)
+    } finally query.stop()
+  }
+
+  test("watermarked 1-minute metrics match the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:00:05", "view", 10.0),
+      ("2024-01-01 00:00:40", "error", 30.0),
+      ("2024-01-01 00:00:59", "view", 20.0),
+      ("2024-01-01 00:01:10", "error", 50.0),
+      ("2024-01-01 00:01:30", "error", 70.0))
+    def typed(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("_1").cast("timestamp").as("ts"), col("_2").as("event_type"), col("_3").as("value"))
+
+    val input = MemoryStream[(String, String, Double)]
+    val streamed = StreamPipeline.metrics1m(
+      typed(input.toDF()), "ts", col("event_type") === "error", col("value"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("m1m").outputMode("update").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("m1m")
+        .orderBy("minute_start_ms").collect()
+      val want = StreamPipeline.metrics1m(
+        typed(rows.toDF()), "ts", col("event_type") === "error", col("value"))
+        .orderBy("minute_start_ms").collect()
+      got.map(_.toSeq) shouldBe want.map(_.toSeq)
+      want.map(r => (r.getAs[Long]("cnt_1m"), r.getAs[Long]("err_1m"))).toSeq shouldBe
+        Seq((3L, 1L), (2L, 2L))
+    } finally query.stop()
+  }
+
+  test("stateful sessionization converges across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StatefulSessionize._
+    val input = MemoryStream[LineEvent]
+    val query = sessions(input.toDS()).writeStream.format("memory")
+      .queryName("sess").outputMode("update").start()
+    try {
+      input.addData(LineEvent("blk_A", 10_000L), LineEvent("blk_A", 70_000L),
+        LineEvent("blk_B", 5_000L))
+      query.processAllAvailable()
+      input.addData(LineEvent("blk_A", 40_000L), LineEvent("blk_A", 130_000L))
+      query.processAllAvailable()
+      // Last update per key reflects ALL lines seen so far.
+      val last = spark.table("sess").groupBy("block_id")
+        .agg(max(struct(col("num_lines"), col("start_ms"), col("end_ms"),
+          col("duration_sec"))).as("s"))
+        .select("block_id", "s.*").collect()
+        .map(r => r.getAs[String]("block_id") -> r).toMap
+      last("blk_A").getAs[Long]("num_lines") shouldBe 4
+      last("blk_A").getAs[Long]("start_ms") shouldBe 10_000L
+      last("blk_A").getAs[Long]("end_ms") shouldBe 130_000L
+      last("blk_A").getAs[Long]("duration_sec") shouldBe 120L
+      last("blk_B").getAs[Long]("num_lines") shouldBe 1
+    } finally query.stop()
+  }
+}
