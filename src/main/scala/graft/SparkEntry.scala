@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, LogOps, Relational, Scalars, Serving, Similarity}
+import graft.queries.{Dedup, LogOps, MLOps, Relational, Scalars, Serving, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,8 @@ object SparkEntry {
     "q31_lsh_buckets"      -> (Similarity.lshBuckets _),
     "q32_embedding_stats"  -> (Similarity.embeddingStats _),
     "q33_tumbling_metrics" -> (LogOps.tumblingMetrics _),
+    // No oracle (not SQL-expressible): driver records rows-only checks.
+    "q34_lr_anomaly"       -> (MLOps.lrAnomaly _),
   )
 
   def oracleSql: Map[String, String] = Map(
