@@ -54,19 +54,28 @@ object Templates {
       .toSeq
 
   /** The EventId column: a single CASE expression over all templates.
-    * NULL when no template matches (filtered downstream, SURVEY P3). */
+    * NULL when no template matches (filtered downstream, SURVEY P3).
+    *
+    * Built as ONE flat CaseWhen (`when(c1, v1).when(c2, v2)…`), never a
+    * nested `coalesce(coalesce(…))` fold: nesting makes the expression
+    * tree O(n²) nodes, and at the real 29-template dimension Catalyst's
+    * subexpression-elimination pass goes quadratic-on-quadratic over it
+    * (observed: planning never finishes). The flat form is one node
+    * with n branches, short-circuits at the first hit, and codegens to
+    * a simple if/else-if ladder. */
   def eventIdColumn(templates: Seq[Template], message: Column,
       mode: MatchMode = MatchMode.FirstMatch): Column = {
     val anchored = mode == MatchMode.AnchoredLast
-    // A first-true-wins `when` chain over the reversed list IS
-    // last-match-wins, so both orders share one code path.
+    // A first-true-wins CASE over the reversed list IS last-match-wins,
+    // so both orders share one code path.
     val ordered = mode match {
       case MatchMode.FirstMatch => templates
       case _                    => templates.reverse
     }
-    ordered.foldLeft(lit(null).cast("string")) { (acc, t) =>
-      // `when` chains evaluate in order; keep the first non-null.
-      coalesce(acc, when(message.rlike(toRegex(t.pattern, anchored)), lit(t.id)))
+    val first = ordered.head
+    ordered.tail.foldLeft(
+      when(message.rlike(toRegex(first.pattern, anchored)), lit(first.id))) {
+      (acc, t) => acc.when(message.rlike(toRegex(t.pattern, anchored)), lit(t.id))
     }
   }
 

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Write paths (SURVEY.md §2.1 S4/S9, §2.7 F19).
+  *
+  * The reference has exactly three: a coalesce(1) header CSV to HDFS
+  * (`prepare_data_batch.ipynb:913-930`), a pandas `to_sql(replace)`
+  * into Postgres (`load_data_to_sql.py:6-17`), and the HBase put that
+  * `graft.streaming.ServingStore` covers. Every HBase value is
+  * stringified on write (`insert_data_to_HBase.py:30-40`) — F19 keeps
+  * that cast-to-string at the sink boundary only; types stay real
+  * everywhere upstream.
+  */
+object Sinks {
+
+  /** F19: every column cast to string — the reference's export
+    * convention at its sink boundaries. Array/struct columns render as
+    * their SQL string form. */
+  def stringified(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+
+  /** S4: single-file header CSV, overwrite — byte-compatible with the
+    * reference's export. `coalesce(1)` serializes the final write
+    * stage by design (one output file); callers wanting scan-parallel
+    * output use `writeParquet`. */
+  def writeCsvSingle(df: DataFrame, path: String): Unit =
+    stringified(df)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .csv(path)
+
+  /** S9: JDBC overwrite — the reference's `to_sql(if_exists='replace')`
+    * shape. The driver jar for `url` must be on the classpath at
+    * runtime (none is bundled in this container). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: Properties = new Properties()): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
+
+  /** The default at-rest form for engine outputs: partitioned parquet
+    * (columnar, prunable — SURVEY §1.3), scan-parallel on write. */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
