@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, LogOps, MLOps, Relational, Scalars, Serving, Similarity}
+import graft.queries.{Dedup, Extras, LogOps, MLOps, Relational, Scalars, Serving, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,16 @@ object SparkEntry {
     "q33_tumbling_metrics" -> (LogOps.tumblingMetrics _),
     // No oracle (not SQL-expressible): driver records rows-only checks.
     "q34_lr_anomaly"       -> (MLOps.lrAnomaly _),
+    "q35_prefix_filter"    -> (Extras.prefixFilter _),
+    "q36_lang_id"          -> (TextOps.langId _),
+    "q37_quality_score"    -> (TextOps.qualityScore _),
+    "q38_token_stats"      -> (TextOps.tokenStats _),
+    "q39_fingerprint"      -> (TextOps.fingerprint _),
+    "q40_multimodal_meta"  -> (TextOps.multimodalMeta _),
+    "q41_hash_sample"      -> (Extras.hashSample _),
+    "q42_random_pick"      -> (Extras.randomPick _),
+    "q43_nulls_last"       -> (Extras.nullsLastSort _),
+    "q44_try_cast"         -> (Extras.tryCastParse _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -90,5 +100,15 @@ object SparkEntry {
     "q31_lsh_buckets"      -> Similarity.lshBucketsSql,
     "q32_embedding_stats"  -> Similarity.embeddingStatsSql,
     "q33_tumbling_metrics" -> LogOps.tumblingMetricsSql,
+    "q35_prefix_filter"    -> Extras.prefixFilterSql,
+    "q36_lang_id"          -> TextOps.langIdSql,
+    "q37_quality_score"    -> TextOps.qualityScoreSql,
+    "q38_token_stats"      -> TextOps.tokenStatsSql,
+    "q39_fingerprint"      -> TextOps.fingerprintSql,
+    "q40_multimodal_meta"  -> TextOps.multimodalMetaSql,
+    "q41_hash_sample"      -> Extras.hashSampleSql,
+    "q42_random_pick"      -> Extras.randomPickSql,
+    "q43_nulls_last"       -> Extras.nullsLastSortSql,
+    "q44_try_cast"         -> Extras.tryCastParseSql,
   )
 }

@@ -53,6 +53,18 @@ object Features {
     (train, test)
   }
 
+  /** SA3: stratified 60/20/20 three-way split (reference
+    * `XGBoot.ipynb` cell 10, sklearn `train_test_split(stratify=y)`
+    * applied twice): test = 20% stratified sample, valid = 25% of the
+    * remainder (= 20% overall), train = the rest. Disjoint by
+    * construction (anti-joins on the key). */
+  def stratifiedSplit3(df: DataFrame, labelCol: String, keyCol: String,
+      seed: Long): (DataFrame, DataFrame, DataFrame) = {
+    val (rest, test) = stratifiedSplit(df, labelCol, keyCol, 0.2, seed)
+    val (train, valid) = stratifiedSplit(rest, labelCol, keyCol, 0.25, seed + 1)
+    (train, valid, test)
+  }
+
   /** A11 + J4: balanced class weights `N / (K * n_class)` joined back on
     * the label column (broadcast — the weight dim has K rows). */
   def withClassWeights(df: DataFrame, labelCol: String,

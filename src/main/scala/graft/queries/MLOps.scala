@@ -24,12 +24,23 @@ object MLOps {
     * grouped small output so the driver can snapshot it. */
   def lrAnomaly(s: SparkSession, dir: String): DataFrame = {
     val pivot = LogOps.eventPivot(s, dir)
+    // Cache the (small, aggregated) feature table: the indexer fit, the
+    // class-weight aggregation, every LBFGS iteration and the final
+    // summary would otherwise each re-run the events scan + pivot.
+    // Same dataflow point the reference caches before fit.
     val labeled = pivot.withColumn("label",
       when(col("n_error") * 5 >= types.map(t => col(s"n_$t")).reduce(_ + _),
         "anomaly").otherwise("normal"))
+      .cache()
     val indexed = Pipeline.indexLabel(labeled)
     val weighted = Features.withClassWeights(indexed, "label_index")
+    // The training table is one aggregated row per user — thousands of
+    // rows, not billions. Each LBFGS iteration is one job over it, so
+    // 32 near-empty tasks × up to 200 iterations is pure scheduler
+    // overhead; one partition per ~1M aggregated rows is the right
+    // layout (scale the divisor, not the pattern, on a real cluster).
     val assembled = Pipeline.assemble(weighted, types.map(t => s"n_$t"))
+      .coalesce(1).cache()
     val model = Pipeline.trainLR(assembled)
     val scorer = Pipeline.toScorer(model)
     val featuresArr = array(types.map(t => col(s"n_$t")): _*)

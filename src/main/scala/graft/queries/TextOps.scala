@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for the training-data pipeline (builder
+  * mandate): language ID, quality scoring, token counting, document
+  * fingerprinting, and multimodal (binary-payload) metadata — each a
+  * map-only pass over `documents`, fully codegen'd, oracle-checked.
+  *
+  * Scale: every query here is scan → per-row expressions → one small
+  * aggregation or a direct projection. No shuffle except the final
+  * tiny agg/sort; at 100 TB these are embarrassingly parallel and
+  * bound by scan throughput — exactly what a corpus-filtering stage
+  * should be.
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Shared with Dedup: first 15 hex digits of md5 → long in [0, p). */
+  private val P = 2147483647L
+  private def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P
+
+  // ---- q36: language ID (n-gram/stopword heuristic) ------------------
+
+  private val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword-ratio language ID: share of English function words among
+    * the tokens; >= 4% → 'en', else 'und'. (The real corpus would use
+    * per-language stopword tables — same expression shape, one array
+    * literal per language.) */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTokens = size(t).cast("long")
+    val nStop = size(filter(t, tok =>
+      array_contains(array(EnStopwords.map(lit): _*), tok))).cast("long")
+    val ratio = round(nStop.cast("double") / nTokens.cast("double"), 6)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+        ratio.as("stop_ratio"),
+        when(ratio >= 0.04, lit("en")).otherwise(lit("und")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val stops = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang,
+       | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       | round(CAST(len(list_filter(string_split(text, ' '),
+       |     t -> list_contains($stops, t))) AS DOUBLE)
+       |   / len(string_split(text, ' ')), 6) AS stop_ratio,
+       | CASE WHEN round(CAST(len(list_filter(string_split(text, ' '),
+       |     t -> list_contains($stops, t))) AS DOUBLE)
+       |   / len(string_split(text, ' ')), 6) >= 0.04
+       |   THEN 'en' ELSE 'und' END AS pred_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q37: quality scoring ------------------------------------------
+
+  /** Length / vocabulary-richness / token-shape quality score — the
+    * standard cheap pre-filter before expensive dedup or training:
+    * type-token ratio, mean token length (single-space tokenization
+    * makes it `(chars - (n-1)) / n`), and a length factor, folded into
+    * one bounded [0,1] score. */
+  /** Explicit half-up quantization to 6 digits: `round()` tie-breaking
+    * differs between engines (Spark half-up, DuckDB half-even) and the
+    * weighted score can land exactly on a tie; floor(x·1e6 + 0.5) is
+    * the same arithmetic on both, so bit-identical inputs stay
+    * bit-identical out. */
+  private def quant6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val avgLen = (length(col("text")).cast("double") - (n - 1)) / n
+    val score =
+      quant6(ttr * 0.5 + least(avgLen / lit(10.0), lit(1.0)) * 0.3 +
+        least(n / lit(100.0), lit(1.0)) * 0.2)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        quant6(ttr).as("ttr"), quant6(avgLen).as("avg_token_len"),
+        score.as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |    CAST(length(text) AS DOUBLE) AS chars
+      |  FROM documents)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      | floor((nd / n) * 1e6 + 0.5) / 1e6 AS ttr,
+      | floor(((chars - (n - 1)) / n) * 1e6 + 0.5) / 1e6 AS avg_token_len,
+      | floor(((nd / n) * 0.5 + least((chars - (n - 1)) / n / 10.0, 1.0) * 0.3
+      |   + least(n / 100.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality_score
+      |FROM q
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q38: token counting (whitespace + BPE-ish regex) --------------
+
+  /** Whitespace tokens vs a BPE-ish regex segmentation (letter runs,
+    * digit runs, single punctuation marks) — the usual first-order
+    * token-budget estimate for training data. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val ws = toks(col("text"))
+    val bpe = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_ws_tokens"),
+        size(bpe).cast("long").as("n_bpe_tokens"),
+        size(filter(ws, t => length(t) >= 6)).cast("long").as("n_long_tokens"),
+        array_max(transform(ws, t => length(t))).cast("long").as("max_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(len(list_filter(string_split(text, ' '), t -> len(t) >= 6)) AS BIGINT) AS n_long_tokens,
+      | CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q39: document fingerprint (rolling hash) ----------------------
+
+  /** Order-sensitive rolling polynomial fingerprint over token hashes:
+    * fp = fold(h1, (acc, h) => (31·acc + h) mod p). Unlike the minhash
+    * family (set-based), this distinguishes permutations — the
+    * complementary dedup key. Portable md5 token hash, so the oracle
+    * reproduces every bit. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val hs = transform(toks(col("text")), tokenHash(_))
+    val fp = aggregate(
+      slice(hs, lit(2), size(hs) - 1),
+      element_at(hs, 1),
+      (acc, h) => (acc * 31 + h) % P)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       | list_reduce(
+       |   list_transform(string_split(text, ' '),
+       |     tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % $P),
+       |   (acc, h) -> (acc * 31 + h) % $P) AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q40: multimodal binary metadata -------------------------------
+
+  /** Opaque-binary (multimodal) metadata extraction, expression form:
+    * payload byte length, magic bytes (first 2, hex), content hash.
+    * The payload here is the utf-8 encoding of `text` (this container
+    * has no media files); the operators — binary column, byte length,
+    * byte slicing, content digest — are the real multimodal ingest
+    * surface. The decode/feature path lives in `graft.multimodal.Media`
+    * (mapPartitions, bounded batches). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        length(payload).cast("long").as("n_bytes"),
+        upper(hex(substring(payload, 1, 2))).as("magic"),
+        sha2(col("text"), 256).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, source,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | upper(hex(encode(substring(text, 1, 2)))) AS magic,
+      | sha256(text) AS content_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

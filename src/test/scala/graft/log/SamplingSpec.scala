@@ -1,0 +1,47 @@
+package graft.log
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Sampling surface spec (SA2/SA3/W6 native APIs — the portable
+  * hash-based forms are oracle-checked as q41/q42).
+  */
+class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val df = {
+    import spark.implicits._
+    (1 to 500).map(i => (s"blk_$i", i % 5)).toDF("block_id", "label_index")
+  }
+
+  test("SA2: seeded uniform sample is reproducible and near the fraction") {
+    val a = df.sample(withReplacement = false, 0.2, 42L)
+    val b = df.sample(withReplacement = false, 0.2, 42L)
+    a.count() shouldBe b.count()
+    a.count().toDouble shouldBe (100.0 +- 40.0)
+    a.exceptAll(b).count() shouldBe 0
+  }
+
+  test("SA3: stratified 60/20/20 split partitions the table disjointly") {
+    val (train, valid, test) =
+      Features.stratifiedSplit3(df, "label_index", "block_id", 42L)
+    val (nTr, nVa, nTe) = (train.count(), valid.count(), test.count())
+    nTr + nVa + nTe shouldBe 500
+    nTe.toDouble shouldBe (100.0 +- 40.0)
+    nVa.toDouble shouldBe (100.0 +- 40.0)
+    train.join(valid, Seq("block_id")).count() shouldBe 0
+    train.join(test, Seq("block_id")).count() shouldBe 0
+    valid.join(test, Seq("block_id")).count() shouldBe 0
+    // Stratification: every label present in every split.
+    Seq(train, valid, test).foreach(
+      _.select("label_index").distinct().count() shouldBe 5)
+  }
+
+  test("W6: rand(seed) pick returns one reproducible row") {
+    import org.apache.spark.sql.functions._
+    val p1 = df.orderBy(rand(7L), col("block_id")).limit(1).head().getString(0)
+    val p2 = df.orderBy(rand(7L), col("block_id")).limit(1).head().getString(0)
+    p1 shouldBe p2
+  }
+}
