@@ -64,6 +64,8 @@ object SparkEntry {
     "q42_random_pick"      -> (Extras.randomPick _),
     "q43_nulls_last"       -> (Extras.nullsLastSort _),
     "q44_try_cast"         -> (Extras.tryCastParse _),
+    "q45_cosine_neardup"   -> (Similarity.cosineNearDup _),
+    "q46_ivf_topk"         -> (Similarity.ivfTopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,5 +112,7 @@ object SparkEntry {
     "q42_random_pick"      -> Extras.randomPickSql,
     "q43_nulls_last"       -> Extras.nullsLastSortSql,
     "q44_try_cast"         -> Extras.tryCastParseSql,
+    "q45_cosine_neardup"   -> Similarity.cosineNearDupSql,
+    "q46_ivf_topk"         -> Similarity.ivfTopKSql,
   )
 }

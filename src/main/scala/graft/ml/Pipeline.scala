@@ -1,6 +1,7 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier, LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
 import org.apache.spark.sql.DataFrame
@@ -94,6 +95,37 @@ object Pipeline {
       val m = trainLR(sub, weightCol = weightCol)
       CurvePoint(f, prAuc(m.transform(sub)), prAuc(m.transform(test)))
     }
+
+  /** M6 (GBDT form): gradient-boosted trees — the Spark-native
+    * counterpart of the reference's LightGBM scorer
+    * (`XGBoot.ipynb`, `lgb_hdfs_meta.json`: 3000-tree cap, best_iter
+    * 149 → a ~150-tree default here; lossType logistic matches). Tree
+    * ensembles have no closed-form expression export, so scoring goes
+    * through `thresholdPredict` over the model's probability column. */
+  def trainGBT(
+      train: DataFrame,
+      featuresCol: String = "features",
+      labelCol: String = "label_index",
+      weightCol: Option[String] = Some("weight"),
+      maxIter: Int = 150,
+      maxDepth: Int = 5,
+      seed: Long = 42L): GBTClassificationModel = {
+    val gbt = new GBTClassifier()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+    weightCol.foreach(gbt.setWeightCol)
+    gbt.fit(train)
+  }
+
+  /** M6: the deployed decision rule — P(positive) >= threshold → 0/1 —
+    * applied to any model's `probability` vector column
+    * (`ML_predict.py:112-114`, threshold 0.83). */
+  def thresholdPredict(scored: DataFrame,
+      threshold: Double = Scorer.DefaultThreshold,
+      probabilityCol: String = "probability",
+      outCol: String = "prediction_at_threshold"): DataFrame =
+    scored.withColumn(outCol,
+      (vector_to_array(col(probabilityCol)).getItem(1) >= threshold).cast("int"))
 
   /** M6: export a fitted binary model as a pure-expression scorer over
     * an `array<int|float>` feature column — sigmoid(w·f + b) is exactly

