@@ -141,6 +141,34 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally query.stop()
   }
 
+  test("serving queries answer over the streamed store (lambda loop)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-store-serve").toString
+    val b = StreamTransform.enrich(
+      messagesDf(Seq(m100, m200, m300)), templates, scorer)
+    ServingStore.upsert(b, store, "block_id", 0L) shouldBe true
+    val serving = ServingStore.read(spark, store)
+
+    // Q1/W4: latest N by ts_ms.
+    val latest = serving.orderBy(col("ts_ms").desc, col("block_id"))
+      .limit(2).select("block_id").as[String].collect()
+    latest shouldBe Array("blk_300", "blk_-200")
+    // Q5/P7: prediction threshold facet.
+    serving.filter(col("prediction") === 1)
+      .select("block_id").as[String].collect() shouldBe Array("blk_100")
+    // Q6/A10: single-scan stats.
+    val stats = serving.agg(
+      count(lit(1)).as("n"),
+      sum(col("prediction")).as("n_anomalous"),
+      min(col("ts_ms")).as("oldest")).head()
+    stats.getAs[Long]("n") shouldBe 3
+    stats.getAs[Long]("n_anomalous") shouldBe 1
+    // Q7: keyed delete, then the store answers without the key.
+    ServingStore.delete(spark, store, "block_id", Seq("blk_100"), 1L) shouldBe true
+    ServingStore.read(spark, store)
+      .filter(col("prediction") === 1).count() shouldBe 0
+  }
+
   test("watermarked 1-minute metrics match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
