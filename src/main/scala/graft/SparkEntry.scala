@@ -66,6 +66,7 @@ object SparkEntry {
     "q44_try_cast"         -> (Extras.tryCastParse _),
     "q45_cosine_neardup"   -> (Similarity.cosineNearDup _),
     "q46_ivf_topk"         -> (Similarity.ivfTopK _),
+    "q47_template_native"  -> (LogOps.templateMatchNative _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +115,6 @@ object SparkEntry {
     "q44_try_cast"         -> Extras.tryCastParseSql,
     "q45_cosine_neardup"   -> Similarity.cosineNearDupSql,
     "q46_ivf_topk"         -> Similarity.ivfTopKSql,
+    "q47_template_native"  -> LogOps.templateMatchNativeSql,
   )
 }

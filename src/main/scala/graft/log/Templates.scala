@@ -79,6 +79,17 @@ object Templates {
     }
   }
 
+  /** The EventId column via the NATIVE codegen'd expression
+    * (`graft.functions.TemplateMatch`, registered by
+    * `graft.GraftExtensions`): patterns compile once per executor and
+    * every row runs one tight first-match loop instead of a 29-branch
+    * CASE. Same semantics as `eventIdColumn(FirstMatch)`; requires a
+    * session built `withExtensions(new GraftExtensions)`. */
+  def eventIdColumnNative(templates: Seq[Template], message: Column): Column =
+    call_function("graft_template_match",
+      message +: templates.flatMap(t =>
+        Seq(lit(t.id), lit(toRegex(t.pattern)))): _*)
+
   /** Tag a parsed-events frame with `event_id`. */
   def tag(parsed: DataFrame, templates: Seq[Template],
       mode: MatchMode = MatchMode.FirstMatch): DataFrame =

@@ -75,6 +75,23 @@ object LogOps {
       |GROUP BY event_id
       |ORDER BY event_id""".stripMargin
 
+  /** F2/F3 through the NATIVE codegen'd `TemplateMatch` expression
+    * (graft.functions.TemplateMatch via GraftExtensions) — same
+    * semantics and oracle as q22, different engine path: one
+    * compile-once first-match loop per row instead of a CASE of rlike
+    * branches. Green here certifies the custom Expression against the
+    * same DuckDB truth as the built-in form. */
+  def templateMatchNative(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("event_id",
+        coalesce(
+          Templates.eventIdColumnNative(docTemplates, col("text")), lit("none")))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("event_id")
+
+  val templateMatchNativeSql: String = templateMatchDocsSql
+
   /** A3 feature matrix: wide per-key counts, one column per event type —
     * single-pass `sum(when(...))`, full map-side combine (the scalable
     * form of the reference's collect-then-count, SURVEY §7.4.2). */

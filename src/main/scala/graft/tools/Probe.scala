@@ -12,6 +12,7 @@ object Probe {
     val wanted = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
     val spark = SparkSession.builder()
       .master("local[32]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
