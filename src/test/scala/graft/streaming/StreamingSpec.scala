@@ -141,6 +141,35 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally query.stop()
   }
 
+  test("e2e: file source micro-batches drive the same pipeline") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-stream-in").toString
+    val store = Files.createTempDirectory("graft-store-file").toString
+    val checkpoint = Files.createTempDirectory("graft-ckpt-file").toString
+    // A production-shaped source: newline-delimited JSON files landing
+    // in a directory (what Kafka would feed; no broker in this
+    // container). Same value-column contract, same pipeline.
+    def land(name: String, ms: Seq[(String, String, String, Long, String, Long)]): Unit = {
+      val lines = StreamMessages.toJson(messagesDf(ms)).as[String].collect()
+      val tmp = Files.createTempFile("batch", ".json")
+      Files.writeString(tmp, lines.mkString("\n"))
+      Files.move(tmp, java.nio.file.Paths.get(inDir, name))
+    }
+    land("b0.json", Seq(m100, m200))
+    val raw = spark.readStream.text(inDir).withColumnRenamed("value", "value")
+    val query = StreamPipeline.run(raw, templates, scorer, store, checkpoint)
+    try {
+      query.processAllAvailable()
+      ServingStore.read(spark, store).count() shouldBe 2
+      land("b1.json", Seq(m200v2, m300))
+      query.processAllAvailable()
+      val snap = ServingStore.read(spark, store)
+      snap.count() shouldBe 3
+      snap.filter(col("block_id") === "blk_-200").head()
+        .getAs[Long]("num_lines") shouldBe 3
+    } finally query.stop()
+  }
+
   test("serving queries answer over the streamed store (lambda loop)") {
     import spark.implicits._
     val store = Files.createTempDirectory("graft-store-serve").toString
