@@ -41,7 +41,12 @@ object LogParser {
       .withColumn("component", regexp_extract(line, compRe, 1))
       .withColumn("message", regexp_extract(line, msgRe, 1))
       .withColumn("block_id", regexp_extract(line, blockRe, 1))
-      .withColumn("datetime", to_timestamp(col("ts_raw"), TimestampFormat))
+      // try_to_timestamp, not to_timestamp: Spark 4 runs ANSI mode by
+      // default, where a malformed timestamp THROWS and would kill the
+      // whole scan on one bad log line. NULL-on-garbage matches the
+      // reference (pandas errors="coerce", transform.py:29) and
+      // Spark 3.2's legacy behavior. Found by LogPropertiesSpec.
+      .withColumn("datetime", try_to_timestamp(col("ts_raw"), lit(TimestampFormat)))
       .withColumn("clean_line", cleanLine(line))
       .select("datetime", "pid", "level", "component", "message",
         "block_id", "clean_line")
@@ -52,7 +57,8 @@ object LogParser {
     * (`prepare_data_batch.ipynb:787-791`). */
   def cleanLine(line: Column): Column =
     concat(
-      date_format(to_timestamp(regexp_extract(line, tsRe, 1), TimestampFormat),
+      date_format(
+        try_to_timestamp(regexp_extract(line, tsRe, 1), lit(TimestampFormat)),
         "yyyy-MM-dd HH:mm:ss"),
       lit(" "),
       regexp_replace(line, "^\\d{6}\\s+\\d{6}\\s+", ""))
