@@ -16,15 +16,21 @@ object Scalars {
     * column with a regex (engine-portable), aggregate per event type.
     * `get_json_object` would be idiomatic Spark; regexp keeps the oracle
     * exactly equivalent. */
-  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    // Empty-match guard BEFORE the cast: regexp_extract returns "" on
+    // no match, and under Spark 4's default ANSI mode casting "" to
+    // long THROWS (same hazard class as the LogParser try_to_timestamp
+    // fix). NULL-on-no-match also mirrors the oracle's NULLIF.
+    val raw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
     Tables.events(s, dir)
-      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .withColumn("k", when(raw === "", lit(null)).otherwise(raw).cast("long"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
       .orderBy("event_type")
+  }
 
   val jsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
