@@ -56,13 +56,18 @@ case class TemplateMatch(child: Expression, ids: Seq[String], regexes: Seq[Strin
       "java.util.regex.Pattern[]")
     val outs = ctx.addReferenceObj("templateIds", utf8Ids,
       "org.apache.spark.unsafe.types.UTF8String[]")
+    // Fresh names per instance: fixed identifiers collide (Janino
+    // duplicate-local error → silent interpreted fallback) when two
+    // TemplateMatch nodes land in one codegen'd method scope.
+    val input = ctx.freshName("tmplInput")
+    val idx = ctx.freshName("tmplIdx")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |String graftTmplInput = $c.toString();
+      |String $input = $c.toString();
       |${ev.isNull} = true;
-      |for (int graftTmplI = 0; graftTmplI < $pats.length; graftTmplI++) {
-      |  if ($pats[graftTmplI].matcher(graftTmplInput).find()) {
+      |for (int $idx = 0; $idx < $pats.length; $idx++) {
+      |  if ($pats[$idx].matcher($input).find()) {
       |    ${ev.isNull} = false;
-      |    ${ev.value} = $outs[graftTmplI];
+      |    ${ev.value} = $outs[$idx];
       |    break;
       |  }
       |}

@@ -72,6 +72,9 @@ object Templates {
       case MatchMode.FirstMatch => templates
       case _                    => templates.reverse
     }
+    // Empty dimension (e.g. a header-only template CSV): nothing can
+    // match, so the column is NULL — same contract as the no-hit case.
+    if (ordered.isEmpty) return lit(null).cast("string")
     val first = ordered.head
     ordered.tail.foldLeft(
       when(message.rlike(toRegex(first.pattern, anchored)), lit(first.id))) {

@@ -91,6 +91,11 @@ object Media {
   /** Frame sampling as a pure metadata op: every `stride`-th frame
     * index — no payload touched, so it runs before any decode. */
   def frameSampleIndices(df: DataFrame, stride: Int): DataFrame =
+    // Guard n_frames = 0: sequence(0, -1) auto-descends to [0, -1]
+    // instead of producing an empty array. decodeStub never returns 0
+    // frames, but a real codec can.
     df.withColumn("sampled_frames",
-      filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
+      when(col("n_frames") > 0,
+        filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
+        .otherwise(array().cast("array<long>")))
 }

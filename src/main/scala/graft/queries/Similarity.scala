@@ -183,19 +183,25 @@ object Similarity {
     * plane count is the sub-quadratic knob. Norms are computed ONCE
     * per vector in the signature pass and joined along, so each pair
     * costs one dot product, not three (measured 14 s → ~2 s at sf0.1).
-    * At this SF the signature side is broadcast (one scan + hash
-    * lookups); past the broadcast threshold both sides hash-partition
-    * on `bucket` and the identical subplans collapse into one
-    * exchange, reused (the plan Spark gives large self-joins). */
+    * Both sides repartition on `bucket` and the join is pinned to a
+    * shuffle join: the two exchanges canonicalize identically, so
+    * ReuseExchange computes the signature subplan (scan + 6-plane
+    * simhash + norm) ONCE and side b reads side a's shuffle blocks —
+    * a broadcast self-join here runs the subplan twice (Catalyst does
+    * not dedupe common subplans across a broadcast boundary). At
+    * 100 TB that halves the scan + signature bill; the hash-partition
+    * on `bucket` is also exactly the layout the per-bucket pair
+    * enumeration needs. */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val tau = 0.4
     val sig = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
       .withColumn("bucket", simhashBucket(col("v"), planes = 6))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .repartition(col("bucket"))
     val denom = col("a.norm") * col("b.norm")
     sig.as("a")
-      .join(sig.as("b"),
+      .join(sig.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         when(denom === 0.0, lit(-2.0))

@@ -33,16 +33,27 @@ object TextOps {
     * the tokens; >= 4% → 'en', else 'und'. (The real corpus would use
     * per-language stopword tables — same expression shape, one array
     * literal per language.) */
+  /** Layered projections keep each expensive expression single-eval:
+    * the split, the stopword filter and the rounded ratio are all
+    * consumed more than once downstream, and Catalyst's CollapseProject
+    * refuses to inline a non-trivial expression into multiple use sites
+    * — so tokenization happens once per row, not once per reference
+    * (the flat single-select form re-ran the lambda filter per use). */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val nTokens = size(t).cast("long")
-    val nStop = size(filter(t, tok =>
-      array_contains(array(EnStopwords.map(lit): _*), tok))).cast("long")
-    val ratio = round(nStop.cast("double") / nTokens.cast("double"), 6)
+    val t = col("t")
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
-        ratio.as("stop_ratio"),
-        when(ratio >= 0.04, lit("en")).otherwise(lit("und")).as("pred_lang"))
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, tok =>
+          array_contains(array(EnStopwords.map(lit): _*), tok))).cast("long")
+          .as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("stop_ratio"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"),
+        when(col("stop_ratio") >= 0.04, lit("en")).otherwise(lit("und"))
+          .as("pred_lang"))
       .orderBy("doc_id")
   }
 
@@ -76,17 +87,24 @@ object TextOps {
   private def quant6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val n = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / n
-    val avgLen = (length(col("text")).cast("double") - (n - 1)) / n
-    val score =
-      quant6(ttr * 0.5 + least(avgLen / lit(10.0), lit(1.0)) * 0.3 +
-        least(n / lit(100.0), lit(1.0)) * 0.2)
+    // Same layering as langId: split once, distinct once, each derived
+    // ratio once — every reuse below reads a materialized column.
+    val n = col("n")
     Tables.documents(s, dir)
-      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
-        quant6(ttr).as("ttr"), quant6(avgLen).as("avg_token_len"),
-        score.as("quality_score"))
+      .select(col("doc_id"), length(col("text")).cast("double").as("chars"),
+        toks(col("text")).as("t"))
+      .select(col("doc_id"), col("chars"),
+        size(col("t")).cast("double").as("n"),
+        size(array_distinct(col("t"))).cast("double").as("nd"))
+      .select(col("doc_id"), n,
+        (col("nd") / n).as("ttr_raw"),
+        ((col("chars") - (n - 1)) / n).as("avg_len_raw"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        quant6(col("ttr_raw")).as("ttr"),
+        quant6(col("avg_len_raw")).as("avg_token_len"),
+        quant6(col("ttr_raw") * 0.5 +
+          least(col("avg_len_raw") / lit(10.0), lit(1.0)) * 0.3 +
+          least(col("n") / lit(100.0), lit(1.0)) * 0.2).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -111,12 +129,15 @@ object TextOps {
     * digit runs, single punctuation marks) — the usual first-order
     * token-budget estimate for training data. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
-    val ws = toks(col("text"))
-    val bpe = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    // ws is consumed by 4 expressions — materialize the split once
+    // (CollapseProject keeps the layering; flat form split 4×/row).
+    val ws = col("ws")
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("ws"))
       .select(col("doc_id"),
         size(ws).cast("long").as("n_ws_tokens"),
-        size(bpe).cast("long").as("n_bpe_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
         size(filter(ws, t => length(t) >= 6)).cast("long").as("n_long_tokens"),
         array_max(transform(ws, t => length(t))).cast("long").as("max_token_len"))
       .orderBy("doc_id")

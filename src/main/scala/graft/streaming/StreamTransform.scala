@@ -62,6 +62,6 @@ object StreamTransform {
       .drop(ids: _*)
       .withColumn("proba", scorer.proba(col("features")))
       .withColumn("prediction", (col("proba") >= threshold).cast("int"))
-      .withColumn("ts_ms", (col("end_ts").cast("double") * 1000).cast("long"))
+      .withColumn("ts_ms", unix_millis(col("end_ts")))
   }
 }

@@ -240,6 +240,7 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
       input.addData(LineEvent("blk_A", 10_000L), LineEvent("blk_A", 70_000L),
         LineEvent("blk_B", 5_000L))
       query.processAllAvailable()
+      // 40 s of disorder — inside the allowed lateness, must NOT drop.
       input.addData(LineEvent("blk_A", 40_000L), LineEvent("blk_A", 130_000L))
       query.processAllAvailable()
       // Last update per key reflects ALL lines seen so far.
@@ -253,6 +254,39 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
       last("blk_A").getAs[Long]("end_ms") shouldBe 130_000L
       last("blk_A").getAs[Long]("duration_sec") shouldBe 120L
       last("blk_B").getAs[Long]("num_lines") shouldBe 1
+    } finally query.stop()
+  }
+
+  test("idle sessions time out on the watermark and leave state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StatefulSessionize._
+    val input = MemoryStream[LineEvent]
+    // TTL 1 min, lateness 0: watermark = max event time seen.
+    val query = sessions(input.toDS(), idleTtlMs = 60_000L, lateness = "0 seconds")
+      .writeStream.format("memory")
+      .queryName("sess_ttl").outputMode("update").start()
+    try {
+      input.addData(LineEvent("blk_A", 10_000L), LineEvent("blk_A", 30_000L))
+      query.processAllAvailable()
+      // An unrelated key far in the future pushes the watermark past
+      // blk_A's end (30 s) + TTL (60 s) → blk_A must emit its final
+      // snapshot on the timeout path and be evicted.
+      input.addData(LineEvent("blk_Z", 500_000L))
+      query.processAllAvailable()
+      input.addData(LineEvent("blk_Z", 510_000L)) // extra batch so the timeout fires
+      query.processAllAvailable()
+      val a = spark.table("sess_ttl").filter(col("block_id") === "blk_A").collect()
+      a.map(_.getAs[Long]("num_lines")).max shouldBe 2
+      // A post-eviction line for blk_A starts a FRESH session (state
+      // gone): its snapshot counts 1 line, not 3.
+      input.addData(LineEvent("blk_A", 520_000L))
+      query.processAllAvailable()
+      val fresh = spark.table("sess_ttl")
+        .filter(col("block_id") === "blk_A" && col("start_ms") === 520_000L)
+        .collect()
+      fresh should have size 1
+      fresh.head.getAs[Long]("num_lines") shouldBe 1
     } finally query.stop()
   }
 }
