@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.operators.SkewJoin
 import graft.queries.{Dedup, Extras, LogOps, MLOps, Relational, Scalars, Serving, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -67,6 +68,7 @@ object SparkEntry {
     "q45_cosine_neardup"   -> (Similarity.cosineNearDup _),
     "q46_ivf_topk"         -> (Similarity.ivfTopK _),
     "q47_template_native"  -> (LogOps.templateMatchNative _),
+    "q48_salted_join"      -> (SkewJoin.saltedJoinAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +118,6 @@ object SparkEntry {
     "q45_cosine_neardup"   -> Similarity.cosineNearDupSql,
     "q46_ivf_topk"         -> Similarity.ivfTopKSql,
     "q47_template_native"  -> LogOps.templateMatchNativeSql,
+    "q48_salted_join"      -> SkewJoin.saltedJoinAggSql,
   )
 }

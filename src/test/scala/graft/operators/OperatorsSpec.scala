@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.core.Tables
+
+/** Scale-layout operators: salted skew join and bucketed co-located
+  * join. Both are *layout* transformations — the assertions here pin
+  * (a) result-set identity with the plain join and (b) the physical
+  * plan property each layout buys (spread sub-keys / zero Exchange). */
+class OperatorsSpec extends AnyFunSuite with SparkFixture {
+
+  test("salted join is set-identical to the plain join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus")
+    val saltedRes = SkewJoin.salted(li, ord, "l_orderkey", "o_orderkey",
+      xxhash64(col("l_orderkey"), col("l_linenumber")), nSalts = 8)
+    val plainRes = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(saltedRes.count() === plainRes.count())
+    // Exact set equality both directions.
+    assert(saltedRes.exceptAll(plainRes).isEmpty)
+    assert(plainRes.exceptAll(saltedRes).isEmpty)
+  }
+
+  test("salting spreads a hot key over nSalts sub-keys") {
+    import spark.implicits._
+    val hot = Seq.tabulate(1000)(i => (1L, i.toLong)).toDF("k", "row")
+    val dim = Seq((1L, "x")).toDF("dk", "name")
+    val n = 8
+    // Count distinct salt values the hot key lands on (inspect the salt
+    // column before the join drops it).
+    val salts = hot
+      .withColumn("_graft_salt", pmod(xxhash64(col("k"), col("row")), lit(n.toLong)).cast("int"))
+      .select(countDistinct(col("_graft_salt")))
+      .head().getLong(0)
+    assert(salts === n.toLong)
+    // And the join still matches every row exactly once.
+    assert(SkewJoin.salted(hot, dim, "k", "dk",
+      xxhash64(col("k"), col("row")), n).count() === 1000L)
+  }
+
+  test("q48 salted-join aggregate equals the unsalted aggregate") {
+    val got = SkewJoin.saltedJoinAgg(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val want = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+      .collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("bucketed tables join with zero Exchange and zero Sort") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", buckets = 4)
+    Bucketing.writeBucketed(ord, "ord_bucketed", "o_orderkey", buckets = 4)
+    val joined = Bucketing.cocolocatedJoin(
+      spark, "li_bucketed", "ord_bucketed", "l_orderkey", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    // Reading the bucket SORT order is opt-in since 3.0 (sound only
+    // with one file per bucket — writeBucketed guarantees that).
+    val sortedKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(sortedKey, "true")
+    try {
+      val sortedPlan = Bucketing.cocolocatedJoin(
+          spark, "li_bucketed", "ord_bucketed", "l_orderkey", "o_orderkey")
+        .queryExecution.executedPlan.toString
+      assert(!sortedPlan.contains("Exchange"), s"must not shuffle:\n$sortedPlan")
+      assert(!sortedPlan.contains("Sort "), s"must not re-sort:\n$sortedPlan")
+    } finally spark.conf.set(sortedKey, "false")
+    // Same result as the plain (shuffling) join.
+    val plainCount = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() === plainCount)
+  }
+}
