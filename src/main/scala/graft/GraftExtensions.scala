@@ -6,22 +6,72 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.TemplateMatch
+import graft.functions.{DotProduct, Fingerprint, HashedTriGrams, SimHashBucket, TemplateMatch, TokenHashes}
 
 /** Engine extensions, registered the idiomatic Spark way:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster.
   *
-  * Registers `graft_template_match(message, id1, regex1, id2, regex2,
-  * …)` — the native first-match template tagger
-  * (`graft.functions.TemplateMatch`). Template ids/regexes must be
-  * string literals (they are a dimension inlined into the plan, the
-  * same manual broadcast the reference does by collecting its
-  * template table).
+  * Registers the native codegen'd kernels:
+  *  - `graft_template_match(message, id1, regex1, …)` — first-match
+  *    template tagger (`graft.functions.TemplateMatch`); ids/regexes
+  *    must be string literals (a dimension inlined into the plan, the
+  *    same manual broadcast the reference does by collecting its
+  *    template table);
+  *  - `graft_dot(a, b)` — sequential double-array dot product;
+  *  - `graft_simhash(v, planes)` — random-hyperplane LSH bucket;
+  *  - `graft_token_hashes(tokens, p)` — portable md5 60-bit token
+  *    hashes (mod p when p > 0);
+  *  - `graft_fingerprint(tokens, p)` — rolling polynomial document
+  *    fingerprint over token hashes;
+  *  - `graft_tri_grams(words)` — distinct hashed word 3-grams.
+  * `planes`/`p` must be integer literals (plan-time parameters).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_dot(a, b)")
+        DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashBucket].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_simhash(v, planes)")
+        SimHashBucket(args(0), longLit(args(1), "planes").toInt)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "graft_token_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_token_hashes(tokens, p)")
+        TokenHashes(args(0), longLit(args(1), "p"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_fingerprint(tokens, p)")
+        Fingerprint(args(0), longLit(args(1), "p"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tri_grams"),
+      new ExpressionInfo(classOf[HashedTriGrams].getName, "graft_tri_grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_tri_grams(words)")
+        HashedTriGrams(args(0))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_template_match"),
       new ExpressionInfo(classOf[TemplateMatch].getName, "graft_template_match"),
@@ -37,4 +87,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val pairs = args.tail.map(str).grouped(2).toSeq
         TemplateMatch(args.head, pairs.map(_.head), pairs.map(_.last))
       }))
+  }
 }

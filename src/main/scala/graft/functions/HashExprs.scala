@@ -1,0 +1,339 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the hot per-row loops of the dedup /
+  * similarity operators (SURVEY.md §7.3's "custom Expression beats
+  * UDF" tier). Each is BIT-IDENTICAL to the higher-order-function
+  * form it replaces (the HOF forms remain the executable spec in
+  * `HashExprsSpec`), so every oracle stays green — the win is purely
+  * mechanical:
+  *  - one tight Java loop per row instead of a chain of lambda
+  *    invocations with per-element boxing/closure dispatch;
+  *  - md5 digested ONCE per token straight to a 60-bit long — no
+  *    32-char hex string allocation, no `conv` string parse;
+  *  - no intermediate arrays materialized between fold stages.
+  *
+  * Portability contract (what the DuckDB oracle reproduces):
+  * `hash60(s)` == `conv(substring(md5(s), 1, 15), 16, 10)::long`
+  * == DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT` — the first 15
+  * hex digits of the md5 digest, i.e. big-endian bytes 0–7 shifted
+  * right one nibble.
+  */
+object PortableHash {
+
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits (15 hex digits) of md5 over the UTF-8 bytes. */
+  def hash60(s: UTF8String): Long = {
+    val d = localMd5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** `graft_dot(a, b)`: sequential left-to-right dot product of two
+  * double arrays — bit-identical to
+  * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` (same element order,
+  * same IEEE additions). NULL on length mismatch or a NULL element,
+  * mirroring the zip_with null-padding contract. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private val arrDouble = ArrayType(DoubleType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.asInstanceOf[DataType] match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val i = ctx.freshName("dotI")
+      val acc = ctx.freshName("dotAcc")
+      s"""
+      |int $n = $a.numElements();
+      |if ($n != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double $acc = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+      |    $acc += $a.getDouble($i) * $b.getDouble($i);
+      |  }
+      |  ${ev.value} = $acc;
+      |}
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_simhash(v, planes)`: random-hyperplane bucket of a double
+  * array — plane j's hyperplane component at index i is
+  * (-1)^bit_j(i); bucket bit j is set iff the signed sum is >= 0.
+  * Bit-identical to the single-pass struct-accumulator `aggregate`
+  * fold it replaces (per-plane additions run in the same element
+  * order). NULL on a NULL element. */
+case class SimHashBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 16, s"planes must be in [1,16], got $planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val sums = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      var j = 0
+      while (j < planes) {
+        if (((i >> j) & 1) == 0) sums(j) += x else sums(j) -= x
+        j += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      if (sums(j) >= 0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("shN")
+      val i = ctx.freshName("shI")
+      val x = ctx.freshName("shX")
+      val s = (0 until planes).map(j => ctx.freshName(s"shS$j"))
+      val perPlane = (0 until planes).map { j =>
+        s"${s(j)} += ((($i >> $j) & 1) == 0) ? $x : -$x;"
+      }.mkString("\n")
+      val bucket = (0 until planes).map { j =>
+        s"if (${s(j)} >= 0) ${ev.value} += ${1L << j}L;"
+      }.mkString("\n")
+      s"""
+      |int $n = $a.numElements();
+      |${s.map(v => s"double $v = 0.0;").mkString("\n")}
+      |${ev.value} = 0L;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+      |  double $x = $a.getDouble($i);
+      |$perPlane
+      |}
+      |if (!${ev.isNull}) {
+      |$bucket
+      |}
+      |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBucket =
+    copy(child = newChild)
+}
+
+/** `graft_token_hashes(tokens, p)`: per-token portable 60-bit md5 hash,
+  * reduced mod `p` when p > 0 — bit-identical to
+  * `transform(tokens, t => conv(substring(md5(t),1,15),16,10)::long % p)`.
+  * NULL tokens map to NULL elements (md5(NULL) is NULL). */
+case class TokenHashes(child: Expression, p: Long)
+    extends UnaryExpression {
+
+  require(p >= 0, s"p must be >= 0, got $p")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_token_hashes"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = PortableHash.hash60(arr.getUTF8String(i))
+        out(i) = if (p > 0) h % p else h
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenHashesExpr", this, classOf[TokenHashes].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** `graft_fingerprint(tokens, p)`: order-sensitive rolling polynomial
+  * fingerprint — fold((acc * 31 + h) % p) over per-token portable
+  * hashes (h = hash60 % p), seeded with the first token's hash.
+  * Bit-identical to the `aggregate(slice(hs,2,n-1), hs[1], …)` fold
+  * (q39's original form). NULL for an empty array or a NULL token
+  * (NULL is sticky through the fold). */
+case class Fingerprint(child: Expression, p: Long)
+    extends UnaryExpression {
+
+  require(p > 1, s"p must be > 1, got $p")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+
+  /** Returns -1 for NULL (the fold's range is [0, p) so -1 is free). */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0 || arr.isNullAt(0)) return -1L
+    var acc = PortableHash.hash60(arr.getUTF8String(0)) % p
+    var i = 1
+    while (i < n) {
+      if (arr.isNullAt(i)) return -1L
+      acc = (acc * 31 + PortableHash.hash60(arr.getUTF8String(i)) % p) % p
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = compute(input.asInstanceOf[ArrayData])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fingerprintExpr", this, classOf[Fingerprint].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = $ref.compute($a);
+      |${ev.isNull} = ${ev.value} < 0L;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
+/** `graft_tri_grams(words)`: distinct hashed word 3-grams — for each
+  * window i, hash60 of the concat_ws(" ") of the three words, distinct
+  * preserving first occurrence. Bit-identical to q26's
+  * `array_distinct(transform(sequence(1, n-2), i => hash(concat_ws(
+  * " ", w[i], w[i+1], w[i+2]))))` with the size-< 3 guard folded in
+  * (empty array, matching the `when`'s otherwise branch). concat_ws
+  * skips NULL words, which the byte-level join mirrors. */
+case class HashedTriGrams(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tri_grams"
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n - 2) {
+      // concat_ws(" ", w, w, w): NULL args are skipped, not joined.
+      val parts = Seq(i, i + 1, i + 2)
+        .filterNot(arr.isNullAt)
+        .map(arr.getUTF8String)
+      val gram = UTF8String.concatWs(space, parts: _*)
+      seen.add(PortableHash.hash60(gram))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("triGramsExpr", this, classOf[HashedTriGrams].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedTriGrams =
+    copy(child = newChild)
+}

@@ -23,9 +23,11 @@ import graft.core.Tables
 object Dedup {
 
   /** Portable token hash: first 15 hex digits of md5 → int in [0, p).
-    * Identical bits in Spark (`conv`) and DuckDB (hex cast). */
+    * Identical bits in Spark (`conv`) and DuckDB (hex cast). HOF
+    * reference form — production paths use the native
+    * `graft_token_hashes` kernel (bit-identical, HashExprsSpec). */
   private val P = 2147483647L // 2^31 - 1, Mersenne prime
-  private def tokenHash(t: Column): Column =
+  private[graft] def tokenHash(t: Column): Column =
     (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P)
 
   /** (a_i, b_i) for the k=8 universal-hash family (a*h + b) mod p. */
@@ -76,14 +78,19 @@ object Dedup {
   private def gramHash(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long")
 
-  /** Distinct hashed word 3-grams of a pre-split word-array column.
-    * `words` MUST be a materialized column (not an inline `split`):
-    * expressions referenced inside a higher-order-function lambda are
-    * re-evaluated per element, so an inline split would re-tokenize the
-    * document 3× per shingle (measured 8× slower). The short-text guard
-    * matters: Spark's `sequence(1, 0)` is a DESCENDING sequence, not
-    * empty. Hash-then-distinct order matches the oracle exactly. */
+  /** Distinct hashed word 3-grams of a pre-split word-array column —
+    * the native single-pass kernel (`graft.functions.HashedTriGrams`;
+    * HashExprsSpec asserts bit-identity with the HOF form below). The
+    * HOF version needed `words` materialized (lambda-captured columns
+    * re-evaluate per element) and a short-text guard (Spark's
+    * `sequence(1, 0)` is DESCENDING, not empty); the kernel digests
+    * each shingle straight to its 60-bit long with no hex/`conv`
+    * round-trip and no intermediate gram array. */
   private def hashedTriGrams(words: Column): Column =
+    call_function("graft_tri_grams", words)
+
+  /** HOF reference form of `hashedTriGrams` (executable spec). */
+  private[graft] def hashedTriGramsHof(words: Column): Column =
     when(size(words) >= 3,
       array_distinct(transform(
         sequence(lit(1), size(words) - 2),
@@ -146,7 +153,8 @@ object Dedup {
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
-        transform(array_distinct(split(col("text"), " ")), tokenHash(_)).as("hs"))
+        call_function("graft_token_hashes",
+          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
     val sigs = HashParams.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
         .as(s"sig_$i")

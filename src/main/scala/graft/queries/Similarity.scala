@@ -23,8 +23,14 @@ import graft.functions.{ScoredCand, TopKAggregator}
   */
 object Similarity {
 
-  /** Sequential double fold of an elementwise product. */
+  /** Sequential double dot product — the native codegen'd kernel
+    * (`graft.functions.DotProduct`), bit-identical to the HOF fold
+    * `dotHof` below (HashExprsSpec asserts equality row-for-row). */
   private def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** The HOF reference form of `dot` (kept as the executable spec). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def doubled(c: Column): Column = transform(c, x => x.cast("double"))
@@ -128,7 +134,12 @@ object Similarity {
     * 4 planes = 16 buckets; the near-dup join q45 uses 6 = 64 — more
     * planes ⇒ smaller buckets ⇒ fewer candidate pairs; this is THE
     * knob that keeps the pair count sub-quadratic as n grows). */
-  private def simhashBucket(v: Column, planes: Int = 4): Column = {
+  private def simhashBucket(v: Column, planes: Int = 4): Column =
+    call_function("graft_simhash", v, lit(planes))
+
+  /** The HOF reference form of `simhashBucket` (executable spec —
+    * HashExprsSpec asserts the native kernel matches it exactly). */
+  private[graft] def simhashBucketHof(v: Column, planes: Int = 4): Column = {
     def signed(acc: Column, x: Column, j: Int): Column =
       (acc.getField(s"s$j") +
         when(shiftright(acc.getField("i"), j) % 2 === 0, x).otherwise(-x))

@@ -159,15 +159,21 @@ object TextOps {
     * family (set-based), this distinguishes permutations — the
     * complementary dedup key. Portable md5 token hash, so the oracle
     * reproduces every bit. */
-  def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val hs = transform(toks(col("text")), tokenHash(_))
-    val fp = aggregate(
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_fingerprint", toks(col("text")), lit(P))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** HOF reference form of the fingerprint column (executable spec —
+    * HashExprsSpec asserts the native kernel matches it exactly). */
+  private[graft] def fingerprintHof(text: Column): Column = {
+    val hs = transform(split(text, " "), tokenHash(_))
+    aggregate(
       slice(hs, lit(2), size(hs) - 1),
       element_at(hs, 1),
       (acc, h) => (acc * 31 + h) % P)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), fp.as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   val fingerprintSql: String =
