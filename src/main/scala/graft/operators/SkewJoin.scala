@@ -51,15 +51,60 @@ object SkewJoin {
       .drop(SaltCol)
   }
 
-  /** q48: the salted join as an oracle-checkable query — lineitem (big
-    * side, salted by a per-row hash) ⋈ orders (replicated ×8), then a
-    * small aggregate. Result is provably identical to the plain join,
-    * which is exactly what the DuckDB oracle asserts. */
+  private val HotKeyCol = "_graft_hot_key"
+
+  /** Heavy-hitter keys of `big(key)`, estimated from a deterministic
+    * sample — the production form of skew detection: counting every
+    * key exactly would cost a full shuffle of the fact table before
+    * the join even starts, while a small sample finds every key hot
+    * enough to matter (a key that dominates a reducer at 100 TB is,
+    * with overwhelming probability, well represented in a 1–25%
+    * sample). Mis-detection is SAFE either way: salting never changes
+    * the join result, only the reducer layout, so a missed warm key
+    * just falls back to AQE and a false positive merely salts a cold
+    * key. Returns a single-column frame (`_graft_hot_key`) intended
+    * for `broadcast()`. */
+  def hotKeys(big: DataFrame, key: String, fraction: Double,
+      minSampleCount: Long, seed: Long = 42L): DataFrame =
+    big.select(key).sample(fraction, seed)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("_graft_n"))
+      .filter(col("_graft_n") >= minSampleCount)
+      .select(col(key).as(HotKeyCol))
+
+  /** Salted join restricted to detected heavy hitters — the production
+    * refinement of `salted`: only rows whose key is in `hot` pay the
+    * small-side ×`nSalts` replication; the cold remainder joins plain
+    * (where AQE's skew split suffices). At 100 TB this is the
+    * difference between replicating the dim table 8× for everyone vs
+    * for the handful of bot/blank/default keys that actually melt a
+    * reducer. `hot` is broadcast to both sides, so the split is two
+    * map-side semi/anti filters — no extra shuffle of either input. */
+  def saltedHot(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      saltBy: Column, nSalts: Int, hot: DataFrame): DataFrame = {
+    val bHot = big.join(broadcast(hot), col(bigKey) === col(HotKeyCol), "left_semi")
+    val bCold = big.join(broadcast(hot), col(bigKey) === col(HotKeyCol), "left_anti")
+    val smHot = small.join(broadcast(hot), col(smallKey) === col(HotKeyCol), "left_semi")
+    bCold.join(small, col(bigKey) === col(smallKey))
+      .unionByName(salted(bHot, smHot, bigKey, smallKey, saltBy, nSalts))
+  }
+
+  /** q48: the hot-key salted join as an oracle-checkable query —
+    * lineitem ⋈ orders with sampled heavy-hitter detection (25%
+    * sample, ≥3 hits ⇒ hot — deliberately low so the salted path
+    * carries real rows at test scale; a production job would set the
+    * threshold from its rows-per-reducer budget), hot keys salted ×8,
+    * cold keys joined plain, then a small aggregate. Result is
+    * provably identical to the plain join — exactly what the DuckDB
+    * oracle asserts. */
   def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_extendedprice")
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
-    salted(li, ord, "l_orderkey", "o_orderkey",
-        xxhash64(col("l_orderkey"), col("l_linenumber")), nSalts = 8)
+    val hot = hotKeys(li, "l_orderkey", fraction = 0.25, minSampleCount = 3)
+    saltedHot(li, ord, "l_orderkey", "o_orderkey",
+        xxhash64(col("l_orderkey"), col("l_linenumber")), nSalts = 8, hot)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"))

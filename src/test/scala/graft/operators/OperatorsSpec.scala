@@ -41,6 +41,25 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
       xxhash64(col("k"), col("row")), n).count() === 1000L)
   }
 
+  test("hot-key salted join: detection finds the skewed key, result is set-identical") {
+    import spark.implicits._
+    // One pathological key (10k rows) among 99 uniform keys (20 each).
+    val big = (Seq.tabulate(10000)(i => (1L, i.toLong)) ++
+      (2 to 100).flatMap(k => Seq.tabulate(20)(i => (k.toLong, i.toLong * 1000 + k))))
+      .toDF("k", "row")
+    val dim = (1 to 100).map(k => (k.toLong, s"name_$k")).toDF("dk", "name")
+    val hot = SkewJoin.hotKeys(big, "k", fraction = 0.1, minSampleCount = 50)
+    val hotSet = hot.collect().map(_.getLong(0)).toSet
+    assert(hotSet.contains(1L), "the 10k-row key must be detected hot")
+    assert(hotSet.size < 10, s"uniform keys must stay cold, got $hotSet")
+    val got = SkewJoin.saltedHot(big, dim, "k", "dk",
+      xxhash64(col("k"), col("row")), nSalts = 8, hot)
+    val want = big.join(dim, col("k") === col("dk"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty)
+    assert(want.exceptAll(got).isEmpty)
+  }
+
   test("q48 salted-join aggregate equals the unsalted aggregate") {
     val got = SkewJoin.saltedJoinAgg(spark, sfDir).collect()
     val li = Tables.lineitem(spark, sfDir)
