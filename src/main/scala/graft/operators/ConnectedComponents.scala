@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label
+  * propagation — the missing half of every LSH dedup pipeline:
+  * candidate PAIRS (q28/q45) are not yet duplicate GROUPS, because
+  * near-duplication chains (A~B, B~C ⇒ {A,B,C} even when A·C is
+  * below threshold). Clustering the candidate graph and keeping one
+  * canonical doc per component is how a 100 TB corpus actually gets
+  * deduplicated.
+  *
+  * Algorithm: every vertex starts labeled with itself; each round
+  * takes the min label over its neighborhood (one join + one
+  * map-side-combined min aggregation = 2 shuffles/round) until a
+  * round changes nothing. Rounds needed = graph diameter, and LSH
+  * dup-graphs are short star-chains (diameter ≤ ~log n in practice;
+  * GraphX/Pregel and the large-star/small-star algorithm of
+  * Kiveris et al. have the same join shape, just fancier edge
+  * rewiring to shrink the diameter — worth swapping in if profiles
+  * ever show deep chains).
+  *
+  * Each round `localCheckpoint`s the new labels: the iterative plan
+  * would otherwise grow by two joins per round (analysis cost blows
+  * up around round ~10) and re-run the whole prefix at every action.
+  * The convergence check is one `count` per round — an action, but
+  * over the (tiny, already-materialized) label frame.
+  */
+object ConnectedComponents {
+
+  /** Components of the undirected graph given by `edges` (columns
+    * `src`, `dst`; direction ignored, self-loops/duplicates fine).
+    * Returns (`id`, `component`) for every vertex incident to an
+    * edge, `component` = min vertex id reachable. */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("_nbr"), col("component").as("_nbr_comp")),
+          col("dst") === col("_nbr"))
+        .groupBy(col("src"))
+        .agg(min(col("_nbr_comp")).as("_min_nbr"))
+      val next = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_min_nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id").as("_oid"), col("component").as("_old")),
+          col("id") === col("_oid"))
+        .filter(col("component") =!= col("_old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -180,32 +180,37 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** LSH banding over the MinHash signature (2 bands × 4 rows): docs
-    * sharing a band hash are near-dup candidates. Reports candidate
-    * buckets with >1 member — the scale path for all-pairs dedup. */
-  def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
+  /** (doc_id, band, band_hash) — both band hashes of the k=8 signature
+    * (2 bands × 4 rows) in ONE array + posexplode: a single pass over
+    * the signature subplan (a unionAll(sig, sig) would make Catalyst
+    * compute — and scan — the signature subplan twice; it does not
+    * dedupe common subplans). */
+  private def bandFrame(s: SparkSession, dir: String): DataFrame = {
     def bandHash(cols: Seq[String]): Column =
       md5(concat_ws(",", cols.map(c => col(c).cast("string")): _*))
-    // Both band hashes in ONE array + posexplode: a single pass over the
-    // signature subplan (a unionAll(sig, sig) would make Catalyst compute
-    // — and scan — the signature subplan twice; it does not dedupe
-    // common subplans).
-    val bands = sig
+    signatures(s, dir)
       .select(col("doc_id"), posexplode(array(
         bandHash(Seq("sig_0", "sig_1", "sig_2", "sig_3")),
         bandHash(Seq("sig_4", "sig_5", "sig_6", "sig_7")))).as(Seq("band", "band_hash")))
       .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
-    bands.groupBy(col("band"), col("band_hash"))
+  }
+
+  /** LSH banding over the MinHash signature (2 bands × 4 rows): docs
+    * sharing a band hash are near-dup candidates. Reports candidate
+    * buckets with >1 member — the scale path for all-pairs dedup. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    bandFrame(s, dir)
+      .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") > 1)
       .orderBy("band", "band_hash")
-  }
 
-  val minhashBandsSql: String = {
+  /** The t/s/bands CTE chain (DuckDB form of `bandFrame`), shared by
+    * the q28 and q49 oracles. */
+  private val bandsCteSql: String = {
     def band(cols: Seq[Int]): String =
       "md5(" + cols.map(i => s"sig_$i::VARCHAR").mkString(" || ',' || ") + ")"
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    list_transform(list_distinct(string_split(text, ' ')),
        |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647) AS hs
@@ -219,11 +224,58 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, ${band(Seq(0, 1, 2, 3))} AS band_hash, CAST(0 AS BIGINT) AS band FROM s
        |  UNION ALL
-       |  SELECT doc_id, ${band(Seq(4, 5, 6, 7))} AS band_hash, CAST(1 AS BIGINT) AS band FROM s)
+       |  SELECT doc_id, ${band(Seq(4, 5, 6, 7))} AS band_hash, CAST(1 AS BIGINT) AS band FROM s)""".stripMargin
+  }
+
+  val minhashBandsSql: String =
+    s"""WITH $bandsCteSql
        |SELECT band, band_hash, count(*) AS n_docs, min(doc_id) AS min_doc
        |FROM bands
        |GROUP BY band, band_hash
        |HAVING count(*) > 1
        |ORDER BY band, band_hash""".stripMargin
+
+  /** q49: duplicate CLUSTERS from the LSH candidate graph — the step
+    * the pair-level queries stop short of. Each multi-member band
+    * bucket contributes star edges (member → bucket-min via a window
+    * min: one shuffle, no collect_list buffering), and
+    * `graft.operators.ConnectedComponents` min-label-propagates them
+    * into transitive duplicate groups (A~B, B~C ⇒ {A,B,C} even when
+    * A and C never share a bucket). Output: every clustered doc with
+    * its canonical id (cluster min) and cluster size — at 100 TB,
+    * "keep doc_id == cluster_id" IS the dedup retention rule. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    val roots = bandFrame(s, dir)
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
+    val edges = roots.filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("src"), col("root").as("dst"))
+      .distinct()
+    val comp = graft.operators.ConnectedComponents.run(edges)
+    comp.select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
   }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |roots AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_hash) AS root
+       |  FROM bands),
+       |e0 AS (
+       |  SELECT DISTINCT doc_id AS src, root AS dst FROM roots WHERE doc_id <> root),
+       |edges AS (
+       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_cluster
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
 }
