@@ -69,6 +69,10 @@ object SparkEntry {
     "q46_ivf_topk"         -> (Similarity.ivfTopK _),
     "q47_template_native"  -> (LogOps.templateMatchNative _),
     "q48_salted_join"      -> (SkewJoin.saltedJoinAgg _),
+    "q49_dup_clusters"     -> (Dedup.dupClusters _),
+    "q50_revenue_rollup"   -> (Relational.revenueRollup _),
+    "q51_group_percentiles" -> (Extras.groupPercentiles _),
+    "q52_asof_attribution" -> (Extras.purchaseAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,5 +123,9 @@ object SparkEntry {
     "q46_ivf_topk"         -> Similarity.ivfTopKSql,
     "q47_template_native"  -> LogOps.templateMatchNativeSql,
     "q48_salted_join"      -> SkewJoin.saltedJoinAggSql,
+    "q49_dup_clusters"     -> Dedup.dupClustersSql,
+    "q50_revenue_rollup"   -> Relational.revenueRollupSql,
+    "q51_group_percentiles" -> Extras.groupPercentilesSql,
+    "q52_asof_attribution" -> Extras.purchaseAttributionSql,
   )
 }

@@ -113,4 +113,68 @@ object Extras {
       | count(try_cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_k_parsed,
       | CAST(sum(try_cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events""".stripMargin
+
+  /** q51: exact per-group percentiles — `percentile()` (linear
+    * interpolation, the PERCENTILE_CONT contract DuckDB's
+    * `quantile_cont` shares). Exact percentiles sort each group's
+    * values; that's the oracle-checkable kernel. At 100 TB the same
+    * call sites take `percentile_approx` (t-digest: mergeable partial
+    * state, map-side combine, no per-group sort) — approximate
+    * results can't hash-match a different engine, which is why the
+    * CI-gated form is the exact one. */
+  def groupPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy("event_type")
+
+  val groupPercentilesSql: String =
+    """SELECT event_type, count(*) AS n,
+      | round(quantile_cont(value, 0.5), 6) AS p50,
+      | round(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q52: as-of join (purchase→view attribution): each purchase event
+    * pairs with the same user's latest view at-or-before it — the
+    * classic temporal-nearest join, via `graft.operators.AsOfJoin`
+    * (union + running window: ONE shuffle on user_id, no inequality
+    * explosion). Times are exact int64 MICROS (`ts_ns div 1000`) —
+    * integer-exact ordering and gap arithmetic on both engines;
+    * DuckDB (the ASOF JOIN oracle) truncates the parquet TIMESTAMP_NS
+    * to µs on read, so µs is the finest shared axis. Views are
+    * pre-aggregated per (user, µs) to make the match unique — the
+    * same contract ASOF JOIN assumes. */
+  def purchaseAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").as("view_ts_us"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select("user_id", "view_ts_us", "view_id")
+    graft.operators.AsOfJoin
+      .asof(purchases, views, "user_id", "user_id", "ts_us", "view_ts_us",
+        payload = Seq("view_id", "view_ts_us"))
+      .withColumn("gap_ms", expr("(ts_us - view_ts_us) div 1000"))
+      .orderBy("event_id")
+  }
+
+  val purchaseAttributionSql: String =
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS view_ts_us, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us, v.view_id, v.view_ts_us,
+      |  (p.ts_us - v.view_ts_us) // 1000 AS gap_ms
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -215,4 +215,36 @@ object Relational {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  /** q50: hierarchical revenue rollup — GROUPING SETS via `rollup()`
+    * (nation, order year): detail rows, per-nation subtotals, grand
+    * total in ONE aggregation pass. At 100 TB this replaces three
+    * separate scans/aggregations with one shuffle whose partial aggs
+    * combine map-side; `grouping_id()` disambiguates genuine NULLs
+    * from rolled-up levels (both engines put the first rollup column
+    * in the high bit — verified). Dimension joins stay broadcast. */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .rollup(col("n_name"), col("o_year"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        money(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first, col("o_year").asc_nulls_first)
+
+  val revenueRollupSql: String =
+    """SELECT CAST(grouping_id(n_name, o_year) AS BIGINT) AS gid,
+      | n_name, o_year, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS revenue
+      |FROM (
+      |  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY ROLLUP(n_name, o_year)
+      |ORDER BY gid, n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin
 }
