@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming-native dedup and sessionization (SURVEY §2.8 depth).
+  *
+  * These are the declarative complements to the imperative paths
+  * already in the engine: `dropDuplicatesWithinWatermark` is the
+  * stream-side of the batch dedup family (q24/q25 hash the corpus;
+  * this bounds replay/at-least-once double-delivery state by the
+  * watermark), and `session_window` is the built-in gap-session
+  * aggregation that expresses `StatefulSessionize`'s common case
+  * without custom state code (keep mapGroupsWithState only for
+  * semantics session_window can't say — mid-session snapshots,
+  * custom eviction payloads).
+  *
+  * Scale: both keep per-key state bounded by the watermark — the
+  * state store holds only keys seen within the lag window, so state
+  * size tracks the key-arrival RATE, not the corpus. That is the
+  * difference between a stream job that runs for a year and one that
+  * OOMs in week two.
+  */
+object StreamOps {
+
+  /** Exactly-once-looking dedup over an at-least-once stream: drops
+    * re-deliveries of the same `keys` arriving within the watermark
+    * lag of the first copy. Batch frames fall back to plain
+    * `dropDuplicates` (same result set; no state to bound). */
+  def dedup(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String = "5 minutes"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
+
+  /** Gap-based sessions via the built-in `session_window`: a session
+    * extends while events keep arriving within `gap` of the previous
+    * one and closes `gap` after the last. Emits one row per closed
+    * session (streaming: append mode, sessions finalize when the
+    * watermark passes session end). Works identically on batch
+    * frames — the batch/stream parity the rest of the speed layer
+    * already follows. */
+  def gapSessions(df: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermark: String = "5 minutes"): DataFrame = {
+    val base = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    base
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Specs for the declarative streaming operators: watermarked
+  * streaming dedup (at-least-once → effectively-once) and
+  * session_window gap sessions, including batch/stream parity.
+  */
+class StreamOpsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def typed(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("_1").as("msg_id"), col("_2").cast("timestamp").as("ts"), col("_3").as("payload"))
+
+  test("streaming dedup drops within-watermark re-deliveries") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, String)]
+    val deduped = StreamOps.dedup(
+      typed(input.toDF()), Seq("msg_id"), "ts", watermark = "10 minutes")
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      // m1 delivered 3x (once in a later batch), m2 once.
+      input.addData(
+        ("m1", "2024-01-01 00:00:00", "a"),
+        ("m1", "2024-01-01 00:00:01", "a-dup"),
+        ("m2", "2024-01-01 00:00:02", "b"))
+      query.processAllAvailable()
+      input.addData(("m1", "2024-01-01 00:00:03", "a-redelivery"))
+      query.processAllAvailable()
+      val got = spark.table("dedup_out")
+      got.count() shouldBe 2L
+      got.select("payload").orderBy("payload").collect().map(_.getString(0)).toSeq shouldBe
+        Seq("a", "b")
+    } finally query.stop()
+  }
+
+  test("batch fallback of dedup keeps one row per key") {
+    import spark.implicits._
+    val batch = typed(Seq(
+      ("m1", "2024-01-01 00:00:00", "a"),
+      ("m1", "2024-01-01 00:00:01", "a-dup"),
+      ("m2", "2024-01-01 00:00:02", "b")).toDF())
+    StreamOps.dedup(batch, Seq("msg_id"), "ts").count() shouldBe 2L
+  }
+
+  test("session_window splits on the gap, batch and stream agree") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user u1: burst at 00:00:00-00:00:20, then (gap > 30s) burst at
+    // 00:01:00; user u2: one event. Expect sessions (u1,3), (u1,1), (u2,1).
+    val rows = Seq(
+      ("u1", "2024-01-01 00:00:00"),
+      ("u1", "2024-01-01 00:00:10"),
+      ("u1", "2024-01-01 00:00:20"),
+      ("u1", "2024-01-01 00:01:00"),
+      ("u2", "2024-01-01 00:00:05"))
+    def asDf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("_1").as("user_id"), col("_2").cast("timestamp").as("ts"))
+
+    val batchGot = StreamOps.gapSessions(asDf(rows.toDF()), "user_id", "ts", "30 seconds")
+      .orderBy("user_id", "session_start_ms").collect()
+    batchGot.map(r => (r.getString(0), r.getAs[Long]("n_events"))).toSeq shouldBe
+      Seq(("u1", 3L), ("u1", 1L), ("u2", 1L))
+    // First u1 session closes 30s after its last event.
+    batchGot(0).getAs[Long]("session_end_ms") -
+      batchGot(0).getAs[Long]("session_start_ms") shouldBe 50000L
+
+    val input = MemoryStream[(String, String)]
+    val query = StreamOps.gapSessions(asDf(input.toDF()), "user_id", "ts", "30 seconds",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // Advance the watermark far past every session end to flush them.
+      input.addData(("u3", "2024-01-01 01:00:00"))
+      query.processAllAvailable()
+      val streamGot = spark.table("sessions_out")
+        .filter(col("user_id") =!= "u3")
+        .orderBy("user_id", "session_start_ms").collect()
+      streamGot.map(_.toSeq) shouldBe batchGot.map(_.toSeq)
+    } finally query.stop()
+  }
+}
