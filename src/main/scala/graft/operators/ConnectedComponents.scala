@@ -32,14 +32,28 @@ object ConnectedComponents {
   /** Components of the undirected graph given by `edges` (columns
     * `src`, `dst`; direction ignored, self-loops/duplicates fine).
     * Returns (`id`, `component`) for every vertex incident to an
-    * edge, `component` = min vertex id reachable. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * edge, `component` = min vertex id reachable.
+    *
+    * `partitions` sizes every per-round shuffle. The candidate graph
+    * is orders of magnitude smaller than the corpus it came from
+    * (only docs sharing an LSH bucket appear), so inheriting the
+    * corpus-scale `spark.sql.shuffle.partitions` would pay ~rounds ×
+    * partitions empty-task scheduling overhead; size it to the GRAPH
+    * (at 100 TB: edges/target-partition-size), not to the input. */
+  def run(edges: DataFrame, maxIter: Int = 20, partitions: Int = 8): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(partitions, col("src"))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Seed with round 1 computed directly: every vertex appears as a
+    // `src` in the symmetrized edge set, so min(id, min neighbor) is
+    // one aggregation — saves a full propagate round (and its jobs)
+    // over identity labels. For pure star buckets this is already the
+    // fixpoint and the loop below just certifies it.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("component"))
+      .select(col("src").as("id"), col("component"))
       .localCheckpoint()
     var iter = 0
     var converged = false
