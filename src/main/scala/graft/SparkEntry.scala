@@ -73,6 +73,7 @@ object SparkEntry {
     "q50_revenue_rollup"   -> (Relational.revenueRollup _),
     "q51_group_percentiles" -> (Extras.groupPercentiles _),
     "q52_asof_attribution" -> (Extras.purchaseAttribution _),
+    "q53_range_join"       -> (Extras.sessionRangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,5 +128,6 @@ object SparkEntry {
     "q50_revenue_rollup"   -> Relational.revenueRollupSql,
     "q51_group_percentiles" -> Extras.groupPercentilesSql,
     "q52_asof_attribution" -> Extras.purchaseAttributionSql,
+    "q53_range_join"       -> Extras.sessionRangeJoinSql,
   )
 }

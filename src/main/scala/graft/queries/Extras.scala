@@ -165,6 +165,70 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** q53: range join (point-in-interval) — purchases matched into the
+    * gap-session WINDOWS built from the same user's view events
+    * (sessions = lag/sum break detection on exact ms longs, the
+    * portable form of `session_window`; window = [first view,
+    * last view + gap)). The join runs through
+    * `graft.operators.RangeJoin`: intervals explode to covered
+    * 24h buckets, points hash to theirs, and the (user, bucket)
+    * EQUI-join + residual between-filter replaces the
+    * nested-loop plan Spark would pick for a raw inequality join —
+    * the scale path for interval attribution. The oracle is the
+    * naive inequality join, asserting exact semantic equivalence. */
+  def sessionRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 14400000L // 4 h
+    val ev = Tables.events(s, dir)
+    val w1 = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val sessions = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ms"))
+      .withColumn("brk",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w1) > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id").as("s_user"), col("sid"))
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        (max(col("ts_ms")) + gapMs).as("session_end_ms"),
+        count(lit(1)).as("n_view_events"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    graft.operators.RangeJoin
+      .pointInInterval(purchases, sessions, "user_id", "s_user",
+        "ts_ms", "session_start_ms", "session_end_ms", bucketWidth = 86400000L)
+      .select("event_id", "user_id", "ts_ms",
+        "session_start_ms", "session_end_ms", "n_view_events")
+      .orderBy("event_id")
+  }
+
+  val sessionRangeJoinSql: String =
+    """WITH v AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view'),
+      |d AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 14400000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM v),
+      |g AS (
+      |  SELECT user_id, ms,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, min(ms) AS session_start_ms,
+      |    max(ms) + 14400000 AS session_end_ms,
+      |    count(*) AS n_view_events
+      |  FROM g GROUP BY user_id, sid),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_ms,
+      |  s.session_start_ms, s.session_end_ms, s.n_view_events
+      |FROM p JOIN s ON p.user_id = s.user_id
+      |  AND p.ts_ms >= s.session_start_ms AND p.ts_ms < s.session_end_ms
+      |ORDER BY p.event_id""".stripMargin
+
   val purchaseAttributionSql: String =
     """WITH v AS (
       |  SELECT user_id, epoch_us(ts) AS view_ts_us, max(event_id) AS view_id

@@ -62,6 +62,35 @@ class GraphTemporalSpec extends AnyFunSuite with SparkFixture {
     assert(got === want)
   }
 
+  test("range join equals the naive inequality join, without its plan") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, 5L, "p1"), (1L, 100L, "p2"), (1L, 250L, "p3"),
+      (2L, 50L, "p4"), (3L, 1L, "p5")
+    ).toDF("k", "t", "tag")
+    val intervals = Seq(
+      (1L, 0L, 10L, "i1"),      // contains p1
+      (1L, 90L, 300L, "i2"),    // contains p2 and p3 (spans 3+ buckets at width 100)
+      (1L, 100L, 101L, "i3"),   // ALSO contains p2 (overlapping intervals both match)
+      (2L, 60L, 70L, "i4"),     // contains nothing (p4 before it)
+      (2L, 40L, 40L, "i5")      // empty interval: dropped
+    ).toDF("ik", "lo", "hi", "iname")
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "ik",
+      "t", "lo", "hi", bucketWidth = 100L)
+    val want = points.join(intervals,
+      col("k") === col("ik") && col("t") >= col("lo") && col("t") < col("hi"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty)
+    assert(want.exceptAll(got).isEmpty)
+    assert(got.collect().map(r => (r.getString(2), r.getString(6))).toSet ===
+      Set(("p1", "i1"), ("p2", "i2"), ("p2", "i3"), ("p3", "i2")))
+    // The bucketized form must plan as an equi-join, the naive form as
+    // a nested loop — that contrast IS the operator's reason to exist.
+    val gotPlan = got.queryExecution.executedPlan.toString
+    assert(!gotPlan.contains("BroadcastNestedLoopJoin") && !gotPlan.contains("CartesianProduct"),
+      s"bucketized range join must be an equi-join:\n$gotPlan")
+  }
+
   test("as-of join plan: one shuffle on the key, no join explosion") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e1")).toDF("k", "t", "tag")
