@@ -67,13 +67,19 @@ object ServingStore {
         .unionByName(batch)
     val newVer = curVer + 1
     merged.write.mode("overwrite").parquet(s"$store/v=$newVer")
-    // Atomic pointer swap: write-temp + ATOMIC_MOVE. Readers see either
-    // the old or the new version, never a torn pointer.
+    commit(store, curVer, newVer, batchId)
+    true
+  }
+
+  /** Atomic pointer swap (write-temp + ATOMIC_MOVE — readers see either
+    * the old or the new version, never a torn pointer), then reap
+    * snapshots older than the one just superseded (kept for in-flight
+    * readers). */
+  private def commit(store: String, curVer: Long, newVer: Long, batchId: Long): Unit = {
     val tmp = Paths.get(store, s"_CURRENT.tmp.$newVer")
     Files.writeString(tmp, s"$newVer,$batchId")
     Files.move(tmp, pointerPath(store), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // Keep the previous snapshot for in-flight readers; reap older ones.
     (1L until curVer).foreach { old =>
       val dir = Paths.get(store, s"v=$old")
       if (Files.exists(dir)) Try {
@@ -81,6 +87,27 @@ object ServingStore {
           .forEach(f => Files.deleteIfExists(f))
       }
     }
+  }
+
+  /** Compact the current snapshot to `targetFiles` parquet files —
+    * the small-files maintenance pass every streaming-upsert table
+    * needs: each micro-batch snapshot inherits the session's shuffle
+    * parallelism, so a low-rate stream accumulates far more files
+    * than bytes, and scan planning cost grows with file count, not
+    * data. Runs under the same snapshot-swap protocol as upsert (a
+    * new version + atomic pointer move, concurrent readers never see
+    * a half-compacted store) and preserves the batch-id high-water
+    * mark, so replay protection is unaffected. At 100 TB the same
+    * pass runs per key-range partition and sizes `targetFiles` from
+    * partition bytes / target file size. */
+  def compact(spark: SparkSession, store: String, targetFiles: Int = 1): Boolean = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val (curVer, lastBatch) = pointer(store)
+    if (curVer == 0) return false
+    val newVer = curVer + 1
+    read(spark, store).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(s"$store/v=$newVer")
+    commit(store, curVer, newVer, lastBatch)
     true
   }
 
@@ -93,10 +120,7 @@ object ServingStore {
     val remaining = read(spark, store).filter(!col(keyCol).isin(keys: _*))
     val newVer = curVer + 1
     remaining.write.mode("overwrite").parquet(s"$store/v=$newVer")
-    val tmp = Paths.get(store, s"_CURRENT.tmp.$newVer")
-    Files.writeString(tmp, s"$newVer,$batchId")
-    Files.move(tmp, pointerPath(store), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    commit(store, curVer, newVer, batchId)
     true
   }
 }

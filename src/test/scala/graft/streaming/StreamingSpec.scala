@@ -117,6 +117,30 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     ServingStore.read(spark, store).count() shouldBe 2
   }
 
+  test("serving store compaction shrinks file count, keeps data and high-water") {
+    val store = Files.createTempDirectory("graft-store").toString
+    val b0 = StreamTransform.enrich(messagesDf(Seq(m100, m200)), templates, scorer)
+      .repartition(4) // force a many-small-files snapshot
+    ServingStore.upsert(b0, store, "block_id", 0L) shouldBe true
+    val rowsBefore = ServingStore.read(spark, store).collect().map(_.toSeq).toSet
+    def dataFiles(v: Long) = Files.list(java.nio.file.Paths.get(store, s"v=$v"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    val (v0, hw0) = ServingStore.pointer(store)
+    assert(dataFiles(v0) > 1, "fixture must start fragmented")
+
+    ServingStore.compact(spark, store, targetFiles = 1) shouldBe true
+    val (v1, hw1) = ServingStore.pointer(store)
+    v1 shouldBe v0 + 1
+    hw1 shouldBe hw0 // compaction must not advance the replay guard
+    dataFiles(v1) shouldBe 1
+    ServingStore.read(spark, store).collect().map(_.toSeq).toSet shouldBe rowsBefore
+    // Replay of an already-applied batch is still a no-op after compaction.
+    ServingStore.upsert(b0, store, "block_id", 0L) shouldBe false
+    // Compacting an empty store is a no-op.
+    val empty = Files.createTempDirectory("graft-store-empty").toString
+    ServingStore.compact(spark, empty) shouldBe false
+  }
+
   test("e2e: MemoryStream -> from_json -> enrich -> foreachBatch upsert") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
