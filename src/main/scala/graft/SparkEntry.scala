@@ -74,6 +74,8 @@ object SparkEntry {
     "q51_group_percentiles" -> (Extras.groupPercentiles _),
     "q52_asof_attribution" -> (Extras.purchaseAttribution _),
     "q53_range_join"       -> (Extras.sessionRangeJoin _),
+    "q54_vocab_topk"       -> (TextOps.vocabTopK _),
+    "q55_tfidf_terms"      -> (TextOps.tfidfTopTerms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,5 +131,7 @@ object SparkEntry {
     "q51_group_percentiles" -> Extras.groupPercentilesSql,
     "q52_asof_attribution" -> Extras.purchaseAttributionSql,
     "q53_range_join"       -> Extras.sessionRangeJoinSql,
+    "q54_vocab_topk"       -> TextOps.vocabTopKSql,
+    "q55_tfidf_terms"      -> TextOps.tfidfTopTermsSql,
   )
 }

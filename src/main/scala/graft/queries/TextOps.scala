@@ -211,4 +211,89 @@ object TextOps {
       | sha256(text) AS content_hash
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---- q54: corpus vocabulary (token frequency top-k) ----------------
+
+  /** Global token-frequency top-100 — vocabulary building, the
+    * corpus-analysis primitive behind tokenizer training and stopword
+    * derivation. explode → count is ONE shuffle with full map-side
+    * combine (partials carry ≤ |local vocab| rows, not |tokens|), and
+    * the top-k compiles to TakeOrderedAndProject — at 100 TB the
+    * exchange moves the vocabulary, never the token stream. Ties at
+    * the cutoff are pinned by (count desc, token asc) on both sides. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
+  val vocabTopKSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 100""".stripMargin
+
+  // ---- q55: TF-IDF top terms per document ----------------------------
+
+  /** Top-3 characteristic terms per doc (docs 0–49) by a rational
+    * TF-IDF: score = tf · n_docs / df. Deliberately log-free — libm
+    * `log` is not correctly-rounded and can differ across engines by
+    * an ulp, while integer products and one double division are
+    * bit-reproducible. Document frequency comes from the FULL corpus
+    * (distinct (doc, token) → count per token: one shuffle of the
+    * distinct pairs); term frequency only from the target docs, so
+    * that branch's scan prunes on doc_id. The df side of the join is
+    * vocabulary-sized — broadcastable here, a shuffle join at corpus
+    * scale (AQE decides). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksOf = (d: DataFrame) =>
+      d.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val docs = Tables.documents(s, dir)
+    val tf = toksOf(docs.filter(col("doc_id") < 50))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toksOf(docs).distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"),
+        col("tf"), col("df"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM toks WHERE doc_id < 50 GROUP BY doc_id, token),
+      |dfreq AS (
+      |  SELECT token, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+      |    CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS score
+      |  FROM tf JOIN dfreq USING (token), n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rank, token,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  round(score, 6) AS score
+      |FROM ranked
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 }
