@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Rewrite the declarative aggregate(zip_with(...)) dot-product
+    // idiom to the native kernel (kill switch:
+    // spark.sql.graft.rewriteDotProduct=false).
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -31,10 +31,35 @@ class HashExprsSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("graft_dot matches the zip_with/aggregate fold bit-for-bit") {
-    val pairs = embs.as("x").crossJoin(embs.limit(3).select(col("v").as("qv")))
-    assertSame(pairs.select(
-      call_function("graft_dot", col("v"), col("qv")).as("a"),
-      Similarity.dotHof(col("v"), col("qv")).as("b")))
+    // Disable the HOF->kernel rewrite so the reference side really
+    // executes the fold (otherwise this comparison is vacuous).
+    spark.conf.set(graft.plans.RewriteDotProduct.ConfKey, "false")
+    try {
+      val pairs = embs.as("x").crossJoin(embs.limit(3).select(col("v").as("qv")))
+      assertSame(pairs.select(
+        call_function("graft_dot", col("v"), col("qv")).as("a"),
+        Similarity.dotHof(col("v"), col("qv")).as("b")))
+    } finally spark.conf.unset(graft.plans.RewriteDotProduct.ConfKey)
+  }
+
+  test("optimizer rule rewrites the HOF dot-product idiom to the kernel") {
+    val hof = embs.limit(10).select(
+      Similarity.dotHof(col("v"), col("v")).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"rewrite must fire:\n$optimized")
+    assert(!optimized.contains("aggregate("), s"fold must be gone:\n$optimized")
+    // And with the kill switch, the fold survives.
+    spark.conf.set(graft.plans.RewriteDotProduct.ConfKey, "false")
+    try {
+      val kept = embs.limit(10).select(Similarity.dotHof(col("v"), col("v")).as("d"))
+        .queryExecution.optimizedPlan.toString
+      assert(!kept.contains("graft_dot"), s"kill switch must hold:\n$kept")
+      // Same numbers either way.
+      val a = hof.collect().map(_.getDouble(0)).toSeq
+      val b = embs.limit(10).select(Similarity.dotHof(col("v"), col("v")).as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(a === b)
+    } finally spark.conf.unset(graft.plans.RewriteDotProduct.ConfKey)
   }
 
   test("graft_dot: length mismatch and null element give NULL") {
