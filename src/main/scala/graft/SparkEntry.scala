@@ -76,6 +76,8 @@ object SparkEntry {
     "q53_range_join"       -> (Extras.sessionRangeJoin _),
     "q54_vocab_topk"       -> (TextOps.vocabTopK _),
     "q55_tfidf_terms"      -> (TextOps.tfidfTopTerms _),
+    "q56_moving_revenue"   -> (Relational.movingRevenue _),
+    "q57_set_ops"          -> (Relational.setOps _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -133,5 +135,7 @@ object SparkEntry {
     "q53_range_join"       -> Extras.sessionRangeJoinSql,
     "q54_vocab_topk"       -> TextOps.vocabTopKSql,
     "q55_tfidf_terms"      -> TextOps.tfidfTopTermsSql,
+    "q56_moving_revenue"   -> Relational.movingRevenueSql,
+    "q57_set_ops"          -> Relational.setOpsSql,
   )
 }

@@ -216,6 +216,69 @@ object Relational {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** q56: window FRAMES — 7-day moving average and running total over
+    * daily revenue. The daily pre-aggregation shrinks the window input
+    * to |days| rows (the frame never sees raw orders), so the sort
+    * inside the single window partition is over thousands of rows even
+    * at SF1000 — window-over-aggregate, never window-over-fact, is the
+    * scale rule for global moving metrics. (A keyed variant partitions
+    * by the key and shards normally.) */
+  def movingRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .select(col("day"), col("n_orders"),
+        money(col("rev")).as("revenue"),
+        money(avg(col("rev")).over(w.rowsBetween(-6, 0))).as("ma7"),
+        money(sum(col("rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0))).as("cum_revenue"))
+      .orderBy("day")
+      .limit(400)
+  }
+
+  val movingRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders,
+      |    sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_orders, round(rev, 2) AS revenue,
+      |  round(avg(rev) OVER (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
+      |  round(sum(rev) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+      |FROM daily
+      |ORDER BY day
+      |LIMIT 400""".stripMargin
+
+  /** q57: explicit set operators (SURVEY §2.6) — customers ordering in
+    * BOTH 1995 and 1996 (INTERSECT) vs only 1995 (EXCEPT). Catalyst
+    * plans both as aggregates/anti-joins over the distinct key sets —
+    * the same shuffle shape as q05/q06, exposed through the set-op
+    * API. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def custsIn(yr: Int) =
+      o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey")).distinct()
+    val both = custsIn(1995).intersect(custsIn(1996))
+    val only95 = custsIn(1995).except(custsIn(1996))
+    both.agg(count(lit(1)).as("n_both"))
+      .crossJoin(only95.agg(count(lit(1)).as("n_only_1995")))
+  }
+
+  val setOpsSql: String =
+    """SELECT
+      | (SELECT count(*) FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |    INTERSECT
+      |    SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)) AS n_both,
+      | (SELECT count(*) FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |    EXCEPT
+      |    SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)) AS n_only_1995""".stripMargin
+
   /** q50: hierarchical revenue rollup — GROUPING SETS via `rollup()`
     * (nation, order year): detail rows, per-nation subtotals, grand
     * total in ONE aggregation pass. At 100 TB this replaces three
