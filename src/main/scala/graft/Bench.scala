@@ -45,7 +45,7 @@ object Bench {
     // Min over `reps` runs per query: the standard way to strip
     // co-tenant noise from a shared box; the min approximates the
     // noise-free wall time of the (already warmed) plan.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = names.map { name =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
