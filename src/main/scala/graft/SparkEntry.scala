@@ -78,6 +78,7 @@ object SparkEntry {
     "q55_tfidf_terms"      -> (TextOps.tfidfTopTerms _),
     "q56_moving_revenue"   -> (Relational.movingRevenue _),
     "q57_set_ops"          -> (Relational.setOps _),
+    "q58_media_frames"     -> (TextOps.mediaFrames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,5 +138,6 @@ object SparkEntry {
     "q55_tfidf_terms"      -> TextOps.tfidfTopTermsSql,
     "q56_moving_revenue"   -> Relational.movingRevenueSql,
     "q57_set_ops"          -> Relational.setOpsSql,
+    "q58_media_frames"     -> TextOps.mediaFramesSql,
   )
 }

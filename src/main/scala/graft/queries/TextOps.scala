@@ -212,6 +212,36 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q58: multimodal frame-sampling plan ---------------------------
+
+  /** Frame-sampling plan through the REAL multimodal plumbing
+    * (`graft.multimodal.Media.frameSampleIndices`): every 4th frame
+    * index per document, as a pure metadata op — no payload decoded,
+    * which is the point: at 100 TB the sampling plan prunes decode
+    * work BEFORE any byte of media is touched. `n_frames` here is a
+    * portable stand-in derivation (1 + n_chars mod 32; the container
+    * has no codecs — a real pipeline reads it from the container
+    * header the same metadata-only way). */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val withFrames = Tables.documents(s, dir)
+      .withColumn("n_frames", (lit(1L) + col("n_chars") % 32L).cast("long"))
+    graft.multimodal.Media.frameSampleIndices(withFrames, stride = 4)
+      .select(col("doc_id"), col("n_frames"),
+        size(col("sampled_frames")).cast("long").as("n_sampled"),
+        element_at(col("sampled_frames"), 1).as("first_frame"),
+        element_at(col("sampled_frames"), -1).as("last_frame"))
+      .orderBy("doc_id")
+  }
+
+  val mediaFramesSql: String =
+    """SELECT doc_id,
+      | CAST(1 + n_chars % 32 AS BIGINT) AS n_frames,
+      | CAST(len(list_filter(range(0, 1 + n_chars % 32), i -> i % 4 = 0)) AS BIGINT) AS n_sampled,
+      | list_filter(range(0, 1 + n_chars % 32), i -> i % 4 = 0)[1] AS first_frame,
+      | list_filter(range(0, 1 + n_chars % 32), i -> i % 4 = 0)[-1] AS last_frame
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ---- q54: corpus vocabulary (token frequency top-k) ----------------
 
   /** Global token-frequency top-100 — vocabulary building, the
