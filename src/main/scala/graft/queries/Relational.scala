@@ -257,7 +257,12 @@ object Relational {
     * BOTH 1995 and 1996 (INTERSECT) vs only 1995 (EXCEPT). Catalyst
     * plans both as aggregates/anti-joins over the distinct key sets —
     * the same shuffle shape as q05/q06, exposed through the set-op
-    * API. */
+    * API. Scale note: the two set-ops each recompute their year
+    * branches (no common-subplan reuse), so orders is scanned 4× —
+    * fine for an API-coverage query over pruned 1-column scans, but
+    * the single-scan form at 100 TB is one groupBy(custkey) with
+    * per-year presence flags, then flag predicates (the q23
+    * sum-when pivot shape). */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     def custsIn(yr: Int) =
