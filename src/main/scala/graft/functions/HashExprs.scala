@@ -53,8 +53,6 @@ object PortableHash {
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private val arrDouble = ArrayType(DoubleType)
-
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType.asInstanceOf[DataType] match {
       case ArrayType(DoubleType, _) => true
@@ -239,7 +237,12 @@ case class TokenHashes(child: Expression, p: Long)
 case class Fingerprint(child: Expression, p: Long)
     extends UnaryExpression {
 
-  require(p > 1, s"p must be > 1, got $p")
+  // Upper bound keeps the fold overflow-free: acc < p and h < p give
+  // acc*31 + h < 32p, which must fit a signed long (a wrapped-negative
+  // acc would trip the -1 NULL sentinel and diverge from the HOF
+  // reference).
+  require(p > 1 && p <= Long.MaxValue / 32,
+    s"p must be in (1, ${Long.MaxValue / 32}], got $p")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -47,7 +47,12 @@ object AsOfJoin {
       col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_tag"),
       struct(left.columns.map(col).toSeq: _*).as("_l"),
       lit(null).cast(paySchema).as("_r"))
-    val ru = right.select(
+    // NULL-key right rows can never match under join equality (the
+    // DuckDB ASOF oracle's ON l.k = r.k), but Window.partitionBy
+    // groups NULL keys into ONE partition — so drop them here, which
+    // leaves NULL-key left rows alone in their partition and therefore
+    // unmatched, exactly the join-semantics answer.
+    val ru = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_tag"),
       lit(null).cast(leftSchema).as("_l"),
       struct(payload.map(col): _*).as("_r"))

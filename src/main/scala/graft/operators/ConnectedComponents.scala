@@ -34,12 +34,13 @@ object ConnectedComponents {
     * Returns (`id`, `component`) for every vertex incident to an
     * edge, `component` = min vertex id reachable.
     *
-    * `partitions` sizes every per-round shuffle. The candidate graph
-    * is orders of magnitude smaller than the corpus it came from
-    * (only docs sharing an LSH bucket appear), so inheriting the
-    * corpus-scale `spark.sql.shuffle.partitions` would pay ~rounds ×
-    * partitions empty-task scheduling overhead; size it to the GRAPH
-    * (at 100 TB: edges/target-partition-size), not to the input. */
+    * `partitions` sizes the materialized edge layout (the frame every
+    * round joins against). The per-round joins/aggregations themselves
+    * inherit `spark.sql.shuffle.partitions` — AQE coalesces their tiny
+    * outputs, but on a session configured for corpus-scale shuffles,
+    * run the component loop under a graph-scale shuffle setting (the
+    * candidate graph is orders of magnitude smaller than the corpus:
+    * only docs sharing an LSH bucket appear). */
   def run(edges: DataFrame, maxIter: Int = 20, partitions: Int = 8): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -42,10 +42,13 @@ object RangeJoin {
       .withColumn(BucketCol, explode(sequence(
         expr(s"$loCol div $bucketWidth"), expr(s"($hiCol - 1) div $bucketWidth"))))
     val pb = points.withColumn(BucketCol, expr(s"$tCol div $bucketWidth"))
+    // Residual bounds are frame-qualified too: the two inputs may
+    // share column names (e.g. intervals derived from the same table
+    // still carrying the point's time column).
     pb.join(ib,
         pb(pointKey) === ib(intervalKey) &&
           pb(BucketCol) === ib(BucketCol) &&
-          col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
+          pb(tCol) >= ib(loCol) && pb(tCol) < ib(hiCol))
       .drop(BucketCol)
   }
 }

@@ -87,8 +87,14 @@ object SkewJoin {
     val bHot = big.join(broadcast(hot), col(bigKey) === col(HotKeyCol), "left_semi")
     val bCold = big.join(broadcast(hot), col(bigKey) === col(HotKeyCol), "left_anti")
     val smHot = small.join(broadcast(hot), col(smallKey) === col(HotKeyCol), "left_semi")
-    bCold.join(small, col(bigKey) === col(smallKey))
-      .unionByName(salted(bHot, smHot, bigKey, smallKey, saltBy, nSalts))
+    // Frame-qualified keys: with bigKey == smallKey (the common
+    // fact⋈dim case — both sides keyed "user_id"/"domain") a bare
+    // col() reference is ambiguous. The union is POSITIONAL for the
+    // same reason: both branches emit big-cols ++ small-cols in that
+    // order, and with equal key names a by-name union would reject
+    // the (legitimate) duplicate output column.
+    bCold.join(small, bCold(bigKey) === small(smallKey))
+      .union(salted(bHot, smHot, bigKey, smallKey, saltBy, nSalts))
   }
 
   /** q48: the hot-key salted join as an oracle-checkable query —

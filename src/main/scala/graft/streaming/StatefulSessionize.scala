@@ -47,7 +47,7 @@ object StatefulSessionize {
   /** Default watermark delay — how out-of-order lines may arrive. */
   val DefaultLateness: String = "10 minutes"
 
-  private def fold(idleTtlMs: Long)(
+  private def fold(idleTtlMs: Long, streaming: Boolean)(
       id: String,
       events: Iterator[LineEvent],
       state: GroupState[SessionAgg]): SessionSnapshot = {
@@ -69,9 +69,12 @@ object StatefulSessionize {
       // Close when the watermark passes TTL past the newest line seen.
       // Clamp above the current watermark — Spark rejects a timeout
       // already in the watermark's past (e.g. TTL shorter than the
-      // allowed lateness).
-      state.setTimeoutTimestamp(
-        math.max(agg.end_ms + idleTtlMs, state.getCurrentWatermarkMs + 1))
+      // allowed lateness). Batch mode has neither watermark nor
+      // timeouts (getCurrentWatermarkMs THROWS there — the watermark
+      // node is optimized away), so this is stream-only.
+      if (streaming)
+        state.setTimeoutTimestamp(
+          math.max(agg.end_ms + idleTtlMs, state.getCurrentWatermarkMs + 1))
       // Reference duration semantics: whole seconds via long-cast diff
       // (prepare_data_batch.ipynb:845).
       SessionSnapshot(id, agg.start_ms, agg.end_ms,
@@ -88,13 +91,16 @@ object StatefulSessionize {
   def sessions(
       lines: Dataset[LineEvent],
       idleTtlMs: Long = DefaultIdleTtlMs,
-      lateness: String = DefaultLateness): Dataset[SessionSnapshot] =
+      lateness: String = DefaultLateness): Dataset[SessionSnapshot] = {
+    val streaming = lines.isStreaming
     lines
       .withColumn("event_ts", timestamp_millis(col("ts_ms")))
       .withWatermark("event_ts", lateness)
       .as[LineEvent](Encoders.product[LineEvent])
       .groupByKey(_.block_id)(Encoders.STRING)
       .mapGroupsWithState[SessionAgg, SessionSnapshot](
-        GroupStateTimeout.EventTimeTimeout)(fold(idleTtlMs))(
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fold(idleTtlMs, streaming))(
         Encoders.product[SessionAgg], Encoders.product[SessionSnapshot])
+  }
 }

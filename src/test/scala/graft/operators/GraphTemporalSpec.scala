@@ -91,6 +91,31 @@ class GraphTemporalSpec extends AnyFunSuite with SparkFixture {
       s"bucketized range join must be an equi-join:\n$gotPlan")
   }
 
+  test("as-of join: NULL keys never match (join-equality semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), 100L, "normal"),
+      (Option.empty[Long], 100L, "null-key")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), 50L, "r1"),
+      (Option.empty[Long], 50L, "rnull")
+    ).toDF("k", "rt", "payload")
+    val got = AsOfJoin.asof(left, right, "k", "k", "t", "rt", Seq("payload"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got === Map("normal" -> Some("r1"), "null-key" -> None))
+  }
+
+  test("range join works when both frames share column names") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("k", "t")
+    // Interval frame deliberately reuses the names "k" and "t".
+    val intervals = Seq((1L, 0L, 10L, 99L)).toDF("k", "lo", "hi", "t")
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "k",
+      "t", "lo", "hi", bucketWidth = 100L)
+    assert(got.count() === 1L)
+  }
+
   test("as-of join plan: one shuffle on the key, no join explosion") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e1")).toDF("k", "t", "tag")

@@ -60,6 +60,16 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     assert(want.exceptAll(got).isEmpty)
   }
 
+  test("hot-key salted join works when both sides share the key name") {
+    import spark.implicits._
+    val big = Seq.tabulate(200)(i => (i.toLong % 4, i.toLong)).toDF("k", "row")
+    val dim = Seq.tabulate(4)(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val hot = SkewJoin.hotKeys(big, "k", fraction = 1.0, minSampleCount = 10)
+    val got = SkewJoin.saltedHot(big, dim, "k", "k",
+      xxhash64(col("row")), nSalts = 4, hot)
+    assert(got.count() === 200L)
+  }
+
   test("q48 salted-join aggregate equals the unsalted aggregate") {
     val got = SkewJoin.saltedJoinAgg(spark, sfDir).collect()
     val li = Tables.lineitem(spark, sfDir)

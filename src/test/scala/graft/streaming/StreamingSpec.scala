@@ -253,6 +253,18 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally query.stop()
   }
 
+  test("stateful sessionize also runs on a batch Dataset (no watermark node)") {
+    import spark.implicits._
+    val lines = Seq(("blk_a", 1000L), ("blk_a", 5000L), ("blk_b", 2000L))
+      .toDF("block_id", "ts_ms")
+      .as[StatefulSessionize.LineEvent]
+    val got = StatefulSessionize.sessions(lines).collect()
+      .map(s => s.block_id -> ((s.start_ms, s.end_ms, s.num_lines))).toMap
+    got shouldBe Map(
+      "blk_a" -> ((1000L, 5000L, 2L)),
+      "blk_b" -> ((2000L, 2000L, 1L)))
+  }
+
   test("stateful sessionization converges across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
