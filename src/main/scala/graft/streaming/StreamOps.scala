@@ -34,6 +34,27 @@ object StreamOps {
         .dropDuplicatesWithinWatermark(keys)
     else df.dropDuplicates(keys)
 
+  /** Stream-stream interval join (the attribution join, live): each
+    * left event pairs with right events of the same key arriving
+    * within `[leftTs, leftTs + within]`. Both watermarks PLUS the
+    * interval condition are what let Spark evict buffered rows — a
+    * stream-stream join without a time bound buffers both streams
+    * forever; with it, each side's state holds only rows younger than
+    * watermark + interval. Column names must be disjoint across
+    * sides (standard stream-stream join requirement). Works on batch
+    * frames identically (the watermark is a no-op there). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      within: String, watermark: String = "1 minute"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND " +
+        s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $within"))
+  }
+
   /** Gap-based sessions via the built-in `session_window`: a session
     * extends while events keep arriving within `gap` of the previous
     * one and closes `gap` after the last. Emits one row per closed

@@ -49,6 +49,42 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkFixture {
     StreamOps.dedup(batch, Seq("msg_id"), "ts").count() shouldBe 2L
   }
 
+  test("stream-stream interval join matches within the bound, batch agrees") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val impRows = Seq(("ad1", "2024-01-01 00:00:00"), ("ad2", "2024-01-01 00:05:00"))
+    val clickRows = Seq(
+      ("ad1", "2024-01-01 00:00:30"),  // within 1 min of ad1 -> match
+      ("ad1", "2024-01-01 00:03:00"),  // > 1 min after ad1 -> no match
+      ("ad2", "2024-01-01 00:04:00"))  // BEFORE the ad2 impression -> no match
+    def imps(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("_1").as("ad_id"), col("_2").cast("timestamp").as("imp_ts"))
+    def clicks(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("_1").as("c_ad_id"), col("_2").cast("timestamp").as("click_ts"))
+
+    val want = StreamOps.intervalJoin(
+        imps(impRows.toDF()), clicks(clickRows.toDF()),
+        "ad_id", "c_ad_id", "imp_ts", "click_ts", within = "1 minute")
+      .select("ad_id", "click_ts").collect().map(_.toSeq)
+    assert(want.map(_.head) === Seq("ad1"))
+
+    val impStream = MemoryStream[(String, String)]
+    val clickStream = MemoryStream[(String, String)]
+    val query = StreamOps.intervalJoin(
+        imps(impStream.toDF()), clicks(clickStream.toDF()),
+        "ad_id", "c_ad_id", "imp_ts", "click_ts", within = "1 minute")
+      .select("ad_id", "click_ts")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      impStream.addData(impRows: _*)
+      clickStream.addData(clickRows: _*)
+      query.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect().map(_.toSeq)
+      assert(got.toSet === want.toSet)
+    } finally query.stop()
+  }
+
   test("session_window splits on the gap, batch and stream agree") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
