@@ -50,4 +50,48 @@ object MLOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("label_index", "prediction")
   }
+
+  /** q59: the M6 scoring surface in oracle-checkable form — a linear
+    * scorer with FIXED literal weights over the per-user event-count
+    * features (q23's pivot shape), thresholded in LOGIT space:
+    * `sigmoid(z) >= 0.83  ⟺  z >= ln(0.83/0.17)`, with the logit
+    * cutoff precomputed as a literal. Deliberately exp-free — libm
+    * `exp` is not correctly rounded across engines, while z is a
+    * fixed-order sum of integer-count × literal-double products, which
+    * both engines evaluate bit-identically. The trained-model path
+    * (q34) stays rows-only; THIS query certifies the deployment-side
+    * scoring arithmetic (`Scorer`'s expression form) against the
+    * oracle. */
+  def scoredAnomalies(s: SparkSession, dir: String): DataFrame = {
+    // Weights in q23 column order: click, error, purchase, signup, view.
+    val w = Seq(-0.05, 0.35, -0.2, -0.1, -0.02)
+    val b = -1.5
+    val logitCutoff = math.log(0.83 / 0.17) // constant-folded literal
+    val z = types.zip(w)
+      .map { case (t, wi) => col(s"n_$t") * lit(wi) }
+      .reduce(_ + _) + lit(b)
+    LogOps.eventPivot(s, dir)
+      .withColumn("score_z", z)
+      .select(col("user_id"),
+        round(col("score_z"), 6).as("score_z"),
+        (col("score_z") >= logitCutoff).as("pred_anomaly"))
+      .orderBy("user_id")
+  }
+
+  val scoredAnomaliesSql: String = {
+    val w = Seq(-0.05, 0.35, -0.2, -0.1, -0.02)
+    val zExpr = types.zip(w)
+      .map { case (t, wi) => s"n_$t * $wi" }.mkString(" + ") + " + -1.5"
+    val cutoff = math.log(0.83 / 0.17)
+    s"""WITH feat AS (
+       |  SELECT user_id,
+       |${types.map(t =>
+           s"    CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+           .mkString(",\n")}
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id, round($zExpr, 6) AS score_z,
+       |  ($zExpr) >= $cutoff AS pred_anomaly
+       |FROM feat
+       |ORDER BY user_id""".stripMargin
+  }
 }
