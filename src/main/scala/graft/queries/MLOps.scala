@@ -17,6 +17,12 @@ object MLOps {
 
   private val types = Seq("click", "error", "purchase", "signup", "view")
 
+  // q59 scorer constants — shared by the Spark query and its DuckDB
+  // oracle so the two sides cannot drift.
+  private val ScoreWeights = Seq(-0.05, 0.35, -0.2, -0.1, -0.02)
+  private val ScoreBias = -1.5
+  private val LogitCutoff = math.log(0.83 / 0.17)
+
   /** M1–M6 end to end on the events table: per-user event-count
     * features, a scale-free derived label (error share ≥ 20%), class
     * weights, weighted LR (reference hyperparameters), and a confusion
@@ -64,25 +70,21 @@ object MLOps {
     * oracle. */
   def scoredAnomalies(s: SparkSession, dir: String): DataFrame = {
     // Weights in q23 column order: click, error, purchase, signup, view.
-    val w = Seq(-0.05, 0.35, -0.2, -0.1, -0.02)
-    val b = -1.5
-    val logitCutoff = math.log(0.83 / 0.17) // constant-folded literal
-    val z = types.zip(w)
+    val z = types.zip(ScoreWeights)
       .map { case (t, wi) => col(s"n_$t") * lit(wi) }
-      .reduce(_ + _) + lit(b)
+      .reduce(_ + _) + lit(ScoreBias)
     LogOps.eventPivot(s, dir)
       .withColumn("score_z", z)
       .select(col("user_id"),
         round(col("score_z"), 6).as("score_z"),
-        (col("score_z") >= logitCutoff).as("pred_anomaly"))
+        (col("score_z") >= LogitCutoff).as("pred_anomaly"))
       .orderBy("user_id")
   }
 
   val scoredAnomaliesSql: String = {
-    val w = Seq(-0.05, 0.35, -0.2, -0.1, -0.02)
-    val zExpr = types.zip(w)
-      .map { case (t, wi) => s"n_$t * $wi" }.mkString(" + ") + " + -1.5"
-    val cutoff = math.log(0.83 / 0.17)
+    val zExpr = types.zip(ScoreWeights)
+      .map { case (t, wi) => s"n_$t * $wi" }.mkString(" + ") + s" + $ScoreBias"
+    val cutoff = LogitCutoff
     s"""WITH feat AS (
        |  SELECT user_id,
        |${types.map(t =>
