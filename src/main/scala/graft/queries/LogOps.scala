@@ -105,6 +105,30 @@ object LogOps {
       .orderBy("user_id")
   }
 
+  /** q60: UNPIVOT — melt the wide q23 feature matrix back to long
+    * (user_id, event_type, n) form via `stack` (Spark's unpivot
+    * generator; one map-side pass, rows fan out 5× with no shuffle).
+    * The oracle is the DIRECT long-form aggregation over events, so a
+    * green row set proves pivot→unpivot is a faithful round trip of
+    * groupBy(user, type).count — the schema migration every feature
+    * store does in both directions. Zero-count cells are dropped (the
+    * long form never had them). */
+  def eventUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
+    eventPivot(s, dir)
+      .select(col("user_id"),
+        expr(s"stack(${types.length}, $stackArgs) AS (event_type, n)"))
+      .filter(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
+  val eventUnpivotSql: String =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** ST4 tumbling metrics, batch-equivalent form: the EXACT code path
     * the streaming layer runs (`StreamPipeline.metrics1m`) applied to
     * the events table — `err_1m`/`cnt_1m`/`p95_1m` per 1-minute window
