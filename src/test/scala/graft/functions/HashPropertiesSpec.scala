@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.queries.{Dedup, Similarity, TextOps}
+
+/** Property tests for the native kernels over GENERATED inputs —
+  * arbitrary unicode tokens (including empty strings, surrogate-range
+  * chars, whitespace) and arbitrary double vectors — asserting
+  * bit-identity with the HOF reference forms. The fixed-row spec
+  * (HashExprsSpec) pins known edge cases; this sweeps the space the
+  * fixtures can't enumerate (multi-byte UTF-8 boundaries, signed-zero
+  * and denormal doubles, token lists of every small length). */
+class HashPropertiesSpec extends AnyFunSuite with SparkFixture {
+
+  private def forAllSeeded[T](gen: Gen[T], trials: Int)(check: T => Unit): Unit =
+    (0 until trials).foreach { i =>
+      check(gen.pureApply(Gen.Parameters.default, Seed(7L + i)))
+    }
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(_.take(12)),
+    Gen.listOfN(4, Gen.choose(0x20, 0x2FFF)).map(_.map(_.toChar).mkString),
+    Gen.const(""),
+    Gen.const(" "),
+    Gen.const("日本語テスト"))
+
+  private val tokenList: Gen[List[String]] =
+    Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, token))
+
+  private def assertCol(rows: Seq[Seq[String]], native: org.apache.spark.sql.Column,
+      ref: org.apache.spark.sql.Column): Unit = {
+    import spark.implicits._
+    val df = rows.map(Tuple1(_)).toDF("w")
+    val diff = df.select(native.as("a"), ref.as("b"))
+      .filter((col("a").isNull =!= col("b").isNull) ||
+        (col("a").isNotNull && col("a") =!= col("b")))
+    assert(diff.isEmpty, s"mismatch:\n${diff.limit(3).collect().mkString("\n")}")
+  }
+
+  test("token hashes == conv(md5) transform for arbitrary unicode tokens") {
+    val batches = Seq.newBuilder[Seq[String]]
+    forAllSeeded(tokenList, 60)(ws => batches += ws)
+    assertCol(batches.result(),
+      call_function("graft_token_hashes", col("w"), lit(2147483647L)),
+      transform(col("w"), Dedup.tokenHash(_)))
+  }
+
+  test("fingerprint == rolling HOF fold for arbitrary token lists") {
+    import spark.implicits._
+    val batches = Seq.newBuilder[String]
+    // fingerprintHof splits on spaces, so build texts from space-free
+    // tokens (split semantics themselves are not under test here).
+    forAllSeeded(tokenList.map(_.map(_.replace(" ", "_"))), 60) { ws =>
+      if (ws.nonEmpty) batches += ws.mkString(" ")
+    }
+    val df = batches.result().map(Tuple1(_)).toDF("text")
+    val diff = df.select(
+        call_function("graft_fingerprint", split(col("text"), " "), lit(2147483647L)).as("a"),
+        TextOps.fingerprintHof(col("text")).as("b"))
+      .filter((col("a").isNull =!= col("b").isNull) ||
+        (col("a").isNotNull && col("a") =!= col("b")))
+    assert(diff.isEmpty, s"mismatch:\n${diff.limit(3).collect().mkString("\n")}")
+  }
+
+  test("tri-grams == sequence/transform/distinct for arbitrary word lists") {
+    val batches = Seq.newBuilder[Seq[String]]
+    forAllSeeded(tokenList, 60)(ws => batches += ws)
+    assertCol(batches.result(),
+      call_function("graft_tri_grams", col("w")),
+      Dedup.hashedTriGramsHof(col("w")))
+  }
+
+  test("dot and simhash == HOF folds for arbitrary double vectors") {
+    import spark.implicits._
+    val special = Gen.oneOf(0.0, -0.0, 1e-320, -1e-320, 1e300, -1e300, 0.1, -0.1)
+    val vec = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(special, Gen.choose(-1e6, 1e6))))
+    val pairs = Seq.newBuilder[(Seq[Double], Seq[Double])]
+    forAllSeeded(Gen.zip(vec, vec), 60)(p => pairs += (p._1 -> p._2))
+    // Equal-length pairs for dot (unequal covered by the fixed spec).
+    val df = pairs.result().map { case (a, b) =>
+      val n = math.min(a.length, b.length)
+      (a.take(n), b.take(n))
+    }.toDF("x", "y")
+    spark.conf.set(graft.plans.RewriteDotProduct.ConfKey, "false")
+    try {
+      val diff = df.select(
+          call_function("graft_dot", col("x"), col("y")).as("a"),
+          Similarity.dotHof(col("x"), col("y")).as("b"),
+          call_function("graft_simhash", col("x"), lit(4)).as("c"),
+          Similarity.simhashBucketHof(col("x"), 4).as("d"))
+        .filter(
+          (col("a").isNull =!= col("b").isNull) ||
+            (col("a").isNotNull && col("a") =!= col("b")) ||
+            (col("c").isNull =!= col("d").isNull) ||
+            (col("c").isNotNull && col("c") =!= col("d")))
+      assert(diff.isEmpty, s"mismatch:\n${diff.limit(3).collect().mkString("\n")}")
+    } finally spark.conf.unset(graft.plans.RewriteDotProduct.ConfKey)
+  }
+}
