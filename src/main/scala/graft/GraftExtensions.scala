@@ -70,6 +70,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Fingerprint(args(0), longLit(args(1), "p"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_extract_long"),
+      new ExpressionInfo(classOf[graft.functions.ExtractLongAfter].getName, "graft_extract_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_extract_long(str, key)")
+        val key = args(1) match {
+          case Literal(v: UTF8String, _: StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"key must be a string literal, got $other")
+        }
+        graft.functions.ExtractLongAfter(args(0), key)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tri_grams"),
       new ExpressionInfo(classOf[HashedTriGrams].getName, "graft_tri_grams"),
       (args: Seq[Expression]) => {

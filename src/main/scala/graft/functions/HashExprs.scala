@@ -285,6 +285,72 @@ case class Fingerprint(child: Expression, p: Long)
     copy(child = newChild)
 }
 
+/** `graft_extract_long(str, key)`: the long following the FIRST
+  * occurrence of literal `key` that is immediately followed by an
+  * ASCII digit — exactly `try_cast(regexp_extract(str, quote(key) +
+  * "(\\d+)", 1) AS BIGINT)` (HashExprsSpec certifies the identity,
+  * including later-occurrence fallthrough and overflow-to-NULL), as a
+  * single literal scan instead of a regex engine pass. NULL when no
+  * digit-followed occurrence exists or the digit run overflows a
+  * signed long (the matched digits would fail the cast). */
+case class ExtractLongAfter(child: Expression, key: String)
+    extends UnaryExpression {
+
+  require(key.nonEmpty, "key must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_extract_long"
+
+  def compute(input: UTF8String): java.lang.Long = {
+    val s = input.toString
+    var from = 0
+    while (true) {
+      val idx = s.indexOf(key, from)
+      if (idx < 0) return null
+      var p = idx + key.length
+      if (p < s.length && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
+        // First digit-followed occurrence: this IS the regex match;
+        // parse its full digit run, overflow => NULL (cast failure).
+        var acc = 0L
+        while (p < s.length && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
+          val d = s.charAt(p) - '0'
+          if (acc > (Long.MaxValue - d) / 10) return null
+          acc = acc * 10 + d
+          p += 1
+        }
+        return java.lang.Long.valueOf(acc)
+      }
+      // Literal without a following digit: the regex engine would keep
+      // searching, so we do too.
+      from = idx + 1
+    }
+    null // unreachable
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("extractLongExpr", this, classOf[ExtractLongAfter].getName)
+    val boxed = ctx.freshName("extracted")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Long $boxed = $ref.compute($c);
+      |${ev.isNull} = $boxed == null;
+      |if (!${ev.isNull}) ${ev.value} = $boxed.longValue();
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractLongAfter =
+    copy(child = newChild)
+}
+
 /** `graft_tri_grams(words)`: distinct hashed word 3-grams — for each
   * window i, hash60 of the concat_ws(" ") of the three words, distinct
   * preserving first occurrence. Bit-identical to q26's

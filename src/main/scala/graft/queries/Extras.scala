@@ -95,12 +95,16 @@ object Extras {
     * boundary (the reference re-types stringly HBase values with
     * per-field try/except, `hbase_client.py:203-248`). Direct cast of
     * the JSON blob fails for every row (NULL, counted), the extracted
-    * field parses; no exception either way. */
+    * field parses; no exception either way. The field extraction runs
+    * through the native `graft_extract_long` kernel — certified
+    * identical to `try_cast(regexp_extract(props, '"k": (\d+)', 1) AS
+    * BIGINT)` by HashExprsSpec — one literal scan per row instead of a
+    * regex engine pass (the oracle keeps the regex form). */
   def tryCastParse(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(
         expr("try_cast(props AS BIGINT)").as("direct"),
-        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)").as("k"))
+        call_function("graft_extract_long", col("props"), lit("\"k\": ")).as("k"))
       .agg(
         count(lit(1)).as("n_rows"),
         count(col("direct")).as("n_direct_parsed"),

@@ -102,6 +102,27 @@ class HashExprsSpec extends AnyFunSuite with Matchers with SparkFixture {
       TextOps.fingerprintHof(col("text")).as("b")))
   }
 
+  test("graft_extract_long matches try_cast(regexp_extract) exactly") {
+    import spark.implicits._
+    val edge = Seq(
+      """{"k": 42, "x": 1}""",          // normal
+      """{"x": 1}""",                   // no key
+      """{"k": , "k": 7}""",            // first occurrence digit-less -> later one
+      """{"k": 99999999999999999999}""", // overflow -> NULL (cast fails)
+      """{"k": 0042}""",                // leading zeros
+      """k": 5""",                      // truncated
+      "",                               // empty
+      """{"k": 3""").toDF("props")      // digits at end of string
+    val all = spark.read.parquet(s"$sfDir/events.parquet").select("props")
+      .union(edge)
+    val diff = all.select(
+        call_function("graft_extract_long", col("props"), lit("\"k\": ")).as("a"),
+        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)").as("b"))
+      .filter((col("a").isNull =!= col("b").isNull) ||
+        (col("a").isNotNull && col("a") =!= col("b")))
+    assert(diff.isEmpty, s"mismatch:\n${diff.limit(5).collect().mkString("\n")}")
+  }
+
   test("graft_tri_grams matches the sequence/transform/distinct form") {
     import spark.implicits._
     val words = docs.select(split(col("text"), " ").as("w"))
