@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * `.count()` can short-circuit parquet scans via metadata and would
   * under-report). A warm-up pass at the smallest SF amortizes JVM/codegen
   * startup out of the timings.
+  *
+  * Noise protocol: `reps` timed passes over the WHOLE suite
+  * (round-robin), min per query across passes. Round-robin — not
+  * back-to-back reps per query — so a transient co-tenant load burst
+  * inflates one pass of many queries rather than every rep of a few
+  * consecutive ones (the exact failure mode that made r4's q44–q49
+  * look regressed). For attributability the line also carries:
+  *  - `"reps"`: all per-pass times per query (was the burst visible?);
+  *  - `"plan_hash"`: md5 of the exprId-normalized physical plan (did
+  *    the plan change since last round, or just the environment?);
+  *  - `"loadavg"`: 1-min system load sampled at each pass start.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,33 +47,64 @@ object Bench {
         false
       }
 
+    /** Fingerprint of the initial physical plan, stable across runs of
+      * the same code+data: exprIds / plan_ids / statistics are run- or
+      * size-dependent, so they are normalized out before hashing. */
+    def planHash(name: String): String =
+      try {
+        val raw = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val norm = raw
+          .replaceAll("#\\d+", "#x")
+          .replaceAll("plan_id=\\d+", "plan_id=x")
+          .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+          .replaceAll("\\s+", " ")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(norm.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      } catch { case _: Throwable => "plan_error" }
+
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+
     val names = SparkEntry.queries.keys.toSeq.sorted
 
     // Warm-up (JIT, codegen caches, parquet footer reads) on sf0.001.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) names.foreach(execute(_, warmDir))
 
-    // Min over `reps` runs per query: the standard way to strip
-    // co-tenant noise from a shared box; the min approximates the
-    // noise-free wall time of the (already warmed) plan.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = names.map { name =>
-      val runs = (1 to reps).map { _ =>
+    val loads = new scala.collection.mutable.ArrayBuffer[Double]
+    val times = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
+    val okAll = new scala.collection.mutable.HashMap[String, Boolean]
+      .withDefaultValue(true)
+    (1 to reps).foreach { _ =>
+      loads += loadAvg()
+      names.foreach { name =>
         val t0 = System.nanoTime()
         val ok = execute(name, sfDir)
-        ((System.nanoTime() - t0) / 1e9, ok)
+        times(name) += (System.nanoTime() - t0) / 1e9
+        if (!ok) okAll(name) = false
       }
-      (name, runs.map(_._1).min, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val hashes = names.map(n => n -> planHash(n)).toMap
+    val results = names.map(n => (n, times(n).min, okAll(n)))
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v, _) => k -> v.toString })
+    val repsJson = jmap(names.map(n =>
+      n -> times(n).map(t => f"$t%.4f").mkString("[", ",", "]")))
+    val hashJson = jmap(names.map(n => n -> ("\"" + hashes(n) + "\"")))
+    val loadJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val nFailed = results.count(!_._3)
     // Failed queries' wall time (exception-path noise) is excluded from
     // the headline metric so totals stay comparable across runs.
     val total = results.collect { case (_, t, true) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

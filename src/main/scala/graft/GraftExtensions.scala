@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ExtractLongAfter(args(0), key)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_try_long"),
+      new ExpressionInfo(classOf[graft.functions.TryLong].getName, "graft_try_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_try_long(s)")
+        graft.functions.TryLong(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tri_grams"),
       new ExpressionInfo(classOf[HashedTriGrams].getName, "graft_tri_grams"),
       (args: Seq[Expression]) => {

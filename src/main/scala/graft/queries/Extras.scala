@@ -93,17 +93,26 @@ object Extras {
 
   /** F20: best-effort numeric parse — `try_cast` semantics at the read
     * boundary (the reference re-types stringly HBase values with
-    * per-field try/except, `hbase_client.py:203-248`). Direct cast of
-    * the JSON blob fails for every row (NULL, counted), the extracted
-    * field parses; no exception either way. The field extraction runs
-    * through the native `graft_extract_long` kernel — certified
-    * identical to `try_cast(regexp_extract(props, '"k": (\d+)', 1) AS
-    * BIGINT)` by HashExprsSpec — one literal scan per row instead of a
-    * regex engine pass (the oracle keeps the regex form). */
+    * per-field try/except, `hbase_client.py:203-248`).
+    *
+    * Both columns run native kernels with built-in-certified
+    * semantics, and both for measured reasons (cost decomposition at
+    * sf0.1: scan 0.15 s, built-in `try_cast(props AS BIGINT)` 0.92 s,
+    * regex extract 0.13 s, kernel extract 0.10 s):
+    *  - `graft_try_long` — exact `try_cast` accept-set WITHOUT the
+    *    thrown-exception-per-malformed-row the ANSI TRY cast pays
+    *    (`functions.TryLong` scaladoc has the bytecode receipts); on
+    *    this all-JSON column that exception path WAS 85% of q44's
+    *    wall time;
+    *  - `graft_extract_long` — certified identical to
+    *    `try_cast(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)`
+    *    by HashExprsSpec; one literal scan per row instead of a regex
+    *    engine pass (~25% on this data, the oracle keeps the regex
+    *    form). */
   def tryCastParse(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(
-        expr("try_cast(props AS BIGINT)").as("direct"),
+        call_function("graft_try_long", col("props")).as("direct"),
         call_function("graft_extract_long", col("props"), lit("\"k\": ")).as("k"))
       .agg(
         count(lit(1)).as("n_rows"),

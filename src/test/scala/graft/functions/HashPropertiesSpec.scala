@@ -102,4 +102,39 @@ class HashPropertiesSpec extends AnyFunSuite with SparkFixture {
       assert(diff.isEmpty, s"mismatch:\n${diff.limit(3).collect().mkString("\n")}")
     } finally spark.conf.unset(graft.plans.RewriteDotProduct.ConfKey)
   }
+
+  test("graft_try_long == try_cast(s AS BIGINT) on adversarial + random strings") {
+    import spark.implicits._
+    // Adversarial fixtures: every shape where the exception-free parse
+    // could plausibly diverge from the ANSI TRY cast.
+    val fixed = Seq(
+      "0", "-0", "+0", "42", "-42", "+42", " 42 ", "\t42\n", "042",
+      "9223372036854775807", "9223372036854775808",   // Long.Max, Max+1
+      "-9223372036854775808", "-9223372036854775809", // Long.Min, Min-1
+      "99999999999999999999999999", "1.5", "-1.5", "1.", ".5", "5.",
+      "1.0", "0.0", "1..2", "1.2.3", "1e3", "1E3", "0x1F", "1_000",
+      "", " ", "  ", "+", "-", "+-1", "--1", "1-", "12abc", "abc12",
+      "NaN", "Infinity", "null", " 5 ", " 5",
+      "7", "{\"k\": 12, \"v\": \"x\"}", "[1,2,3]",
+      "１２３" /* fullwidth digits */, "٤٢" /* arabic-indic */)
+    val randomDigits = Gen.choose(1, 22).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    val decorated = for {
+      core <- randomDigits
+      sign <- Gen.oneOf("", "+", "-")
+      padL <- Gen.oneOf("", " ", "\t", " ")
+      padR <- Gen.oneOf("", " ", "\n")
+      dot <- Gen.oneOf("", ".", ".5")
+    } yield padL + sign + core + dot + padR
+    val arbitrary = Gen.oneOf(decorated, Gen.asciiPrintableStr.map(_.take(16)))
+    val gend = Seq.newBuilder[String]
+    forAllSeeded(arbitrary, 300)(s => gend += s)
+    val df = (fixed ++ gend.result()).map(Tuple1(_)).toDF("s")
+    val diff = df.select(col("s"),
+        call_function("graft_try_long", col("s")).as("a"),
+        expr("try_cast(s AS BIGINT)").as("b"))
+      .filter((col("a").isNull =!= col("b").isNull) ||
+        (col("a").isNotNull && col("a") =!= col("b")))
+    assert(diff.isEmpty, s"mismatch:\n${diff.limit(5).collect().mkString("\n")}")
+  }
 }
