@@ -16,15 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
-  /** Wide per-block event counts: one `Ei` int column per template id. */
+  /** Wide per-block event counts: one `Ei` int column per template id.
+    *
+    * Two-phase on purpose. A single wide `sum(when(event_id = Ei, …))`
+    * aggregation looks tighter but is a plan pathology: CollapseProject
+    * inlines the derived `event_id` — a 29-branch CASE of rlike — into
+    * every one of the 29 aggregate expressions, so the plan carries
+    * 29×29 regex nodes (measured: 20 s at 9k rows, pure planning/
+    * codegen blow-up). Phase 1 groups by `(block_id, event_id)` so the
+    * CASE is evaluated ONCE per row inside the grouping key, with full
+    * map-side combine; phase 2 pivots the tiny long-form frame
+    * (blocks × ≤29 rows) to wide with cheap literal comparisons. */
   def eventCounts(tagged: DataFrame, templateIds: Seq[String]): DataFrame = {
-    val counts: Seq[Column] = templateIds.map { id =>
-      sum(when(col("event_id") === id, 1).otherwise(0)).cast("int").as(id)
-    }
-    tagged
+    val long = tagged
       .filter(col("event_id").isNotNull)
-      .groupBy(col("block_id"))
-      .agg(counts.head, counts.tail: _*)
+      .groupBy(col("block_id"), col("event_id"))
+      .agg(count(lit(1)).as("n"))
+    val counts: Seq[Column] = templateIds.map { id =>
+      sum(when(col("event_id") === id, col("n")).otherwise(0L)).cast("int").as(id)
+    }
+    long.groupBy(col("block_id")).agg(counts.head, counts.tail: _*)
   }
 
   /** Deterministic per-block event trace (reference A1, made stable by

@@ -38,12 +38,34 @@ object Templates {
   }
 
   /** Compile `[*]`-wildcard template text to a Java regex: quote every
-    * literal segment, splice `.*` (DOTALL-free, single-line) between. */
+    * literal segment, wildcards between.
+    *
+    * Unanchored form: NOT `seg1.*seg2.*seg3` — on the JVM's
+    * backtracking engine, k greedy `.*`s with literal tails go
+    * O(n^k) on near-matching input (measured: the 29-template
+    * dimension at 12 s for 9k lines, i.e. ~50 µs/find). An unanchored
+    * existence test of "segments in order" is satisfiable iff the
+    * greedy first-occurrence chain succeeds (exchange argument:
+    * earlier occurrences never hurt later segments), so each gap
+    * compiles to an ATOMIC lazy group `(?>.*?segK)` — find the first
+    * next occurrence, never backtrack into the gap — which is exactly
+    * that linear chain. Same match set, worst-case quadratic instead
+    * of exponential. DuckDB's RE2 twin (`RawLog.toRegexRe2`) keeps
+    * plain `.*`: RE2 is non-backtracking, where the forms are
+    * equivalent AND linear.
+    *
+    * Anchored form (stream-layer parity mode only) keeps plain `.*`:
+    * with a `$` anchor the LAST segment occurrence matters, and the
+    * atomic first-occurrence chain would wrongly commit. */
   def toRegex(template: String, anchored: Boolean = false): String = {
-    val body = template.split("\\[\\*\\]", -1)
+    val segs = template.split("\\[\\*\\]", -1)
       .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
-      .mkString(".*")
-    if (anchored) "^" + body + "$" else body
+    if (anchored) "^" + segs.mkString(".*") + "$"
+    else segs.reduceLeft { (acc, seg) =>
+      if (seg.isEmpty) acc + ".*"
+      else if (acc.isEmpty) seg
+      else s"$acc(?>.*?$seg)"
+    }
   }
 
   /** Load an `EventId,EventTemplate` CSV as the template dimension. */

@@ -55,8 +55,16 @@ class LogPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("template compile quotes literals and expands [*]") {
-    Templates.toRegex("a[*]b.c[*]") shouldBe "\\Qa\\E.*\\Qb.c\\E.*"
+    // Unanchored: atomic lazy gaps (backtracking-safe first-occurrence
+    // chain); trailing hole stays a plain greedy tail.
+    Templates.toRegex("a[*]b.c[*]") shouldBe "\\Qa\\E(?>.*?\\Qb.c\\E).*"
+    // Anchored (stream parity mode): plain greedy gaps — `$` needs the
+    // LAST occurrence, which an atomic chain would wrongly commit past.
     Templates.toRegex("x[*]", anchored = true) shouldBe "^\\Qx\\E.*$"
+    // Same match set either way; the atomic form just can't blow up.
+    val msg = "a zz b.c tail"
+    msg.matches(".*" + Templates.toRegex("a[*]b.c[*]") + ".*") shouldBe true
+    Templates.toRegex("a[*]b.c[*]").r.findFirstIn("a zz b_c").isDefined shouldBe false
   }
 
   test("first-match-wins template semantics") {

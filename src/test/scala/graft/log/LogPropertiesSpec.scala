@@ -67,6 +67,28 @@ class LogPropertiesSpec extends AnyFunSuite with Matchers with SparkFixture {
     BlockLines(blk, lines, kinds.count(_ < 3))
   }
 
+  test("atomic-gap regex == plain greedy-gap regex on random templates/messages") {
+    // The backtracking-safe unanchored form (atomic lazy gaps) must
+    // have the identical match SET as the naive `seg1.*seg2` form it
+    // replaced — existence of segments-in-order is decided by the
+    // greedy first-occurrence chain (see Templates.toRegex scaladoc).
+    val word: Gen[String] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', '.', '*', ' ')).map(_.mkString))
+    val genTemplate: Gen[String] = Gen.choose(1, 4).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString("[*]")))
+    val genMsg: Gen[String] = Gen.choose(0, 14)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', '.', '*', ' ')).map(_.mkString))
+    forAllSeeded(Gen.zip(genTemplate, genMsg), trials = 400) { case (tpl, msg) =>
+      val naive = tpl.split("\\[\\*\\]", -1)
+        .map(s => if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+        .mkString(".*")
+      withClue(s"template '$tpl' vs message '$msg': ") {
+        Templates.toRegex(tpl).r.findFirstIn(msg).isDefined shouldBe
+          naive.r.findFirstIn(msg).isDefined
+      }
+    }
+  }
+
   test("malformed timestamps yield NULL datetime, never an exception") {
     import spark.implicits._
     val bad = Seq(
