@@ -83,6 +83,9 @@ object SparkEntry {
     "q60_event_unpivot"    -> (LogOps.eventUnpivot _),
     "q61_raw_log_sessions" -> (RawLog.rawLogSessions _),
     "q62_raw_log_features" -> (RawLog.rawLogFeatures _),
+    // No oracle (approx estimates don't cross engines): rows-only; the
+    // row itself carries its invariant (merge_matches_global = true).
+    "q63_sketch_union"     -> (Extras.sketchUnion _),
   )
 
   def oracleSql: Map[String, String] = Map(

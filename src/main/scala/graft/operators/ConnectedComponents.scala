@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * Each round `localCheckpoint`s the new labels: the iterative plan
   * would otherwise grow by two joins per round (analysis cost blows
   * up around round ~10) and re-run the whole prefix at every action.
-  * The convergence check is one `count` per round — an action, but
-  * over the (tiny, already-materialized) label frame.
+  * The checkpoint is LAZY and the convergence `count` (computed from
+  * the old label carried in the same frame — no extra join)
+  * materializes it, so a round costs exactly one Spark job; in local
+  * mode job-scheduling latency, not data, dominates this loop.
   */
 object ConnectedComponents {
 
@@ -58,39 +60,37 @@ object ConnectedComponents {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    // ONE Spark job per round (was 3): the 1-hop min, the pointer
+    // jump, and the old label all live in one plan, lazily
+    // local-checkpointed; the convergence count both materializes the
+    // checkpoint and reads `changed` off it in the same action.
     while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("_nbr"), col("component").as("_nbr_comp")),
           col("dst") === col("_nbr"))
         .groupBy(col("src"))
         .agg(min(col("_nbr_comp")).as("_min_nbr"))
-      // Checkpointed before the self-join below — Catalyst does not
-      // dedupe common subplans, so an unmaterialized `prelim` would be
-      // computed twice per round.
-      val prelim = labels
+      // Pointer jumping resolves the stepped label against the
+      // PREVIOUS round's labels (already materialized — referencing
+      // the frame twice is free, where a mid-round `prelim` self-join
+      // needed its own checkpoint because Catalyst does not dedupe
+      // common subplans). Labels are ids of reachable vertices either
+      // way, so the jump stays a valid contraction; chains still
+      // shorten multiplicatively per round.
+      val stepped = labels
         .join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("_min_nbr"), col("component")))
+            .as("_step"))
+      val next = stepped
+        .join(labels.select(col("id").as("_pid"), col("component").as("_pcomp")),
+          col("_step") === col("_pid"), "left")
+        .select(col("id"), col("_old"),
+          least(col("_step"), coalesce(col("_pcomp"), col("_step")))
             .as("component"))
-        .localCheckpoint()
-      // Pointer jumping: also adopt the label OF the label (component
-      // values are vertex ids, so they resolve against the same
-      // frame). Chains shorten by ~half per round — O(log diameter)
-      // rounds instead of O(diameter), measured 6 → 3 certification
-      // rounds on the sf0.1 LSH dup-graph.
-      val next = prelim
-        .join(prelim.select(col("id").as("_pid"), col("component").as("_pcomp")),
-          col("component") === col("_pid"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("_pcomp"), col("component")))
-            .as("component"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id").as("_oid"), col("component").as("_old")),
-          col("id") === col("_oid"))
-        .filter(col("component") =!= col("_old"))
-        .count()
-      labels = next
+        .localCheckpoint(false)
+      val changed = next.filter(col("component") =!= col("_old")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -254,4 +254,31 @@ object Extras {
       |FROM p ASOF LEFT JOIN v
       |  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
       |ORDER BY p.event_id""".stripMargin
+
+  /** q63 (rows-only, like q34): the approx-sketch reaggregation path —
+    * the stated 100 TB design for distinct counts (SketchesSpec proves
+    * the law; this registers it on the driver's surface). HLL sketches
+    * built independently per event_type slice are UNIONED into the
+    * global estimate without rescanning the slices — what makes
+    * distinct-count rollups free on a partitioned store. Approximate
+    * estimates can't hash-match a different engine, so the row
+    * certifies itself: `merge_matches_global` must be true (slice
+    * reaggregation == one-pass sketch, bit-for-bit — same sketch
+    * algorithm either way), and the exact distinct count rides along
+    * for scale (the estimate's observed error is visible in the row).
+    */
+  def sketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val global = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("global_estimate"),
+      count_distinct(col("user_id")).as("exact_distinct"))
+    val merged = ev
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
+    // Two single-row aggregates — the crossJoin is a 1×1 broadcast.
+    merged.crossJoin(global)
+      .withColumn("merge_matches_global",
+        col("merged_estimate") === col("global_estimate"))
+  }
 }

@@ -47,7 +47,7 @@ class RandomizedRefSpec extends AnyFunSuite with SparkFixture {
 
   test("as-of join agrees with a per-row scan on random streams") {
     import spark.implicits._
-    for (seed <- Seq(3, 9)) {
+    for (seed <- Seq(3, 9, 17, 23, 31)) {
       val rnd = new Random(seed)
       val left = Seq.tabulate(60)(i =>
         (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
@@ -67,6 +67,34 @@ class RandomizedRefSpec extends AnyFunSuite with SparkFixture {
                else Some(cands.maxBy(_._2)._3))
       }.toMap
       assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("range join agrees with a nested-loop scan on random intervals") {
+    import spark.implicits._
+    // Sweep bucket widths smaller than / comparable to / larger than
+    // the interval lengths — each regime exercises different
+    // replication and residual-filter behavior. Degenerate intervals
+    // (hi <= lo) are generated on purpose: they must match nothing.
+    for (seed <- Seq(5, 11, 29); bucketWidth <- Seq(3L, 10L, 64L)) {
+      val rnd = new Random(seed)
+      val points = Seq.tabulate(60)(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(120).toLong, i.toLong))
+      val intervals = Seq.tabulate(30) { j =>
+        val lo = rnd.nextInt(120).toLong
+        (rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(25) - 2, j.toLong)
+      }
+      val got = RangeJoin.pointInInterval(
+          points.toDF("k", "t", "pid"), intervals.toDF("ik", "lo", "hi", "iid"),
+          "k", "ik", "t", "lo", "hi", bucketWidth)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pk, t, pid) <- points
+        (ik, lo, hi, iid) <- intervals
+        if ik == pk && t >= lo && t < hi
+      } yield (pid, iid)).toSet
+      assert(got === want, s"seed=$seed bucketWidth=$bucketWidth")
     }
   }
 }

@@ -52,4 +52,12 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
     merged.toDouble shouldBe exact.toDouble +- (exact * 0.15)
   }
+
+  test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
+    val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
+    row.getAs[Boolean]("merge_matches_global") shouldBe true
+    val exact = row.getAs[Long]("exact_distinct")
+    row.getAs[Long]("merged_estimate").toDouble shouldBe
+      exact.toDouble +- (exact * 0.15)
+  }
 }
