@@ -82,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ExtractLongAfter(args(0), key)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.NGramHashes].getName, "graft_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_ngrams(words, n)")
+        graft.functions.NGramHashes(args(0), longLit(args(1), "n").toInt)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_try_long"),
       new ExpressionInfo(classOf[graft.functions.TryLong].getName, "graft_try_long"),
       (args: Seq[Expression]) => {

@@ -407,6 +407,67 @@ case class HashedTriGrams(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_ngrams(words, n)`: distinct hashed word n-grams — the
+  * generalization of `graft_tri_grams` the curation operators need
+  * (q64 uses n=3, q66 decontamination n=5). Same contract: for each
+  * window i, hash60 of `concat_ws(" ", w[i..i+n-1])` (NULL words
+  * skipped, not joined), distinct preserving first occurrence, empty
+  * array when fewer than n words. Exists because the declarative form
+  * — `transform(sequence(...), i -> hash(concat_ws(..., element_at(w,
+  * i), ...)))` — re-evaluates `w`'s defining expression per ELEMENT
+  * (lambdas block subexpression elimination), turning an upstream
+  * `split(text)` into O(words²) work per document; the kernel
+  * evaluates its child once. */
+case class NGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ngrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= len - n) {
+      val parts = (i until i + n)
+        .filterNot(arr.isNullAt)
+        .map(arr.getUTF8String)
+      val gram = UTF8String.concatWs(space, parts: _*)
+      seen.add(PortableHash.hash60(gram))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nGramsExpr", this, classOf[NGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashes =
+    copy(child = newChild)
+}
+
 /** `graft_try_long(s)`: exception-free `try_cast(s AS BIGINT)`.
   *
   * Spark's ANSI-mode TRY cast parses via `UTF8String.toLongExact`,

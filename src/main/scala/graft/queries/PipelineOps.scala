@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data curation operators beyond the dedup/similarity
+  * families — the remaining stages every large-scale LLM data pipeline
+  * runs between "raw corpus" and "training batches":
+  *
+  *  - q64 boilerplate scoring: corpus-frequency repeated-shingle
+  *    detection (the RefinedWeb/CCNet "repeated n-gram" filter);
+  *  - q65 sequence packing: the concat-and-chunk token layout that
+  *    turns documents into fixed-budget training sequences;
+  *  - q66 decontamination: benchmark-overlap flagging by shared
+  *    n-grams (the GPT-3/PaLM eval-contamination check);
+  *  - q67 source mixing: deterministic per-source downsampling to a
+  *    target contribution (equal-chars rebalancing here).
+  *
+  * All shuffles carry 60-bit md5 gram hashes (`PortableHash` contract,
+  * reproduced bit-for-bit by the DuckDB oracle), never gram text; all
+  * sampling is content-hash Bernoulli (portable, rerun-stable); no
+  * driver-side state. Each op is oracle-checked end-to-end.
+  */
+object PipelineOps {
+
+  /** Portable 60-bit hash (first 15 md5 hex digits) of a column. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct-per-doc hashed word n-grams: one row per (doc_id, gram),
+    * via the native `graft_ngrams` kernel — split once, one pass,
+    * per-doc dedup inside the expression (no distinct shuffle). Grams
+    * are 60-bit longs BEFORE the explode hits any shuffle — at 100 TB
+    * the gram traffic is 8 bytes/gram, not the text. (The declarative
+    * `transform(sequence, i -> element_at(w, i)...)` form re-evaluates
+    * the split per element — lambdas block subexpression elimination —
+    * which measured 5 s at sf0.1 where the kernel takes 0.3 s.) */
+  private def docGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(call_function("graft_ngrams", split(col("text"), " "), lit(n))).as("g"))
+
+  /** The gram CTE shared by the q64/q66 oracles (n-gram via list slice
+    * + lateral range; hash60 = the `PortableHash` contract). */
+  private def gramCte(n: Int): String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ('0x' || substr(md5(array_to_string(w[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS g
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(w)-${n - 2})) AS i) r
+       |)""".stripMargin
+
+  /** q64: repeated-shingle boilerplate scoring. A word 3-gram occurring
+    * in ≥ `BoilerMinDocs` distinct documents is boilerplate; each doc
+    * reports its distinct-gram count, boilerplate-gram count and ratio
+    * — the per-doc signal the cleaning filter thresholds on.
+    *
+    * Plan shape: the distinct (doc, gram) frame is repartitioned on
+    * the gram hash ONCE, so the doc-frequency aggregation and the
+    * join back both consume the same exchange (ReuseExchange — the
+    * engine's no-common-subplan rule makes this explicit layout the
+    * difference between one explode pass and two). */
+  val BoilerMinDocs = 5
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(Tables.documents(s, dir), 3)
+      .repartition(col("g"))
+    val docFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    grams.join(docFreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateSql: String =
+    s"""${gramCte(3)},
+       |df AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
+       |SELECT g.doc_id,
+       |  count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN df.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  round(CAST(sum(CASE WHEN df.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_ratio
+       |FROM g JOIN df USING (g)
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
+  /** q65: sequence packing — the concat-and-chunk layout. Documents
+    * are sharded by content hash, ordered deterministically inside
+    * each shard, laid head-to-tail on a token axis, and cut every
+    * `PackBudget` tokens: `bin` is the training sequence a doc's first
+    * token lands in. One window (running sum per shard) = one shuffle;
+    * shards bound both window state and downstream writer parallelism.
+    * Deterministic: rerunning (or re-sharding a grown corpus) moves
+    * nothing that didn't change. */
+  val PackBudget = 512L
+  val PackShards = 4L
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", pmod(hash60(concat(lit("shard"), col("doc_id"))), lit(PackShards)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"start_offset div $PackBudget"))
+      .select("doc_id", "shard", "n_tokens", "start_offset", "bin")
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT % $PackShards AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
+       |  CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n_tokens) // $PackBudget AS BIGINT) AS bin
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
+  /** q66: decontamination — flag training documents sharing any word
+    * 5-gram with the held-out benchmark slice (`source = 'src0'` plays
+    * the benchmark). The eval gram set is tiny by nature (benchmarks
+    * are), so it BROADCASTS and the check is a map-side join of the
+    * training grams — no shuffle of the corpus at any scale. Output:
+    * every training doc with its shared-gram count and flag (hits are
+    * rare by construction; that sparseness is the realistic shape). */
+  val EvalSource = "src0"
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // Source filters sit BELOW the gram explode on both sides: the
+    // benchmark slice explodes alone (it's tiny — that's the premise),
+    // and the training side never materializes grams it won't check.
+    val evalGrams = docGrams(docs.filter(col("source") === EvalSource), 5)
+      .select(col("g")).distinct()
+    val train = docs.filter(col("source") =!= EvalSource)
+    val shared = docGrams(train, 5)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    train.select("doc_id", "source")
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""${gramCte(5)},
+       |e AS (SELECT DISTINCT g.g FROM g WHERE source = '$EvalSource'),
+       |sh AS (
+       |  SELECT doc_id, count(*) AS n_shared
+       |  FROM g JOIN e USING (g) WHERE g.source != '$EvalSource'
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.source,
+       |  coalesce(sh.n_shared, 0) AS n_shared,
+       |  CAST(CASE WHEN coalesce(sh.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+       |FROM documents d LEFT JOIN sh USING (doc_id)
+       |WHERE d.source != '$EvalSource'
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q67: source mixing — rebalance the corpus so every source
+    * contributes the same character budget (the domain-weighting pass
+    * before packing). Per-source totals reduce to a tiny dimension;
+    * the smallest total sets the budget; every row keeps or drops by
+    * content hash against its source's rate — deterministic, join is
+    * a broadcast of |sources| rows, and the one full-data pass is
+    * map-only. Output: per-source audit (docs in/kept, rate in ppm).
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total_chars"), count(lit(1)).as("n_docs"))
+    val minTotal = totals.agg(min(col("total_chars")).as("min_total"))
+    val rated = totals.crossJoin(broadcast(minTotal))
+      .withColumn("rate_scaled",
+        col("min_total").cast("double") * 1000000.0 / col("total_chars").cast("double"))
+    docs.join(broadcast(rated), "source")
+      .withColumn("keep",
+        pmod(hash60(concat(lit("mix"), col("doc_id"))), lit(1000000L))
+          .cast("double") < col("rate_scaled"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        first(floor(col("rate_scaled")).cast("long")).as("rate_ppm"))
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
+      |  FROM documents GROUP BY source),
+      |m AS (SELECT min(total_chars) AS min_total FROM t),
+      |r AS (
+      |  SELECT source, n_docs,
+      |    CAST(min_total AS DOUBLE) * 1000000.0 / CAST(total_chars AS DOUBLE) AS rate_scaled
+      |  FROM t, m)
+      |SELECT d.source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN
+      |      CAST(('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS DOUBLE)
+      |        < r.rate_scaled
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(floor(r.rate_scaled) AS BIGINT) AS rate_ppm
+      |FROM documents d JOIN r USING (source)
+      |GROUP BY d.source, r.rate_scaled
+      |ORDER BY d.source""".stripMargin
+}

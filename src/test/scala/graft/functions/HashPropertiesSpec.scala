@@ -103,6 +103,41 @@ class HashPropertiesSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset(graft.plans.RewriteDotProduct.ConfKey)
   }
 
+  test("graft_ngrams(w, 3) == graft_tri_grams(w) for arbitrary token lists") {
+    val batches = Seq.newBuilder[Seq[String]]
+    forAllSeeded(tokenList, 60)(ws => batches += ws)
+    assertCol(batches.result(),
+      call_function("graft_ngrams", col("w"), lit(3)),
+      call_function("graft_tri_grams", col("w")))
+  }
+
+  test("graft_ngrams == declarative window-hash form for n in 1..5") {
+    import spark.implicits._
+    val batches = Seq.newBuilder[Seq[String]]
+    // Space-free tokens: the declarative reference below concat_ws's
+    // with spaces, and distinct-gram semantics assume the separator
+    // can't occur inside a token.
+    forAllSeeded(tokenList.map(_.map(_.replace(" ", "_"))), 40)(ws => batches += ws)
+    val df = batches.result().map(Tuple1(_)).toDF("w")
+    for (n <- 1 to 5) {
+      // Reference: hash60 over each window, array_distinct, with the
+      // size-< n guard. (Fine at test scale; in a query this shape
+      // re-evaluates `w`'s source per element — the kernel's reason.)
+      val gram = (i: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat_ws(" ",
+          (0 until n).map(j => element_at(col("w"), i + lit(j))): _*)), 1, 15), 16, 10)
+          .cast("long")
+      val ref = when(size(col("w")) >= n,
+        array_distinct(transform(sequence(lit(1), size(col("w")) - lit(n - 1)), gram)))
+        .otherwise(array().cast("array<long>"))
+      val diff = df.select(
+          call_function("graft_ngrams", col("w"), lit(n)).as("a"), ref.as("b"))
+        .filter((col("a").isNull =!= col("b").isNull) ||
+          (col("a").isNotNull && col("a") =!= col("b")))
+      assert(diff.isEmpty, s"n=$n mismatch:\n${diff.limit(3).collect().mkString("\n")}")
+    }
+  }
+
   test("graft_try_long == try_cast(s AS BIGINT) on adversarial + random strings") {
     import spark.implicits._
     // Adversarial fixtures: every shape where the exception-free parse
