@@ -57,17 +57,22 @@ object PipelineOps {
     * reports its distinct-gram count, boilerplate-gram count and ratio
     * — the per-doc signal the cleaning filter thresholds on.
     *
-    * Plan shape: the distinct (doc, gram) frame is repartitioned on
-    * the gram hash ONCE, so the doc-frequency aggregation and the
-    * join back both consume the same exchange (ReuseExchange — the
-    * engine's no-common-subplan rule makes this explicit layout the
-    * difference between one explode pass and two). */
+    * Plan shape: doc-frequency as a window count over the gram
+    * partition, NOT groupBy-then-join-back. The join formulation
+    * evaluates the gram explode TWICE — the engine has no common-
+    * subplan reuse, and ReuseExchange can't save it because column
+    * pruning narrows the aggregate side's scan so the two exchanges
+    * never canonicalize equal. The window form is one explode pass,
+    * one shuffle of 12-byte (doc_id, gram) rows, a radix sort on the
+    * long key, zero joins. Skew note: a corpus-hot gram lands its
+    * rows in one window partition, but the join formulation shuffles
+    * the identical rows to the identical reducer — the skew is the
+    * query's, not the plan's, and count-only window state is O(1). */
   val BoilerMinDocs = 5
   def boilerplate(s: SparkSession, dir: String): DataFrame = {
     val grams = docGrams(Tables.documents(s, dir), 3)
-      .repartition(col("g"))
-    val docFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
-    grams.join(docFreq, "g")
+    grams
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -79,14 +84,14 @@ object PipelineOps {
 
   val boilerplateSql: String =
     s"""${gramCte(3)},
-       |df AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
-       |SELECT g.doc_id,
+       |wf AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS n_docs FROM g)
+       |SELECT doc_id,
        |  count(*) AS n_grams,
-       |  CAST(sum(CASE WHEN df.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-       |  round(CAST(sum(CASE WHEN df.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_ratio
-       |FROM g JOIN df USING (g)
-       |GROUP BY g.doc_id
-       |ORDER BY g.doc_id""".stripMargin
+       |  CAST(sum(CASE WHEN n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  round(CAST(sum(CASE WHEN n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_ratio
+       |FROM wf
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** q65: sequence packing — the concat-and-chunk layout. Documents
     * are sharded by content hash, ordered deterministically inside
