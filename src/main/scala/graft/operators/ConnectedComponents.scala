@@ -44,11 +44,16 @@ object ConnectedComponents {
     * candidate graph is orders of magnitude smaller than the corpus:
     * only docs sharing an LSH bucket appear). */
   def run(edges: DataFrame, maxIter: Int = 20, partitions: Int = 8): DataFrame = {
+    // Both base frames checkpoint LAZILY: round 1's convergence count
+    // is the first action over them, so edges, seed labels and the
+    // round-1 step all materialize in that single job (eager
+    // checkpoints here cost two extra driver-latency-bound jobs for
+    // nothing — the persisted blocks are identical either way).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(partitions, col("src"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Seed with round 1 computed directly: every vertex appears as a
     // `src` in the symmetrized edge set, so min(id, min neighbor) is
     // one aggregation — saves a full propagate round (and its jobs)
@@ -57,7 +62,7 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("component"))
       .select(col("src").as("id"), col("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     // ONE Spark job per round (was 3): the 1-hop min, the pointer
