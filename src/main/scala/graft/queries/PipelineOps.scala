@@ -199,6 +199,211 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  // ---- q68: PII / pattern redaction audit ---------------------------
+
+  /** RE2-safe redaction patterns (no backreferences, no lookaround —
+    * they must mean the same thing to Java's regex engine and the
+    * DuckDB/RE2 oracle). Emails and IPv4 literals are the classic PII
+    * shapes; the digit-run pattern is the catch-all that also turns a
+    * payload into its *template* (the prop-mining trick: mask the
+    * variable parts, group by what's left). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val NumPat   = "[0-9]+"
+
+  /** Masking chain, most-specific first: an email/IP must be swallowed
+    * whole before the digit pass can nibble its octets. Map-only — a
+    * redaction sweep at 100 TB is embarrassingly parallel and this
+    * compiles to three codegen'd regexp_replace calls, no shuffle. */
+  def redactText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      NumPat, "<NUM>")
+
+  /** q68: redaction audit over the event stream's `props` payloads —
+    * mask every PII-shaped span, then report one row per
+    * (event_type, masked template) with how many events collapsed into
+    * it and how many spans were masked. The redact pass is the
+    * operator; the groupBy is the audit that proves (a) nothing
+    * identifying survives and (b) payloads are template-stable. The
+    * shuffle carries masked templates (bounded cardinality), never raw
+    * payloads. */
+  def redactAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), redactText(col("props")).as("template"))
+      .withColumn("n_spans", regexp_count(col("template"), lit("<(EMAIL|IP|NUM)>")))
+      .groupBy(col("event_type"), col("template"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("n_spans").cast("long")).as("n_masked"))
+      .orderBy("event_type", "template")
+
+  val redactAuditSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type,
+       |    regexp_replace(regexp_replace(regexp_replace(props,
+       |      '$EmailPat', '<EMAIL>', 'g'),
+       |      '$Ipv4Pat', '<IP>', 'g'),
+       |      '$NumPat', '<NUM>', 'g') AS template
+       |  FROM events)
+       |SELECT event_type, template,
+       |  count(*) AS n_events,
+       |  CAST(sum(len(regexp_extract_all(template, '<(EMAIL|IP|NUM)>'))) AS BIGINT) AS n_masked
+       |FROM m
+       |GROUP BY event_type, template
+       |ORDER BY event_type, template""".stripMargin
+
+  // ---- q69: repetition statistics (Gopher-style quality rule) -------
+
+  /** q69: within-document repetition — the "most frequent word" and
+    * "words repeated ≥ `RepMinCount` times" mass fractions that
+    * repetition-based quality filters (Gopher rules 4–8) threshold on.
+    * Token→60-bit hash BEFORE the explode hits the shuffle (8-byte
+    * keys, never words); per-(doc, token) counts map-side combine, and
+    * the second aggregation reduces to one row per doc. Ratios are
+    * 1e-6-quantized (`floor(x·1e6+0.5)/1e6`) so both engines do the
+    * same exact arithmetic. */
+  val RepMinCount = 3
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
+    toks.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"),
+        sum(when(col("c") >= RepMinCount, col("c")).otherwise(0L)).as("n_rep"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_count"),
+        (floor(col("top_count").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+          .as("top_ratio"),
+        (floor(col("n_rep").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+       |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) w),
+       |c AS (SELECT doc_id, h, count(*) AS c FROM t GROUP BY doc_id, h),
+       |a AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct,
+       |    CAST(max(c) AS BIGINT) AS top_count,
+       |    CAST(sum(CASE WHEN c >= $RepMinCount THEN c ELSE 0 END) AS BIGINT) AS n_rep
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct, top_count,
+       |  floor(CAST(top_count AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS top_ratio,
+       |  floor(CAST(n_rep AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS rep_ratio
+       |FROM a
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q70: per-domain cap sampling ---------------------------------
+
+  /** q70: cap every source's contribution at `DomainCap` documents,
+    * chosen by content-hash order (deterministic "random" — rerun- and
+    * growth-stable, like every sampling op here). One window shuffle on
+    * `source`; the heavy corpus columns never move — only (doc_id,
+    * source) rows do, and the capped winners join nothing. This is the
+    * "no domain dominates the mix" guard that runs right before
+    * source-mix rebalancing. */
+  val DomainCap = 15
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hash60(concat(lit("cap"), col("doc_id"))), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DomainCap)
+      .orderBy("source", "rk")
+  }
+
+  val domainCapSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5('cap' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)
+       |      AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= $DomainCap
+       |ORDER BY source, rk""".stripMargin
+
+  // ---- q71: end-to-end curation funnel ------------------------------
+
+  /** q71: the composed curation pipeline — quality gate → normalized
+    * dedup → per-source funnel audit — as ONE declarative plan (each
+    * stage is certified alone by q37/q25; this certifies their
+    * composition). The dedup winner is picked by a row_number window
+    * over (norm_hash, passed) rather than a groupBy-and-join-back:
+    * one scan, one window shuffle, one final aggregation, zero joins
+    * — the same no-self-join discipline as q64. Output per source:
+    * docs in, docs past the quality gate, canonical docs surviving
+    * dedup, and the surviving token budget. */
+  val QualityMin = 0.48
+  def curationChain(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("double").as("chars"),
+        split(col("text"), " ").as("t"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .select(col("doc_id"), col("source"), col("norm"),
+        size(col("t")).cast("double").as("n"),
+        size(array_distinct(col("t"))).cast("double").as("nd"),
+        col("chars"))
+      .select(col("doc_id"), col("source"), md5(col("norm")).as("norm_hash"),
+        col("n").cast("long").as("n_tokens"),
+        ((col("nd") / col("n")) * 0.5 +
+          least((col("chars") - (col("n") - 1)) / col("n") / 10.0, lit(1.0)) * 0.3 +
+          least(col("n") / 100.0, lit(1.0)) * 0.2).as("score_raw"))
+      .withColumn("passed",
+        (floor(col("score_raw") * 1e6 + 0.5) / 1e6) >= QualityMin)
+    val w = Window.partitionBy(col("norm_hash"), col("passed")).orderBy(col("doc_id"))
+    scored
+      .withColumn("canonical", col("passed") && row_number().over(w) === 1)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("passed"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("canonical"), col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  val curationChainSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |    CAST(length(text) AS DOUBLE) AS chars
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, norm_hash, n_tokens,
+       |    floor(((nd / n) * 0.5 + least((chars - (n - 1)) / n / 10.0, 1.0) * 0.3
+       |      + least(n / 100.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 >= $QualityMin AS passed
+       |  FROM q),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens, passed,
+       |    passed AND row_number() OVER (PARTITION BY norm_hash, passed ORDER BY doc_id) = 1
+       |      AS canonical
+       |  FROM p)
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |  CAST(sum(CASE WHEN canonical THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM c
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val sourceMixSql: String =
     """WITH t AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Unit-level checks for the curation operators that the sf-oracle
+  * can't exercise: the synthetic corpus contains no PII-shaped spans,
+  * so q68's email/IPv4 patterns only ever see digit runs there —
+  * these fixtures prove the full mask set on realistic strings. Plus
+  * the structural invariants (cap bound, funnel monotonicity) that a
+  * value-hash match alone doesn't state explicitly.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("redactText masks emails, IPv4s and digit runs, most-specific first") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact alice.smith+x@example.org for access",
+      "node 10.0.143.7 rebooted at 17:03",
+      "order 123456 from bob@corp.io on 192.168.1.1",
+      "no pii here at all").toDF("s")
+      .select(PipelineOps.redactText(col("s")).as("r"))
+      .as[String].collect().toSeq
+    assert(rows == Seq(
+      "contact <EMAIL> for access",
+      "node <IP> rebooted at <NUM>:<NUM>",
+      "order <NUM> from <EMAIL> on <IP>",
+      "no pii here at all"))
+  }
+
+  test("redactText leaves no raw email/IP/digit span behind") {
+    import spark.implicits._
+    val leaked = Seq(
+      "a@b.co 1.2.3.4 99 x@y.io 255.255.255.255 007")
+      .toDF("s")
+      .select(PipelineOps.redactText(col("s")).as("r"))
+      .filter(col("r").rlike("[0-9]") || col("r").contains("@"))
+      .count()
+    assert(leaked == 0L)
+  }
+
+  test("domainCap keeps at most the cap per source and ranks densely") {
+    val out = PipelineOps.domainCap(spark, sfDir).cache()
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getLong(1) <= PipelineOps.DomainCap))
+    // rk is 1..n dense within each source
+    val bad = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("mx"), min(col("rk")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(bad == 0L)
+    out.unpersist()
+  }
+
+  test("curationChain funnel is monotone and consistent with its stages") {
+    val rows = PipelineOps.curationChain(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, qual, canon) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(qual <= docs, s"quality>docs in $r")
+      assert(canon <= qual, s"canonical>quality in $r")
+    }
+    // Total canonical docs across sources == distinct norm-hashes among
+    // quality-passed docs (the dedup stage's own contract).
+    val totalCanon = rows.map(_.getLong(3)).sum
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("h"),
+        length(col("text")).cast("double").as("chars"),
+        split(col("text"), " ").as("t"))
+      .select(col("h"),
+        size(col("t")).cast("double").as("n"),
+        size(array_distinct(col("t"))).cast("double").as("nd"),
+        col("chars"))
+      .withColumn("score",
+        floor(((col("nd") / col("n")) * 0.5 +
+          least((col("chars") - (col("n") - 1)) / col("n") / 10.0, lit(1.0)) * 0.3 +
+          least(col("n") / 100.0, lit(1.0)) * 0.2) * 1e6 + 0.5) / 1e6)
+      .filter(col("score") >= PipelineOps.QualityMin)
+      .select(col("h")).distinct().count()
+    assert(totalCanon == docs)
+  }
+}
