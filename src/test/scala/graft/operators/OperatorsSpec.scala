@@ -107,4 +107,23 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     val plainCount = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
     assert(joined.count() === plainCount)
   }
+
+  test("aggregation on the bucket key also plans with zero Exchange") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(li, "li_bucketed_agg", "l_orderkey", buckets = 4)
+    val agg = spark.table("li_bucketed_agg")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket-key agg must not shuffle:\n$plan")
+    assert(agg.count() === li.select("l_orderkey").distinct().count())
+  }
+
+  test("the same join without bucketing shuffles (negative control)") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus")
+    val plan = li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"), s"control join should shuffle:\n$plan")
+  }
 }
