@@ -331,4 +331,78 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY label
       |ORDER BY label""".stripMargin
+
+  // ---- q72: Lloyd centroid-update step (semantic clustering) --------
+
+  /** q72: one Lloyd iteration of embedding clustering — the refinement
+    * step behind semantic dedup / corpus bucketing (cluster, then
+    * dedup or sample within clusters). The first `CentroidK` vectors
+    * seed the centroids (deterministic, like q46's IVF cells); every
+    * vector joins its best-cosine centroid; the step emits the updated
+    * per-(cell, dimension) means.
+    *
+    * Plan shape — the distributed-k-means contract:
+    *  - centroids are k·dim doubles, ALWAYS driver-small: they embed
+    *    as literals (the `Templates.scala:52` dimension-collect
+    *    precedent), so assignment is a per-row argmax over k inlined
+    *    cosines via `array_max` on (cos, c_id) structs — MAP-ONLY, no
+    *    join, no window, no shuffle of the corpus;
+    *  - the update aggregates fixed-point micro-unit longs
+    *    (`floor(x·1e6+0.5)`): integer sums are exact and order-free,
+    *    so the result is bit-stable under any partitioning — float
+    *    means would be addition-order-dependent and could never
+    *    hash-match a sequential oracle;
+    *  - total traffic: ONE map-side-combined shuffle of
+    *    (cell, pos, partial sum) rows — k·dim groups regardless of
+    *    corpus size. At 100 TB each Lloyd round is one pass, and the
+    *    next round's centroids are again driver-small.
+    *
+    * Tie semantics: struct max is lexicographic, so equal cosines
+    * resolve to the larger c_id — mirrored in the oracle's
+    * `ORDER BY cos DESC, c_id DESC` row_number. */
+  val CentroidK = 8
+  def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < CentroidK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val scored = cents.map { case (id, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("cos"), lit(id).as("c_id"))
+    }
+    e.withColumn("cell", array_max(array(scored.toSeq: _*)).getField("c_id"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("sq"))
+      .select(col("cell"), col("pos"), col("n_members"),
+        floor(col("sq").cast("double") / col("n_members") + 0.5).cast("long")
+          .as("mean_micro"))
+      .orderBy("cell", "pos")
+  }
+
+  val centroidUpdateSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, v AS qv FROM e WHERE vec_id < $CentroidK),
+       |s AS (
+       |  SELECT e.vec_id, c.c_id, e.v, $cosineSql AS cos
+       |  FROM e, c),
+       |a AS (
+       |  SELECT vec_id, v, c_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id DESC) AS rn
+       |  FROM s),
+       |x AS (
+       |  SELECT cell, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
+       |  FROM a, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) r
+       |  WHERE rn = 1)
+       |SELECT cell, pos,
+       |  count(*) AS n_members,
+       |  CAST(floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / count(*) + 0.5) AS BIGINT) AS mean_micro
+       |FROM x
+       |GROUP BY cell, pos
+       |ORDER BY cell, pos""".stripMargin
 }
