@@ -203,12 +203,23 @@ object PipelineOps {
 
   /** RE2-safe redaction patterns (no backreferences, no lookaround —
     * they must mean the same thing to Java's regex engine and the
-    * DuckDB/RE2 oracle). Emails and IPv4 literals are the classic PII
-    * shapes; the digit-run pattern is the catch-all that also turns a
-    * payload into its *template* (the prop-mining trick: mask the
-    * variable parts, group by what's left). */
+    * DuckDB/RE2 oracle; that rules out lookbehind boundary guards, so
+    * `\b` — which RE2 does support — is the strongest anchor
+    * available). Emails and IPv4 literals are the classic PII shapes;
+    * the digit-run pattern is the catch-all that also turns a payload
+    * into its *template* (the prop-mining trick: mask the variable
+    * parts, group by what's left).
+    *
+    * The IPv4 octet alternation rejects values > 255 (so
+    * `999.999.999.999` is NOT an <IP> — the digit pass still masks
+    * it), and the `\b` guards stop matches starting or ending inside
+    * a digit run. A dotted run like `1234.5.6.7.8` can still yield a
+    * tail match (`.` is a non-word char, so `5` sits on a word
+    * boundary) — over-masking, which is the safe failure direction
+    * for redaction. */
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Pat  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val Ipv4Pat  = s"\\b$Octet(\\.$Octet){3}\\b"
   val NumPat   = "[0-9]+"
 
   /** Masking chain, most-specific first: an email/IP must be swallowed
@@ -229,28 +240,47 @@ object PipelineOps {
     * operator; the groupBy is the audit that proves (a) nothing
     * identifying survives and (b) payloads are template-stable. The
     * shuffle carries masked templates (bounded cardinality), never raw
-    * payloads. */
-  def redactAudit(s: SparkSession, dir: String): DataFrame =
+    * payloads.
+    *
+    * `n_masked` counts ACTUAL replacements — each pattern is counted
+    * on the string it runs against, before its own mask is applied —
+    * so a payload that already contains a literal `<NUM>` doesn't
+    * inflate the audit (counting sentinels in the output would). */
+  def redactAudit(s: SparkSession, dir: String): DataFrame = {
+    val afterEmail = regexp_replace(col("props"), EmailPat, "<EMAIL>")
+    val afterIp    = regexp_replace(afterEmail, Ipv4Pat, "<IP>")
     Tables.events(s, dir)
-      .select(col("event_type"), redactText(col("props")).as("template"))
-      .withColumn("n_spans", regexp_count(col("template"), lit("<(EMAIL|IP|NUM)>")))
+      .select(col("event_type"),
+        regexp_replace(afterIp, NumPat, "<NUM>").as("template"),
+        (regexp_count(col("props"), lit(EmailPat)) +
+          regexp_count(afterEmail, lit(Ipv4Pat)) +
+          regexp_count(afterIp, lit(NumPat))).as("n_spans"))
       .groupBy(col("event_type"), col("template"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("n_spans").cast("long")).as("n_masked"))
       .orderBy("event_type", "template")
+  }
 
   val redactAuditSql: String =
     s"""WITH m AS (
        |  SELECT event_type,
-       |    regexp_replace(regexp_replace(regexp_replace(props,
-       |      '$EmailPat', '<EMAIL>', 'g'),
-       |      '$Ipv4Pat', '<IP>', 'g'),
-       |      '$NumPat', '<NUM>', 'g') AS template
-       |  FROM events)
+       |    regexp_replace(props, '$EmailPat', '<EMAIL>', 'g') AS s1,
+       |    len(regexp_extract_all(props, '$EmailPat')) AS c_email
+       |  FROM events),
+       |m2 AS (
+       |  SELECT event_type, c_email,
+       |    regexp_replace(s1, '$Ipv4Pat', '<IP>', 'g') AS s2,
+       |    len(regexp_extract_all(s1, '$Ipv4Pat')) AS c_ip
+       |  FROM m),
+       |m3 AS (
+       |  SELECT event_type,
+       |    regexp_replace(s2, '$NumPat', '<NUM>', 'g') AS template,
+       |    c_email + c_ip + len(regexp_extract_all(s2, '$NumPat')) AS n_spans
+       |  FROM m2)
        |SELECT event_type, template,
        |  count(*) AS n_events,
-       |  CAST(sum(len(regexp_extract_all(template, '<(EMAIL|IP|NUM)>'))) AS BIGINT) AS n_masked
-       |FROM m
+       |  CAST(sum(n_spans) AS BIGINT) AS n_masked
+       |FROM m3
        |GROUP BY event_type, template
        |ORDER BY event_type, template""".stripMargin
 

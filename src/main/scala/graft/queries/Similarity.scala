@@ -367,10 +367,21 @@ object Similarity {
     val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < CentroidK)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // The row norm is computed ONCE per row (not once per centroid —
+    // k redundant O(dim) kernel calls if codegen CSE doesn't dedupe
+    // them), and each centroid's norm is a driver-side scalar: the
+    // same sequential fold the kernel runs, so sqrt(Σx²) is
+    // bit-identical to the oracle's sqrt(list_inner_product(qv,qv)).
     val scored = cents.map { case (id, cv) =>
-      struct(cosine(col("v"), typedLit(cv)).as("cos"), lit(id).as("c_id"))
+      val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      val denom = col("nv") * lit(cnorm)
+      struct(
+        when(denom === 0.0, lit(-2.0))
+          .otherwise(dot(col("v"), typedLit(cv)) / denom).as("cos"),
+        lit(id).as("c_id"))
     }
-    e.withColumn("cell", array_max(array(scored.toSeq: _*)).getField("c_id"))
+    e.withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cell", array_max(array(scored.toSeq: _*)).getField("c_id"))
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(

@@ -30,6 +30,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       "no pii here at all"))
   }
 
+  test("IPv4 masking rejects invalid octets and digit-run-interior starts") {
+    import spark.implicits._
+    val rows = Seq(
+      "999.999.999.999 is not an address",   // octets > 255: digit pass only
+      "1234.5.6.7.8 build id",               // match can't START inside 1234
+      "v2.251.1.10.77 semverish").toDF("s")  // tail 251.1.10.77 IS IP-shaped
+      .select(PipelineOps.redactText(col("s")).as("r"))
+      .as[String].collect().toSeq
+    assert(rows == Seq(
+      "<NUM>.<NUM>.<NUM>.<NUM> is not an address",
+      "<NUM>.<IP> build id",
+      "v<NUM>.<IP> semverish"))
+  }
+
   test("redactText leaves no raw email/IP/digit span behind") {
     import spark.implicits._
     val leaked = Seq(
