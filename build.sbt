@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout in forked runs: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any
+// consumer that parses the Bench/Verify JSON line with a plain
+// json.loads. StdoutOutput prints the program's output verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

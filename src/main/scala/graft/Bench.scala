@@ -15,11 +15,17 @@ import org.apache.spark.sql.SparkSession
   * back-to-back reps per query — so a transient co-tenant load burst
   * inflates one pass of many queries rather than every rep of a few
   * consecutive ones (the exact failure mode that made r4's q44–q49
-  * look regressed). For attributability the line also carries:
-  *  - `"reps"`: all per-pass times per query (was the burst visible?);
-  *  - `"plan_hash"`: md5 of the exprId-normalized physical plan (did
-  *    the plan change since last round, or just the environment?);
-  *  - `"loadavg"`: 1-min system load sampled at each pass start.
+  * look regressed).
+  *
+  * Output contract, hardened after r5: the consumer keeps only the
+  * LAST ~2000 chars of stdout and truncation cuts from the FRONT, so
+  * (a) the printed line stays compact — per-query seconds at 3
+  * decimals, no rep arrays or plan hashes inline — and (b) the
+  * headline fields (`metric`/`value`/`n_failed`/`sf`) are emitted
+  * LAST inside the object so they survive even if the query map is
+  * clipped. Full-precision attributability data — all per-pass times,
+  * the exprId-normalized physical-plan hash per query, per-pass
+  * loadavg — goes to `BENCH_DETAIL.json` next to the build instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -62,7 +68,7 @@ object Bench {
         java.security.MessageDigest.getInstance("MD5")
           .digest(norm.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
-      } catch { case _: Throwable => "plan_error" }
+      } catch { case scala.util.control.NonFatal(_) => "plan_error" }
 
     def loadAvg(): Double =
       java.lang.management.ManagementFactory
@@ -91,20 +97,31 @@ object Bench {
 
     val hashes = names.map(n => n -> planHash(n)).toMap
     val results = names.map(n => (n, times(n).min, okAll(n)))
+    // Locale-independent number formatting: the default-locale f
+    // interpolator would emit comma decimal separators (invalid JSON)
+    // on a comma-decimal JVM.
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v, _) => k -> v.toString })
+    val qs = jmap(results.map { case (k, v, _) => k -> num("%.3f", v) })
     val repsJson = jmap(names.map(n =>
-      n -> times(n).map(t => f"$t%.4f").mkString("[", ",", "]")))
+      n -> times(n).map(num("%.4f", _)).mkString("[", ",", "]")))
     val hashJson = jmap(names.map(n => n -> ("\"" + hashes(n) + "\"")))
-    val loadJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val loadJson = loads.map(num("%.2f", _)).mkString("[", ",", "]")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val nFailed = results.count(!_._3)
     // Failed queries' wall time (exception-path noise) is excluded from
     // the headline metric so totals stay comparable across runs.
     val total = results.collect { case (_, t, true) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    // Headline fields LAST: front-truncation of a long line must not
+    // eat them (see the scaladoc's output contract).
+    println(s"""{"queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}","unit":"sec","metric":"total","value":${num("%.3f", total)}}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

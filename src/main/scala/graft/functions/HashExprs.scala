@@ -438,14 +438,22 @@ case class NGramHashes(child: Expression, n: Int)
   def compute(arr: ArrayData): ArrayData = {
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Long])
+    // Fetch each word once and slide a reused n-slot buffer over the
+    // prefetch — no Range/Seq/varargs allocation per window.
+    // `concatWs` skips null inputs, matching the previous explicit
+    // null filter bit-for-bit.
+    val words = new Array[UTF8String](len)
+    var k = 0
+    while (k < len) {
+      words(k) = if (arr.isNullAt(k)) null else arr.getUTF8String(k)
+      k += 1
+    }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val buf = new Array[UTF8String](n)
     var i = 0
     while (i <= len - n) {
-      val parts = (i until i + n)
-        .filterNot(arr.isNullAt)
-        .map(arr.getUTF8String)
-      val gram = UTF8String.concatWs(space, parts: _*)
-      seen.add(PortableHash.hash60(gram))
+      System.arraycopy(words, i, buf, 0, n)
+      seen.add(PortableHash.hash60(UTF8String.concatWs(space, buf: _*)))
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -91,9 +91,16 @@ object MakeLogFixture {
 
     val lines = Vector.newBuilder[String]
     val blockIds = Vector.newBuilder[String]
+    val usedIds = scala.collection.mutable.HashSet.empty[String]
     val nBlocks = 400
     (0 until nBlocks).foreach { b =>
-      val blockId = s"blk_${if (rng.nextBoolean()) "-" else ""}${math.abs(rng.nextLong()) % 9000000000000000000L}"
+      // floorMod (not math.abs) so Long.MinValue can't produce a
+      // malformed "blk_--" id; the used-id set keeps independent draws
+      // from silently merging two synthetic sessions.
+      var blockId = ""
+      do {
+        blockId = s"blk_${if (rng.nextBoolean()) "-" else ""}${java.lang.Math.floorMod(rng.nextLong(), 9000000000000000000L)}"
+      } while (!usedIds.add(blockId))
       blockIds += blockId
       val date = dates(rng.nextInt(dates.length))
       var sec = rng.nextInt(50000)
