@@ -16,6 +16,10 @@ run / fork := true
 // consumer that parses the Bench/Verify JSON line with a plain
 // json.loads. StdoutOutput prints the program's output verbatim.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time: ..." epilogue after a run: the Bench JSON
+// line must be the LAST stdout line (its consumer keeps only the
+// stdout tail and parses it as JSON).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

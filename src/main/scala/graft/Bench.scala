@@ -19,11 +19,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Output contract, hardened after r5: the consumer keeps only the
   * LAST ~2000 chars of stdout and truncation cuts from the FRONT, so
-  * (a) the printed line stays compact — per-query seconds at 3
-  * decimals, no rep arrays or plan hashes inline — and (b) the
-  * headline fields (`metric`/`value`/`n_failed`/`sf`) are emitted
-  * LAST inside the object so they survive even if the query map is
-  * clipped. Full-precision attributability data — all per-pass times,
+  * the printed line must FIT ENTIRELY inside that tail: per-query
+  * keys are the bare `qNN` prefix at 3 decimals (~12 chars each —
+  * the full-name map at 76 queries measured 2.6 KB and was clipped
+  * mid-line in the r6 dry run), no rep arrays or plan hashes inline,
+  * and the headline fields (`metric`/`value`/`n_failed`/`sf`) are
+  * emitted LAST inside the object as a second line of defense.
+  * build.sbt additionally disables sbt's `[success] Total time` (and
+  * on failure `[error]`) epilogue so the JSON line is also the LAST
+  * stdout line — robust to a consumer that only parses the final
+  * line. Full fidelity — complete query names, all per-pass times,
   * the exprId-normalized physical-plan hash per query, per-pass
   * loadavg — goes to `BENCH_DETAIL.json` next to the build instead.
   */
@@ -104,24 +109,32 @@ object Bench {
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v, _) => k -> num("%.3f", v) })
+    // Stdout keys: the bare qNN prefix ("q01_pricing_summary" → "q01")
+    // — full names live in BENCH_DETAIL.json. Falls back to the full
+    // name if one ever lacks the prefix.
+    def shortKey(k: String): String = {
+      val cut = k.indexOf('_')
+      if (k.startsWith("q") && cut > 1) k.substring(0, cut) else k
+    }
+    val qs = jmap(results.map { case (k, v, _) => shortKey(k) -> num("%.3f", v) })
     val repsJson = jmap(names.map(n =>
       n -> times(n).map(num("%.4f", _)).mkString("[", ",", "]")))
     val hashJson = jmap(names.map(n => n -> ("\"" + hashes(n) + "\"")))
     val loadJson = loads.map(num("%.2f", _)).mkString("[", ",", "]")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val nFailed = results.count(!_._3)
+    val failedNames = results.collect { case (k, _, false) => k }
+    def jarr(ks: Seq[String]): String =
+      ks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val nFailed = failedNames.length
     // Failed queries' wall time (exception-path noise) is excluded from
     // the headline metric so totals stay comparable across runs.
     val total = results.collect { case (_, t, true) => t }.sum
     val detail =
-      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not
     // eat them (see the scaladoc's output contract).
-    println(s"""{"queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}","unit":"sec","metric":"total","value":${num("%.3f", total)}}""")
+    println(s"""{"queries":$qs,"failed":${jarr(failedNames.map(shortKey))},"n_failed":$nFailed,"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}","unit":"sec","metric":"total","value":${num("%.3f", total)}}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -1,6 +1,7 @@
 package graft.log
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-count feature matrix + train/test machinery (SURVEY.md §2.4
@@ -77,14 +78,46 @@ object Features {
   }
 
   /** A11 + J4: balanced class weights `N / (K * n_class)` joined back on
-    * the label column (broadcast — the weight dim has K rows). */
+    * the label column (broadcast — the weight dim has K rows).
+    *
+    * Action-free: `N` and `K` come from an unbounded window over the
+    * K-row counts frame instead of two driver `first()`/`count()`
+    * round-trips, so the whole derivation stays one lazy plan (two
+    * fewer blocking jobs on the q34 path). The whole-frame window
+    * collapses only the counts dim — K rows — never the input. */
   def withClassWeights(df: DataFrame, labelCol: String,
       weightCol: String = "weight"): DataFrame = {
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n"))).first().getLong(0)
-    val k = counts.count()
+    val all = Window.partitionBy()
     val weights = counts.withColumn(
-      weightCol, lit(total.toDouble) / (lit(k.toDouble) * col("n"))).drop("n")
+        weightCol,
+        sum(col("n")).over(all).cast("double") /
+          (count(lit(1)).over(all) * col("n")))
+      .drop("n")
     df.join(broadcast(weights), Seq(labelCol), "left")
+  }
+
+  /** SA1 (portable, exact form): per-stratum sample of EXACTLY
+    * `floor(fraction * |stratum|)` rows, chosen by ascending md5 of the
+    * key — deterministic across engines, reruns, and backfills (the
+    * property `sampleBy`'s per-row Bernoulli draw lacks: its sample
+    * SIZE varies run to run at the same seed across Spark versions,
+    * and no external system can reproduce it). One shuffle on the
+    * stratum column; the rank window streams each stratum, so state is
+    * O(1) per row. Skew note: a single giant stratum serializes into
+    * one task — for heavy-tailed strata prefer the hash-threshold
+    * Bernoulli (`Extras.hashSample` per stratum), which is map-only at
+    * the cost of approximate counts. */
+  def hashStratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      fraction: Double, salt: String): DataFrame = {
+    val h = conv(
+      substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val rank = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(keyCol).asc)
+    val whole = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(rank))
+      .withColumn("__take", floor(lit(fraction) * count(lit(1)).over(whole)))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__rn", "__take")
   }
 }

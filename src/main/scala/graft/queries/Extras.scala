@@ -281,4 +281,61 @@ object Extras {
       .withColumn("merge_matches_global",
         col("merged_estimate") === col("global_estimate"))
   }
+
+  /** q74 — SA1 under the oracle: exact-fraction stratified sample, 20%
+    * per source stratum of `documents`, via
+    * `Features.hashStratifiedSample` (rank by keyed md5 inside each
+    * stratum, keep `floor(0.2·|stratum|)`). Deterministic across
+    * engines AND exact in count per stratum — the two properties the
+    * native `sampleBy` (SamplingSpec) trades away for map-only
+    * execution. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.log.Features
+      .hashStratifiedSample(
+        Tables.documents(s, dir), "source", "doc_id", 0.2, "strat")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+      |        doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents)
+      |SELECT doc_id, source FROM ranked
+      |WHERE rn <= CAST(floor(0.2 * cnt) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q76: fixed-width numeric histogram — the data-profiling pass every
+    * ingestion pipeline runs before choosing clip/normalization bounds.
+    * Buckets are closed-form floor arithmetic (no `width_bucket`
+    * builtin needed, and none of the two-pass min/max dance): map-only
+    * bucket assignment, then a map-side-combined count/min/max per
+    * bucket — one shuffle of ≤22 rows regardless of input size.
+    * Upper/lower clamps make the domain total. */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame = {
+    val bucket = least(
+      greatest(floor((col("l_extendedprice") - lit(900.0)) / lit(5000.0)), lit(0L)),
+      lit(20L)).cast("int")
+    Tables.lineitem(s, dir)
+      .select(bucket.as("bucket"), col("l_extendedprice"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("bucket")
+  }
+
+  val priceHistogramSql: String =
+    """SELECT
+      | CAST(least(greatest(floor((l_extendedprice - 900.0) / 5000.0), 0), 20) AS INT) AS bucket,
+      | count(*) AS n,
+      | min(l_extendedprice) AS min_price,
+      | max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
 }

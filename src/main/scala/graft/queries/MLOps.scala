@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.log.Features
@@ -95,5 +96,107 @@ object MLOps {
        |  ($zExpr) >= $cutoff AS pred_anomaly
        |FROM feat
        |ORDER BY user_id""".stripMargin
+  }
+
+  // The q34 label rule (error share >= 20% of the five-type total) as a
+  // Column, shared by q73/q75 so the derived label cannot drift from
+  // the trained path.
+  private def anomalyLabel: Column =
+    when(col("n_error") * 5 >= types.map(t => col(s"n_$t")).reduce(_ + _),
+      "anomaly").otherwise("normal")
+
+  private val featCte: String =
+    s"""feat AS (
+       |  SELECT user_id,
+       |${types.map(t =>
+         s"    CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+         .mkString(",\n")}
+       |  FROM events GROUP BY user_id)""".stripMargin
+
+  private val labelSqlExpr: String =
+    s"CASE WHEN n_error * 5 >= ${types.map(t => s"n_$t").mkString(" + ")} " +
+      "THEN 'anomaly' ELSE 'normal' END"
+
+  /** q73 — A11 under the oracle: balanced class weights `N/(K·n)` over
+    * the q34 label, derived by `Features.withClassWeights` (the exact
+    * code the trainer consumes) and summarized as one row per class
+    * with its weight and member count. `n_rows` also certifies the
+    * broadcast join-back: every row of a class received that class's
+    * weight. Weight is an exact integer ratio evaluated as one IEEE
+    * double division — bit-identical across engines, no rounding
+    * needed. */
+  def classWeights(s: SparkSession, dir: String): DataFrame = {
+    val labeled = LogOps.eventPivot(s, dir).withColumn("label", anomalyLabel)
+    Features.withClassWeights(labeled, "label")
+      .groupBy(col("label"), col("weight"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("label")
+  }
+
+  val classWeightsSql: String =
+    s"""WITH $featCte,
+       |lab AS (SELECT user_id, $labelSqlExpr AS label FROM feat),
+       |cnt AS (SELECT label, count(*) AS n FROM lab GROUP BY label)
+       |SELECT label,
+       |  (SELECT sum(n) FROM cnt)::DOUBLE / ((SELECT count(*) FROM cnt) * n) AS weight,
+       |  n AS n_rows
+       |FROM cnt
+       |ORDER BY label""".stripMargin
+
+  /** q75 — M4's arithmetic under the oracle: the full precision-recall
+    * curve of the fixed q59 scorer against the q34 label. Rows are the
+    * distinct score thresholds (descending); at each, cumulative
+    * TP/FP via a running window and exact integer-ratio
+    * precision/recall. MLlib's `areaUnderPR` is not oracle-able (its
+    * interpolation is library-specific), but every point it
+    * interpolates between IS — this certifies the confusion-count
+    * machinery the evaluator is built from. Scale: the window runs
+    * over DISTINCT scores post-aggregation (bounded, thousands at
+    * most), never over raw rows. */
+  def prCurve(s: SparkSession, dir: String): DataFrame = {
+    val z = types.zip(ScoreWeights)
+      .map { case (t, wi) => col(s"n_$t") * lit(wi) }
+      .reduce(_ + _) + lit(ScoreBias)
+    val scored = LogOps.eventPivot(s, dir)
+      .withColumn("score_z", round(z, 6))
+      .withColumn("is_pos",
+        when(anomalyLabel === "anomaly", 1L).otherwise(0L))
+    val byScore = scored.groupBy(col("score_z"))
+      .agg(sum(col("is_pos")).as("pos"), count(lit(1)).as("tot"))
+    val running = Window.orderBy(col("score_z").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    byScore
+      .select(
+        col("score_z"),
+        sum(col("pos")).over(running).as("cum_tp"),
+        (sum(col("tot")).over(running) - sum(col("pos")).over(running)).as("cum_fp"),
+        (sum(col("pos")).over(running).cast("double") /
+          sum(col("tot")).over(running)).as("precision_pt"),
+        (sum(col("pos")).over(running).cast("double") /
+          sum(col("pos")).over(whole)).as("recall_pt"))
+      .orderBy(col("score_z").desc)
+  }
+
+  val prCurveSql: String = {
+    val zExpr = types.zip(ScoreWeights)
+      .map { case (t, wi) => s"n_$t * $wi" }.mkString(" + ") + s" + $ScoreBias"
+    s"""WITH $featCte,
+       |scored AS (
+       |  SELECT round($zExpr, 6) AS score_z,
+       |    CASE WHEN ($labelSqlExpr) = 'anomaly' THEN 1 ELSE 0 END AS is_pos
+       |  FROM feat),
+       |g AS (SELECT score_z, CAST(sum(is_pos) AS BIGINT) AS pos,
+       |        count(*) AS tot
+       |      FROM scored GROUP BY score_z)
+       |SELECT score_z,
+       |  CAST(sum(pos) OVER w AS BIGINT) AS cum_tp,
+       |  CAST(sum(tot) OVER w - sum(pos) OVER w AS BIGINT) AS cum_fp,
+       |  (sum(pos) OVER w)::DOUBLE / (sum(tot) OVER w) AS precision_pt,
+       |  (sum(pos) OVER w)::DOUBLE / (sum(pos) OVER ()) AS recall_pt
+       |FROM g
+       |WINDOW w AS (ORDER BY score_z DESC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY score_z DESC""".stripMargin
   }
 }

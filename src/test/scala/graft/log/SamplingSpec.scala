@@ -38,6 +38,24 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
       _.select("label_index").distinct().count() shouldBe 5)
   }
 
+  test("SA1 (exact form): hashStratifiedSample takes floor(f*n) per stratum, deterministically") {
+    val sampled = Features.hashStratifiedSample(df, "label_index", "block_id", 0.2, "t")
+    // 500 rows, 5 strata of 100 → exactly 20 per stratum.
+    sampled.groupBy("label_index").count()
+      .collect().foreach(_.getLong(1) shouldBe 20L)
+    // Deterministic: a second evaluation is the identical row set.
+    val again = Features.hashStratifiedSample(df, "label_index", "block_id", 0.2, "t")
+    sampled.exceptAll(again).count() shouldBe 0
+    again.exceptAll(sampled).count() shouldBe 0
+    // A subset of the input, schema preserved.
+    sampled.columns shouldBe df.columns
+    sampled.exceptAll(df).count() shouldBe 0
+    // A different salt draws a different sample (same sizes).
+    val other = Features.hashStratifiedSample(df, "label_index", "block_id", 0.2, "u")
+    other.count() shouldBe 100
+    sampled.exceptAll(other).count() should be > 0L
+  }
+
   test("W6: rand(seed) pick returns one reproducible row") {
     import org.apache.spark.sql.functions._
     val p1 = df.orderBy(rand(7L), col("block_id")).limit(1).head().getString(0)

@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Local invariants for the oracle-checked ML-adjacent queries
+  * (q73 class weights, q75 PR curve). The driver's DuckDB oracle is
+  * the cross-engine gate; these pin the mathematical laws the queries
+  * must satisfy on any data, so a fixture change cannot silently turn
+  * them vacuous.
+  */
+class MLQueriesSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("q73: balanced class weights satisfy the N/(K*n) law exactly") {
+    val rows = MLOps.classWeights(spark, sfDir).collect()
+    rows.length should be >= 1
+    val n = rows.map(_.getAs[Long]("n_rows")).sum
+    val k = rows.length
+    rows.foreach { r =>
+      r.getAs[Double]("weight") shouldBe
+        n.toDouble / (k * r.getAs[Long]("n_rows"))
+    }
+    // Balanced weighting: every class contributes equal total weight
+    // (n_class * w_class = N/K).
+    rows.foreach { r =>
+      r.getAs[Long]("n_rows") * r.getAs[Double]("weight") shouldBe
+        (n.toDouble / k +- 1e-9)
+    }
+  }
+
+  test("q75: PR curve is a valid confusion-count walk") {
+    val rows = MLOps.prCurve(spark, sfDir).collect()
+    rows.length should be >= 2
+    val tp = rows.map(_.getAs[Long]("cum_tp"))
+    val fp = rows.map(_.getAs[Long]("cum_fp"))
+    // Cumulative counts are nondecreasing down the threshold list.
+    tp.sliding(2).foreach { w => w(1) should be >= w(0) }
+    fp.sliding(2).foreach { w => w(1) should be >= w(0) }
+    // Recall ends at exactly 1.0 (all positives recovered at the
+    // lowest threshold); precision stays in (0, 1].
+    rows.last.getAs[Double]("recall_pt") shouldBe 1.0
+    rows.foreach { r =>
+      val p = r.getAs[Double]("precision_pt")
+      p should be > 0.0
+      p should be <= 1.0
+      r.getAs[Double]("precision_pt") shouldBe
+        r.getAs[Long]("cum_tp").toDouble /
+          (r.getAs[Long]("cum_tp") + r.getAs[Long]("cum_fp"))
+    }
+  }
+}
