@@ -308,6 +308,44 @@ object Extras {
       |WHERE rn <= CAST(floor(0.2 * cnt) AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
+  /** q77 — target-mixture sampling: each source contributes a
+    * DIFFERENT deterministic quota (the source-weighting stage a
+    * training mix runs after curation — distinct from q67's
+    * equal-chars rebalance and q70's uniform cap). Quotas here derive
+    * from the source id (5·(id mod 4 + 1) docs), members are chosen
+    * by keyed-md5 rank inside each source, and a quota above a
+    * source's size degrades to "take all" (the rank filter caps at
+    * the stratum). Same one-shuffle window shape as q74/q70; the
+    * quota is a scalar expression, so no quota table is joined at
+    * all — at 100 TB the mixture spec would arrive as a broadcast
+    * dim instead, same plan otherwise. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val quota = (regexp_extract(col("source"), "src(\\d+)", 1).cast("int") % 4
+      + 1) * 5
+    val h = conv(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("quota", quota)
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") <= col("quota"))
+      .select("doc_id", "source", "quota")
+      .orderBy("doc_id")
+  }
+
+  val mixtureSampleSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 + 1) * 5 AS quota,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+      |        doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, quota FROM q
+      |WHERE rn <= quota
+      |ORDER BY doc_id""".stripMargin
+
   /** q76: fixed-width numeric histogram — the data-profiling pass every
     * ingestion pipeline runs before choosing clip/normalization bounds.
     * Buckets are closed-form floor arithmetic (no `width_bucket`

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
 import graft.log.Features
 import graft.ml.Pipeline
 
-/** The ML surface as a driver-checkable query (SURVEY.md §2.10).
+/** The ML surface as driver-checkable queries (SURVEY.md §2.10).
   *
-  * Not SQL-expressible (no LR trainer in the oracle), so this entry is
-  * registered WITHOUT oracle SQL — the driver records the weaker
-  * rows>0 check; the numeric contract is pinned by MLPipelineSpec
-  * instead (scorer-vs-model parity to 1e-9, metric sanity).
+  * q34 (the trained path) is not SQL-expressible — no LR trainer in
+  * the oracle — so it alone is registered WITHOUT oracle SQL (driver
+  * records rows-only; MLPipelineSpec pins scorer-vs-model parity to
+  * 1e-9). Everything AROUND the trainer is oracle-certified: q59 the
+  * deployed scoring arithmetic, q73 the class-weight derivation the
+  * trainer consumes, q75 the confusion-count arithmetic under the
+  * PR-AUC evaluator.
   */
 object MLOps {
 

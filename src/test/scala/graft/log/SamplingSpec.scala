@@ -56,6 +56,20 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     sampled.exceptAll(other).count() should be > 0L
   }
 
+  test("SA1 (exact form): floor(f*n) holds per stratum for ragged stratum sizes") {
+    import spark.implicits._
+    // Strata sized to exercise the floor boundary: 0.3*7=2.1→2,
+    // 0.3*10=3 exactly, 0.3*13=3.9→3, 0.3*1=0.3→0 (empty stratum out).
+    val sizes = Map("a" -> 7, "b" -> 10, "c" -> 13, "d" -> 1)
+    val ragged = sizes.toSeq.flatMap { case (s, n) =>
+      (1 to n).map(i => (s"$s-$i", s))
+    }.toDF("k", "stratum")
+    val got = Features.hashStratifiedSample(ragged, "stratum", "k", 0.3, "r")
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 2L, "b" -> 3L, "c" -> 3L)
+  }
+
   test("W6: rand(seed) pick returns one reproducible row") {
     import org.apache.spark.sql.functions._
     val p1 = df.orderBy(rand(7L), col("block_id")).limit(1).head().getString(0)

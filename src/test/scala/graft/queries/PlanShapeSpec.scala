@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkEntry, SparkFixture}
+
+/** Physical-plan contracts for the whole query surface.
+  *
+  * Correctness gates (oracle + specs) prove the RESULTS; this spec
+  * pins the PLAN SHAPES the 100 TB design depends on, so a refactor
+  * that silently degrades a plan — a dropped broadcast hint turning a
+  * dim join into a cartesian, a wrapped column killing parquet
+  * pushdown — fails CI even though results stay identical.
+  */
+class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  // Plan text of every registered query at sf0.001 (planning only for
+  // most; the iterative queries execute their small driver loops).
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+    }
+
+  // Queries whose nested-loop join is INTENTIONAL and bounded:
+  // either a cross-join against a SINGLE-ROW aggregate (a broadcast
+  // nested-loop of 1 row — constant cost at any scale) or a
+  // similarity scan that broadcasts its bounded probe side (k query
+  // points / nprobe centroids) against every embedding — the
+  // brute-force/IVF ANN shape, linear in the corpus by design.
+  // Anything else showing a nested-loop or cartesian is a plan bug.
+  private val boundedNestedLoops = Set(
+    "q55_tfidf_terms",     // corpus doc-count denominator (1 row)
+    "q57_set_ops",         // single-row count reconciliation
+    "q63_sketch_union",    // merged-vs-global sketch row (1×1)
+    "q67_source_mix",      // global min-total rate (1 row)
+    "q71_curation_chain",  // composes q67's rate join
+    "q29_cosine_topk",     // broadcast k query vectors × corpus
+    "q30_knn_join",        // broadcast probe set × corpus
+    "q46_ivf_topk")        // broadcast centroid/probe side
+
+  test("no unbounded cartesian product in any registered query plan") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    offenders.toSeq.sorted shouldBe empty
+  }
+
+  test("nested-loop joins appear only as single-row broadcast denominators") {
+    val offenders = plans.collect {
+      case (n, p)
+        if p.contains("BroadcastNestedLoopJoin") &&
+          !boundedNestedLoops.contains(n) => n
+    }
+    offenders.toSeq.sorted shouldBe empty
+  }
+
+  test("selective scans push their predicates into parquet") {
+    // q02: range + numeric predicates; q35: StringStartsWith prefix.
+    Seq("q02_filter_project", "q35_prefix_filter").foreach { n =>
+      val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(plans(n))
+      withClue(s"$n should have non-empty PushedFilters:") {
+        pushed.isDefined shouldBe true
+      }
+    }
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    plans("q03_revenue_by_nation") should include("BroadcastHashJoin")
+  }
+
+  test("native template-match kernel stays inside whole-stage codegen") {
+    // AQE's plan string hides codegen spans until execution; plan the
+    // query once with AQE off to see the codegen-annotated tree.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val plan = SparkEntry.queries("q47_template_native")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      plan should include("graft_template_match")
+      // The kernel's evaluation site (the project feeding the agg) is
+      // inside a WholeStageCodegen span — i.e. the expression codegens
+      // rather than falling back to interpreted eval.
+      val inCodegen = plan.linesIterator.exists(l =>
+        l.contains("graft_template_match") && l.contains("*("))
+      withClue("graft_template_match not under a WholeStageCodegen (*) node:\n" + plan) {
+        inCodegen shouldBe true
+      }
+    } finally spark.conf.set(key, prev)
+  }
+}
