@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry contracts for the driver surface — pure map checks, no
+  * Spark session. A new query that forgets its oracle (or an oracle
+  * whose key drifts from its query) would silently downgrade the
+  * driver's check to rows-only; this makes that a CI failure instead.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  // The ONLY entries allowed to register without oracle SQL, each for
+  // a documented reason (no LR trainer in the oracle; approx sketch
+  // estimates don't cross engines).
+  private val rowsOnly = Set("q34_lr_anomaly", "q63_sketch_union")
+
+  test("every query has oracle SQL unless documented rows-only") {
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+  }
+
+  test("no orphan oracle SQL (every oracle key is a registered query)") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("query names follow the qNN_ prefix contract with unique numbers") {
+    val nums = SparkEntry.queries.keys.map { k =>
+      assert(k.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $k")
+      k.substring(1, 3).toInt
+    }
+    assert(nums.toSeq.sorted == (1 to SparkEntry.queries.size))
+  }
+
+  test("oracle SQL references only driver-provided tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // Conservative scan: any FROM/JOIN identifier must be a known
+    // table or a CTE defined in the same statement. Table FUNCTIONS
+    // (`read_csv(...)` for the committed raw-log fixture) are
+    // excluded by the no-open-paren lookahead.
+    // Possessive `*+` so the name can't backtrack a character to
+    // sneak past the function-call lookahead (read_csv → "read_cs").
+    val ident = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*+)(?!\\s*\\()".r
+    SparkEntry.oracleSql.foreach { case (name, rawSql) =>
+      // Blank out string literals first: log-pattern literals contain
+      // SQL-looking prose ("... from neededReplications ...").
+      val sql = rawSql.replaceAll("'[^']*'", "''")
+        // EXTRACT(unit FROM expr) is not a relation reference.
+        .replaceAll("(?i)extract\\s*\\([^)]*\\)", "x")
+      // CTE names, with or without a column list: `x AS (`, `x(a,b) AS (`.
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+as\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      ident.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        assert(tables.contains(t) || ctes.contains(t),
+          s"$name references unknown relation '$t'")
+      }
+    }
+  }
+}
