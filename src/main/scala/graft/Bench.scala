@@ -25,12 +25,16 @@ import org.apache.spark.sql.SparkSession
   * mid-line in the r6 dry run), no rep arrays or plan hashes inline,
   * and the headline fields (`metric`/`value`/`n_failed`/`sf`) are
   * emitted LAST inside the object as a second line of defense.
-  * build.sbt additionally disables sbt's `[success] Total time` (and
-  * on failure `[error]`) epilogue so the JSON line is also the LAST
-  * stdout line — robust to a consumer that only parses the final
-  * line. Full fidelity — complete query names, all per-pass times,
-  * the exprId-normalized physical-plan hash per query, per-pass
-  * loadavg — goes to `BENCH_DETAIL.json` next to the build instead.
+  * build.sbt additionally disables sbt's `[success] Total time`
+  * epilogue so on a clean run the JSON line is also the LAST stdout
+  * line — robust to a consumer that only parses the final line.
+  * (On a FAILED run — n_failed>0, exit 1 — sbt still appends
+  * `[error] Nonzero exit code` lines after the JSON; the nonzero rc
+  * itself signals failure then, and the failed list is in the detail
+  * file.) Full fidelity — complete query names, all per-pass times,
+  * the normalized physical-plan hash per query (exprIds, plan ids,
+  * stats, and JVM identity hashes stripped), per-pass loadavg — goes
+  * to `BENCH_DETAIL.json` next to the build instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,6 +73,10 @@ object Bench {
           .replaceAll("#\\d+", "#x")
           .replaceAll("plan_id=\\d+", "plan_id=x")
           .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+          // JVM identity hashes in default toStrings (e.g. a UDAF
+          // instance rendered as TopKAggregator@1a2b3c4d) differ per
+          // run and made q30's fingerprint flip with no plan change.
+          .replaceAll("@[0-9a-f]+", "@x")
           .replaceAll("\\s+", " ")
         java.security.MessageDigest.getInstance("MD5")
           .digest(norm.getBytes("UTF-8"))

@@ -43,6 +43,17 @@ object PortableHash {
     while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** The same contract as a declarative Column over a salted key —
+    * THE single source of the formula every deterministic-sampling
+    * query reproduces in its DuckDB oracle as
+    * `('0x' || substr(md5('<salt>' || key::VARCHAR), 1, 15))::BIGINT`.
+    * Any change here must change every oracle in lockstep. */
+  def keyedHash60(key: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+  }
 }
 
 /** `graft_dot(a, b)`: sequential left-to-right dot product of two

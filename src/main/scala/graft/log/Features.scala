@@ -109,15 +109,24 @@ object Features {
     * Bernoulli (`Extras.hashSample` per stratum), which is map-only at
     * the cost of approximate counts. */
   def hashStratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
-      fraction: Double, salt: String): DataFrame = {
-    val h = conv(
-      substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 15),
-      16, 10).cast("long")
+      fraction: Double, salt: String): DataFrame =
+    hashStratifiedTake(df, stratumCol, keyCol,
+      floor(lit(fraction) *
+        count(lit(1)).over(Window.partitionBy(col(stratumCol)))), salt)
+
+  /** General form: keep the first `quota` rows of each stratum in
+    * keyed-md5 rank order, where `quota` is any per-row Column (a
+    * scalar mixture spec, a window count, a joined-in dim). A NULL or
+    * larger-than-stratum quota means "none" / "take all" respectively.
+    * One stratum-keyed shuffle; the rank window streams each stratum
+    * with O(1) state per row. */
+  def hashStratifiedTake(df: DataFrame, stratumCol: String, keyCol: String,
+      quota: Column, salt: String): DataFrame = {
+    val h = graft.functions.PortableHash.keyedHash60(col(keyCol), salt)
     val rank = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(keyCol).asc)
-    val whole = Window.partitionBy(col(stratumCol))
-    df.withColumn("__rn", row_number().over(rank))
-      .withColumn("__take", floor(lit(fraction) * count(lit(1)).over(whole)))
-      .filter(col("__rn") <= col("__take"))
-      .drop("__rn", "__take")
+    df.withColumn("__quota", quota)
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
   }
 }

@@ -35,8 +35,7 @@ object Extras {
       |ORDER BY c_custkey""".stripMargin
 
   private def hashBucket(key: org.apache.spark.sql.Column, salt: String) =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 100
+    graft.functions.PortableHash.keyedHash60(key, salt) % 100
 
   /** SA2 (portable form): deterministic ~10% Bernoulli sample by key
     * hash — engine-independent and stable under reruns/backfills. */
@@ -320,16 +319,14 @@ object Extras {
     * all — at 100 TB the mixture spec would arrive as a broadcast
     * dim instead, same plan otherwise. */
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
-    val quota = (regexp_extract(col("source"), "src(\\d+)", 1).cast("int") % 4
-      + 1) * 5
-    val h = conv(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 15),
-      16, 10).cast("long")
-    val rank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
-    Tables.documents(s, dir)
-      .withColumn("quota", quota)
-      .withColumn("__rn", row_number().over(rank))
-      .filter(col("__rn") <= col("quota"))
+    // rlike-guarded so a source outside the srcN contract yields a
+    // NULL quota (= contributes nothing) instead of an ANSI cast
+    // error killing the whole job; the oracle's TRY_CAST matches.
+    val srcNum = when(col("source").rlike("^src[0-9]+$"),
+      regexp_extract(col("source"), "src(\\d+)", 1).cast("int"))
+    graft.log.Features.hashStratifiedTake(
+        Tables.documents(s, dir).withColumn("quota", (srcNum % 4 + 1) * 5),
+        "source", "doc_id", col("quota"), "mix")
       .select("doc_id", "source", "quota")
       .orderBy("doc_id")
   }
@@ -337,7 +334,7 @@ object Extras {
   val mixtureSampleSql: String =
     """WITH q AS (
       |  SELECT doc_id, source,
-      |    (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 + 1) * 5 AS quota,
+      |    (TRY_CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 + 1) * 5 AS quota,
       |    row_number() OVER (PARTITION BY source
       |      ORDER BY ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
       |        doc_id ASC) AS rn

@@ -33,6 +33,13 @@ class MLQueriesSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("q75: PR curve is a valid confusion-count walk") {
     val rows = MLOps.prCurve(spark, sfDir).collect()
     rows.length should be >= 2
+    // Precondition, not a law: the fixture must actually contain
+    // positive labels — with zero positives recall is a NULL division
+    // and every assertion below would fail confusingly rather than
+    // flag the vacuous fixture.
+    withClue("fixture has no positive (anomaly) labels — q75's spec is vacuous:") {
+      rows.last.getAs[Long]("cum_tp") should be > 0L
+    }
     val tp = rows.map(_.getAs[Long]("cum_tp"))
     val fp = rows.map(_.getAs[Long]("cum_fp"))
     // Cumulative counts are nondecreasing down the threshold list.
