@@ -48,4 +48,24 @@ object Sinks {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** ORC interchange — the other columnar at-rest format Spark ships
+    * a native vectorized reader for; same pushdown/pruning posture as
+    * parquet (SourceFormatsSpec proves round-trip identity and
+    * predicate pushdown). For Hive-ecosystem consumers that expect
+    * ORC, this is the drop-in counterpart of `writeParquet`. */
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  /** JSON-lines interchange — the lingua franca of ingestion hand-offs
+    * (one JSON object per line, scan-parallel, splittable when
+    * uncompressed). Schema-on-read: pair with an explicit schema at
+    * the consumer (`spark.read.schema(...).json`) — schema inference
+    * costs an extra full scan at 100 TB and is disabled-by-contract
+    * in SourceFormatsSpec's read-back. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

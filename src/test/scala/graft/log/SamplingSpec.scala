@@ -70,6 +70,34 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe Map("a" -> 2L, "b" -> 3L, "c" -> 3L)
   }
 
+  test("SA1 general form: hashStratifiedTake matches a JVM brute-force reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.PortableHash
+    // Randomized ragged strata and quotas (some above stratum size →
+    // take-all). The expected set is computed OUTSIDE Spark with the
+    // JVM kernel — so this also pins PortableHash.hash60 ==
+    // PortableHash.keyedHash60's Column formula, the scaladoc's
+    // portability contract, on arbitrary keys.
+    val rng = new scala.util.Random(11)
+    val strata = ('a' to 'f').map(_.toString)
+    val rows = strata.flatMap { st =>
+      (1 to (rng.nextInt(40) + 1)).map(i => (s"$st#$i", st))
+    }
+    val quotas = strata.map(st => st -> rng.nextInt(50)).toMap
+    val joined = rows.toDF("k", "stratum")
+      .join(broadcast(quotas.toSeq.toDF("stratum", "q")), Seq("stratum"))
+    val got = Features.hashStratifiedTake(joined, "stratum", "k", col("q"), "bf")
+      .select("k").as[String].collect().toSet
+    val expected = rows.groupBy(_._2).flatMap { case (st, ms) =>
+      ms.map(_._1)
+        .sortBy(k => (PortableHash.hash60(UTF8String.fromString("bf" + k)), k))
+        .take(quotas(st))
+    }.toSet
+    got shouldBe expected
+  }
+
   test("W6: rand(seed) pick returns one reproducible row") {
     import org.apache.spark.sql.functions._
     val p1 = df.orderBy(rand(7L), col("block_id")).limit(1).head().getString(0)
