@@ -284,6 +284,48 @@ object Relational {
       |    EXCEPT
       |    SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)) AS n_only_1995""".stripMargin
 
+  /** q78: FULL OUTER equi-join — the reconciliation report between two
+    * derived aggregates (per-customer 1995 vs 1996 order counts) where
+    * BOTH sides genuinely contribute unmatched keys. The Seq-key join
+    * coalesces the key across sides (exactly SQL's USING semantics);
+    * the presence flag reads each side's null-ness BEFORE the counts
+    * are zero-coalesced. Plan: two pruned scans → two map-side-combined
+    * aggregations → one shuffle full-outer on the key; row-for-row the
+    * single-scan q23-style pivot (q57's scaladoc) is the alternative —
+    * this query certifies the JOIN TYPE itself, the one member of the
+    * join family the rest of the suite never exercises. */
+  def yearReconcile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def perCust(yr: Int, out: String) =
+      o.filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as(out))
+    perCust(1995, "n_1995").join(perCust(1996, "n_1996"), Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        when(col("n_1995").isNull, "only_1996")
+          .when(col("n_1996").isNull, "only_1995")
+          .otherwise("both").as("presence"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"))
+      .orderBy("o_custkey")
+  }
+
+  val yearReconcileSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey, count(*) AS n_1995 FROM orders
+      |  WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY o_custkey),
+      |b AS (
+      |  SELECT o_custkey, count(*) AS n_1996 FROM orders
+      |  WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY o_custkey)
+      |SELECT o_custkey,
+      |  CASE WHEN a.n_1995 IS NULL THEN 'only_1996'
+      |       WHEN b.n_1996 IS NULL THEN 'only_1995'
+      |       ELSE 'both' END AS presence,
+      |  coalesce(a.n_1995, 0) AS n_1995,
+      |  coalesce(b.n_1996, 0) AS n_1996
+      |FROM a FULL OUTER JOIN b USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
   /** q50: hierarchical revenue rollup — GROUPING SETS via `rollup()`
     * (nation, order year): detail rows, per-nation subtotals, grand
     * total in ONE aggregation pass. At 100 TB this replaces three
