@@ -35,8 +35,102 @@ import org.apache.spark.sql.SparkSession
   * the normalized physical-plan hash per query (exprIds, plan ids,
   * stats, and JVM identity hashes stripped), per-pass loadavg — goes
   * to `BENCH_DETAIL.json` next to the build instead.
+  *
+  * Noise ATTRIBUTION (added r8): this sandbox is a co-tenanted VM
+  * (/proc/stat steal is nonzero) and past rounds recorded 50× rep
+  * spikes (79 s on a ~1 s query) that loadavg could not explain. The
+  * bench now proves — per query, per rep — whether an outlier was
+  * environmental:
+  *   - a fixed-work CPU SENTINEL (1e8-iteration xorshift loop, no
+  *     I/O, no allocation) runs immediately before every query rep;
+  *     its wall time is constant on an unloaded core and stretches in
+  *     direct proportion to CPU unavailability. Calibration medians
+  *     are emitted so any rep's sentinel can be read as a slowdown
+  *     ratio.
+  *   - HOST STEAL seconds (delta of /proc/stat field 8 over the rep,
+  *     jiffies/USER_HZ) — CPU the hypervisor took from this VM.
+  *   - CGROUP THROTTLE seconds + nr_throttled deltas (cpu.stat, v1
+  *     with v2 fallback) and the quota string (cpu.cfs_quota_us /
+  *     cpu.max) — CPU the container ceiling took from the JVM.
+  * All three land in BENCH_DETAIL.json as per-query rep arrays
+  * (`sentinel` / `steal_sec` / `throttle_sec`) parallel to `queries`,
+  * so: outlier rep with inflated sentinel or steal ⇒ co-tenant;
+  * outlier with flat sentinel/steal/throttle ⇒ ours. Stdout line is
+  * unchanged (same size contract).
   */
 object Bench {
+
+  /** Sink for the sentinel's result so the JIT cannot dead-code the
+    * loop away. `volatile` forbids hoisting the store out of line. */
+  @volatile private var sentinelSink: Long = 0L
+
+  /** Fixed-work CPU probe: 1e8 iterations of a 64-bit xorshift mix —
+    * no I/O, no allocation, no memory traffic beyond two registers.
+    * Wall time ≈ constant on an idle core (~0.1–0.2 s); under CPU
+    * contention or throttling it stretches in direct proportion to
+    * effective CPU availability, which is exactly the quantity a
+    * noisy rep needs attributed. */
+  def sentinel(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 100000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    sentinelSink ^= x
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Machine/cgroup counters sampled around each rep. Host steal is
+    * /proc/stat cpu field 8 (jiffies across all CPUs — CPU the
+    * hypervisor withheld from this VM); throttle counters come from
+    * cgroup v1 cpu.stat (`throttled_time` ns) with a v2 fallback
+    * (`throttled_usec`). Unreadable files degrade to zeros rather
+    * than failing the bench. */
+  final case class SysSnap(stealJiffies: Long, throttledNs: Long, nrThrottled: Long)
+
+  private def readLines(path: String): Seq[String] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isReadable(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+      else Seq.empty
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  def sysSnap(): SysSnap = {
+    val steal = readLines("/proc/stat").headOption.map { l =>
+      val f = l.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else 0L
+    }.getOrElse(0L)
+    val v1 = readLines("/sys/fs/cgroup/cpu/cpu.stat")
+    val v2 = readLines("/sys/fs/cgroup/cpu.stat")
+    def field(lines: Seq[String], key: String): Option[Long] =
+      lines.collectFirst { case l if l.startsWith(key + " ") =>
+        l.substring(key.length + 1).trim.toLong }
+    val throttledNs = field(v1, "throttled_time")
+      .orElse(field(v2, "throttled_usec").map(_ * 1000L))
+      .getOrElse(0L)
+    val nThr = field(v1, "nr_throttled")
+      .orElse(field(v2, "nr_throttled")).getOrElse(0L)
+    SysSnap(steal, throttledNs, nThr)
+  }
+
+  /** Container CPU ceiling as a human-readable string — v1
+    * quota/period or v2 cpu.max; "none" when unlimited/unreadable. */
+  def cpuQuota(): String = {
+    val q1 = readLines("/sys/fs/cgroup/cpu/cpu.cfs_quota_us").headOption
+    val p1 = readLines("/sys/fs/cgroup/cpu/cpu.cfs_period_us").headOption
+    val v2 = readLines("/sys/fs/cgroup/cpu.max").headOption
+    (q1, p1, v2) match {
+      case (Some(q), Some(p), _) if q.trim != "-1" => s"v1:${q.trim}/${p.trim}us"
+      case (Some(q), _, _) if q.trim == "-1"       => "none"
+      case (_, _, Some(m)) if !m.startsWith("max") => s"v2:${m.trim}"
+      case _                                        => "none"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +145,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The three documented bounded global windows (MLOps distinct-
+    // threshold ranking, Relational daily running revenue, Features
+    // K-class counts) fire WindowExec's "No Partition Defined" warning
+    // on every rep — hundreds of identical lines drowning real
+    // warnings in the bench tail. All three are provably bounded
+    // (distinct thresholds / days / classes; shapes pinned by
+    // PlanShapeSpec), so the BENCH pins that one logger to ERROR.
+    // `sbt test` keeps it at WARN, so an accidentally-unbounded new
+    // global window still surfaces there.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def execute(name: String, dir: String): Boolean =
       try {
@@ -76,7 +182,9 @@ object Bench {
           // JVM identity hashes in default toStrings (e.g. a UDAF
           // instance rendered as TopKAggregator@1a2b3c4d) differ per
           // run and made q30's fingerprint flip with no plan change.
-          .replaceAll("@[0-9a-f]+", "@x")
+          // Bounded {6,8}\b so short hex-looking literals in query
+          // text (e.g. 'a@beef') keep contributing to the fingerprint.
+          .replaceAll("@[0-9a-f]{6,8}\\b", "@x")
           .replaceAll("\\s+", " ")
         java.security.MessageDigest.getInstance("MD5")
           .digest(norm.getBytes("UTF-8"))
@@ -87,6 +195,12 @@ object Bench {
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
 
+    // Calibrate AFTER the JVM has run it a few times (JIT). First
+    // three runs discarded; median of the next five is the baseline
+    // an unloaded rep should reproduce within a few percent.
+    (1 to 3).foreach(_ => sentinel())
+    val calib = Vector.fill(5)(sentinel()).sorted
+
     val names = SparkEntry.queries.keys.toSeq.sorted
 
     // Warm-up (JIT, codegen caches, parquet footer reads) on sf0.001.
@@ -96,16 +210,31 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val loads = new scala.collection.mutable.ArrayBuffer[Double]
     val times = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
+    val sents = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
+    val steal = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
+    val thrtl = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
+    val nThr  = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Long]).toMap
+    val tailSent = new scala.collection.mutable.ArrayBuffer[Double]
     val okAll = new scala.collection.mutable.HashMap[String, Boolean]
       .withDefaultValue(true)
+    val userHz = 100.0 // Linux USER_HZ for /proc/stat jiffies
     (1 to reps).foreach { _ =>
       loads += loadAvg()
       names.foreach { name =>
+        sents(name) += sentinel()
+        val s0 = sysSnap()
         val t0 = System.nanoTime()
         val ok = execute(name, sfDir)
         times(name) += (System.nanoTime() - t0) / 1e9
+        val s1 = sysSnap()
+        steal(name) += (s1.stealJiffies - s0.stealJiffies) / userHz
+        thrtl(name) += (s1.throttledNs - s0.throttledNs) / 1e9
+        nThr(name)  += s1.nrThrottled - s0.nrThrottled
         if (!ok) okAll(name) = false
       }
+      // Trailing probe closes each pass: the sentinel AFTER the last
+      // query, so every rep is bracketed by two probe readings.
+      tailSent += sentinel()
     }
 
     val hashes = names.map(n => n -> planHash(n)).toMap
@@ -129,6 +258,12 @@ object Bench {
       n -> times(n).map(num("%.4f", _)).mkString("[", ",", "]")))
     val hashJson = jmap(names.map(n => n -> ("\"" + hashes(n) + "\"")))
     val loadJson = loads.map(num("%.2f", _)).mkString("[", ",", "]")
+    def darr(vs: Seq[Double], fmt: String = "%.4f"): String =
+      vs.map(num(fmt, _)).mkString("[", ",", "]")
+    val sentJson  = jmap(names.map(n => n -> darr(sents(n).toSeq)))
+    val stealJson = jmap(names.map(n => n -> darr(steal(n).toSeq, "%.2f")))
+    val thrJson   = jmap(names.map(n => n -> darr(thrtl(n).toSeq, "%.2f")))
+    val nThrJson  = jmap(names.map(n => n -> nThr(n).mkString("[", ",", "]")))
     val failedNames = results.collect { case (k, _, false) => k }
     def jarr(ks: Seq[String]): String =
       ks.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -137,7 +272,7 @@ object Bench {
     // the headline metric so totals stay comparable across runs.
     val total = results.collect { case (_, t, true) => t }.sum
     val detail =
-      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not

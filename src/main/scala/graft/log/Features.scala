@@ -119,14 +119,21 @@ object Features {
     * scalar mixture spec, a window count, a joined-in dim). A NULL or
     * larger-than-stratum quota means "none" / "take all" respectively.
     * One stratum-keyed shuffle; the rank window streams each stratum
-    * with O(1) state per row. */
+    * with O(1) state per row. Scratch columns are collision-checked
+    * against the caller's schema (deterministically, so plan
+    * fingerprints stay stable), never silently clobbered. */
   def hashStratifiedTake(df: DataFrame, stratumCol: String, keyCol: String,
       quota: Column, salt: String): DataFrame = {
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val qc = fresh("__graft_quota")
+    val rc = fresh("__graft_rn")
     val h = graft.functions.PortableHash.keyedHash60(col(keyCol), salt)
     val rank = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(keyCol).asc)
-    df.withColumn("__quota", quota)
-      .withColumn("__rn", row_number().over(rank))
-      .filter(col("__rn") <= col("__quota"))
-      .drop("__rn", "__quota")
+    df.withColumn(qc, quota)
+      .withColumn(rc, row_number().over(rank))
+      .filter(col(rc) <= col(qc))
+      .drop(rc, qc)
   }
 }

@@ -81,17 +81,28 @@ object ConnectedComponents {
       // needed its own checkpoint because Catalyst does not dedupe
       // common subplans). Labels are ids of reachable vertices either
       // way, so the jump stays a valid contraction; chains still
-      // shorten multiplicatively per round.
+      // shorten multiplicatively per round. TWO hops per round (r8):
+      // the second join against the same materialized frame rides in
+      // the same single Spark job, and on chain graphs label depth
+      // contracts ~3× per round instead of ~2× — fewer rounds, and
+      // in local mode rounds (driver scheduling latency), not data,
+      // are the whole cost of this loop.
       val stepped = labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("_min_nbr"), col("component")))
             .as("_step"))
-      val next = stepped
+      val hop1 = stepped
         .join(labels.select(col("id").as("_pid"), col("component").as("_pcomp")),
           col("_step") === col("_pid"), "left")
         .select(col("id"), col("_old"),
           least(col("_step"), coalesce(col("_pcomp"), col("_step")))
+            .as("_jump"))
+      val next = hop1
+        .join(labels.select(col("id").as("_pid2"), col("component").as("_pcomp2")),
+          col("_jump") === col("_pid2"), "left")
+        .select(col("id"), col("_old"),
+          least(col("_jump"), coalesce(col("_pcomp2"), col("_jump")))
             .as("component"))
         .localCheckpoint(false)
       val changed = next.filter(col("component") =!= col("_old")).count()

@@ -254,18 +254,23 @@ object Extras {
       |  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
       |ORDER BY p.event_id""".stripMargin
 
-  /** q63 (rows-only, like q34): the approx-sketch reaggregation path —
-    * the stated 100 TB design for distinct counts (SketchesSpec proves
-    * the law; this registers it on the driver's surface). HLL sketches
-    * built independently per event_type slice are UNIONED into the
-    * global estimate without rescanning the slices — what makes
-    * distinct-count rollups free on a partitioned store. Approximate
-    * estimates can't hash-match a different engine, so the row
-    * certifies itself: `merge_matches_global` must be true (slice
-    * reaggregation == one-pass sketch, bit-for-bit — same sketch
-    * algorithm either way), and the exact distinct count rides along
-    * for scale (the estimate's observed error is visible in the row).
-    */
+  /** q63: the approx-sketch reaggregation path — the stated 100 TB
+    * design for distinct counts (SketchesSpec proves the law; this
+    * registers it on the driver's surface). HLL sketches built
+    * independently per event_type slice are UNIONED into the global
+    * estimate without rescanning the slices — what makes
+    * distinct-count rollups free on a partitioned store.
+    *
+    * Oracle-convertible shape (r8): a raw HLL estimate can never
+    * hash-match a different engine, so the row carries only
+    * cross-engine-stable facts — the exact distinct count, and two
+    * booleans the sketch path must make true: `merge_matches_global`
+    * (slice reaggregation == one-pass sketch, bit-for-bit — same
+    * sketch algorithm either way) and `within_bound` (the estimate
+    * lands within 15% of exact; default lgConfigK=12 gives ~1.6%
+    * standard error, so 15% ≈ 9σ — deterministically true for a
+    * fixed dataset). DuckDB computes the same exact count and, since
+    * the contract is unconditional, literal `true` flags. */
   def sketchUnion(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val global = ev.agg(
@@ -277,9 +282,19 @@ object Extras {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"))
     // Two single-row aggregates — the crossJoin is a 1×1 broadcast.
     merged.crossJoin(global)
-      .withColumn("merge_matches_global",
-        col("merged_estimate") === col("global_estimate"))
+      .select(
+        col("exact_distinct"),
+        (col("merged_estimate") === col("global_estimate"))
+          .as("merge_matches_global"),
+        (abs(col("merged_estimate").cast("double") - col("exact_distinct")) <=
+          lit(0.15) * col("exact_distinct")).as("within_bound"))
   }
+
+  val sketchUnionSql: String =
+    """SELECT count(DISTINCT user_id) AS exact_distinct,
+      | true AS merge_matches_global,
+      | true AS within_bound
+      |FROM events""".stripMargin
 
   /** q74 — SA1 under the oracle: exact-fraction stratified sample, 20%
     * per source stratum of `documents`, via
@@ -321,9 +336,12 @@ object Extras {
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
     // rlike-guarded so a source outside the srcN contract yields a
     // NULL quota (= contributes nothing) instead of an ANSI cast
-    // error killing the whole job; the oracle's TRY_CAST matches.
+    // error killing the whole job; try_cast (not cast) because the
+    // guard admits digit runs past Int.MaxValue ('src99999999999'),
+    // where ANSI cast would still throw. The oracle's TRY_CAST over
+    // an anchored extract matches both behaviors.
     val srcNum = when(col("source").rlike("^src[0-9]+$"),
-      regexp_extract(col("source"), "src(\\d+)", 1).cast("int"))
+      expr("try_cast(regexp_extract(source, '^src(\\\\d+)$', 1) AS INT)"))
     graft.log.Features.hashStratifiedTake(
         Tables.documents(s, dir).withColumn("quota", (srcNum % 4 + 1) * 5),
         "source", "doc_id", col("quota"), "mix")
@@ -334,7 +352,7 @@ object Extras {
   val mixtureSampleSql: String =
     """WITH q AS (
       |  SELECT doc_id, source,
-      |    (TRY_CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 + 1) * 5 AS quota,
+      |    (TRY_CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT) % 4 + 1) * 5 AS quota,
       |    row_number() OVER (PARTITION BY source
       |      ORDER BY ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
       |        doc_id ASC) AS rn

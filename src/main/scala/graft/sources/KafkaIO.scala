@@ -20,6 +20,18 @@ object KafkaIO {
 
   val DefaultTopic = "log_stream_topic"
 
+  /** True when the `spark-sql-kafka-0-10` connector is on the
+    * classpath. The integration specs gate on this (plus a broker
+    * address from the environment), so dropping the connector jar
+    * into the jars dir auto-enables the live end-to-end tests with no
+    * code change — and their absence skips them cleanly instead of
+    * failing. */
+  def connectorAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
   /** S6: subscribe and expose the UTF-8 decoded `value` column —
     * feed to `StreamMessages.parse`. */
   def source(

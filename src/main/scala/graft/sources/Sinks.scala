@@ -41,6 +41,15 @@ object Sinks {
       props: Properties = new Properties()): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
 
+  /** True when a JDBC driver able to accept `url` is registered or
+    * present on the classpath. Gates the live-database integration
+    * spec the same way `KafkaIO.connectorAvailable` gates the broker
+    * spec: drop a driver jar in the jars dir + set the env URL, and
+    * the round-trip test enables itself. */
+  def jdbcDriverAvailable(url: String): Boolean =
+    try { java.sql.DriverManager.getDriver(url); true }
+    catch { case _: java.sql.SQLException => false }
+
   /** The default at-rest form for engine outputs: partitioned parquet
     * (columnar, prunable — SURVEY §1.3), scan-parallel on write. */
   def writeParquet(df: DataFrame, path: String,

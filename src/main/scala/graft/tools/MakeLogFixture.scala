@@ -125,6 +125,14 @@ object MakeLogFixture {
       lines += s"#### corrupted segment ${rng.nextInt(100000)} ####"
     }
 
+    // The notebook-documented golden block rides along in the driver
+    // fixture (shared definition with GoldenBatchSpec — see
+    // GoldenBlock's scaladoc): its 31 lines put the reference's
+    // published numbers (E3=8/E4=4/E5=3, duration 33395 s) under the
+    // driver's DuckDB oracle through q61/q62, so a parse/sessionize/
+    // feature semantics drift fails the oracle, not just the spec.
+    lines ++= GoldenBlock.Lines
+
     val all = rng.shuffle(lines.result())
     Files.write(dataDir.resolve("hdfs_synth.log"),
       all.mkString("\n").getBytes("UTF-8"))
@@ -134,7 +142,7 @@ object MakeLogFixture {
       if (rng.nextInt(100) < 85)
         Some(s"$b,${if (rng.nextInt(100) < 20) "Anomaly" else "Normal"}")
       else None
-    }
+    } :+ s"${GoldenBlock.BlockId},${GoldenBlock.Label}"
     Files.write(dataDir.resolve("hdfs_labels.csv"),
       ("BlockId,Label" +: labelRows).mkString("\n").getBytes("UTF-8"))
     println(s"[fixture] ${all.length} lines, ${labelRows.length} labels -> $dataDir")

@@ -9,10 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  // The ONLY entries allowed to register without oracle SQL, each for
-  // a documented reason (no LR trainer in the oracle; approx sketch
-  // estimates don't cross engines).
-  private val rowsOnly = Set("q34_lr_anomaly", "q63_sketch_union")
+  // The ONLY entry allowed to register without oracle SQL: no LR
+  // trainer exists in the oracle engine. (q63 left this set in r8 —
+  // its row now carries only exact counts + contract booleans, which
+  // DO cross engines.)
+  private val rowsOnly = Set("q34_lr_anomaly")
 
   test("every query has oracle SQL unless documented rows-only") {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)

@@ -33,51 +33,19 @@ import graft.sources.Sinks
   */
 class GoldenBatchSpec extends AnyFunSuite with Matchers with SparkFixture {
 
-  private val B = "blk_-1001138135617662562"
+  import graft.tools.GoldenBlock
 
-  private val goldenSeq = Seq(
-    "E22", "E5", "E5", "E5", "E11", "E9", "E11", "E9", "E26", "E26", "E26",
-    "E11", "E9", "E3", "E3", "E4", "E3", "E3", "E4", "E23", "E23", "E23",
-    "E3", "E3", "E4", "E3", "E3", "E4", "E21", "E21", "E21")
+  private val B = GoldenBlock.BlockId
+  private val goldenSeq = GoldenBlock.EventSeq
 
-  /** A realistic raw message for each event id used by the golden
-    * block (plus E5/E9 reused by the second block). */
-  private def message(eid: String, blk: String): String = eid match {
-    case "E3"  => s"Served block $blk to /10.251.30.8"
-    case "E4"  => s"Got exception while serving $blk to /10.251.30.8:"
-    case "E5"  => s"Receiving block $blk src: /10.250.10.6:54106 dest: /10.250.10.6:50010"
-    case "E9"  => s"Received block $blk of size 67108864 from /10.250.10.6"
-    case "E11" => s"PacketResponder 1 for block $blk terminating"
-    case "E21" => s"Deleting block $blk file /mnt/hadoop/dfs/data/current/$blk"
-    case "E22" => s"BLOCK* NameSystem.allocateBlock: /user/root/rand/_temporary/part-00123. $blk"
-    case "E23" => s"BLOCK* NameSystem.delete: $blk is added to invalidSet of 10.250.10.6:50010"
-    case "E26" => s"BLOCK* NameSystem.addStoredBlock: blockMap updated: 10.250.10.6:50010 is added to $blk size 67108864"
-  }
-
-  private def component(eid: String): (String, String, String) = eid match {
-    case "E22" | "E23" | "E26" => ("26", "INFO", "dfs.FSNamesystem")
-    case "E21"                 => ("30", "INFO", "dfs.DataNode")
-    case "E11" | "E9"          => ("145", "INFO", "dfs.DataNode$PacketResponder")
-    case "E4"                  => ("201", "WARN", "dfs.DataNode$DataXceiver")
-    case _                     => ("143", "INFO", "dfs.DataNode$DataXceiver")
-  }
-
-  private def hhmmss(secOfDay: Int): String =
-    f"${secOfDay / 3600}%02d${secOfDay / 60 % 60}%02d${secOfDay % 60}%02d"
-
-  private def rawLine(eid: String, blk: String, secOfDay: Int): String = {
-    val (pid, level, comp) = component(eid)
-    s"081110 ${hhmmss(secOfDay)} $pid $level $comp: ${message(eid, blk)}"
-  }
-
-  // 01:19:42 = 4782s; 10:36:17 = 38177s; span = 33395s (the golden
-  // duration). Strictly increasing timestamps in golden-sequence order.
-  private val goldenLines = goldenSeq.zipWithIndex.map { case (eid, i) =>
-    rawLine(eid, B, if (i == goldenSeq.length - 1) 38177 else 4782 + i * 1100)
-  }
+  // The golden construction itself (messages, components, timestamps)
+  // is the SHARED definition in graft.tools.GoldenBlock — the same
+  // lines MakeLogFixture embeds in the committed driver fixture, so
+  // these assertions and the q61/q62 oracle path cannot drift apart.
+  private val goldenLines = GoldenBlock.Lines
   private val otherLines = Seq(
-    rawLine("E5", "blk_999", 50000),
-    rawLine("E9", "blk_999", 50060),
+    GoldenBlock.rawLine("E5", "blk_999", 50000),
+    GoldenBlock.rawLine("E9", "blk_999", 50060),
     "081110 140000 999 INFO dfs.Scheduler: heartbeat with no block mentioned")
 
   private lazy val templatesPath =
@@ -102,7 +70,7 @@ class GoldenBatchSpec extends AnyFunSuite with Matchers with SparkFixture {
     templates should have size 29
     val used = goldenSeq.distinct
     for (eid <- used) {
-      val msg = message(eid, B)
+      val msg = GoldenBlock.message(eid, B)
       val matches = templates.filter(t =>
         Templates.toRegex(t.pattern).r.findFirstIn(msg).isDefined).map(_.id)
       withClue(s"$eid message '$msg' matched $matches: ") {
@@ -148,6 +116,31 @@ class GoldenBatchSpec extends AnyFunSuite with Matchers with SparkFixture {
     val trace = Features.eventTraces(tagged)
       .filter(col("block_id") === B).head().getSeq[String](1)
     trace shouldBe goldenSeq
+  }
+
+  test("committed driver fixture embeds the golden block with identical numbers") {
+    // The fixture the DRIVER oracles through q61/q62 — if this test
+    // fails, either MakeLogFixture wasn't re-run after a GoldenBlock
+    // change, or the pipeline semantics drifted from the
+    // reference-observed behavior the notebook documents.
+    import graft.queries.RawLog
+    assume(new java.io.File(RawLog.logPath).isFile,
+      s"committed fixture ${RawLog.logPath} not present")
+    val sess = RawLog.rawLogSessions(spark, "")
+      .filter(col("block_id") === B).head()
+    sess.getAs[String]("start_ts") shouldBe "2008-11-10 01:19:42"
+    sess.getAs[String]("end_ts") shouldBe "2008-11-10 10:36:17"
+    sess.getAs[Long]("duration_sec") shouldBe GoldenBlock.DurationSec
+    sess.getAs[Long]("num_lines") shouldBe 31L
+    sess.getAs[String]("label") shouldBe GoldenBlock.Label
+    val feat = RawLog.rawLogFeatures(spark, "")
+      .filter(col("block_id") === B).head()
+    for (i <- 1 to 29) {
+      val eid = s"E$i"
+      withClue(s"$eid: ") {
+        feat.getAs[Int](eid) shouldBe GoldenBlock.FeatureCounts.getOrElse(eid, 0)
+      }
+    }
   }
 
   test("coalesce(1) CSV sink round-trips with header and stringified values") {

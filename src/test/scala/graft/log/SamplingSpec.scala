@@ -98,6 +98,43 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe expected
   }
 
+  test("SA1 general form: caller columns named like the scratch columns survive untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A caller that legitimately owns __graft_quota/__graft_rn (or the
+    // historical __quota/__rn) must get them back unmodified — the
+    // operator's scratch names are collision-checked, not clobbered.
+    val d = (1 to 10)
+      .map(i => (s"k$i", "s", i * 100, i * 7, i))
+      .toDF("k", "stratum", "__graft_quota", "__graft_rn", "__quota")
+    val out = Features.hashStratifiedTake(d, "stratum", "k", lit(4), "c")
+    out.columns.toSeq shouldBe d.columns.toSeq
+    out.count() shouldBe 4L
+    // Caller values intact on the surviving rows (k_i carries i).
+    out.select("k", "__graft_quota", "__graft_rn", "__quota").collect().foreach { r =>
+      val i = r.getString(0).drop(1).toInt
+      r.getInt(1) shouldBe i * 100
+      r.getInt(2) shouldBe i * 7
+      r.getInt(3) shouldBe i
+    }
+  }
+
+  test("q77 guard: non-srcN and overflow sources yield NULL quota, no ANSI cast error") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q77").toString
+    // 'raw_src7' pins the ANCHORED contract (an unanchored extract
+    // would hand it quota 40); 'src99999999999' pins try_cast (ANSI
+    // cast("int") threw CAST_OVERFLOW here before r8).
+    val docs = Seq(
+      (1L, "src1"), (2L, "src1"), (3L, "src1"),
+      (4L, "raw_src7"), (5L, "src99999999999"))
+      .toDF("doc_id", "source")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.Extras.mixtureSample(spark, tmp)
+      .select("doc_id").as[Long].collect().toSet
+    got shouldBe Set(1L, 2L, 3L)
+  }
+
   test("W6: rand(seed) pick returns one reproducible row") {
     import org.apache.spark.sql.functions._
     val p1 = df.orderBy(rand(7L), col("block_id")).limit(1).head().getString(0)

@@ -55,9 +55,14 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
     val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
+    // Oracle-convertible contract: both flags unconditionally true,
+    // exact count matches a direct countDistinct, raw estimate absent.
+    row.schema.fieldNames.toSeq shouldBe
+      Seq("exact_distinct", "merge_matches_global", "within_bound")
     row.getAs[Boolean]("merge_matches_global") shouldBe true
-    val exact = row.getAs[Long]("exact_distinct")
-    row.getAs[Long]("merged_estimate").toDouble shouldBe
-      exact.toDouble +- (exact * 0.15)
+    row.getAs[Boolean]("within_bound") shouldBe true
+    val exact = graft.core.Tables.events(SparkFixture.session, sfDir)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    row.getAs[Long]("exact_distinct") shouldBe exact
   }
 }

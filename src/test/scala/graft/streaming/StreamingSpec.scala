@@ -222,6 +222,66 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
       .filter(col("prediction") === 1).count() shouldBe 0
   }
 
+  test("ST2: in-flight readers survive a concurrent upsert and a concurrent compact") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-store-conc").toString
+    val b0 = Seq(("blk_1", 0L), ("blk_2", 0L)).toDF("block_id", "v")
+    ServingStore.upsert(b0, store, "block_id", 0L) shouldBe true
+
+    // Reader pins version 1, THEN an upsert commits version 2. The
+    // commit reaps only versions older than the superseded one, so
+    // the pinned reader's files are still on disk: its collect must
+    // return the OLD snapshot, not the new one and not an error.
+    val pinned = ServingStore.read(spark, store)
+    val b1 = Seq(("blk_2", 1L), ("blk_3", 1L)).toDF("block_id", "v")
+    ServingStore.upsert(b1, store, "block_id", 1L) shouldBe true
+    pinned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("blk_1" -> 0L, "blk_2" -> 0L)
+
+    // Same for read-during-compact: pin version 2, compact to 3
+    // (which reaps version 1), pinned reader still answers version 2.
+    val pinned2 = ServingStore.read(spark, store)
+    ServingStore.compact(spark, store, targetFiles = 1) shouldBe true
+    pinned2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("blk_1" -> 0L, "blk_2" -> 1L, "blk_3" -> 1L)
+  }
+
+  test("ST2: interleaved reads during a live writer only ever see complete snapshots") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = Files.createTempDirectory("graft-store-race").toString
+    // Writer invariant per batch i: updates key 'a' to v=i and adds
+    // key x_i, so EVERY committed snapshot satisfies
+    // count == 2 + v(a). A torn read (half-applied batch, reaped
+    // version, torn pointer) breaks it.
+    val base = Seq(("a", 0L), ("b", 0L)).toDF("block_id", "v")
+    ServingStore.upsert(base, store, "block_id", 0L) shouldBe true
+    val nBatches = 5
+    val writer = Future {
+      (1 to nBatches).foreach { i =>
+        val b = Seq(("a", i.toLong), (s"x_$i", i.toLong)).toDF("block_id", "v")
+        ServingStore.upsert(b, store, "block_id", i.toLong)
+      }
+    }
+    var checks = 0
+    while (!writer.isCompleted) {
+      val snap = ServingStore.read(spark, store)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      snap.size shouldBe (2 + snap("a"))
+      (1L to snap("a")).foreach(i => snap(s"x_$i") shouldBe i)
+      checks += 1
+    }
+    Await.result(writer, 2.minutes)
+    checks should be > 0
+    // Final state: all batches applied.
+    val fin = ServingStore.read(spark, store)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fin("a") shouldBe nBatches.toLong
+    fin.size shouldBe 2 + nBatches
+  }
+
   test("watermarked 1-minute metrics match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
