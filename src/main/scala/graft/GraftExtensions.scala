@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProduct, Fingerprint, HashedTriGrams, SimHashBucket, TemplateMatch, TokenHashes}
+import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, SimHashBucket, TemplateMatch, TokenHashes}
 
 /** Engine extensions, registered the idiomatic Spark way:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -101,6 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "usage: graft_tri_grams(words)")
         HashedTriGrams(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cm_estimate"),
+      new ExpressionInfo(classOf[CmEstimate].getName, "graft_cm_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_cm_estimate(sketch, item)")
+        CmEstimate(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_template_match"),

@@ -326,4 +326,59 @@ object TextOps {
       |FROM ranked
       |WHERE rn <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- q79: count-min heavy hitters via mergeable per-slice sketches --
+
+  /** q79 — the frequency-sketch reaggregation path, count-min edition
+    * of q63's HLL contract: token-frequency sketches are built
+    * INDEPENDENTLY per source slice (Spark's own codegen'd
+    * `count_min_sketch` aggregate, map-side combined), unioned by
+    * counter addition (`CountMin.union` — exact, so slice
+    * reaggregation == one-pass sketch), and then certified against
+    * the exact heavy hitters: for each of the top-10 tokens, the
+    * estimate must never undershoot the true count
+    * (`no_underestimate`, a structural count-min guarantee) and must
+    * overshoot by at most eps·N (`within_eps`, the sketch's accuracy
+    * contract at its confidence). Raw estimates never appear in the
+    * row — like q63, only cross-engine-stable facts do, so DuckDB
+    * oracles the exact counts and literal `true` flags.
+    *
+    * Scale: the token stream shuffles once for the exact top-k (the
+    * certification side); the sketch side moves only one ~160 KB
+    * blob per slice. At 100 TB one keeps ONLY the sketch side —
+    * per-partition sketches unioned into rollups with no rescans —
+    * and this query is the proof it answers within eps of exact. */
+  def cmHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+    val sketch = tokens
+      .groupBy(col("source"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.999d, 42)").as("sk"))
+      .agg(graft.functions.CountMin.union(col("sk")).as("sk"))
+    val totals = tokens.agg(count(lit(1)).as("n_total"))
+    val top = tokens
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(10)
+    // Two 1-row broadcast denominators (the q63/q55 shape, pinned in
+    // PlanShapeSpec) carrying the merged sketch and the eps bound.
+    val est = expr("graft_cm_estimate(sk, token)")
+    top.crossJoin(sketch).crossJoin(totals)
+      .select(
+        col("token"), col("n"),
+        (est >= col("n")).as("no_underestimate"),
+        (est <= col("n") + ceil(lit(0.001) * col("n_total")).cast("long"))
+          .as("within_eps"))
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
+  val cmHeavyHittersSql: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS n,
+      | true AS no_underestimate,
+      | true AS within_eps
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 10""".stripMargin
 }

@@ -24,6 +24,10 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // GRAFT_PROBE_SHOW=1: also print the first rows of each probed
+    // query — for eyeballing result contracts (e.g. certification
+    // booleans) at SFs the spec fixtures don't cover.
+    val show = sys.env.get("GRAFT_PROBE_SHOW").exists(_ == "1")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (wanted.isEmpty || wanted.exists(name.startsWith)) {
         val df = fn(spark, sfDir)
@@ -34,6 +38,7 @@ object Probe {
         val t0 = System.nanoTime()
         noop(df)
         println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (show) df.show(20, truncate = false)
       }
     }
     spark.stop()

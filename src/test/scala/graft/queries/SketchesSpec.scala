@@ -53,6 +53,51 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     merged.toDouble shouldBe exact.toDouble +- (exact * 0.15)
   }
 
+  test("count-min sketches built per-slice union to the one-pass sketch exactly") {
+    import graft.functions.CountMin
+    val spark = SparkFixture.session
+    val tokens = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    // Counter addition is exact, so the union of per-source sketches
+    // must be BYTE-IDENTICAL to the sketch of the whole stream.
+    val build = "count_min_sketch(token, 0.001d, 0.999d, 42)"
+    val merged = tokens.groupBy(col("source")).agg(expr(build).as("sk"))
+      .agg(CountMin.union(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val global = tokens.agg(expr(build).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    merged should contain theSameElementsInOrderAs global
+  }
+
+  test("graft_cm_estimate never undershoots and respects the eps bound on every token") {
+    val spark = SparkFixture.session
+    val tokens = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = tokens.count()
+    val sk = tokens.agg(expr("count_min_sketch(token, 0.001d, 0.999d, 42)").as("sk"))
+    val checked = tokens.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      .crossJoin(sk)
+      .select(col("token"), col("exact"),
+        expr("graft_cm_estimate(sk, token)").as("est"))
+      .filter(col("est") < col("exact") ||
+        col("est") > col("exact") + lit(math.ceil(0.001 * n).toLong))
+    checked.count() shouldBe 0L
+  }
+
+  test("q79 heavy-hitter rows carry exact counts and all-true contract flags") {
+    val rows = TextOps.cmHeavyHitters(SparkFixture.session, sfDir).collect()
+    rows should have length 10
+    rows.foreach { r =>
+      withClue(s"${r.getAs[String]("token")}: ") {
+        r.getAs[Boolean]("no_underestimate") shouldBe true
+        r.getAs[Boolean]("within_eps") shouldBe true
+      }
+    }
+    // Descending by exact count — the certified set really is the top.
+    val ns = rows.map(_.getAs[Long]("n"))
+    ns.toSeq shouldBe ns.sorted(Ordering[Long].reverse).toSeq
+  }
+
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
     val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
     // Oracle-convertible contract: both flags unconditionally true,
