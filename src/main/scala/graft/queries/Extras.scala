@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -295,6 +295,79 @@ object Extras {
       | true AS merge_matches_global,
       | true AS within_bound
       |FROM events""".stripMargin
+
+  /** q80 — theta-sketch set ALGEBRA, the capability HLL (q63) lacks:
+    * intersection and difference of distinct-user sets, not just
+    * union. The audience-overlap question ("users who purchased AND
+    * viewed / purchased but never viewed") on a partitioned 100 TB
+    * store: per-slice theta sketches roll up mergeably like HLL, but
+    * also intersect/subtract WITHOUT rescanning — the exact
+    * distinct-set reconciliation needs a users × flags shuffle; the
+    * sketch path moves a few KB per slice.
+    *
+    * Same oracle-convertible contract as q63/q79: exact counts (one
+    * per-user flag pass, identical in DuckDB) plus booleans the
+    * sketch estimates must satisfy — each of union / intersection /
+    * difference within 5% of exact, scaled by the UNION cardinality
+    * (the correct error model: theta set-op error scales with the
+    * union, so a tiny intersection has large RELATIVE but bounded
+    * ABSOLUTE error). All sketch ops are Spark-native
+    * (`theta_sketch_agg`/`theta_union`/`theta_intersection`/
+    * `theta_difference`) — zero custom code, fully mergeable state. */
+  def thetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sk = ev.agg(
+      theta_sketch_agg(when(col("event_type") === "purchase", col("user_id")))
+        .as("sk_a"),
+      theta_sketch_agg(when(col("event_type") === "view", col("user_id")))
+        .as("sk_b"))
+      .select(
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b")))
+          .as("est_union"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .as("est_both"),
+        theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b")))
+          .as("est_a_only"))
+    val exact = ev
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("a"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("b"))
+      .agg(
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .as("n_purchase_only"),
+        count(lit(1)).as("n_either"))
+    // 1×1 sketch-vs-exact reconciliation row (the q63 shape).
+    def bounded(est: Column, ex: Column): Column =
+      abs(est - ex) <= lit(0.05) * col("n_either")
+    exact.crossJoin(sk)
+      .select(
+        col("n_both"), col("n_purchase_only"), col("n_either"),
+        bounded(col("est_union"), col("n_either")).as("union_within_bound"),
+        bounded(col("est_both"), col("n_both")).as("intersection_within_bound"),
+        bounded(col("est_a_only"), col("n_purchase_only"))
+          .as("difference_within_bound"))
+  }
+
+  val thetaOverlapSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'view')
+      |  GROUP BY user_id)
+      |SELECT
+      | CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      | CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+      | CAST(count(*) AS BIGINT) AS n_either,
+      | true AS union_within_bound,
+      | true AS intersection_within_bound,
+      | true AS difference_within_bound
+      |FROM f""".stripMargin
 
   /** q74 — SA1 under the oracle: exact-fraction stratified sample, 20%
     * per source stratum of `documents`, via

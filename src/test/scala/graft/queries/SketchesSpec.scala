@@ -98,6 +98,36 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     ns.toSeq shouldBe ns.sorted(Ordering[Long].reverse).toSeq
   }
 
+  test("theta sketches built per-slice union to the global estimate (mergeability)") {
+    // Per-event-type theta sketches rolled up with theta_union_agg
+    // must estimate the same global distinct count as a one-pass
+    // sketch — the q63 HLL law, theta edition.
+    val global = events
+      .select(theta_sketch_estimate(theta_sketch_agg(col("user_id"))).as("n"))
+      .head().getLong(0)
+    val merged = events
+      .groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      .select(theta_sketch_estimate(theta_union_agg(col("sk"))).as("n"))
+      .head().getLong(0)
+    merged shouldBe global
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    merged.toDouble shouldBe exact.toDouble +- (exact * 0.15)
+  }
+
+  test("q80 theta set algebra: exact flags consistent, contract booleans all true") {
+    val row = Extras.thetaOverlap(SparkFixture.session, sfDir).head()
+    val both = row.getAs[Long]("n_both")
+    val aOnly = row.getAs[Long]("n_purchase_only")
+    val either = row.getAs[Long]("n_either")
+    // Inclusion-exclusion sanity on the exact side: both + a-only +
+    // b-only = either, so both + a-only can never exceed either.
+    (both + aOnly) should be <= either
+    row.getAs[Boolean]("union_within_bound") shouldBe true
+    row.getAs[Boolean]("intersection_within_bound") shouldBe true
+    row.getAs[Boolean]("difference_within_bound") shouldBe true
+  }
+
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
     val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
     // Oracle-convertible contract: both flags unconditionally true,
