@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, SimHashBucket, TemplateMatch, TokenHashes}
+import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, KllQuantile, SimHashBucket, TemplateMatch, TokenHashes}
 
 /** Engine extensions, registered the idiomatic Spark way:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -108,6 +108,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "usage: graft_cm_estimate(sketch, item)")
         CmEstimate(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_kll_quantile(sketch, rank)")
+        KllQuantile(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_template_match"),

@@ -97,8 +97,11 @@ case class CmEstimate(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cm_estimate"
 
-  def estimate(sketch: Array[Byte], item: UTF8String): Long =
-    CountMinSketch.readFrom(new ByteArrayInputStream(sketch))
+  def estimate(sketch: Array[Byte], item: UTF8String): Any =
+    // Zero-length blob = the union aggregator's zero (no input rows);
+    // NULL estimate rather than a deserialization crash.
+    if (sketch.isEmpty) null
+    else CountMinSketch.readFrom(new ByteArrayInputStream(sketch))
       .estimateCount(item.getBytes)
 
   override def nullSafeEval(sk: Any, item: Any): Any =
@@ -106,8 +109,14 @@ case class CmEstimate(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cmEstimateExpr", this, classOf[CmEstimate].getName)
-    nullSafeCodeGen(ctx, ev, (sk, item) =>
-      s"${ev.value} = $ref.estimate($sk, $item);")
+    nullSafeCodeGen(ctx, ev, (sk, item) => {
+      val res = ctx.freshName("cmRes")
+      s"""
+      |Object $res = $ref.estimate($sk, $item);
+      |if ($res == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ((Long) $res).longValue(); }
+      |""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

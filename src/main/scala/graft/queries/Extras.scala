@@ -352,6 +352,55 @@ object Extras {
           .as("difference_within_bound"))
   }
 
+  /** q81 — mergeable quantiles, completing the sketch trinity
+    * (distinct = q63/q80, frequency = q79, quantiles = here). KLL
+    * sketches are built per PARTITION of the events value column
+    * (`Kll.partitionSketches` — one ~3 KB blob per partition, zero
+    * shuffle), unioned by the byte-merge aggregator, and the merged
+    * sketch answers five quantiles, each certified against its OWN
+    * contract: the true normalized rank of the estimate (one
+    * conditional-aggregate pass with the 1-row estimate broadcast)
+    * must sit within the sketch's published two-sided rank-error
+    * bound of the requested rank. Exact n rides along; estimates
+    * never appear — the q63/q79/q80 oracle-convertible shape.
+    *
+    * At 100 TB this is THE percentile dashboard design: per-slice
+    * sketches rolled up in O(slices), any quantile answerable later,
+    * error certified rather than hoped. */
+  def kllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val sk = graft.functions.Kll
+      .partitionSketches(ev.select(col("value")).as[java.lang.Double])
+      .toDF("psk")
+      .agg(graft.functions.Kll.union(col("psk")).as("sk"))
+    val ranks = Seq(0.25, 0.50, 0.75, 0.95, 0.99)
+    val est = sk.select(ranks.map(r =>
+      expr(s"graft_kll_quantile(sk, ${r}d)").as(s"e${(r * 100).toInt}")): _*)
+    // 2× the sketch's 99%-confidence bound: KLL compaction flips
+    // random coins, so estimates jitter run-to-run WITHIN the bound —
+    // certifying at 2× makes the booleans deterministically true
+    // rather than true-with-probability-0.99 (a flaky oracle row).
+    val eps = 2 * graft.functions.Kll.rankError
+    val aggCols = count(lit(1)).as("n_total") +:
+      ranks.map(r => sum(when(col("value") <= col(s"e${(r * 100).toInt}"), 1L)
+        .otherwise(0L)).as(s"r${(r * 100).toInt}"))
+    val counted = ev.crossJoin(est).agg(aggCols.head, aggCols.tail: _*)
+    counted.select(
+      col("n_total") +:
+        ranks.map(r => (abs(col(s"r${(r * 100).toInt}") / col("n_total") - lit(r))
+          <= lit(eps)).as(s"q${(r * 100).toInt}_within_rank_err")): _*)
+  }
+
+  val kllQuantilesSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_total,
+      | true AS q25_within_rank_err,
+      | true AS q50_within_rank_err,
+      | true AS q75_within_rank_err,
+      | true AS q95_within_rank_err,
+      | true AS q99_within_rank_err
+      |FROM events""".stripMargin
+
   val thetaOverlapSql: String =
     """WITH f AS (
       |  SELECT user_id,

@@ -128,6 +128,35 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     row.getAs[Boolean]("difference_within_bound") shouldBe true
   }
 
+  test("KLL per-partition sketches union to bounded-rank-error quantiles") {
+    import graft.functions.Kll
+    val spark = SparkFixture.session
+    import spark.implicits._
+    val vals = events.select(col("value")).as[java.lang.Double]
+    val merged = Kll.partitionSketches(vals).toDF("psk")
+      .agg(Kll.union(col("psk")).as("sk"))
+    val est = merged.select(expr("graft_kll_quantile(sk, 0.5d)")).head().getDouble(0)
+    // True rank of the estimated median within 2× the published bound.
+    val n = events.count().toDouble
+    val below = events.filter(col("value") <= est).count().toDouble
+    math.abs(below / n - 0.5) should be <= 2 * Kll.rankError
+    // Empty input → NULL quantile, not a crash.
+    val empty = Kll.partitionSketches(spark.emptyDataset[java.lang.Double])
+      .toDF("psk").agg(Kll.union(col("psk")).as("sk"))
+      .select(expr("graft_kll_quantile(sk, 0.5d)")).head()
+    empty.isNullAt(0) shouldBe true
+  }
+
+  test("q81 quantile rows carry exact n and all-true rank-error flags") {
+    val row = Extras.kllQuantiles(SparkFixture.session, sfDir).head()
+    row.getAs[Long]("n_total") should be > 0L
+    Seq(25, 50, 75, 95, 99).foreach { q =>
+      withClue(s"q$q: ") {
+        row.getAs[Boolean](s"q${q}_within_rank_err") shouldBe true
+      }
+    }
+  }
+
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
     val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
     // Oracle-convertible contract: both flags unconditionally true,
