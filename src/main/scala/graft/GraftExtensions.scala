@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, KllQuantile, SimHashBucket, TemplateMatch, TokenHashes}
+import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, KllQuantile, KllSketchAgg, SimHashBucket, TemplateMatch, TokenHashes}
 
 /** Engine extensions, registered the idiomatic Spark way:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -108,6 +108,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "usage: graft_cm_estimate(sketch, item)")
         CmEstimate(args(0), args(1))
+      }))
+    // Aggregate functions: the analyzer wraps a bare AggregateFunction
+    // returned by a builder into an AggregateExpression itself, so the
+    // registration shape is identical to scalar kernels.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_kll_agg(value)")
+        KllSketchAgg(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll_quantile"),

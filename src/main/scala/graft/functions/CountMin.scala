@@ -49,7 +49,19 @@ object CountMin {
         else if (b.isEmpty) a
         else {
           val sk = read(a)
-          sk.mergeInPlace(read(b))
+          // Name the contract on violation: a bare
+          // IncompatibleMergeException would surface as an opaque
+          // executor-side stack with no hint WHICH inputs disagreed
+          // on what.
+          try sk.mergeInPlace(read(b))
+          catch {
+            case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+              throw new IllegalArgumentException(
+                "CountMin.union requires every input sketch to share " +
+                  "(depth, width, seed) — build all slices with the same " +
+                  "count_min_sketch(col, eps, confidence, seed) parameters",
+                e)
+          }
           write(sk)
         }
       override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =

@@ -4,9 +4,12 @@ import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
@@ -75,6 +78,71 @@ object Kll {
     * (hundreds, not millions), same trade as `CountMin.union`. */
   def union(c: Column): Column =
     org.apache.spark.sql.functions.udaf(unionAgg).apply(c)
+}
+
+/** `graft_kll_agg(value)` — build a KLL doubles sketch as a GROUPED
+  * aggregate (q82, sketch-columned serving metrics). This is the
+  * integration `hll_sketch_agg`/`theta_sketch_agg` use for Spark's
+  * own sketches: a `TypedImperativeAggregate` keeps the LIVE sketch
+  * object as its buffer — per-row `update` touches the heap sketch
+  * directly, and serialization happens only at partial/final shuffle
+  * boundaries (or state-store commits on a stream). That makes
+  * grouped builds O(rows) updates + O(groups × partitions) blob
+  * merges, where the byte-buffer `Aggregator` shape (`Kll.union` —
+  * correct for merging pre-built blobs) would deserialize per ROW if
+  * used as a builder. `Kll.partitionSketches` remains for the
+  * ungrouped whole-column build, where mapPartitions avoids even the
+  * grouping machinery.
+  *
+  * Output/state bytes are the same serialized form `Kll.union` and
+  * `graft_kll_quantile` consume, so grouped builds, partition builds,
+  * and stored sketch columns all compose. */
+case class KllSketchAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_kll_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a double column (cast numerics explicitly), " +
+        s"got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(Kll.K)
+
+  /** NULLs are skipped, matching `Kll.partitionSketches` — sketch n
+    * counts non-null values only (the q81/q82 denominator contract). */
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(n: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
 }
 
 /** `graft_kll_quantile(sketch, rank)`: the value at normalized rank

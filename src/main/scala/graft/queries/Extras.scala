@@ -377,12 +377,20 @@ object Extras {
     val ranks = Seq(0.25, 0.50, 0.75, 0.95, 0.99)
     val est = sk.select(ranks.map(r =>
       expr(s"graft_kll_quantile(sk, ${r}d)").as(s"e${(r * 100).toInt}")): _*)
-    // 2× the sketch's 99%-confidence bound: KLL compaction flips
-    // random coins, so estimates jitter run-to-run WITHIN the bound —
-    // certifying at 2× makes the booleans deterministically true
-    // rather than true-with-probability-0.99 (a flaky oracle row).
-    val eps = 2 * graft.functions.Kll.rankError
-    val aggCols = count(lit(1)).as("n_total") +:
+    // 3× the sketch's 99%-confidence bound: KLL compaction flips
+    // UNSEEDED random coins, so estimates jitter run-to-run within
+    // the 1× bound with prob. 0.99 — certifying at 1× would be a
+    // flaky oracle row. The bound is sub-Gaussian in the margin
+    // multiple, so 3× (≈ 7.7σ) leaves a residual failure probability
+    // around 1e-14 per quantile — beyond "retry once" territory, but
+    // still probabilistic, not a theorem: a red q81/q82 should be
+    // re-run once before being read as a regression.
+    val eps = 3 * graft.functions.Kll.rankError
+    // Denominator = NON-NULL count: partitionSketches skips nulls, so
+    // ranks are relative to sketched values. events.value is null-free
+    // in the fixtures, but count(value) keeps the certification honest
+    // if that ever changes (the oracle counts the same way).
+    val aggCols = count(col("value")).as("n_total") +:
       ranks.map(r => sum(when(col("value") <= col(s"e${(r * 100).toInt}"), 1L)
         .otherwise(0L)).as(s"r${(r * 100).toInt}"))
     val counted = ev.crossJoin(est).agg(aggCols.head, aggCols.tail: _*)
@@ -393,13 +401,123 @@ object Extras {
   }
 
   val kllQuantilesSql: String =
-    """SELECT CAST(count(*) AS BIGINT) AS n_total,
+    """SELECT CAST(count(value) AS BIGINT) AS n_total,
       | true AS q25_within_rank_err,
       | true AS q50_within_rank_err,
       | true AS q75_within_rank_err,
       | true AS q95_within_rank_err,
       | true AS q99_within_rank_err
       |FROM events""".stripMargin
+
+  /** q82 — the q81 contract taken PER GROUP: one KLL sketch per
+    * event_type, built by `graft_kll_agg` (a TypedImperativeAggregate,
+    * the `hll_sketch_agg` integration — live sketch buffer per group,
+    * serialize only at shuffle boundaries), each group's p50/p95/p99
+    * estimates certified against that group's own exact ranks. This is
+    * the 100 TB telemetry shape the reference's aspirational `m:p95_1m`
+    * serving schema implies (`hbase_client.py:23-26`): per-tenant
+    * percentile dashboards where every slice keeps a ~3 KB mergeable
+    * sketch instead of its raw values.
+    *
+    * Plan: one grouped sketch build over events (map-side partials,
+    * 5-row result), estimates joined BACK to events by broadcast (5
+    * rows), one counting aggregation — two passes, no sort, no
+    * per-row sketch deserialization (lookups run on the 5-row frame).
+    * Same 3× rank-error margin and non-null-denominator contract as
+    * q81. */
+  def kllByGroup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ranks = Seq(0.50, 0.95, 0.99)
+    val est = ev.groupBy(col("event_type"))
+      .agg(expr("graft_kll_agg(value)").as("sk"))
+      .select(col("event_type") +: ranks.map(r =>
+        expr(s"graft_kll_quantile(sk, ${r}d)").as(s"e${(r * 100).toInt}")): _*)
+    val eps = 3 * graft.functions.Kll.rankError
+    val aggCols = count(col("value")).as("n_total") +:
+      ranks.map(r => sum(when(col("value") <= col(s"e${(r * 100).toInt}"), 1L)
+        .otherwise(0L)).as(s"r${(r * 100).toInt}"))
+    ev.join(broadcast(est), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(
+        col("event_type") +: col("n_total") +:
+          ranks.map(r => (abs(col(s"r${(r * 100).toInt}") / col("n_total") - lit(r))
+            <= lit(eps)).as(s"q${(r * 100).toInt}_within_rank_err")): _*)
+      .orderBy("event_type")
+  }
+
+  val kllByGroupSql: String =
+    """SELECT event_type, CAST(count(value) AS BIGINT) AS n_total,
+      | true AS q50_within_rank_err,
+      | true AS q95_within_rank_err,
+      | true AS q99_within_rank_err
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q83 — the sketch-columned serving rollup as an ORACLE query: the
+    * exact product path the streaming layer runs
+    * (`StreamPipeline.metrics1mSketched` → 1-min rows with KLL/HLL
+    * sketch columns → `StreamPipeline.rollupSketches` → hourly rows by
+    * SKETCH MERGE, no rescan) executed in batch over events, then
+    * every hourly row certified: the additive columns must equal an
+    * exact per-hour recompute (`counts_match` — rollup exactness), the
+    * merged-KLL p95's true rank must sit within 3× the published
+    * rank-error of 0.95 PLUS one discrete rank step 1/n
+    * (`p95_within_rank_err` — edge-hour buckets can hold only a
+    * handful of events, where rank granularity 1/n exceeds the
+    * continuous bound: an INCLUSIVE quantile's true rank legitimately
+    * overshoots the target by up to one step), and the merged-HLL
+    * distinct-user estimate within 15% ≈ 9σ of exact
+    * (`users_within_bound`). SketchServingSpec proves the same chain
+    * through a real stream + serving store; THIS query puts the
+    * arithmetic under the DuckDB oracle. Hour buckets are epoch-
+    * aligned so `minute_start_ms - minute_start_ms % 3600000` equals
+    * DuckDB's `date_trunc('hour', ts)`.
+    *
+    * Scale shape: one windowed aggregation (minutes), one O(minutes)
+    * merge (hours), one certification pass over events with the
+    * hourly frame broadcast — nothing quadratic, sketches a few KB
+    * per row. */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val minute = graft.streaming.StreamPipeline.metrics1mSketched(
+      Tables.events(s, dir), "ts",
+      col("event_type") === "error", "value", "user_id")
+    val hourly = graft.streaming.StreamPipeline.rollupSketches(minute)
+    val eps = 3 * graft.functions.Kll.rankError
+    Tables.events(s, dir)
+      .withColumn("bucket_start_ms", expr("ts_ms - ts_ms % 3600000"))
+      .join(broadcast(hourly), Seq("bucket_start_ms"))
+      .groupBy(col("bucket_start_ms"), col("cnt"), col("err"),
+        col("p95_est"), col("distinct_users_est"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("err_exact"),
+        count(col("value")).as("n_val"),
+        sum(when(col("value") <= col("p95_est"), 1L).otherwise(0L)).as("r95"),
+        count_distinct(col("user_id")).as("users_exact"))
+      .select(
+        col("bucket_start_ms"), col("cnt"), col("err"),
+        (col("cnt") === col("n_rows") && col("err") === col("err_exact"))
+          .as("counts_match"),
+        (abs(col("r95") / col("n_val") - lit(0.95)) <=
+          lit(eps) + lit(1.0) / col("n_val")).as("p95_within_rank_err"),
+        (abs(col("distinct_users_est").cast("double") - col("users_exact")) <=
+          lit(0.15) * col("users_exact")).as("users_within_bound"))
+      .orderBy("bucket_start_ms")
+  }
+
+  val sketchRollupSql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_start_ms,
+      | count(*) AS cnt,
+      | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+      | true AS counts_match,
+      | true AS p95_within_rank_err,
+      | true AS users_within_bound
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket_start_ms""".stripMargin
 
   val thetaOverlapSql: String =
     """WITH f AS (

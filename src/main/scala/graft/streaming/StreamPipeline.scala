@@ -71,4 +71,62 @@ object StreamPipeline {
       .select(unix_millis(col("w.start")).as("minute_start_ms"),
         col("cnt_1m"), col("err_1m"), col("p95_1m"))
   }
+
+  /** `metrics1m` with MERGEABLE sketch state alongside the exact
+    * metrics: a KLL sketch of the value column (any-quantile-later)
+    * and an HLL sketch of the user column (distincts), per 1-minute
+    * window. This is what turns the serving store into a telemetry
+    * product at 100 TB: the exact `p95_1m` answers "this minute", but
+    * only the sketch columns let a dashboard answer "p95 over the
+    * last hour/day" by MERGING ~3 KB blobs per minute-row
+    * (`rollupSketches`) instead of rescanning raw events — the
+    * reaggregation the reference's `m:p95_1m` schema
+    * (`hbase_client.py:23-26`) aspires to but cannot do, because a
+    * stored percentile is not mergeable while a stored sketch is.
+    *
+    * Both sketch aggregates are incremental streaming state:
+    * `graft_kll_agg` is a TypedImperativeAggregate (live sketch
+    * buffer, serialized only at shuffle/state-store boundaries) and
+    * `hll_sketch_agg` is Spark-native. Column NAMES (not Columns) for
+    * value/user keep the kernel call in SQL form. */
+  def metrics1mSketched(
+      df: DataFrame,
+      tsCol: String,
+      isErr: Column,
+      valueCol: String,
+      userCol: String,
+      watermark: String = "5 minutes"): DataFrame = {
+    val base = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    base
+      .groupBy(window(col(tsCol), "1 minute").as("w"))
+      .agg(
+        count(lit(1)).as("cnt_1m"),
+        sum(isErr.cast("long")).as("err_1m"),
+        round(percentile(col(valueCol), lit(0.95)), 6).as("p95_1m"),
+        expr(s"graft_kll_agg(CAST($valueCol AS DOUBLE))").as("kll_value"),
+        hll_sketch_agg(col(userCol)).as("hll_users"))
+      .select(unix_millis(col("w.start")).as("minute_start_ms"),
+        col("cnt_1m"), col("err_1m"), col("p95_1m"),
+        col("kll_value"), col("hll_users"))
+  }
+
+  /** Reaggregate stored `metrics1mSketched` rows into coarser buckets
+    * by SKETCH MERGE — no rescan of raw data: counts add, KLL blobs
+    * union into `p95_est` (rank-error-bounded, certified by
+    * SketchServingSpec), HLL blobs union into `distinct_users_est`.
+    * O(minute-rows) input, O(buckets) output; this is the 1-min →
+    * 1-hour → 1-day rollup chain of a sketch-columned store. */
+  def rollupSketches(minuteRows: DataFrame, bucketMs: Long = 3600000L): DataFrame =
+    minuteRows
+      .groupBy((col("minute_start_ms") -
+        pmod(col("minute_start_ms"), lit(bucketMs))).as("bucket_start_ms"))
+      .agg(
+        sum(col("cnt_1m")).as("cnt"),
+        sum(col("err_1m")).as("err"),
+        graft.functions.Kll.union(col("kll_value")).as("kll"),
+        hll_union_agg(col("hll_users")).as("hll"))
+      .select(
+        col("bucket_start_ms"), col("cnt"), col("err"),
+        expr("graft_kll_quantile(kll, 0.95d)").as("p95_est"),
+        hll_sketch_estimate(col("hll")).as("distinct_users_est"))
 }

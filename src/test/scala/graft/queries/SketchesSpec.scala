@@ -157,6 +157,80 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("graft_kll_agg grouped build: exact per-group n, bounded per-group median rank") {
+    import graft.functions.Kll
+    // One sketch per event_type via the TypedImperativeAggregate.
+    // KLL's n counter is exact (only quantile positions are
+    // approximate), so each group's sketch must carry exactly the
+    // group's non-null count; each group's estimated median must sit
+    // within the published rank-error bound of rank 0.5 in ITS group.
+    val perGroup = events.groupBy(col("event_type"))
+      .agg(expr("graft_kll_agg(value)").as("sk"))
+      .select(col("event_type"),
+        expr("graft_kll_quantile(sk, 0.5d)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val counts = events.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.keySet shouldBe counts.keySet
+    perGroup.foreach { case (et, est) =>
+      val n = counts(et).toDouble
+      val below = events
+        .filter(col("event_type") === et && col("value") <= est)
+        .count().toDouble
+      withClue(s"$et: ") {
+        math.abs(below / n - 0.5) should be <= 2 * Kll.rankError
+      }
+    }
+  }
+
+  test("graft_kll_agg output bytes compose with Kll.union (grouped -> global rollup)") {
+    import graft.functions.Kll
+    // The serving-store design: per-slice sketch COLUMNS merged by
+    // Kll.union answer global quantiles without rescanning rows.
+    val rolled = events.groupBy(col("event_type"))
+      .agg(expr("graft_kll_agg(value)").as("sk"))
+      .agg(Kll.union(col("sk")).as("sk"))
+    val est = rolled.select(expr("graft_kll_quantile(sk, 0.95d)"))
+      .head().getDouble(0)
+    val n = events.count().toDouble
+    val below = events.filter(col("value") <= est).count().toDouble
+    math.abs(below / n - 0.95) should be <= 2 * Kll.rankError
+  }
+
+  test("q82 per-group quantile rows: one per event_type, exact n, all-true flags") {
+    val rows = Extras.kllByGroup(SparkFixture.session, sfDir).collect()
+    val counts = events.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.map(_.getAs[String]("event_type")).toSet shouldBe counts.keySet
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      withClue(s"$et: ") {
+        r.getAs[Long]("n_total") shouldBe counts(et)
+        Seq(50, 95, 99).foreach { q =>
+          r.getAs[Boolean](s"q${q}_within_rank_err") shouldBe true
+        }
+      }
+    }
+  }
+
+  test("CountMin.union names the compatibility contract on mismatched sketches") {
+    import graft.functions.CountMin
+    val spark = SparkFixture.session
+    val tokens = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token")).limit(100)
+    // Two sketches with different width (eps) — unionable never.
+    val a = tokens.agg(expr("count_min_sketch(token, 0.001d, 0.999d, 42)").as("sk"))
+    val b = tokens.agg(expr("count_min_sketch(token, 0.01d, 0.999d, 42)").as("sk"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      a.unionByName(b).agg(CountMin.union(col("sk"))).head()
+    }
+    // The contract name must survive Spark's exception wrapping.
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    messages(ex).mkString(" ") should include("depth, width, seed")
+  }
+
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
     val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
     // Oracle-convertible contract: both flags unconditionally true,
