@@ -46,17 +46,24 @@ object Pipeline {
       .transform(df)
 
   /** M3: weighted binary LR, reference hyperparameters
-    * (`prepare_data_batch.ipynb:641-650`). */
+    * (`prepare_data_batch.ipynb:641-650`). `tol` is LBFGS's relative
+    * convergence tolerance (Spark default 1e-6): each LBFGS iteration
+    * is one distributed job over the training frame, so on a small
+    * aggregated frame iteration count IS the wall cost and a looser
+    * tol is a direct early-stop knob. Callers loosening it own the
+    * proof that downstream decisions are unchanged (LrEarlyStopSpec
+    * pins q34's confusion matrix across tols). */
   def trainLR(
       train: DataFrame,
       featuresCol: String = "features",
       labelCol: String = "label_index",
       weightCol: Option[String] = Some("weight"),
       maxIter: Int = 200,
-      regParam: Double = 0.01): LogisticRegressionModel = {
+      regParam: Double = 0.01,
+      tol: Double = 1e-6): LogisticRegressionModel = {
     val lr = new LogisticRegression()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
-      .setMaxIter(maxIter).setRegParam(regParam)
+      .setMaxIter(maxIter).setRegParam(regParam).setTol(tol)
       .setElasticNetParam(0.0).setStandardization(true)
     weightCol.foreach(lr.setWeightCol)
     lr.fit(train)

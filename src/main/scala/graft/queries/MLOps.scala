@@ -27,12 +27,22 @@ object MLOps {
   private val ScoreBias = -1.5
   private val LogitCutoff = math.log(0.83 / 0.17)
 
-  /** M1–M6 end to end on the events table: per-user event-count
-    * features, a scale-free derived label (error share ≥ 20%), class
-    * weights, weighted LR (reference hyperparameters), and a confusion
-    * summary of the threshold-0.83 expression scorer vs the label —
-    * grouped small output so the driver can snapshot it. */
-  def lrAnomaly(s: SparkSession, dir: String): DataFrame = {
+  /** LBFGS convergence tol for the q34 trainer. Spark's default 1e-6
+    * keeps iterating long after the decision surface has stopped
+    * moving: on the aggregated per-user frame every extra iteration
+    * is a scheduled job whose task does microseconds of math, so
+    * iterations ARE q34's wall cost. 1e-4 stops when the relative
+    * improvement drops below a level that provably (LrEarlyStopSpec:
+    * identical confusion matrix vs tol=1e-6 at the reference
+    * maxIter=200 / regParam=0.01) cannot change a threshold-0.83
+    * decision. */
+  val LrEarlyStopTol = 1e-4
+
+  /** The q34 feature/training frames: (weighted per-user frame for
+    * scoring, assembled cached frame for the trainer). Shared with
+    * LrEarlyStopSpec so the parity proof trains on EXACTLY the q34
+    * dataflow. */
+  private[graft] def lrFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val pivot = LogOps.eventPivot(s, dir)
     // Cache the (small, aggregated) feature table: the indexer fit, the
     // class-weight aggregation, every LBFGS iteration and the final
@@ -51,7 +61,13 @@ object MLOps {
     // layout (scale the divisor, not the pattern, on a real cluster).
     val assembled = Pipeline.assemble(weighted, types.map(t => s"n_$t"))
       .coalesce(1).cache()
-    val model = Pipeline.trainLR(assembled)
+    (weighted, assembled)
+  }
+
+  /** The q34 output shape for a given fitted model: confusion summary
+    * of the threshold-0.83 expression scorer vs the derived label. */
+  private[graft] def lrConfusion(weighted: DataFrame,
+      model: org.apache.spark.ml.classification.LogisticRegressionModel): DataFrame = {
     val scorer = Pipeline.toScorer(model)
     val featuresArr = array(types.map(t => col(s"n_$t")): _*)
     weighted
@@ -59,6 +75,17 @@ object MLOps {
       .groupBy(col("label_index"), col("prediction"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label_index", "prediction")
+  }
+
+  /** M1–M6 end to end on the events table: per-user event-count
+    * features, a scale-free derived label (error share ≥ 20%), class
+    * weights, weighted LR (reference hyperparameters + the certified
+    * early-stop tol), and a confusion summary of the threshold-0.83
+    * expression scorer vs the label — grouped small output so the
+    * driver can snapshot it. */
+  def lrAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val (weighted, assembled) = lrFrames(s, dir)
+    lrConfusion(weighted, Pipeline.trainLR(assembled, tol = LrEarlyStopTol))
   }
 
   /** q59: the M6 scoring surface in oracle-checkable form — a linear
