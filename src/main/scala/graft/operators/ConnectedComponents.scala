@@ -65,11 +65,13 @@ object ConnectedComponents {
       .localCheckpoint(false)
     var iter = 0
     var converged = false
+    val roundWall = Seq.newBuilder[Double]
     // ONE Spark job per round (was 3): the 1-hop min, the pointer
     // jump, and the old label all live in one plan, lazily
     // local-checkpointed; the convergence count both materializes the
     // checkpoint and reads `changed` off it in the same action.
     while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       val nbrMin = sym
         .join(labels.select(col("id").as("_nbr"), col("component").as("_nbr_comp")),
           col("dst") === col("_nbr"))
@@ -109,10 +111,12 @@ object ConnectedComponents {
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
+      roundWall += (System.nanoTime() - roundT0) / 1e9
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(s"[cc] converged after $iter certification round(s)")
+      println(s"[cc] converged after $iter round(s); per-round sec = " +
+        roundWall.result().map(t => f"$t%.2f").mkString("[", ", ", "]"))
     labels
   }
 }

@@ -110,6 +110,28 @@ class GoldenBatchSpec extends AnyFunSuite with Matchers with SparkFixture {
     lines.last should startWith("2008-11-10 10:36:17")
   }
 
+  test("negative control: perturbing one template regex breaks the golden numbers") {
+    // The standing claim behind q61/q62 is that template drift FAILS
+    // the oracle comparison. Mutation-test the claim itself: corrupt
+    // a single literal in E5's pattern and re-run the exact pipeline —
+    // if the golden feature row still reproduced, the golden block
+    // would be asserting nothing.
+    val orig = Files.readString(java.nio.file.Paths.get(templatesPath))
+    orig should include("Receiving block")
+    val mutPath = Files.createTempFile("hdfs-templates-mut", ".csv")
+    Files.writeString(mutPath, orig.replace("Receiving block", "Receivinx block"))
+    val (mutFeatures, _) =
+      BatchPipeline.run(spark, logPath, mutPath.toString, labels)
+    val row = mutFeatures.filter(col("block_id") === B).head()
+    withClue("mutated E5 template still reproduced the golden count — " +
+      "the oracle would NOT catch this drift: ") {
+      row.getAs[Int]("E5") should not be GoldenBlock.FeatureCounts("E5")
+    }
+    // And the un-mutated path still holds (the control's control).
+    features.filter(col("block_id") === B).head()
+      .getAs[Int]("E5") shouldBe GoldenBlock.FeatureCounts("E5")
+  }
+
   test("event trace reproduces the notebook sequence in time order") {
     val parsed = LogParser.withBlock(LogParser.parse(spark.read.text(logPath)))
     val tagged = Templates.tag(parsed, Templates.load(spark, templatesPath))

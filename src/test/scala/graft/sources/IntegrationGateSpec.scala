@@ -30,6 +30,31 @@ class IntegrationGateSpec extends AnyFunSuite with Matchers with SparkFixture {
   private val brokers = sys.env.get("GRAFT_KAFKA_BROKERS")
   private val jdbcUrl = sys.env.get("GRAFT_JDBC_URL")
 
+  test("gate status: one line per gated spec naming what would enable it") {
+    // Self-documenting wired-only status (VERDICT r8 #6): every round's
+    // test log states exactly which jar/env each gated integration
+    // spec is waiting for, so "wired" is auditable without reading
+    // code. Emitted via info() (test report) AND println (driver
+    // stdout log).
+    val kafkaStatus =
+      if (!KafkaIO.connectorAvailable)
+        "GATED — missing jar: spark-sql-kafka-0-10 (KafkaSourceProvider not on classpath)"
+      else if (brokers.isEmpty)
+        "GATED — missing env: GRAFT_KAFKA_BROKERS=host:port"
+      else "ENABLED — connector jar + broker env present"
+    val jdbcStatus = jdbcUrl match {
+      case None => "GATED — missing env: GRAFT_JDBC_URL (plus a driver jar accepting it)"
+      case Some(u) if !Sinks.jdbcDriverAvailable(u) =>
+        s"GATED — missing jar: no registered JDBC driver accepts $u"
+      case Some(_) => "ENABLED — driver jar + url env present"
+    }
+    Seq(s"[gate] S5/S6 kafka live round-trip: $kafkaStatus",
+        s"[gate] S9 jdbc live round-trip: $jdbcStatus").foreach { line =>
+      info(line); println(line)
+    }
+    succeed
+  }
+
   test("kafka gate agrees with the classpath") {
     // In this container the connector is known-absent; if someone adds
     // the jar, the gate must flip to true (and the live test below
