@@ -151,6 +151,52 @@ object LogOps {
       |GROUP BY 1
       |ORDER BY minute_start_ms""".stripMargin
 
+  /** q84 — ST6's declarative form under the oracle: gap-based session
+    * windows (`StreamOps.gapSessions`, the built-in `session_window`
+    * aggregation) applied to the events table in batch. A session
+    * extends while a user's events keep arriving within 30 minutes of
+    * the previous one and closes 30 minutes after the last; the SAME
+    * code runs streaming with a watermark (StreamOpsSpec), so
+    * oracle-checking the batch rows certifies the streaming session
+    * semantics too — exactly the q33 pattern, session edition.
+    *
+    * The DuckDB oracle is the classic island detection: a new session
+    * starts when `ts >= prev_ts + gap` (matching Spark's merge rule —
+    * per-event windows `[ts, ts+gap)` merge only when they OVERLAP),
+    * session id = running sum of the starts, then min/max+gap per
+    * island. Both engines compare at microsecond precision (Spark
+    * truncates ns→µs via `timestamp_micros`, DuckDB truncates ns
+    * parquet the same way), and the ms outputs floor identically.
+    *
+    * Scale shape: one shuffle by user + in-partition sort — the same
+    * cost as any sessionization; state on the streaming side is
+    * watermark-bounded. */
+  def gapSessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.gapSessions(
+      Tables.events(s, dir), "user_id", "ts", "30 minutes")
+      .orderBy("user_id", "session_start_ms")
+
+  val gapSessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+      |           OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |ids AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  epoch_ms(min(ts)) AS session_start_ms,
+      |  epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+      |  count(*) AS n_events
+      |FROM ids
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   val eventPivotSql: String =
     """SELECT user_id,
       | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

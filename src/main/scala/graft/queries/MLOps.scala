@@ -147,6 +147,34 @@ object MLOps {
     s"CASE WHEN n_error * 5 >= ${types.map(t => s"n_$t").mkString(" + ")} " +
       "THEN 'anomaly' ELSE 'normal' END"
 
+  /** q85 — M1 under the oracle: `Pipeline.indexLabel` (StringIndexer,
+    * frequencyDesc order, int cast — the exact trainer input path)
+    * applied to the q34 label, summarized one row per class with its
+    * assigned index and member count. StringIndexer's contract is
+    * deterministic and SQL-expressible: index = rank by (frequency
+    * DESC, label ASC) − 1 — Spark breaks frequency ties
+    * lexicographically — so DuckDB reproduces it with a row_number
+    * window over the class counts. Closes the last SQL-expressible
+    * gap in the M-family perimeter (M2's vector assembly has no SQL
+    * form; M3's trainer stays rows-only by design). */
+  def labelIndex(s: SparkSession, dir: String): DataFrame = {
+    val labeled = LogOps.eventPivot(s, dir).withColumn("label", anomalyLabel)
+    Pipeline.indexLabel(labeled)
+      .groupBy(col("label"), col("label_index"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("label_index")
+  }
+
+  val labelIndexSql: String =
+    s"""WITH $featCte,
+       |lab AS (SELECT user_id, $labelSqlExpr AS label FROM feat),
+       |cnt AS (SELECT label, count(*) AS n FROM lab GROUP BY label)
+       |SELECT label,
+       |  CAST(row_number() OVER (ORDER BY n DESC, label) - 1 AS INT) AS label_index,
+       |  n AS n_rows
+       |FROM cnt
+       |ORDER BY label_index""".stripMargin
+
   /** q73 — A11 under the oracle: balanced class weights `N/(K·n)` over
     * the q34 label, derived by `Features.withClassWeights` (the exact
     * code the trainer consumes) and summarized as one row per class
