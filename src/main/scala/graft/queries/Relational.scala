@@ -108,6 +108,103 @@ object Relational {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** q86 — the TPC-H Q5 shape: a SIX-table join tree (lineitem ⋈
+    * orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the
+    * local-supply twist — customer and supplier must share a nation —
+    * plus a region filter and a one-year date window. The deepest
+    * join pipeline in the suite; what it certifies is Catalyst's
+    * multi-way planning under the engine's stated rules:
+    *
+    *  - the region filter collapses nation⋈region to a 5-row "asian
+    *    nations" dim, BROADCAST into both customer and supplier —
+    *    both fact-side inputs are nation-pruned before any fact
+    *    shuffle moves;
+    *  - the o_orderdate window is a plain pushable predicate (reaches
+    *    the orders scan as PushedFilters);
+    *  - the only shuffles are the fact equi-joins (l_orderkey,
+    *    o_custkey, l_suppkey); c_nationkey = s_nationkey rides the
+    *    suppkey join as a residual filter, never a join of its own.
+    *
+    * At 100 TB: dims stay broadcast at any SF (nation/region are
+    * fixed-cardinality), fact shuffles scale linearly, AQE re-plans
+    * the post-filter sizes. */
+  def localSupplyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val asianNations = n
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = c.join(broadcast(asianNations),
+        c("c_nationkey") === asianNations("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = sup.join(broadcast(asianNations),
+        sup("s_nationkey") === asianNations("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cust, o("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val localSupplyRevenueSql: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** q87 — the TPC-H Q17 shape: a correlated aggregate ("lineitems
+    * below 20% of their part's average quantity"), written the way a
+    * distributed engine should DECORRELATE it — aggregate once per
+    * part, join back on the part key, filter, re-aggregate. A naive
+    * correlated subquery re-scans the fact per outer row; this form
+    * is two shuffles on l_partkey total (the avg dim is map-side
+    * combined to |parts| rows, and AQE sizes the join). The 0.2·avg
+    * threshold is exact cross-engine arithmetic: quantities are
+    * integer-valued doubles, so sum/count and the scaling are
+    * identical IEEE operations in both engines — the comparison can
+    * never flip on a ulp. */
+  def smallOrderRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQ, li("l_partkey") === avgQ("p_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        money(sum(col("l_extendedprice"))).as("small_order_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val smallOrderRevenueSql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT round(sum(l_extendedprice), 2) AS small_order_revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN pq ON l_partkey = p_key
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
   /** Top-k (SURVEY W4): orderBy+limit compiles to TakeOrderedAndProject —
     * per-partition heap + driver merge, no global sort. */
   def topkOrders(s: SparkSession, dir: String): DataFrame =
