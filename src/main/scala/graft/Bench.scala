@@ -66,6 +66,11 @@ import org.apache.spark.sql.SparkSession
   * (`ManagementFactory.getGarbageCollectorMXBeans`) as `gc_sec` /
   * `gc_count` arrays, so a slow rep with flat sentinel but a multi-
   * second `gc_sec` is classified as a JVM pause, not mystery noise.
+  * A `task_sec` column (SparkListener task-duration deltas) further
+  * splits each rep's wall into executor work vs driver scheduling:
+  * wall varies while task_sec stays flat ⇒ scheduler jitter (the
+  * iterative q49 profile); task_sec inflates ⇒ the data path itself
+  * ran longer.
   * Queries whose best-of-3 is ≥ 2 s additionally get 2 extra reps
   * (5 total) — more samples exactly where the min estimator is
   * weakest and where round-8's verdict demanded artifact-backed
@@ -164,6 +169,21 @@ object Bench {
      beans.map(_.getCollectionCount).filter(_ >= 0).sum)
   }
 
+  /** Accumulates executor TASK time (ms) across all jobs — the
+    * counterpart of wall time that separates "the cluster worked
+    * longer" from "the driver scheduled slower": a slow rep with flat
+    * task_sec is driver/scheduler latency (the q49 iterative-loop
+    * profile); inflated task_sec means the data path itself ran
+    * longer. Listener events post asynchronously, so a rep's last few
+    * task-end events can land in the next rep's delta — millisecond
+    * skew on second-scale reps, self-canceling across reps, and noted
+    * here rather than fought (the bus-flush API is private). */
+  private class TaskTimeListener extends org.apache.spark.scheduler.SparkListener {
+    val millis = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskInfo != null) { millis.addAndGet(e.taskInfo.duration); () }
+  }
+
   /** Container CPU ceiling as a human-readable string — v1
     * quota/period or v2 cpu.max; "none" when unlimited/unreadable. */
   def cpuQuota(): String = {
@@ -192,6 +212,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskTime = new TaskTimeListener
+    spark.sparkContext.addSparkListener(taskTime)
     // The three documented bounded global windows (MLOps distinct-
     // threshold ranking, Relational daily running revenue, Features
     // K-class counts) fire WindowExec's "No Partition Defined" warning
@@ -279,6 +301,7 @@ object Bench {
     val nThr  = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Long]).toMap
     val gcSec = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
     val gcCnt = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Long]).toMap
+    val taskS = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
     val tailSent = new scala.collection.mutable.ArrayBuffer[Double]
     val okAll = new scala.collection.mutable.HashMap[String, Boolean]
       .withDefaultValue(true)
@@ -287,9 +310,11 @@ object Bench {
       sents(name) += sentinel()
       val g0 = gcSnap()
       val s0 = sysSnap()
+      val k0 = taskTime.millis.get()
       val t0 = System.nanoTime()
       val ok = execute(name, sfDir)
       times(name) += (System.nanoTime() - t0) / 1e9
+      val k1 = taskTime.millis.get()
       val s1 = sysSnap()
       val g1 = gcSnap()
       steal(name) += (s1.stealJiffies - s0.stealJiffies) / userHz
@@ -297,6 +322,7 @@ object Bench {
       nThr(name)  += s1.nrThrottled - s0.nrThrottled
       gcSec(name) += (g1._1 - g0._1) / 1e3
       gcCnt(name) += g1._2 - g0._2
+      taskS(name) += (k1 - k0) / 1e3
       if (!ok) okAll(name) = false
     }
     (1 to reps).foreach { _ =>
@@ -346,6 +372,7 @@ object Bench {
     val nThrJson  = jmap(names.map(n => n -> nThr(n).mkString("[", ",", "]")))
     val gcJson    = jmap(names.map(n => n -> darr(gcSec(n).toSeq, "%.3f")))
     val gcCntJson = jmap(names.map(n => n -> gcCnt(n).mkString("[", ",", "]")))
+    val taskJson  = jmap(names.map(n => n -> darr(taskS(n).toSeq, "%.2f")))
     val failedNames = results.collect { case (k, _, false) => k }
     def jarr(ks: Seq[String]): String =
       ks.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -354,7 +381,7 @@ object Bench {
     // the headline metric so totals stay comparable across runs.
     val total = results.collect { case (_, t, true) => t }.sum
     val detail =
-      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not
