@@ -114,6 +114,33 @@ object Features {
       floor(lit(fraction) *
         count(lit(1)).over(Window.partitionBy(col(stratumCol)))), salt)
 
+  /** SA3 in exact-fraction deterministic form: assign EVERY row to
+    * train/valid/test (60/20/20) inside its label stratum by keyed-md5
+    * rank — the oracle-able counterpart of `stratifiedSplit3` (whose
+    * `sampleBy` draw is Bernoulli and engine-private). Proportions are
+    * exact per stratum (`floor` arithmetic, same in any engine),
+    * assignment is a pure function of (salt, key) — rerun-stable and
+    * backfill-safe — and the three splits are disjoint-exhaustive by
+    * construction (one CASE over one rank, no anti-joins). Cost: one
+    * stratum-keyed shuffle, rank window streaming with O(1) state. */
+  def hashSplit3(df: DataFrame, stratumCol: String, keyCol: String,
+      salt: String, splitCol: String = "split"): DataFrame = {
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val rnC = fresh("__graft_rn")
+    val cntC = fresh("__graft_cnt")
+    val h = graft.functions.PortableHash.keyedHash60(col(keyCol), salt)
+    val byStratum = Window.partitionBy(col(stratumCol))
+    df.withColumn(rnC, row_number().over(byStratum.orderBy(h.asc, col(keyCol).asc)))
+      .withColumn(cntC, count(lit(1)).over(byStratum))
+      .withColumn(splitCol,
+        when(col(rnC) <= floor(lit(0.6) * col(cntC)), "train")
+          .when(col(rnC) <= floor(lit(0.8) * col(cntC)), "valid")
+          .otherwise("test"))
+      .drop(rnC, cntC)
+  }
+
   /** General form: keep the first `quota` rows of each stratum in
     * keyed-md5 rank order, where `quota` is any per-row Column (a
     * scalar mixture spec, a window count, a joined-in dim). A NULL or

@@ -175,6 +175,41 @@ object MLOps {
        |FROM cnt
        |ORDER BY label_index""".stripMargin
 
+  /** q88 — SA3 under the oracle: the stratified 60/20/20 split
+    * (reference `XGBoot.ipynb` cell 10) in its exact-fraction
+    * deterministic form (`Features.hashSplit3` — keyed-md5 rank per
+    * label stratum, floor-arithmetic cut points), summarized one row
+    * per (label, split) with its member count. Certifies exact
+    * per-stratum proportions, disjoint-exhaustive assignment, and
+    * cross-engine determinism — the three properties the native
+    * `sampleBy` path (SamplingSpec) cannot put under an oracle. */
+  def split3Sizes(s: SparkSession, dir: String): DataFrame = {
+    val labeled = LogOps.eventPivot(s, dir).withColumn("label", anomalyLabel)
+    Features.hashSplit3(labeled, "label", "user_id", "split3")
+      .groupBy(col("label"), col("split"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("label", "split")
+  }
+
+  val split3SizesSql: String =
+    s"""WITH $featCte,
+       |lab AS (SELECT user_id, $labelSqlExpr AS label FROM feat),
+       |ranked AS (
+       |  SELECT label,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY ('0x' || substr(md5('split3' || user_id::VARCHAR), 1, 15))::BIGINT ASC,
+       |        user_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY label) AS cnt
+       |  FROM lab)
+       |SELECT label,
+       |  CASE WHEN rn <= floor(0.6 * cnt) THEN 'train'
+       |       WHEN rn <= floor(0.8 * cnt) THEN 'valid'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_rows
+       |FROM ranked
+       |GROUP BY label, split
+       |ORDER BY label, split""".stripMargin
+
   /** q73 — A11 under the oracle: balanced class weights `N/(K·n)` over
     * the q34 label, derived by `Features.withClassWeights` (the exact
     * code the trainer consumes) and summarized as one row per class

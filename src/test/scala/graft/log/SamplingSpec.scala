@@ -38,6 +38,34 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
       _.select("label_index").distinct().count() shouldBe 5)
   }
 
+  test("SA3 (exact form): hashSplit3 cuts 60/20/20 per stratum, disjoint-exhaustive, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val split = Features.hashSplit3(df, "label_index", "block_id", "s3")
+    // Every input row gets exactly one split label (the column is
+    // total by construction — no anti-joins to disagree).
+    split.count() shouldBe 500
+    split.columns.toSeq shouldBe (df.columns.toSeq :+ "split")
+    // Exact floor-arithmetic sizes inside EVERY stratum: 100 rows →
+    // 60/20/20 exactly, not approximately.
+    val sizes = split.groupBy("label_index", "split").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    (0 until 5).foreach { l =>
+      withClue(s"stratum $l: ") {
+        sizes((l, "train")) shouldBe 60L
+        sizes((l, "valid")) shouldBe 20L
+        sizes((l, "test")) shouldBe 20L
+      }
+    }
+    // Deterministic: re-evaluation assigns every key identically.
+    val again = Features.hashSplit3(df, "label_index", "block_id", "s3")
+    split.join(again.withColumnRenamed("split", "split2"), Seq("block_id"))
+      .filter(col("split") =!= col("split2")).count() shouldBe 0L
+    // A different salt deals a different hand (same sizes).
+    val other = Features.hashSplit3(df, "label_index", "block_id", "s4")
+    split.join(other.withColumnRenamed("split", "split2"), Seq("block_id"))
+      .filter(col("split") =!= col("split2")).count() should be > 0L
+  }
+
   test("SA1 (exact form): hashStratifiedSample takes floor(f*n) per stratum, deterministically") {
     val sampled = Features.hashStratifiedSample(df, "label_index", "block_id", 0.2, "t")
     // 500 rows, 5 strata of 100 → exactly 20 per stratum.
