@@ -148,6 +148,46 @@ object Dedup {
       |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  /** q89 — cross-document repeated shingles: the candidate generator
+    * for EXACT-substring deduplication (the "same span appears in many
+    * documents" detector — boilerplate headers, license blocks,
+    * templated spam — the class of duplication MinHash whole-doc
+    * similarity under-weights because the shared span is a small part
+    * of each doc). Every doc emits its distinct hashed word 3-grams
+    * (the portable md5 shingle kernel q26 certifies); grams held by
+    * ≥ 2 docs surface with their document frequency, top-50 by
+    * (doc_freq DESC, gram ASC — total tie-break).
+    *
+    * Scale shape: the only shuffle moves 8-byte gram hashes with
+    * map-side combine (never text), and the top-k is
+    * TakeOrderedAndProject — per-partition heaps, no global sort. At
+    * 100 TB this is the first pass of suffix-style substring dedup:
+    * flagged grams are the anchor spans a second, targeted pass
+    * expands; the all-pairs alternative is quadratic and never runs. */
+  def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(hashedTriGrams(split(col("text"), " "))).as("gram"))
+      .groupBy(col("gram"))
+      // Distinct-per-doc grams make count(*) the document frequency.
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(50)
+
+  val sharedShinglesSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |      i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT))) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |SELECT gram, count(*) AS n_docs
+      |FROM g
+      |GROUP BY gram
+      |HAVING count(*) >= 2
+      |ORDER BY n_docs DESC, gram ASC
+      |LIMIT 50""".stripMargin
+
   /** Per-doc k=8 MinHash signature over distinct word tokens, using the
     * portable md5-based token hash so the oracle reproduces every bit. */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
