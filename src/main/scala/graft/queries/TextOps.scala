@@ -123,6 +123,49 @@ object TextOps {
       |FROM q
       |ORDER BY doc_id""".stripMargin
 
+  /** q90 — importance (quality-weighted) sampling: each document is
+    * kept with probability equal to its OWN q37 quality score — the
+    * curation stage between hard filters (drop everything below a
+    * cutoff) and uniform sampling (ignore quality entirely), i.e. the
+    * soft mixture every data recipe actually wants: high-quality docs
+    * mostly survive, low-quality docs mostly don't, nothing is
+    * cliff-edged.
+    *
+    * Per-row Bernoulli with a per-row probability, made deterministic
+    * and cross-engine exact: keep iff keyed-md5-60(doc_id) <
+    * floor(p · 2⁶⁰). The hash is uniform on [0, 2⁶⁰); p is the
+    * 6-decimal-rounded score both engines already compute
+    * bit-identically (q37); 2⁶⁰ is exactly representable, so the
+    * multiply-and-floor is the same IEEE operation in both engines
+    * and the long comparison can never straddle a ulp. Map-only —
+    * no shuffle at all — rerun-stable and backfill-safe, the same
+    * properties as every other sampling stage in the engine. */
+  def importanceSample(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.PortableHash.keyedHash60(col("doc_id"), "iw")
+    qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .filter(h < floor(col("quality_score") * lit(1.152921504606846976e18))
+        .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val importanceSampleSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |    CAST(length(text) AS DOUBLE) AS chars
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    floor(((nd / n) * 0.5 + least((chars - (n - 1)) / n / 10.0, 1.0) * 0.3
+      |      + least(n / 100.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality_score
+      |  FROM q)
+      |SELECT doc_id, quality_score FROM s
+      |WHERE ('0x' || substr(md5('iw' || doc_id::VARCHAR), 1, 15))::BIGINT
+      |      < CAST(floor(quality_score * 1152921504606846976.0) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- q38: token counting (whitespace + BPE-ish regex) --------------
 
   /** Whitespace tokens vs a BPE-ish regex segmentation (letter runs,
