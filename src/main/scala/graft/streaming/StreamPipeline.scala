@@ -110,6 +110,33 @@ object StreamPipeline {
         col("kll_value"), col("hll_users"))
   }
 
+  /** Product wiring for the sketch-columned metrics path: stream →
+    * `metrics1mSketched` (update mode — windows re-emit as late rows
+    * arrive) → keyed upsert into the serving store on the minute key
+    * (last write per window wins, replay-guarded by the batch-id
+    * high-water mark). The stored table is then `rollupSketches`-able
+    * at any granularity without touching raw data. Same contract as
+    * `run` (the scored-events pipeline); SketchServingSpec drives
+    * this exact entry end-to-end against an exact recompute. */
+  def runMetricsSketched(
+      events: DataFrame,
+      tsCol: String,
+      isErr: Column,
+      valueCol: String,
+      userCol: String,
+      storePath: String,
+      checkpointDir: String,
+      watermark: String = "5 minutes"): StreamingQuery =
+    metrics1mSketched(events, tsCol, isErr, valueCol, userCol, watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ServingStore.upsert(batch, storePath, "minute_start_ms", batchId)
+        ()
+      }
+      .start()
+
   /** Reaggregate stored `metrics1mSketched` rows into coarser buckets
     * by SKETCH MERGE — no rescan of raw data: counts add, KLL blobs
     * union into `p95_est` (rank-error-bounded, certified by

@@ -43,18 +43,12 @@ class SketchServingSpec extends AnyFunSuite with Matchers with SparkFixture {
 
     val store = Files.createTempDirectory("graft-sketch-store").toString
     val input = MemoryStream[(String, String, Double, Boolean)]
-    val metrics = StreamPipeline.metrics1mSketched(
+    // The PRODUCT entry, not hand-rolled wiring: stream → sketched
+    // 1-min metrics → keyed serving-store upsert.
+    val query = StreamPipeline.runMetricsSketched(
       typed(input.toDF()), "ts", col("is_err"), "value", "user_id",
+      store, Files.createTempDirectory("graft-sketch-ckpt").toString,
       watermark = "1 day")
-    val query = metrics.writeStream
-      .outputMode("update")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-sketch-ckpt").toString)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        ServingStore.upsert(batch, store, "minute_start_ms", batchId)
-        ()
-      }
-      .start()
     try {
       // Three micro-batches that INTERLEAVE minutes, so most windows
       // are updated across batches — the upsert must replace stale
