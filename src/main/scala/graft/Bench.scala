@@ -214,7 +214,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val taskTime = new TaskTimeListener
     spark.sparkContext.addSparkListener(taskTime)
-    // The three documented bounded global windows (MLOps distinct-
+    // The four documented bounded global windows (MLOps distinct-
     // threshold ranking, Relational daily running revenue, Features
     // K-class counts) fire WindowExec's "No Partition Defined" warning
     // on every rep — hundreds of identical lines drowning real

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -149,6 +150,64 @@ object LogOps {
       | round(quantile_cont(value, 0.95), 6) AS p95_1m
       |FROM events
       |GROUP BY 1
+      |ORDER BY minute_start_ms""".stripMargin
+
+  /** q91 — metric anomaly detection over the 1-minute event counts:
+    * flag minutes whose count deviates from the trailing 60-minute
+    * window by more than 3 standard deviations — the dashboard alarm
+    * the reference's anomaly product aspires to, expressed so it is
+    * EXACT in both engines. The z-score test is rewritten in pure
+    * integer arithmetic: with n prior counts, Σx and Σx² (exact BIGINT
+    * sums), `|x − μ| > 3σ` ⟺ `(n·x − Σx)² > 9·(n·Σx² − (Σx)²)·n`
+    * — no float mean, no float variance, no summation-order drift, no
+    * sqrt; the comparison cannot differ by a ulp because there are no
+    * ulps. Only full 60-minute windows are scored (no warm-up
+    * partials). At 100 TB the counts frame is already minute-grained
+    * (O(minutes) rows), so the window pass is trivially cheap; with
+    * counts beyond ~10⁶/min the same identity runs in DECIMAL.
+    *
+    * One aggregation (minute counts) + one ordered window over the
+    * minute frame — two shuffles of minute-cardinality rows. */
+  def metricAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(s, dir)
+      .groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(60000L))).as("minute_start_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val trailing = Window.orderBy(col("minute_start_ms"))
+      .rowsBetween(-60, -1)
+    val scored = perMin.select(
+      col("minute_start_ms"), col("cnt"),
+      count(col("cnt")).over(trailing).as("n_win"),
+      sum(col("cnt")).over(trailing).as("sx"),
+      sum(col("cnt") * col("cnt")).over(trailing).as("sxx"))
+    scored
+      .filter(col("n_win") === 60)
+      .filter({
+        val dev = col("n_win") * col("cnt") - col("sx")
+        dev * dev > lit(9L) * (col("n_win") * col("sxx") - col("sx") * col("sx")) *
+          col("n_win")
+      })
+      .select(col("minute_start_ms"), col("cnt"), col("sx").as("sum_prev_60"))
+      .orderBy("minute_start_ms")
+  }
+
+  val metricAnomaliesSql: String =
+    """WITH m AS (
+      |  SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_start_ms,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT minute_start_ms, cnt,
+      |    count(cnt) OVER tw AS n_win,
+      |    CAST(sum(cnt) OVER tw AS BIGINT) AS sx,
+      |    CAST(sum(cnt * cnt) OVER tw AS BIGINT) AS sxx
+      |  FROM m
+      |  WINDOW tw AS (ORDER BY minute_start_ms
+      |                ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+      |SELECT minute_start_ms, cnt, sx AS sum_prev_60
+      |FROM w
+      |WHERE n_win = 60
+      |  AND (n_win * cnt - sx) * (n_win * cnt - sx)
+      |      > 9 * (n_win * sxx - sx * sx) * n_win
       |ORDER BY minute_start_ms""".stripMargin
 
   /** q84 — ST6's declarative form under the oracle: gap-based session
