@@ -216,11 +216,12 @@ object Bench {
     spark.sparkContext.addSparkListener(taskTime)
     // The four documented bounded global windows (MLOps distinct-
     // threshold ranking, Relational daily running revenue, Features
-    // K-class counts) fire WindowExec's "No Partition Defined" warning
-    // on every rep — hundreds of identical lines drowning real
-    // warnings in the bench tail. All three are provably bounded
-    // (distinct thresholds / days / classes; shapes pinned by
-    // PlanShapeSpec), so the BENCH pins that one logger to ERROR.
+    // K-class counts, LogOps trailing minute-count stats) fire
+    // WindowExec's "No Partition Defined" warning on every rep —
+    // hundreds of identical lines drowning real warnings in the bench
+    // tail. All four are provably bounded (distinct thresholds / days
+    // / classes / minutes; shapes pinned by PlanShapeSpec), so the
+    // BENCH pins that one logger to ERROR.
     // `sbt test` keeps it at WARN, so an accidentally-unbounded new
     // global window still surfaces there.
     org.apache.logging.log4j.core.config.Configurator.setLevel(

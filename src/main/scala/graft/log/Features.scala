@@ -122,7 +122,14 @@ object Features {
     * assignment is a pure function of (salt, key) — rerun-stable and
     * backfill-safe — and the three splits are disjoint-exhaustive by
     * construction (one CASE over one rank, no anti-joins). Cost: one
-    * stratum-keyed shuffle, rank window streaming with O(1) state. */
+    * stratum-keyed shuffle, rank window streaming with O(1) state.
+    *
+    * PRECONDITION: `keyCol` must be unique per row — it IS the
+    * identity the assignment is a function of. Duplicate keys tie on
+    * the full (hash, key) sort key, so their relative rank is
+    * engine-arbitrary and a floor cut falling between them would
+    * assign the duplicates nondeterministically. Callers with
+    * non-unique business keys should pass a composite key column. */
   def hashSplit3(df: DataFrame, stratumCol: String, keyCol: String,
       salt: String, splitCol: String = "split"): DataFrame = {
     def fresh(base: String): String =

@@ -158,10 +158,12 @@ object LogOps {
     * the reference's anomaly product aspires to, expressed so it is
     * EXACT in both engines. The z-score test is rewritten in pure
     * integer arithmetic: with n prior counts, Σx and Σx² (exact BIGINT
-    * sums), `|x − μ| > 3σ` ⟺ `(n·x − Σx)² > 9·(n·Σx² − (Σx)²)·n`
-    * — no float mean, no float variance, no summation-order drift, no
-    * sqrt; the comparison cannot differ by a ulp because there are no
-    * ulps. Only full 60-minute windows are scored (no warm-up
+    * sums), population σ² = (n·Σx² − (Σx)²)/n², so
+    * `|x − μ| > 3σ` ⟺ `(n·x − Σx)² > 9·(n·Σx² − (Σx)²)`
+    * (both sides scaled by n²) — no float mean, no float variance, no
+    * summation-order drift, no sqrt; the comparison cannot differ by
+    * a ulp because there are no ulps. Only full 60-minute windows are
+    * scored (no warm-up
     * partials). At 100 TB the counts frame is already minute-grained
     * (O(minutes) rows), so the window pass is trivially cheap; with
     * counts beyond ~10⁶/min the same identity runs in DECIMAL.
@@ -183,8 +185,7 @@ object LogOps {
       .filter(col("n_win") === 60)
       .filter({
         val dev = col("n_win") * col("cnt") - col("sx")
-        dev * dev > lit(9L) * (col("n_win") * col("sxx") - col("sx") * col("sx")) *
-          col("n_win")
+        dev * dev > lit(9L) * (col("n_win") * col("sxx") - col("sx") * col("sx"))
       })
       .select(col("minute_start_ms"), col("cnt"), col("sx").as("sum_prev_60"))
       .orderBy("minute_start_ms")
@@ -207,7 +208,7 @@ object LogOps {
       |FROM w
       |WHERE n_win = 60
       |  AND (n_win * cnt - sx) * (n_win * cnt - sx)
-      |      > 9 * (n_win * sxx - sx * sx) * n_win
+      |      > 9 * (n_win * sxx - sx * sx)
       |ORDER BY minute_start_ms""".stripMargin
 
   /** q84 — ST6's declarative form under the oracle: gap-based session

@@ -108,20 +108,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val qualityScoreSql: String =
-    """WITH q AS (
+  // SQL fragments shared by the q37 and q90 oracles so the score
+  // formula cannot drift between them (their Spark sides already
+  // share qualityScore()).
+  private val qualityCteSql: String =
+    """q AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
       |    CAST(length(text) AS DOUBLE) AS chars
-      |  FROM documents)
-      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-      | floor((nd / n) * 1e6 + 0.5) / 1e6 AS ttr,
-      | floor(((chars - (n - 1)) / n) * 1e6 + 0.5) / 1e6 AS avg_token_len,
-      | floor(((nd / n) * 0.5 + least((chars - (n - 1)) / n / 10.0, 1.0) * 0.3
-      |   + least(n / 100.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality_score
-      |FROM q
-      |ORDER BY doc_id""".stripMargin
+      |  FROM documents)""".stripMargin
+
+  private val qualityScoreExprSql: String =
+    "floor(((nd / n) * 0.5 + least((chars - (n - 1)) / n / 10.0, 1.0) * 0.3" +
+      " + least(n / 100.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6"
+
+  val qualityScoreSql: String =
+    s"""WITH $qualityCteSql
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       | floor((nd / n) * 1e6 + 0.5) / 1e6 AS ttr,
+       | floor(((chars - (n - 1)) / n) * 1e6 + 0.5) / 1e6 AS avg_token_len,
+       | $qualityScoreExprSql AS quality_score
+       |FROM q
+       |ORDER BY doc_id""".stripMargin
 
   /** q90 — importance (quality-weighted) sampling: each document is
     * kept with probability equal to its OWN q37 quality score — the
@@ -150,21 +159,14 @@ object TextOps {
   }
 
   val importanceSampleSql: String =
-    """WITH q AS (
-      |  SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
-      |    CAST(length(text) AS DOUBLE) AS chars
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id,
-      |    floor(((nd / n) * 0.5 + least((chars - (n - 1)) / n / 10.0, 1.0) * 0.3
-      |      + least(n / 100.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality_score
-      |  FROM q)
-      |SELECT doc_id, quality_score FROM s
-      |WHERE ('0x' || substr(md5('iw' || doc_id::VARCHAR), 1, 15))::BIGINT
-      |      < CAST(floor(quality_score * 1152921504606846976.0) AS BIGINT)
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH $qualityCteSql,
+       |s AS (
+       |  SELECT doc_id, $qualityScoreExprSql AS quality_score
+       |  FROM q)
+       |SELECT doc_id, quality_score FROM s
+       |WHERE ('0x' || substr(md5('iw' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      < CAST(floor(quality_score * 1152921504606846976.0) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- q38: token counting (whitespace + BPE-ish regex) --------------
 

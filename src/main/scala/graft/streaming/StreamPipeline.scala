@@ -103,7 +103,7 @@ object StreamPipeline {
         count(lit(1)).as("cnt_1m"),
         sum(isErr.cast("long")).as("err_1m"),
         round(percentile(col(valueCol), lit(0.95)), 6).as("p95_1m"),
-        expr(s"graft_kll_agg(CAST($valueCol AS DOUBLE))").as("kll_value"),
+        expr(s"graft_kll_agg(CAST(`$valueCol` AS DOUBLE))").as("kll_value"),
         hll_sketch_agg(col(userCol)).as("hll_users"))
       .select(unix_millis(col("w.start")).as("minute_start_ms"),
         col("cnt_1m"), col("err_1m"), col("p95_1m"),
