@@ -299,23 +299,86 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The q49 connected-components CTE chain (band roots → symmetric
+    * edges → recursive reachability → min-label components), shared
+    * by the q49 and q92 oracles so the clustering definition cannot
+    * drift between them. Expects `bands` in scope. */
+  private val ccCompCteSql: String =
+    """roots AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_hash) AS root
+      |  FROM bands),
+      |e0 AS (
+      |  SELECT DISTINCT doc_id AS src, root AS dst FROM roots WHERE doc_id <> root),
+      |edges AS (
+      |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val dupClustersSql: String =
     s"""WITH RECURSIVE $bandsCteSql,
-       |roots AS (
-       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_hash) AS root
-       |  FROM bands),
-       |e0 AS (
-       |  SELECT DISTINCT doc_id AS src, root AS dst FROM roots WHERE doc_id <> root),
-       |edges AS (
-       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |$ccCompCteSql
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS n_cluster
        |FROM comp
+       |ORDER BY doc_id""".stripMargin
+
+  /** q92 — the ACTIONABLE end of the dedup chain: candidates (q28
+    * bands) → clusters (q49 components) → THIS, the purge list. Per
+    * cluster the canonical survivor is the highest-quality member
+    * (q37 score, 6-dp-rounded so cross-engine exact; ties broken by
+    * min doc_id — a total order), and every other member is emitted
+    * as (doc_id, cluster_id, kept_doc) — exactly the delete set a
+    * curation pipeline applies, with the provenance a data audit
+    * needs (which doc shadowed it). Singleton docs (no candidate
+    * edge) never appear: they survive trivially.
+    *
+    * Plan: the component frame (already O(candidate docs), not
+    * O(corpus)) joins quality scores on doc_id, then ONE window pass
+    * per cluster computes rank and keeper together (`first_value`
+    * over the same ordering — no keeper self-join). */
+  def dedupPurge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    val roots = bandFrame(s, dir)
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
+    val edges = roots.filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("src"), col("root").as("dst"))
+      .distinct()
+    val comp = graft.operators.ConnectedComponents.run(edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val quality = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    comp.join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        row_number().over(byQuality).as("rk"),
+        first(col("doc_id")).over(
+          byQuality.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("kept_doc"))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), col("cluster_id"), col("kept_doc"))
+      .orderBy("doc_id")
+  }
+
+  val dedupPurgeSql: String =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |$ccCompCteSql,
+       |${TextOps.qualityCteSql},
+       |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q),
+       |r AS (
+       |  SELECT c.doc_id, c.cluster_id,
+       |    row_number() OVER win AS rk,
+       |    first_value(c.doc_id) OVER win AS kept_doc
+       |  FROM comp c JOIN sc USING (doc_id)
+       |  WINDOW win AS (PARTITION BY c.cluster_id
+       |                 ORDER BY sc.quality_score DESC, c.doc_id ASC))
+       |SELECT doc_id, cluster_id, kept_doc
+       |FROM r
+       |WHERE rk > 1
        |ORDER BY doc_id""".stripMargin
 }

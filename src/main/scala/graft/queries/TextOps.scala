@@ -108,10 +108,10 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  // SQL fragments shared by the q37 and q90 oracles so the score
+  // SQL fragments shared by the q37/q90/q92 oracles so the score
   // formula cannot drift between them (their Spark sides already
   // share qualityScore()).
-  private val qualityCteSql: String =
+  private[queries] val qualityCteSql: String =
     """q AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
@@ -119,7 +119,7 @@ object TextOps {
       |    CAST(length(text) AS DOUBLE) AS chars
       |  FROM documents)""".stripMargin
 
-  private val qualityScoreExprSql: String =
+  private[queries] val qualityScoreExprSql: String =
     "floor(((nd / n) * 0.5 + least((chars - (n - 1)) / n / 10.0, 1.0) * 0.3" +
       " + least(n / 100.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6"
 
