@@ -284,7 +284,13 @@ object Dedup {
     * A and C never share a bucket). Output: every clustered doc with
     * its canonical id (cluster min) and cluster size — at 100 TB,
     * "keep doc_id == cluster_id" IS the dedup retention rule. */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q49/q92 clustering: LSH band roots → candidate edges →
+    * min-label components, one (doc_id, cluster_id) row per doc
+    * incident to a candidate edge. The Scala mirror of `ccCompCteSql`
+    * — factored for the same reason: the clustering definition must
+    * not be able to drift between the cluster query and the purge
+    * query. */
+  private def componentFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("band_hash"))
     val roots = bandFrame(s, dir)
@@ -292,8 +298,13 @@ object Dedup {
     val edges = roots.filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("src"), col("root").as("dst"))
       .distinct()
-    val comp = graft.operators.ConnectedComponents.run(edges)
-    comp.select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    graft.operators.ConnectedComponents.run(edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    componentFrame(s, dir)
       .withColumn("n_cluster",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy("doc_id")
@@ -342,14 +353,7 @@ object Dedup {
     * over the same ordering — no keeper self-join). */
   def dedupPurge(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("band_hash"))
-    val roots = bandFrame(s, dir)
-      .select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
-    val edges = roots.filter(col("doc_id") =!= col("root"))
-      .select(col("doc_id").as("src"), col("root").as("dst"))
-      .distinct()
-    val comp = graft.operators.ConnectedComponents.run(edges)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val comp = componentFrame(s, dir)
     val quality = TextOps.qualityScore(s, dir)
       .select(col("doc_id"), col("quality_score"))
     val byQuality = Window.partitionBy(col("cluster_id"))
