@@ -101,4 +101,66 @@ class SketchServingSpec extends AnyFunSuite with Matchers with SparkFixture {
     again.map(_.getAs[Long]("distinct_users_est")).toSeq shouldBe
       hourly.map(_.getAs[Long]("distinct_users_est")).toSeq
   }
+
+  test("sketch aggregation state survives a checkpoint restart (no loss, no double-count)") {
+    // The restart property that matters SPECIFICALLY for sketch
+    // columns: windowed aggregation state here includes live
+    // KllSketchAgg buffers, which cross a restart only through the
+    // state store's serialize/deserialize path. Feed half the rows,
+    // kill the query, start a NEW query on the same checkpoint, feed
+    // the rest — per-minute exact counts must equal a one-shot batch
+    // recompute (bit-for-bit: no lost state, no re-applied batch) and
+    // the restart-straddling sketches must still certify their rank
+    // bound.
+    val s = SparkFixture.session
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = (0 until 400).map { i =>
+      (s"2024-02-01 00:${"%02d".format(i % 10)}:30",
+        s"user_${i % 20}", (i % 50) * 1.5, i % 5 == 0)
+    }
+    def typed(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("_1").cast("timestamp").as("ts"), col("_2").as("user_id"),
+      col("_3").as("value"), col("_4").as("is_err"))
+
+    val store = Files.createTempDirectory("graft-sketch-restart-store").toString
+    val ckpt = Files.createTempDirectory("graft-sketch-restart-ckpt").toString
+    val input = MemoryStream[(String, String, Double, Boolean)]
+    def start() = StreamPipeline.runMetricsSketched(
+      typed(input.toDF()), "ts", col("is_err"), "value", "user_id",
+      store, ckpt, watermark = "1 day")
+
+    val q1 = start()
+    try {
+      input.addData(rows.take(200): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(rows.drop(200): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val stored = ServingStore.read(s, store)
+    val want = StreamPipeline.metrics1mSketched(
+        typed(rows.toDF()), "ts", col("is_err"), "value", "user_id")
+      .select(col("minute_start_ms"), col("cnt_1m"), col("err_1m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = stored.select(col("minute_start_ms"), col("cnt_1m"), col("err_1m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe want // exact: every minute straddled the restart
+
+    // The sketches built half-before / half-after the restart still
+    // answer within bound after a merge-only rollup.
+    val rolled = StreamPipeline.rollupSketches(stored).collect()
+    rolled should have length 1
+    val p95 = rolled.head.getAs[Double]("p95_est")
+    val raw = typed(rows.toDF())
+    val n = raw.count().toDouble
+    val below = raw.filter(col("value") <= p95).count().toDouble
+    math.abs(below / n - 0.95) should be <= 3 * Kll.rankError
+    val exactUsers = raw.select(countDistinct(col("user_id"))).head().getLong(0)
+    rolled.head.getAs[Long]("distinct_users_est").toDouble shouldBe
+      exactUsers.toDouble +- (exactUsers * 0.15)
+  }
 }
