@@ -45,7 +45,11 @@ object Kll {
 
   /** One serialized sketch per partition of `values`. Builds update a
     * heap sketch in place per partition and emit a single ~3 KB blob —
-    * O(rows) updates, O(partitions) output rows, zero shuffle. */
+    * O(rows) updates, O(partitions) output rows, zero shuffle. NULLs
+    * are skipped here; NaNs are ignored by the DataSketches library
+    * itself — so a sketch's n counts non-null, non-NaN values, and
+    * rank certifications must use the same denominator (q81/q82/q83
+    * do). */
   def partitionSketches(values: Dataset[java.lang.Double]): Dataset[Array[Byte]] =
     values.mapPartitions { it =>
       val sk = KllDoublesSketch.newHeapInstance(K)
@@ -117,8 +121,10 @@ case class KllSketchAgg(
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(Kll.K)
 
-  /** NULLs are skipped, matching `Kll.partitionSketches` — sketch n
-    * counts non-null values only (the q81/q82 denominator contract). */
+  /** NULLs are skipped, matching `Kll.partitionSketches`; NaNs pass
+    * through but the DataSketches library ignores them — sketch n
+    * counts non-null, non-NaN values only (the q81/q82/q83
+    * denominator contract). */
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
     if (v != null) buf.update(v.asInstanceOf[Double])

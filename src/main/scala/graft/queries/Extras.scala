@@ -386,11 +386,15 @@ object Extras {
     // still probabilistic, not a theorem: a red q81/q82 should be
     // re-run once before being read as a regression.
     val eps = 3 * graft.functions.Kll.rankError
-    // Denominator = NON-NULL count: partitionSketches skips nulls, so
-    // ranks are relative to sketched values. events.value is null-free
-    // in the fixtures, but count(value) keeps the certification honest
-    // if that ever changes (the oracle counts the same way).
-    val aggCols = count(col("value")).as("n_total") +:
+    // Denominator = values the sketch actually ingested: the build
+    // skips NULLs (partitionSketches' guard) AND NaNs (the
+    // DataSketches library ignores NaN updates), so the rank
+    // denominator must exclude both or a NaN-bearing column would
+    // bias true ranks low and flip the flags on a correct sketch.
+    // events.value is null- and NaN-free in the fixtures; this keeps
+    // the certification honest if that ever changes (the oracle
+    // counts identically).
+    val aggCols = count(when(!isnan(col("value")), col("value"))).as("n_total") +:
       ranks.map(r => sum(when(col("value") <= col(s"e${(r * 100).toInt}"), 1L)
         .otherwise(0L)).as(s"r${(r * 100).toInt}"))
     val counted = ev.crossJoin(est).agg(aggCols.head, aggCols.tail: _*)
@@ -401,7 +405,7 @@ object Extras {
   }
 
   val kllQuantilesSql: String =
-    """SELECT CAST(count(value) AS BIGINT) AS n_total,
+    """SELECT CAST(count(CASE WHEN NOT isnan(value) THEN value END) AS BIGINT) AS n_total,
       | true AS q25_within_rank_err,
       | true AS q50_within_rank_err,
       | true AS q75_within_rank_err,
@@ -433,7 +437,9 @@ object Extras {
       .select(col("event_type") +: ranks.map(r =>
         expr(s"graft_kll_quantile(sk, ${r}d)").as(s"e${(r * 100).toInt}")): _*)
     val eps = 3 * graft.functions.Kll.rankError
-    val aggCols = count(col("value")).as("n_total") +:
+    // Non-null AND non-NaN, for the same reason as q81: the sketch
+    // ingests neither, so neither may inflate the rank denominator.
+    val aggCols = count(when(!isnan(col("value")), col("value"))).as("n_total") +:
       ranks.map(r => sum(when(col("value") <= col(s"e${(r * 100).toInt}"), 1L)
         .otherwise(0L)).as(s"r${(r * 100).toInt}"))
     ev.join(broadcast(est), Seq("event_type"))
@@ -447,7 +453,8 @@ object Extras {
   }
 
   val kllByGroupSql: String =
-    """SELECT event_type, CAST(count(value) AS BIGINT) AS n_total,
+    """SELECT event_type,
+      | CAST(count(CASE WHEN NOT isnan(value) THEN value END) AS BIGINT) AS n_total,
       | true AS q50_within_rank_err,
       | true AS q95_within_rank_err,
       | true AS q99_within_rank_err
@@ -494,7 +501,9 @@ object Extras {
         count(lit(1)).as("n_rows"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("err_exact"),
-        count(col("value")).as("n_val"),
+        // rank denominator: only values the sketch ingested (no
+        // NULL, no NaN — same contract as q81/q82)
+        count(when(!isnan(col("value")), col("value"))).as("n_val"),
         sum(when(col("value") <= col("p95_est"), 1L).otherwise(0L)).as("r95"),
         count_distinct(col("user_id")).as("users_exact"))
       .select(
