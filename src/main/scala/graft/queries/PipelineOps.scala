@@ -434,6 +434,43 @@ object PipelineOps {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q93 — the token-budget report: whitespace tokens and docs per
+    * (source × train/valid/test split), with the split assigned by the
+    * exact-fraction deterministic `Features.hashSplit3` (stratified by
+    * source, keyed on doc_id). This is the table a data lead reads
+    * before a run — does each split draw the intended share of each
+    * source, and how many tokens does that actually buy — and because
+    * the split is a pure function of (salt, doc_id), the report is
+    * reproducible across reruns, engines and backfills. One
+    * stratum-keyed window shuffle + one 60-row aggregation. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.log.Features.hashSplit3(
+        Tables.documents(s, dir), "source", "doc_id", "budget")
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("source", "split")
+
+  val tokenBudgetSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5('budget' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+      |        doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN rn <= floor(0.6 * cnt) THEN 'train'
+      |       WHEN rn <= floor(0.8 * cnt) THEN 'valid'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+      |FROM ranked
+      |GROUP BY source, split
+      |ORDER BY source, split""".stripMargin
+
   val sourceMixSql: String =
     """WITH t AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
