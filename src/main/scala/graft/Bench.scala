@@ -174,14 +174,67 @@ object Bench {
     * longer" from "the driver scheduled slower": a slow rep with flat
     * task_sec is driver/scheduler latency (the q49 iterative-loop
     * profile); inflated task_sec means the data path itself ran
-    * longer. Listener events post asynchronously, so a rep's last few
-    * task-end events can land in the next rep's delta — millisecond
-    * skew on second-scale reps, self-canceling across reps, and noted
-    * here rather than fought (the bus-flush API is private). */
+    * longer.
+    *
+    * Listener events post asynchronously, and the skew crosses not
+    * just REP but QUERY boundaries: query N's last task-end events
+    * could land in query N+1's delta (ADVICE r9). The bus-flush API
+    * (`listenerBus.waitUntilEmpty`) is private, so `drain()` gets the
+    * same guarantee through the public surface: it submits an empty
+    * one-partition marker job tagged via the job description and
+    * waits for this listener to observe its SparkListenerJobEnd. The
+    * shared listener queue is FIFO and the marker is submitted only
+    * after the measured action has returned, so every task-end the
+    * query produced is processed before the marker's job-end arrives.
+    * Marker-job tasks themselves are excluded from the counter (their
+    * stage ids are recorded at job start, which on the FIFO queue is
+    * always processed before their task-ends). */
   private class TaskTimeListener extends org.apache.spark.scheduler.SparkListener {
     val millis = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val markerStages =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val markerJobs =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    private val pending =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+    private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val desc = if (e.properties == null) null
+        else e.properties.getProperty("spark.job.description")
+      if (desc != null && desc.startsWith("graft-bench-drain-")) {
+        e.stageIds.foreach(id => markerStages.add(id))
+        markerJobs.put(e.jobId, desc); ()
+      }
+    }
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (e.taskInfo != null) { millis.addAndGet(e.taskInfo.duration); () }
+      if (e.taskInfo != null && !markerStages.contains(e.stageId)) {
+        millis.addAndGet(e.taskInfo.duration); ()
+      }
+    override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      val desc = markerJobs.remove(e.jobId)
+      if (desc != null) {
+        val latch = pending.remove(desc)
+        if (latch != null) latch.countDown()
+      }
+    }
+
+    /** Blocks (bounded) until every listener event produced so far has
+      * been processed by THIS listener. Call between the measured
+      * action and reading `millis`. */
+    def drain(sc: org.apache.spark.SparkContext): Unit = {
+      val desc = s"graft-bench-drain-${seq.incrementAndGet()}"
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      pending.put(desc, latch)
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(desc)
+      try sc.parallelize(Seq(1), 1).foreach(_ => ())
+      finally sc.setJobDescription(prev)
+      // 10 s is ~3 orders above an empty local job; on timeout the
+      // delta degrades to the old ± millisecond-skew behavior rather
+      // than hanging the bench.
+      latch.await(10, java.util.concurrent.TimeUnit.SECONDS); ()
+    }
   }
 
   /** Container CPU ceiling as a human-readable string — v1
@@ -292,6 +345,8 @@ object Bench {
     // Warm-up (JIT, codegen caches, parquet footer reads) on sf0.001.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) names.foreach(execute(_, warmDir))
+    // Flush warm-up task-end events so rep 1 of query 1 starts clean.
+    taskTime.drain(spark.sparkContext)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val loads = new scala.collection.mutable.ArrayBuffer[Double]
@@ -315,6 +370,10 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = execute(name, sfDir)
       times(name) += (System.nanoTime() - t0) / 1e9
+      // Drain the listener queue (FIFO marker job) so this rep's
+      // delta contains exactly this rep's task time — no bleed into
+      // the next rep OR the next query. Outside the timed window.
+      taskTime.drain(spark.sparkContext)
       val k1 = taskTime.millis.get()
       val s1 = sysSnap()
       val g1 = gcSnap()

@@ -24,7 +24,9 @@ import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, Kll
   *    hashes (mod p when p > 0);
   *  - `graft_fingerprint(tokens, p)` — rolling polynomial document
   *    fingerprint over token hashes;
-  *  - `graft_tri_grams(words)` — distinct hashed word 3-grams.
+  *  - `graft_tri_grams(words)` — distinct hashed word 3-grams;
+  *  - `graft_bloom_contains(bits, v)` — Bloom-filter probe of a long
+  *    against a foldable serialized filter (`functions.Bloom`).
   * `planes`/`p` must be integer literals (plan-time parameters).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -101,6 +103,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "usage: graft_tri_grams(words)")
         HashedTriGrams(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomContains].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_bloom_contains(bits, v)")
+        graft.functions.BloomContains(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cm_estimate"),

@@ -398,10 +398,21 @@ object Extras {
       ranks.map(r => sum(when(col("value") <= col(s"e${(r * 100).toInt}"), 1L)
         .otherwise(0L)).as(s"r${(r * 100).toInt}"))
     val counted = ev.crossJoin(est).agg(aggCols.head, aggCols.tail: _*)
+    // Empty-ingest totality (ADVICE r9; latent — fixtures are
+    // NaN-free): a slice whose value column is entirely NULL/NaN
+    // yields an EMPTY sketch — graft_kll_quantile returns NULL and
+    // the rank denominator is 0, where the bare ratio would be NULL
+    // (or, under ANSI, a DIVIDE_BY_ZERO error) against the oracle's
+    // hard-coded `true`. An empty ingest is trivially certified
+    // (there is no rank to be wrong about); the `when` guard keeps
+    // the division un-evaluated on that branch, so the contract is
+    // total in both ANSI and legacy modes.
     counted.select(
       col("n_total") +:
-        ranks.map(r => (abs(col(s"r${(r * 100).toInt}") / col("n_total") - lit(r))
-          <= lit(eps)).as(s"q${(r * 100).toInt}_within_rank_err")): _*)
+        ranks.map(r => when(col("n_total") === lit(0L), lit(true))
+          .otherwise(abs(col(s"r${(r * 100).toInt}") / col("n_total") - lit(r))
+            <= lit(eps))
+          .as(s"q${(r * 100).toInt}_within_rank_err")): _*)
   }
 
   val kllQuantilesSql: String =
@@ -446,9 +457,14 @@ object Extras {
       .groupBy(col("event_type"))
       .agg(aggCols.head, aggCols.tail: _*)
       .select(
+        // Same empty-ingest totality as q81: an all-NULL/NaN GROUP has
+        // an empty sketch and a 0 denominator — trivially certified,
+        // never NULL or a division error (ADVICE r9).
         col("event_type") +: col("n_total") +:
-          ranks.map(r => (abs(col(s"r${(r * 100).toInt}") / col("n_total") - lit(r))
-            <= lit(eps)).as(s"q${(r * 100).toInt}_within_rank_err")): _*)
+          ranks.map(r => when(col("n_total") === lit(0L), lit(true))
+            .otherwise(abs(col(s"r${(r * 100).toInt}") / col("n_total") - lit(r))
+              <= lit(eps))
+            .as(s"q${(r * 100).toInt}_within_rank_err")): _*)
       .orderBy("event_type")
   }
 
@@ -510,10 +526,18 @@ object Extras {
         col("bucket_start_ms"), col("cnt"), col("err"),
         (col("cnt") === col("n_rows") && col("err") === col("err_exact"))
           .as("counts_match"),
-        (abs(col("r95") / col("n_val") - lit(0.95)) <=
-          lit(eps) + lit(1.0) / col("n_val")).as("p95_within_rank_err"),
-        (abs(col("distinct_users_est").cast("double") - col("users_exact")) <=
-          lit(0.15) * col("users_exact")).as("users_within_bound"))
+        // Empty-ingest totality (ADVICE r9, same as q81/q82): an hour
+        // whose values are all NULL/NaN (or users all NULL) has an
+        // empty sketch and a NULL estimate — trivially certified; the
+        // `when` guard keeps the 0-denominator division un-evaluated
+        // (ANSI DIVIDE_BY_ZERO) on that branch.
+        when(col("n_val") === lit(0L), lit(true))
+          .otherwise(abs(col("r95") / col("n_val") - lit(0.95)) <=
+            lit(eps) + lit(1.0) / col("n_val")).as("p95_within_rank_err"),
+        when(col("users_exact") === lit(0L), lit(true))
+          .otherwise(
+            abs(col("distinct_users_est").cast("double") - col("users_exact")) <=
+              lit(0.15) * col("users_exact")).as("users_within_bound"))
       .orderBy("bucket_start_ms")
   }
 

@@ -163,10 +163,22 @@ object LogOps {
     * (both sides scaled by n²) — no float mean, no float variance, no
     * summation-order drift, no sqrt; the comparison cannot differ by
     * a ulp because there are no ulps. Only full 60-minute windows are
-    * scored (no warm-up
-    * partials). At 100 TB the counts frame is already minute-grained
-    * (O(minutes) rows), so the window pass is trivially cheap; with
-    * counts beyond ~10⁶/min the same identity runs in DECIMAL.
+    * scored (no warm-up partials). At 100 TB the counts frame is
+    * already minute-grained (O(minutes) rows), so the window pass is
+    * trivially cheap.
+    *
+    * Overflow posture: every term of the identity runs in
+    * DECIMAL(38,0) — `cnt²` is cast BEFORE squaring, so no
+    * intermediate ever computes in Long. Exact up to per-minute
+    * counts of ~10¹⁷ (dev ≤ 61·max ⇒ dev² < 10³⁸, the decimal cap;
+    * the output Long Σx hits 2⁶³ at the same order), eleven orders of magnitude above any real event rate; the
+    * DuckDB oracle runs the same arithmetic in HUGEINT (int128,
+    * exact to 1.7·10³⁸), so the engines agree exactly everywhere
+    * below the cap. Beyond it both engines ERROR under their defaults
+    * (Spark 4 ANSI decimal overflow, DuckDB HUGEINT overflow) — loud,
+    * not a silent wrap like the previous all-Long form; under legacy
+    * non-ANSI Spark the row would NULL out instead. The
+    * AnomalyOverflowSpec pins the Long-overflowing region.
     *
     * One aggregation (minute counts) + one ordered window over the
     * minute frame — two shuffles of minute-cardinality rows. */
@@ -174,18 +186,28 @@ object LogOps {
     val perMin = Tables.events(s, dir)
       .groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(60000L))).as("minute_start_ms"))
       .agg(count(lit(1)).as("cnt"))
+    anomalyScore(perMin)
+  }
+
+  /** The 3σ integer-identity test over a (minute_start_ms, cnt) frame —
+    * factored out of q91 so the overflow regression spec can feed it
+    * synthetic counts in the Long-overflowing region. */
+  private[graft] def anomalyScore(perMin: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val trailing = Window.orderBy(col("minute_start_ms"))
       .rowsBetween(-60, -1)
     val scored = perMin.select(
       col("minute_start_ms"), col("cnt"),
       count(col("cnt")).over(trailing).as("n_win"),
       sum(col("cnt")).over(trailing).as("sx"),
-      sum(col("cnt") * col("cnt")).over(trailing).as("sxx"))
+      sum(col("cnt").cast(dec) * col("cnt").cast(dec)).over(trailing).as("sxx"))
     scored
       .filter(col("n_win") === 60)
       .filter({
-        val dev = col("n_win") * col("cnt") - col("sx")
-        dev * dev > lit(9L) * (col("n_win") * col("sxx") - col("sx") * col("sx"))
+        val dev = col("n_win").cast(dec) * col("cnt").cast(dec) - col("sx").cast(dec)
+        dev * dev >
+          lit(9L).cast(dec) * (col("n_win").cast(dec) * col("sxx") -
+            col("sx").cast(dec) * col("sx").cast(dec))
       })
       .select(col("minute_start_ms"), col("cnt"), col("sx").as("sum_prev_60"))
       .orderBy("minute_start_ms")
@@ -197,19 +219,70 @@ object LogOps {
       |    count(*) AS cnt
       |  FROM events GROUP BY 1),
       |w AS (
+      |  -- arithmetic in HUGEINT (int128): exact wherever Spark's
+      |  -- DECIMAL(38,0) form is, no silent wrap (see Scaladoc)
       |  SELECT minute_start_ms, cnt,
       |    count(cnt) OVER tw AS n_win,
-      |    CAST(sum(cnt) OVER tw AS BIGINT) AS sx,
-      |    CAST(sum(cnt * cnt) OVER tw AS BIGINT) AS sxx
+      |    CAST(sum(CAST(cnt AS HUGEINT)) OVER tw AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * cnt) OVER tw AS HUGEINT) AS sxx
       |  FROM m
       |  WINDOW tw AS (ORDER BY minute_start_ms
       |                ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
-      |SELECT minute_start_ms, cnt, sx AS sum_prev_60
+      |SELECT minute_start_ms, cnt, CAST(sx AS BIGINT) AS sum_prev_60
       |FROM w
       |WHERE n_win = 60
-      |  AND (n_win * cnt - sx) * (n_win * cnt - sx)
-      |      > 9 * (n_win * sxx - sx * sx)
+      |  AND (CAST(n_win AS HUGEINT) * cnt - sx) * (CAST(n_win AS HUGEINT) * cnt - sx)
+      |      > 9 * (CAST(n_win AS HUGEINT) * sxx - sx * sx)
       |ORDER BY minute_start_ms""".stripMargin
+
+  /** q96 — cohort retention: users bucketed by first-seen day, then
+    * each (cohort, day-offset) cell counts the cohort members active
+    * that day — the standard product-analytics retention matrix, and
+    * the dashboard aggregate the reference's serving layer would back.
+    *
+    * Exactness: retention is reported in ppm by INTEGER floor division
+    * (`n·10⁶ div size` / DuckDB `//`) — no float ratio to drift a ulp
+    * between engines. Plan: one per-user min (shuffle on user),
+    * one distinct-(user, day) pass reusing the same user-keyed
+    * exchange, one (cohort, offset) count, and the O(days) cohort-size
+    * dim broadcast back — every shuffle carries key-grained rows, and
+    * the matrix itself is O(days²) regardless of corpus size. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val cells = ev.distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val sizes = firstSeen.groupBy(col("cohort_day"))
+      .agg(count_distinct(col("user_id")).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("(n_users * 1000000) div cohort_size").as("retention_ppm"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day
+      |  FROM events WHERE user_id IS NOT NULL),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset
+      |  FROM e JOIN f USING (user_id)),
+      |h AS (
+      |  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM a GROUP BY cohort_day, day_offset),
+      |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM f GROUP BY cohort_day)
+      |SELECT h.cohort_day, h.day_offset, h.n_users, sz.cohort_size,
+      |  (h.n_users * 1000000) // sz.cohort_size AS retention_ppm
+      |FROM h JOIN sz USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
 
   /** q84 — ST6's declarative form under the oracle: gap-based session
     * windows (`StreamOps.gapSessions`, the built-in `session_window`

@@ -171,6 +171,86 @@ object PipelineOps {
        |WHERE d.source != '$EvalSource'
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q94: bloom-filter decontamination — q66's check re-shaped for the
+    * 100 TB corpus: instead of joining every training gram against the
+    * eval gram set, the eval grams (small by nature — benchmarks are)
+    * are folded into a Bloom filter ONCE (distributed treeAggregate
+    * build, `Bloom.buildLong`) and every training gram probes the bits
+    * map-side via the codegen'd `graft_bloom_contains` kernel — the
+    * corpus side needs NO join and NO shuffle of gram traffic at all,
+    * at the price of a one-sided, fpp-bounded error.
+    *
+    * The certificate row pins exactly that contract, in the q63
+    * cross-engine shape (exact counts + booleans, never raw
+    * bloom-dependent numbers):
+    *  - `no_false_negatives`: not one exact-shared gram probed false —
+    *    a THEOREM of the structure, certified per-gram, so the bloom
+    *    path can only ever over-flag, never leak contamination;
+    *  - `fp_docs_within_bound`: spuriously flagged docs ≤ 10. At
+    *    fpp = 1e-6 and ~10² grams/doc the per-doc false-flag
+    *    probability is ~1e-4, so the expected count at this SF is
+    *    ~0.05 and the bound sits hundreds of σ out — deterministic in
+    *    practice while still probing the real bit array.
+    * The exact counts (train docs, distinct eval grams, contaminated
+    * docs) are engine-independent and hash-checked against DuckDB.
+    *
+    * One eval-side count + treeAggregate (both over the tiny slice),
+    * then a single pass over training grams probing the filter, with
+    * the broadcast exact eval-gram set joined ONLY to certify the
+    * bloom answers against truth — the production path drops that
+    * join and keeps just the probe. */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalGrams = docGrams(docs.filter(col("source") === EvalSource), 5)
+      .select(col("g")).distinct()
+    // Driver-side scalars over the EVAL slice only (the premise is
+    // that it is tiny): the distinct-gram count sizes the filter so
+    // the realized fpp matches the requested one.
+    val nEval = evalGrams.count()
+    val bits = graft.functions.Bloom.buildLong(evalGrams, "g", nEval, 1e-6)
+    val train = docs.filter(col("source") =!= EvalSource)
+    val probed = docGrams(train, 5)
+      .join(broadcast(evalGrams.withColumn("exact_hit", lit(1))), Seq("g"), "left")
+      .select(col("doc_id"),
+        call_function("graft_bloom_contains", lit(bits), col("g"))
+          .cast("int").as("bloom_hit"),
+        coalesce(col("exact_hit"), lit(0)).as("exact_hit"))
+    val perDoc = probed.groupBy(col("doc_id")).agg(
+      max(col("bloom_hit")).as("bloom_flag"),
+      max(col("exact_hit")).as("exact_flag"),
+      sum(when(col("exact_hit") === 1 && col("bloom_hit") === 0, 1L)
+        .otherwise(0L)).as("fn_grams"))
+    val cert = perDoc.agg(
+      sum(col("exact_flag").cast("long")).as("n_contaminated"),
+      sum(when(col("bloom_flag") === 1 && col("exact_flag") === 0, 1L)
+        .otherwise(0L)).as("n_fp_docs"),
+      sum(col("fn_grams")).as("fn_total"))
+    train.agg(count(lit(1)).as("n_train_docs"))
+      .crossJoin(cert)
+      .select(
+        col("n_train_docs"),
+        lit(nEval).as("n_eval_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("fn_total"), lit(0L)) === lit(0L))
+          .as("no_false_negatives"),
+        (coalesce(col("n_fp_docs"), lit(0L)) <= lit(10L))
+          .as("fp_docs_within_bound"))
+  }
+
+  val bloomDecontaminateSql: String =
+    s"""${gramCte(5)},
+       |e AS (SELECT DISTINCT g.g FROM g WHERE source = '$EvalSource'),
+       |sh AS (
+       |  SELECT doc_id
+       |  FROM g JOIN e USING (g) WHERE g.source != '$EvalSource'
+       |  GROUP BY doc_id)
+       |SELECT
+       |  (SELECT count(*) FROM documents WHERE source != '$EvalSource') AS n_train_docs,
+       |  (SELECT count(*) FROM e) AS n_eval_grams,
+       |  (SELECT count(*) FROM sh) AS n_contaminated,
+       |  true AS no_false_negatives,
+       |  true AS fp_docs_within_bound""".stripMargin
+
   /** q67: source mixing — rebalance the corpus so every source
     * contributes the same character budget (the domain-weighting pass
     * before packing). Per-source totals reduce to a tiny dimension;
@@ -452,22 +532,33 @@ object PipelineOps {
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .orderBy("source", "split")
 
-  val tokenBudgetSql: String =
-    """WITH ranked AS (
+  /** The `hashSplit3(documents, "source", "doc_id", "budget")` split
+    * as a SQL CTE (yields `sp(doc_id, source, ntok, split)`) — shared
+    * by the q93 and q95 oracles so the split definition cannot drift
+    * between them (their Spark sides already share
+    * `Features.hashSplit3`). */
+  private[queries] val splitCteSql: String =
+    """ranked AS (
       |  SELECT doc_id, source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
       |    row_number() OVER (PARTITION BY source
       |      ORDER BY ('0x' || substr(md5('budget' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
       |        doc_id ASC) AS rn,
       |    count(*) OVER (PARTITION BY source) AS cnt
-      |  FROM documents)
-      |SELECT source,
-      |  CASE WHEN rn <= floor(0.6 * cnt) THEN 'train'
-      |       WHEN rn <= floor(0.8 * cnt) THEN 'valid'
-      |       ELSE 'test' END AS split,
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, source, ntok,
+      |    CASE WHEN rn <= floor(0.6 * cnt) THEN 'train'
+      |         WHEN rn <= floor(0.8 * cnt) THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM ranked)""".stripMargin
+
+  val tokenBudgetSql: String =
+    s"""WITH $splitCteSql
+      |SELECT source, split,
       |  count(*) AS n_docs,
       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
-      |FROM ranked
+      |FROM sp
       |GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 

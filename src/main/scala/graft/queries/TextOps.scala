@@ -168,6 +168,85 @@ object TextOps {
        |      < CAST(floor(quality_score * 1152921504606846976.0) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q95: split drift certification --------------------------------
+
+  /** q95 — quality-drift audit of the train/valid/test split: the q37
+    * quality score histogrammed (10 equal bins on [0,1]) per q93 split,
+    * with a per-bin certification that the three splits draw the SAME
+    * quality distribution. A content-hash split SHOULD be quality-blind
+    * — this query is the audit that proves it, the check a training
+    * run wants before trusting that its validation loss is measured on
+    * the same data distribution it trains on.
+    *
+    * The drift test is exact integer arithmetic in the q91 style — no
+    * float proportions, no epsilon tuning:
+    * `|n_b/N_split − n'_b/N'_split| ≤ 1/10` cross-multiplied to
+    * `|10·(n_b·N' − n'_b·N)| ≤ N·N'`, evaluated in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) so it cannot wrap at any corpus size
+    * below ~10¹⁸ docs. Zero-denominator splits need no guard: N = 0
+    * forces both products to 0 and the inequality holds trivially.
+    *
+    * Shape: the score pass is map-only (q37), the split is one
+    * stratum-keyed window (q88), the histogram one 10-row aggregation,
+    * and the split totals a 1-row frame cross-joined back — nothing
+    * here scales with corpus size past the two passes the inputs
+    * already cost. */
+  def splitDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
+    val splits = graft.log.Features
+      .hashSplit3(Tables.documents(s, dir), "source", "doc_id", "budget")
+      .select(col("doc_id"), col("split"))
+    val hist = scored.join(splits, "doc_id")
+      .withColumn("bin",
+        least(floor(col("quality_score") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val totals = hist.agg(
+      sum(col("n_train")).as("nt"), sum(col("n_valid")).as("nv"),
+      sum(col("n_test")).as("nx"))
+    def driftOk(nb: Column, n2b: Column, nTot: Column, n2Tot: Column): Column =
+      abs(lit(10L).cast(dec) *
+        (nb.cast(dec) * n2Tot.cast(dec) - n2b.cast(dec) * nTot.cast(dec))) <=
+        nTot.cast(dec) * n2Tot.cast(dec)
+    hist.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_train"), col("n_valid"), col("n_test"),
+        driftOk(col("n_train"), col("n_valid"), col("nt"), col("nv"))
+          .as("train_valid_drift_ok"),
+        driftOk(col("n_train"), col("n_test"), col("nt"), col("nx"))
+          .as("train_test_drift_ok"))
+      .orderBy("bin")
+  }
+
+  val splitDriftSql: String =
+    s"""WITH ${PipelineOps.splitCteSql},
+       |$qualityCteSql,
+       |sc AS (SELECT doc_id, $qualityScoreExprSql AS score FROM q),
+       |b AS (
+       |  SELECT least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bin, sp.split
+       |  FROM sp JOIN sc USING (doc_id)),
+       |h AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM b GROUP BY bin),
+       |t AS (
+       |  SELECT CAST(sum(n_train) AS HUGEINT) AS nt,
+       |    CAST(sum(n_valid) AS HUGEINT) AS nv,
+       |    CAST(sum(n_test) AS HUGEINT) AS nx
+       |  FROM h)
+       |SELECT bin, n_train, n_valid, n_test,
+       |  abs(10 * (CAST(n_train AS HUGEINT) * nv - CAST(n_valid AS HUGEINT) * nt))
+       |    <= nt * nv AS train_valid_drift_ok,
+       |  abs(10 * (CAST(n_train AS HUGEINT) * nx - CAST(n_test AS HUGEINT) * nt))
+       |    <= nt * nx AS train_test_drift_ok
+       |FROM h, t
+       |ORDER BY bin""".stripMargin
+
   // ---- q38: token counting (whitespace + BPE-ish regex) --------------
 
   /** Whitespace tokens vs a BPE-ish regex segmentation (letter runs,
@@ -426,4 +505,64 @@ object TextOps {
       |GROUP BY token
       |ORDER BY n DESC, token ASC
       |LIMIT 10""".stripMargin
+
+  /** q97 — q79's frequency contract taken PER GROUP, completing the
+    * per-group sketch surface (q82 did it for quantiles): one
+    * count-min sketch per source, that group's top-5 tokens each
+    * certified against the group's OWN sketch — never-underestimate
+    * (structural) and within eps·N_group. This is the per-tenant
+    * "what's trending" dashboard shape: at 100 TB each source slice
+    * keeps a ~KB mergeable sketch instead of its token histogram, and
+    * rollups across slices are counter sums (`CountMin.union`), not
+    * rescans.
+    *
+    * Plan: one grouped sketch build (map-side partials) into a
+    * ≤|sources|-row dim, exact per-(source, token) counts + one
+    * ranked window for the candidates, then a broadcast equi-join of
+    * candidates to their group's sketch — the per-row
+    * `graft_cm_estimate` deserialization runs on the ≤5·|sources|-row
+    * reporting frame only (the documented CountMin lookup contract),
+    * never on corpus rows. */
+  def cmHeavyHittersByGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+    val sketches = tokens
+      .groupBy(col("source"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.999d, 42)").as("sk"),
+        count(lit(1)).as("n_group"))
+    val top = tokens
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rk") <= 5)
+      .drop("rk")
+    val est = expr("graft_cm_estimate(sk, token)")
+    top.join(broadcast(sketches), Seq("source"))
+      .select(
+        col("source"), col("token"), col("n"),
+        (est >= col("n")).as("no_underestimate"),
+        (est <= col("n") + ceil(lit(0.001) * col("n_group")).cast("long"))
+          .as("within_eps"))
+      .orderBy(col("source"), col("n").desc, col("token").asc)
+  }
+
+  val cmHeavyHittersByGroupSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS n
+      |  FROM t GROUP BY source, token),
+      |r AS (
+      |  SELECT source, token, n,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n DESC, token ASC) AS rk
+      |  FROM c)
+      |SELECT source, token, n,
+      |  true AS no_underestimate,
+      |  true AS within_eps
+      |FROM r WHERE rk <= 5
+      |ORDER BY source, n DESC, token ASC""".stripMargin
 }

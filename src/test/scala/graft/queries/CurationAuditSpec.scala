@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Structural invariants of the round-10 audit queries (q94–q96)
+  * that the value-hash oracle doesn't state explicitly: the bloom
+  * certificate must agree with the exact q66 path it certifies, the
+  * drift histogram must partition the corpus, and the retention
+  * matrix must be anchored at its cohort sizes. */
+class CurationAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def s = SparkFixture.session
+
+  test("q94 certificate agrees with the exact q66 contamination count") {
+    val cert = PipelineOps.bloomDecontaminate(s, sfDir).head()
+    val exact = PipelineOps.decontaminate(s, sfDir)
+      .filter(org.apache.spark.sql.functions.col("contaminated") === 1).count()
+    cert.getAs[Long]("n_contaminated") shouldBe exact
+    cert.getAs[Boolean]("no_false_negatives") shouldBe true
+    cert.getAs[Boolean]("fp_docs_within_bound") shouldBe true
+    cert.getAs[Long]("n_train_docs") should be > 0L
+  }
+
+  test("q95 histogram partitions the corpus and certifies drift") {
+    import org.apache.spark.sql.functions._
+    val hist = TextOps.splitDrift(s, sfDir)
+    val sums = hist.agg(
+      sum("n_train").as("t"), sum("n_valid").as("v"), sum("n_test").as("x")).head()
+    val total = graft.core.Tables.documents(s, sfDir).count()
+    (sums.getLong(0) + sums.getLong(1) + sums.getLong(2)) shouldBe total
+    hist.collect().foreach { r =>
+      withClue(s"bin ${r.getAs[Long]("bin")}: ") {
+        r.getAs[Boolean]("train_valid_drift_ok") shouldBe true
+        r.getAs[Boolean]("train_test_drift_ok") shouldBe true
+      }
+    }
+  }
+
+  test("q97 per-group heavy hitters: ≤5 rows per source, all flags true") {
+    val rows = TextOps.cmHeavyHittersByGroup(s, sfDir).collect()
+    rows should not be empty
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      withClue(s"source $src: ") { rs.length should be <= 5 }
+    }
+    rows.foreach { r =>
+      r.getAs[Boolean]("no_underestimate") shouldBe true
+      r.getAs[Boolean]("within_eps") shouldBe true
+    }
+  }
+
+  test("q96 retention matrix is anchored at full cohorts on day 0") {
+    val m = LogOps.cohortRetention(s, sfDir).collect()
+    m should not be empty
+    val day0 = m.filter(_.getAs[Long]("day_offset") == 0L)
+    day0 should not be empty
+    // Every cohort member is by construction active on its first day.
+    day0.foreach { r =>
+      r.getAs[Long]("n_users") shouldBe r.getAs[Long]("cohort_size")
+      r.getAs[Long]("retention_ppm") shouldBe 1000000L
+    }
+    // No cell can exceed its cohort.
+    m.foreach { r =>
+      r.getAs[Long]("n_users") should be <= r.getAs[Long]("cohort_size")
+    }
+  }
+}

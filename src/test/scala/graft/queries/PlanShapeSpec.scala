@@ -37,6 +37,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q80_theta_overlap",   // 1-row sketch estimates × 1-row exact flags
     "q81_kll_quantiles",   // 1-row quantile estimates × events rank check
     "q67_source_mix",      // global min-total rate (1 row)
+    "q94_bloom_decontaminate", // 1-row train count × 1-row certificate
+    "q95_split_drift",     // 10-bin histogram × 1-row split totals
     "q71_curation_chain",  // composes q67's rate join
     "q29_cosine_topk",     // broadcast k query vectors × corpus
     "q30_knn_join",        // broadcast probe set × corpus

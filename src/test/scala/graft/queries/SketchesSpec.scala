@@ -231,6 +231,46 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     messages(ex).mkString(" ") should include("depth, width, seed")
   }
 
+  test("q81/q82 certification stays total on all-NaN/all-NULL groups (ADVICE r9)") {
+    // A group whose value column never ingests (all NaN or all NULL)
+    // has an EMPTY sketch: graft_kll_quantile returns NULL and the
+    // rank denominator is 0. The certification booleans must come back
+    // `true` (trivially certified), never NULL — the oracle hard-codes
+    // `true`. Fixtures are NaN-free, so this path only exists here.
+    val s = SparkFixture.session
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kll-degenerate").toString
+    val rows =
+      (1 to 100).map(i => (i.toLong * 1000000L, "a", Some(i.toDouble), i.toLong)) ++
+      (1 to 10).map(i => (i.toLong * 1000000L, "b", Some(Double.NaN), i.toLong)) ++
+      (1 to 10).map(i => (i.toLong * 1000000L, "c", None: Option[Double], i.toLong))
+    rows.toDF("ts", "event_type", "value", "user_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+    val byGroup = Extras.kllByGroup(s, tmp).collect()
+    byGroup.map(_.getString(0)).toSeq shouldBe Seq("a", "b", "c")
+    byGroup.foreach { r =>
+      val n = r.getAs[Long]("n_total")
+      if (r.getString(0) == "a") n shouldBe 100L else n shouldBe 0L
+      Seq("q50", "q95", "q99").foreach { q =>
+        withClue(s"${r.getString(0)}/$q: ") {
+          r.getAs[Boolean](s"${q}_within_rank_err") shouldBe true
+        }
+      }
+    }
+
+    // Global form on an all-degenerate slice: n_total = 0, flags true.
+    val tmpAll = java.nio.file.Files.createTempDirectory("graft-kll-allnan").toString
+    (1 to 10).map(i => (i.toLong * 1000000L, "x", Some(Double.NaN), i.toLong))
+      .toDF("ts", "event_type", "value", "user_id")
+      .write.mode("overwrite").parquet(s"$tmpAll/events.parquet")
+    val global = Extras.kllQuantiles(s, tmpAll).head()
+    global.getAs[Long]("n_total") shouldBe 0L
+    Seq("q25", "q50", "q75", "q95", "q99").foreach { q =>
+      global.getAs[Boolean](s"${q}_within_rank_err") shouldBe true
+    }
+  }
+
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
     val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
     // Oracle-convertible contract: both flags unconditionally true,
