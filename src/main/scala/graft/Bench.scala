@@ -227,13 +227,25 @@ object Bench {
       val latch = new java.util.concurrent.CountDownLatch(1)
       pending.put(desc, latch)
       val prev = sc.getLocalProperty("spark.job.description")
-      sc.setJobDescription(desc)
-      try sc.parallelize(Seq(1), 1).foreach(_ => ())
-      finally sc.setJobDescription(prev)
-      // 10 s is ~3 orders above an empty local job; on timeout the
-      // delta degrades to the old ± millisecond-skew behavior rather
-      // than hanging the bench.
-      latch.await(10, java.util.concurrent.TimeUnit.SECONDS); ()
+      try {
+        sc.setJobDescription(desc)
+        try sc.parallelize(Seq(1), 1).foreach(_ => ())
+        finally sc.setJobDescription(prev)
+        // 10 s is ~3 orders above an empty local job; on timeout the
+        // delta degrades to the old ± millisecond-skew behavior rather
+        // than hanging the bench. (A FAILED marker job still posts its
+        // JobEnd, so the latch releases either way.)
+        latch.await(10, java.util.concurrent.TimeUnit.SECONDS); ()
+      } catch {
+        // A drain failure must degrade attribution, never abort the
+        // bench — measured-query failures are caught in execute(); the
+        // unmeasured marker deserves no stronger blast radius.
+        case scala.util.control.NonFatal(_) => ()
+      } finally {
+        // Reclaim the entry on timeout/failure (countDown'd entries
+        // were already removed by onJobEnd; this is a no-op then).
+        pending.remove(desc); ()
+      }
     }
   }
 

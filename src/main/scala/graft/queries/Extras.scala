@@ -352,6 +352,77 @@ object Extras {
           .as("difference_within_bound"))
   }
 
+  /** q98 — q80's theta set algebra taken to the full PAIR MATRIX, per
+    * group (the q82/q97 per-group move applied to distinct-set
+    * overlap): one theta sketch of the user audience per event_type,
+    * every type pair's intersection/union estimated by SKETCH ALGEBRA
+    * over the |types|-row dim — the audience-overlap dashboard where
+    * at 100 TB each slice keeps a ~KB sketch and the O(types²) matrix
+    * never rescans events. Exact pair counts ride a bounded
+    * per-user self-join (each user contributes ≤ types² pair rows —
+    * calendar-bounded fan-out, the q96 argument), certifying each
+    * pair's estimates within 5% of its exact union size (the correct
+    * theta error model: intersection error scales with the UNION).
+    *
+    * Plan: one grouped sketch build; the pair frame is a
+    * |types|×|types| nested-loop over a 5-row dim (bounded by
+    * construction, whitelisted in PlanShapeSpec); the exact side is
+    * one user-keyed distinct + self-join + pair count; estimates
+    * broadcast back to the ≤ types² certificate rows. */
+  def thetaOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val sk = ev.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+    val pairEst = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        theta_sketch_estimate(theta_intersection(col("a.sk"), col("b.sk")))
+          .as("est_both"),
+        theta_sketch_estimate(theta_union(col("a.sk"), col("b.sk")))
+          .as("est_either"))
+    val userTypes = ev.select(col("user_id"), col("event_type")).distinct()
+    val pairExact = userTypes.as("x")
+      .join(userTypes.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = userTypes.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairExact
+      .join(broadcast(sizes.as("sa")), col("type_a") === col("sa.event_type"))
+      .join(broadcast(sizes.as("sb")), col("type_b") === col("sb.event_type"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (col("sa.n") + col("sb.n") - col("n_both")).as("n_either"))
+      .join(broadcast(pairEst), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_either"),
+        (abs(col("est_both") - col("n_both")) <= lit(0.05) * col("n_either"))
+          .as("intersection_within_bound"),
+        (abs(col("est_either") - col("n_either")) <= lit(0.05) * col("n_either"))
+          .as("union_within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val thetaOverlapMatrixSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM ut x JOIN ut y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY x.event_type, y.event_type),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type)
+      |SELECT p.type_a, p.type_b, p.n_both,
+      |  sa.n + sb.n - p.n_both AS n_either,
+      |  true AS intersection_within_bound,
+      |  true AS union_within_bound
+      |FROM p
+      |JOIN s sa ON p.type_a = sa.event_type
+      |JOIN s sb ON p.type_b = sb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** q81 — mergeable quantiles, completing the sketch trinity
     * (distinct = q63/q80, frequency = q79, quantiles = here). KLL
     * sketches are built per PARTITION of the events value column

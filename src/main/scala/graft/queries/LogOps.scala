@@ -242,23 +242,34 @@ object LogOps {
     *
     * Exactness: retention is reported in ppm by INTEGER floor division
     * (`n·10⁶ div size` / DuckDB `//`) — no float ratio to drift a ulp
-    * between engines. Plan: one per-user min (shuffle on user),
-    * one distinct-(user, day) pass reusing the same user-keyed
-    * exchange, one (cohort, offset) count, and the O(days) cohort-size
-    * dim broadcast back — every shuffle carries key-grained rows, and
-    * the matrix itself is O(days²) regardless of corpus size. */
+    * between engines. Plan: ONE user-keyed aggregation computes each
+    * user's cohort day AND distinct active-day set together (the set
+    * is bounded by the calendar — days per user, not events — so the
+    * buffer is O(observation window) and the join-with-first-seen
+    * formulation's second event-grained exchange disappears);
+    * exploding it yields already-distinct (cohort, offset) rows, so
+    * the matrix is a plain count, and the O(days) cohort-size dim
+    * broadcasts back. The matrix itself is O(days²) regardless of
+    * corpus size. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("user_id").isNotNull)
-      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
-    val firstSeen = ev.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort_day"))
-    val cells = ev.distinct()
-      .join(firstSeen, "user_id")
+      // pmod-floor day bucketing, NOT bare `div`: `div` truncates
+      // toward zero while DuckDB `//` floors, so a pre-epoch (corrupt/
+      // sentinel) timestamp would land in different days per engine.
+      // Subtracting the non-negative pmod first makes the numerator an
+      // exact multiple, so the division IS floor — the q91 posture.
+      .select(col("user_id"),
+        expr("(ts_ms - pmod(ts_ms, 86400000)) div 86400000").as("day"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"),
+        collect_set(col("day")).as("days"))
+    val cells = users
+      .select(col("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
-    val sizes = firstSeen.groupBy(col("cohort_day"))
-      .agg(count_distinct(col("user_id")).as("cohort_size"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = users.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
     cells.join(broadcast(sizes), "cohort_day")
       .select(col("cohort_day"), col("day_offset"), col("n_users"),
         col("cohort_size"),

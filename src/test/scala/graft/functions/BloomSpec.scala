@@ -37,7 +37,7 @@ class BloomSpec extends AnyFunSuite with Matchers with SparkFixture {
     val fp = (0 until 100000).map(i => i.toLong * 7919L + 1L).toDF("v")
       .filter(call_function("graft_bloom_contains", lit(bits), col("v")))
       .count()
-    // Expected 10 at fpp=1e-4; 100 is ~9 sigma out.
+    // Expected 10 at fpp=1e-4 (Poisson sd ≈ √10 ≈ 3.2); 100 is ~28σ out.
     fp.toDouble should be < 100.0
   }
 

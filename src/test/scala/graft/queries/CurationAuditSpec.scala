@@ -5,7 +5,7 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkFixture
 
-/** Structural invariants of the round-10 audit queries (q94–q96)
+/** Structural invariants of the round-10 audit queries (q94–q97)
   * that the value-hash oracle doesn't state explicitly: the bloom
   * certificate must agree with the exact q66 path it certifies, the
   * drift histogram must partition the corpus, and the retention

@@ -271,6 +271,24 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("q98 pair matrix agrees with q80 on the purchase/view pair, all flags true") {
+    val m = Extras.thetaOverlapMatrix(SparkFixture.session, sfDir).collect()
+    m should not be empty
+    m.foreach { r =>
+      withClue(s"${r.getAs[String]("type_a")}/${r.getAs[String]("type_b")}: ") {
+        r.getAs[Boolean]("intersection_within_bound") shouldBe true
+        r.getAs[Boolean]("union_within_bound") shouldBe true
+        r.getAs[Long]("n_both") should be <= r.getAs[Long]("n_either")
+      }
+    }
+    // The (purchase, view) cell must reproduce q80's exact overlap.
+    val pv = m.find(r => r.getAs[String]("type_a") == "purchase" &&
+      r.getAs[String]("type_b") == "view")
+    pv shouldBe defined
+    val q80row = Extras.thetaOverlap(SparkFixture.session, sfDir).head()
+    pv.get.getAs[Long]("n_both") shouldBe q80row.getAs[Long]("n_both")
+  }
+
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
     val row = Extras.sketchUnion(SparkFixture.session, sfDir).head()
     // Oracle-convertible contract: both flags unconditionally true,
