@@ -245,12 +245,15 @@ object LogOps {
     * between engines. Plan: ONE user-keyed aggregation computes each
     * user's cohort day AND distinct active-day set together (the set
     * is bounded by the calendar — days per user, not events — so the
-    * buffer is O(observation window) and the join-with-first-seen
-    * formulation's second event-grained exchange disappears);
-    * exploding it yields already-distinct (cohort, offset) rows, so
-    * the matrix is a plain count, and the O(days) cohort-size dim
-    * broadcasts back. The matrix itself is O(days²) regardless of
-    * corpus size. */
+    * buffer is O(observation window)); exploding it yields
+    * already-distinct (cohort, offset) rows, so the matrix is a plain
+    * count. The cohort SIZE needs no second pass at all: every member
+    * is by definition active on its cohort day, so the day-offset-0
+    * cell already holds it — a window max over the O(days²) matrix
+    * reads it back, keeping the whole query to a single event-grained
+    * exchange (a `sizes = users.groupBy(...)` branch would re-evaluate
+    * the user aggregation — Spark has no common-subplan reuse across
+    * differently-pruned branches, the q64 lesson). */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("user_id").isNotNull)
@@ -268,9 +271,10 @@ object LogOps {
       .select(col("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
-    val sizes = users.groupBy(col("cohort_day"))
-      .agg(count(lit(1)).as("cohort_size"))
-    cells.join(broadcast(sizes), "cohort_day")
+    val byCohort = Window.partitionBy(col("cohort_day"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0L, col("n_users"))).over(byCohort))
       .select(col("cohort_day"), col("day_offset"), col("n_users"),
         col("cohort_size"),
         expr("(n_users * 1000000) div cohort_size").as("retention_ppm"))

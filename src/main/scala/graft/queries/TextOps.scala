@@ -188,10 +188,16 @@ object TextOps {
     *
     * Shape: the score pass is map-only (q37), the split is one
     * stratum-keyed window (q88), the histogram one 10-row aggregation,
-    * and the split totals a 1-row frame cross-joined back — nothing
-    * here scales with corpus size past the two passes the inputs
-    * already cost. */
+    * and the split totals come from a GLOBAL WINDOW over those ≤10
+    * rows (bounded by the bin count — joining the documented bounded
+    * global windows) — a `totals = hist.agg(...)` + crossJoin branch
+    * would re-evaluate the whole corpus pass, since Spark has no
+    * common-subplan reuse across branches (the q64 lesson, confirmed
+    * in this query's probe plan before the rewrite). Nothing here
+    * scales with corpus size past the two passes the inputs already
+    * cost. */
   def splitDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val scored = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
     val splits = graft.log.Features
@@ -205,14 +211,15 @@ object TextOps {
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
-    val totals = hist.agg(
-      sum(col("n_train")).as("nt"), sum(col("n_valid")).as("nv"),
-      sum(col("n_test")).as("nx"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def driftOk(nb: Column, n2b: Column, nTot: Column, n2Tot: Column): Column =
       abs(lit(10L).cast(dec) *
         (nb.cast(dec) * n2Tot.cast(dec) - n2b.cast(dec) * nTot.cast(dec))) <=
         nTot.cast(dec) * n2Tot.cast(dec)
-    hist.crossJoin(broadcast(totals))
+    hist
+      .withColumn("nt", sum(col("n_train")).over(all))
+      .withColumn("nv", sum(col("n_valid")).over(all))
+      .withColumn("nx", sum(col("n_test")).over(all))
       .select(col("bin"), col("n_train"), col("n_valid"), col("n_test"),
         driftOk(col("n_train"), col("n_valid"), col("nt"), col("nv"))
           .as("train_valid_drift_ok"),

@@ -38,7 +38,6 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q81_kll_quantiles",   // 1-row quantile estimates × events rank check
     "q67_source_mix",      // global min-total rate (1 row)
     "q94_bloom_decontaminate", // 1-row train count × 1-row certificate
-    "q95_split_drift",     // 10-bin histogram × 1-row split totals
     "q98_theta_matrix",    // |types|×|types| pair frame over a 5-row dim
     "q71_curation_chain",  // composes q67's rate join
     "q29_cosine_topk",     // broadcast k query vectors × corpus
