@@ -364,36 +364,49 @@ object Extras {
     * pair's estimates within 5% of its exact union size (the correct
     * theta error model: intersection error scales with the UNION).
     *
-    * Plan: one grouped sketch build; the pair frame is a
-    * |types|×|types| nested-loop over a 5-row dim (bounded by
-    * construction, whitelisted in PlanShapeSpec); the exact side is
-    * one user-keyed distinct + self-join + pair count; estimates
-    * broadcast back to the ≤ types² certificate rows. */
+    * Plan (single-branch discipline — Spark has no common-subplan
+    * reuse, so every self-join/branch of an aggregate re-runs its
+    * whole upstream; r10 audit): the sketch side builds ONCE, its
+    * |types| (type, sketch) rows collect into one array row and a
+    * nested-HOF transform emits all ordered pairs from that single
+    * branch — no self-join, no second sketch build. The exact side
+    * carries per-type audience sizes as a window over the distinct
+    * (user, type) frame BEFORE the pair self-join (whose two sides
+    * are the one unavoidable duplicate — each user contributes
+    * ≤ types² pair rows, calendar-bounded fan-out), so no separate
+    * sizes branch rescans events. Estimates broadcast back to the
+    * ≤ types² certificate rows. */
   def thetaOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
-    val sk = ev.groupBy(col("event_type"))
+    val pairEst = ev.groupBy(col("event_type"))
       .agg(theta_sketch_agg(col("user_id")).as("sk"))
-    val pairEst = sk.as("a")
-      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .agg(collect_list(struct(col("event_type"), col("sk"))).as("arr"))
+      .select(explode(expr(
+        """flatten(transform(arr, a ->
+          |  filter(transform(arr, b -> named_struct(
+          |           'ta', a.event_type, 'tb', b.event_type,
+          |           'ska', a.sk, 'skb', b.sk)),
+          |         p -> p.ta < p.tb)))""".stripMargin)).as("p"))
       .select(
-        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
-        theta_sketch_estimate(theta_intersection(col("a.sk"), col("b.sk")))
+        col("p.ta").as("type_a"), col("p.tb").as("type_b"),
+        theta_sketch_estimate(theta_intersection(col("p.ska"), col("p.skb")))
           .as("est_both"),
-        theta_sketch_estimate(theta_union(col("a.sk"), col("b.sk")))
+        theta_sketch_estimate(theta_union(col("p.ska"), col("p.skb")))
           .as("est_either"))
     val userTypes = ev.select(col("user_id"), col("event_type")).distinct()
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
     val pairExact = userTypes.as("x")
       .join(userTypes.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.event_type") < col("y.event_type"))
       .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
-      .agg(count(lit(1)).as("n_both"))
-    val sizes = userTypes.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_both"),
+        first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
     pairExact
-      .join(broadcast(sizes.as("sa")), col("type_a") === col("sa.event_type"))
-      .join(broadcast(sizes.as("sb")), col("type_b") === col("sb.event_type"))
       .select(col("type_a"), col("type_b"), col("n_both"),
-        (col("sa.n") + col("sb.n") - col("n_both")).as("n_either"))
+        (col("na") + col("nb") - col("n_both")).as("n_either"))
       .join(broadcast(pairEst), Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("n_both"), col("n_either"),
         (abs(col("est_both") - col("n_both")) <= lit(0.05) * col("n_either"))

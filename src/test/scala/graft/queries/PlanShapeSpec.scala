@@ -36,10 +36,7 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q79_cm_heavy_hitters", // 1-row merged sketch + 1-row eps bound × top-10
     "q80_theta_overlap",   // 1-row sketch estimates × 1-row exact flags
     "q81_kll_quantiles",   // 1-row quantile estimates × events rank check
-    "q67_source_mix",      // global min-total rate (1 row)
     "q94_bloom_decontaminate", // 1-row train count × 1-row certificate
-    "q98_theta_matrix",    // |types|×|types| pair frame over a 5-row dim
-    "q71_curation_chain",  // composes q67's rate join
     "q29_cosine_topk",     // broadcast k query vectors × corpus
     "q30_knn_join",        // broadcast probe set × corpus
     "q46_ivf_topk")        // broadcast centroid/probe side
