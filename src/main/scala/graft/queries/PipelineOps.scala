@@ -264,14 +264,10 @@ object PipelineOps {
     val totals = docs.groupBy(col("source"))
       .agg(sum(col("n_chars")).as("total_chars"), count(lit(1)).as("n_docs"))
     // Global-window min over the |sources|-row totals frame, NOT a
-    // separate `totals.agg(min)` + crossJoin branch: Spark has no
-    // common-subplan reuse across branches, so the branch form
-    // re-ran the per-source aggregation — one extra full corpus scan
-    // for a 1-row minimum (r10 audit; bounded global window, same
-    // class as q91's trailing stats).
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // separate `totals.agg(min)` + crossJoin branch (which re-ran the
+    // per-source aggregation — see `Windows.all` for the rationale).
     val rated = totals
-      .withColumn("min_total", min(col("total_chars")).over(all))
+      .withColumn("min_total", min(col("total_chars")).over(graft.core.Windows.all))
       .withColumn("rate_scaled",
         col("min_total").cast("double") * 1000000.0 / col("total_chars").cast("double"))
     docs.join(broadcast(rated), "source")

@@ -197,7 +197,6 @@ object TextOps {
     * scales with corpus size past the two passes the inputs already
     * cost. */
   def splitDrift(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val scored = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
     val splits = graft.log.Features
@@ -211,7 +210,7 @@ object TextOps {
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = graft.core.Windows.all
     def driftOk(nb: Column, n2b: Column, nTot: Column, n2Tot: Column): Column =
       abs(lit(10L).cast(dec) *
         (nb.cast(dec) * n2Tot.cast(dec) - n2b.cast(dec) * nTot.cast(dec))) <=
