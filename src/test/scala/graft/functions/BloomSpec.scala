@@ -45,6 +45,27 @@ class BloomSpec extends AnyFunSuite with Matchers with SparkFixture {
     buildOver(1000, 1e-4).toSeq shouldBe buildOver(1000, 1e-4).toSeq
   }
 
+  test("mutation control: corrupting the bit array breaks inserted-value probes") {
+    // Non-vacuity of q94's no_false_negatives certificate: the probe
+    // must actually read the bits. Zeroing a stretch of the serialized
+    // filter's bit array must make at least one inserted value probe
+    // false — if this spec ever passes with an intact filter path that
+    // ignores the bytes, the certificate is decorative.
+    val s = SparkFixture.session
+    import s.implicits._
+    val bits = buildOver(10000, 1e-4)
+    val corrupted = bits.clone()
+    // Leave the header (version/hash-count/word-count ints) intact and
+    // zero a 64-byte stretch of the bit data further in.
+    val from = math.max(16, corrupted.length / 2)
+    (from until math.min(from + 64, corrupted.length))
+      .foreach(i => corrupted(i) = 0)
+    val misses = (0 until 10000).map(i => i.toLong * 7919L).toDF("v")
+      .filter(!call_function("graft_bloom_contains", lit(corrupted), col("v")))
+      .count()
+    misses should be > 0L
+  }
+
   test("null value probes NULL; null bits probe NULL") {
     val s = SparkFixture.session
     import s.implicits._

@@ -31,12 +31,26 @@ class CurationAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
       sum("n_train").as("t"), sum("n_valid").as("v"), sum("n_test").as("x")).head()
     val total = graft.core.Tables.documents(s, sfDir).count()
     (sums.getLong(0) + sums.getLong(1) + sums.getLong(2)) shouldBe total
-    hist.collect().foreach { r =>
+    val rows = hist.collect()
+    rows.foreach { r =>
       withClue(s"bin ${r.getAs[Long]("bin")}: ") {
         r.getAs[Boolean]("train_valid_drift_ok") shouldBe true
         r.getAs[Boolean]("train_test_drift_ok") shouldBe true
       }
     }
+    // Non-vacuity: the 1/10 bound must actually discriminate — the
+    // observed max proportion drift is nonzero, so a sufficiently
+    // tight threshold (1/1000) WOULD fail some bin. Recomputed from
+    // the certified counts in exact BigInt arithmetic (the query's own
+    // inequality at the tighter threshold).
+    val nt = rows.map(_.getAs[Long]("n_train")).sum
+    val nv = rows.map(_.getAs[Long]("n_valid")).sum
+    val tighterFails = rows.exists { r =>
+      val (nb, n2b) = (r.getAs[Long]("n_train"), r.getAs[Long]("n_valid"))
+      (BigInt(1000) * (BigInt(nb) * nv - BigInt(n2b) * nt)).abs >
+        BigInt(nt) * BigInt(nv)
+    }
+    tighterFails shouldBe true
   }
 
   test("q97 per-group heavy hitters: ≤5 rows per source, all flags true") {
