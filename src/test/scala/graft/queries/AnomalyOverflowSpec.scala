@@ -42,4 +42,31 @@ class AnomalyOverflowSpec extends AnyFunSuite with Matchers with SparkFixture {
     out shouldBe expected
     expected should contain(70L * 60000L) // the planted outlier flags
   }
+
+  test("anomaly flags match the BigInt reference on randomized sequences (property)") {
+    // Three seeded regimes sweep the documented domain (per-minute
+    // counts below ~10¹⁷): small counts (the fixtures' regime), the
+    // Long-overflow edge (~3e9 where cnt² wraps), and deep overflow
+    // (10¹⁵, where dev² needs ~34 decimal digits) — each with
+    // occasional large spikes so both flag outcomes occur.
+    import spark.implicits._
+    for ((seed, base) <- Seq((1L, 100L), (2L, 3200000000L), (3L, 1000000000000000L))) {
+      val rnd = new scala.util.Random(seed)
+      val counts: IndexedSeq[(Long, Long)] = (0 until 90).map { i =>
+        val jitter = math.abs(rnd.nextLong() % math.max(base / 100, 10L))
+        val spike = if (rnd.nextInt(10) == 0) math.max(base / 5, 50L) else 0L
+        (i.toLong * 60000L, base + jitter + spike)
+      }
+      val expected = (60 until 90).filter { i =>
+        val win = counts.slice(i - 60, i).map(c => BigInt(c._2))
+        val sx = win.sum
+        val sxx = win.map(x => x * x).sum
+        val dev = BigInt(60) * BigInt(counts(i)._2) - sx
+        dev * dev > BigInt(9) * (BigInt(60) * sxx - sx * sx)
+      }.map(i => counts(i)._1).toSet
+      val out = LogOps.anomalyScore(counts.toDF("minute_start_ms", "cnt"))
+        .collect().map(_.getLong(0)).toSet
+      withClue(s"seed $seed base $base: ") { out shouldBe expected }
+    }
+  }
 }
