@@ -194,7 +194,7 @@ object Bench {
     private val markerStages =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val markerJobs =
-      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Seq[Int])]()
     private val pending =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
     private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -204,7 +204,7 @@ object Bench {
         else e.properties.getProperty("spark.job.description")
       if (desc != null && desc.startsWith("graft-bench-drain-")) {
         e.stageIds.foreach(id => markerStages.add(id))
-        markerJobs.put(e.jobId, desc); ()
+        markerJobs.put(e.jobId, (desc, e.stageIds)); ()
       }
     }
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -212,8 +212,15 @@ object Bench {
         millis.addAndGet(e.taskInfo.duration); ()
       }
     override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-      val desc = markerJobs.remove(e.jobId)
-      if (desc != null) {
+      val entry = markerJobs.remove(e.jobId)
+      if (entry != null) {
+        val (desc, stageIds) = entry
+        // Prune the marker's stage ids: their task-ends (FIFO) were
+        // processed before this job-end, so the filter in onTaskEnd no
+        // longer needs them. Keeps both sets bounded by in-flight
+        // drains instead of growing one stage per drain forever
+        // (ADVICE r10).
+        stageIds.foreach(id => markerStages.remove(id))
         val latch = pending.remove(desc)
         if (latch != null) latch.countDown()
       }
@@ -382,13 +389,18 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = execute(name, sfDir)
       times(name) += (System.nanoTime() - t0) / 1e9
+      // CPU/GC snapshots close BEFORE the drain: only the task-time
+      // counter needs the listener queue flushed, and reading s1/g1
+      // after the marker job would fold the marker's work plus up to
+      // 10 s of drain wait into this rep's steal/GC deltas (ADVICE
+      // r10).
+      val s1 = sysSnap()
+      val g1 = gcSnap()
       // Drain the listener queue (FIFO marker job) so this rep's
       // delta contains exactly this rep's task time — no bleed into
       // the next rep OR the next query. Outside the timed window.
       taskTime.drain(spark.sparkContext)
       val k1 = taskTime.millis.get()
-      val s1 = sysSnap()
-      val g1 = gcSnap()
       steal(name) += (s1.stealJiffies - s0.stealJiffies) / userHz
       thrtl(name) += (s1.throttledNs - s0.throttledNs) / 1e9
       nThr(name)  += s1.nrThrottled - s0.nrThrottled

@@ -366,48 +366,57 @@ object Extras {
     *
     * Plan (single-branch discipline — Spark has no common-subplan
     * reuse, so every self-join/branch of an aggregate re-runs its
-    * whole upstream; r10 audit): the sketch side builds ONCE, its
-    * |types| (type, sketch) rows collect into one array row and a
-    * nested-HOF transform emits all ordered pairs from that single
-    * branch — no self-join, no second sketch build. The exact side
-    * carries per-type audience sizes as a window over the distinct
-    * (user, type) frame BEFORE the pair self-join (whose two sides
-    * are the one unavoidable duplicate — each user contributes
-    * ≤ types² pair rows, calendar-bounded fan-out), so no separate
-    * sizes branch rescans events. Estimates broadcast back to the
-    * ≤ types² certificate rows. */
+    * whole upstream; r10 audit): the sketch side builds ONCE — the
+    * same grouped agg also carries the EXACT per-type audience size
+    * (`countDistinct`, same events scan) — its |types| (type, sketch,
+    * n) rows collect into one array row and a nested-HOF transform
+    * emits all ordered pairs from that single branch: no self-join,
+    * no second sketch build, no separate sizes branch. The exact
+    * side's per-user pair self-join (each user contributes ≤ types²
+    * pair rows, calendar-bounded fan-out — the q96 argument) is the
+    * one unavoidable duplicate; its ≤ types² grouped rows broadcast
+    * back onto the sketch-driven matrix.
+    *
+    * The matrix is DRIVEN from the sketch dim (ADVICE r10): every
+    * ordered type pair gets a row, and pairs with zero shared users
+    * — absent from the exact self-join by construction — coalesce
+    * `n_both` to 0 and are certified too (a disjoint pair's
+    * intersection estimate must sit within the same 5%-of-union
+    * bound; silently dropping them overstated coverage). */
   def thetaOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
     val pairEst = ev.groupBy(col("event_type"))
-      .agg(theta_sketch_agg(col("user_id")).as("sk"))
-      .agg(collect_list(struct(col("event_type"), col("sk"))).as("arr"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n"))
+      .agg(collect_list(struct(col("event_type"), col("sk"), col("n"))).as("arr"))
       .select(explode(expr(
         """flatten(transform(arr, a ->
           |  filter(transform(arr, b -> named_struct(
           |           'ta', a.event_type, 'tb', b.event_type,
-          |           'ska', a.sk, 'skb', b.sk)),
+          |           'ska', a.sk, 'skb', b.sk,
+          |           'na', a.n, 'nb', b.n)),
           |         p -> p.ta < p.tb)))""".stripMargin)).as("p"))
       .select(
         col("p.ta").as("type_a"), col("p.tb").as("type_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"),
         theta_sketch_estimate(theta_intersection(col("p.ska"), col("p.skb")))
           .as("est_both"),
         theta_sketch_estimate(theta_union(col("p.ska"), col("p.skb")))
           .as("est_either"))
     val userTypes = ev.select(col("user_id"), col("event_type")).distinct()
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
     val pairExact = userTypes.as("x")
       .join(userTypes.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.event_type") < col("y.event_type"))
       .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
-      .agg(count(lit(1)).as("n_both"),
-        first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
-    pairExact
-      .select(col("type_a"), col("type_b"), col("n_both"),
-        (col("na") + col("nb") - col("n_both")).as("n_either"))
-      .join(broadcast(pairEst), Seq("type_a", "type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairEst
+      .join(broadcast(pairExact), Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        (col("na") + col("nb") - coalesce(col("n_both"), lit(0L)))
+          .as("n_either"),
+        col("est_both"), col("est_either"))
       .select(col("type_a"), col("type_b"), col("n_both"), col("n_either"),
         (abs(col("est_both") - col("n_both")) <= lit(0.05) * col("n_either"))
           .as("intersection_within_bound"),
@@ -427,13 +436,14 @@ object Extras {
       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
       |  GROUP BY x.event_type, y.event_type),
       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type)
-      |SELECT p.type_a, p.type_b, p.n_both,
-      |  sa.n + sb.n - p.n_both AS n_either,
+      |SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+      |  coalesce(p.n_both, 0) AS n_both,
+      |  sa.n + sb.n - coalesce(p.n_both, 0) AS n_either,
       |  true AS intersection_within_bound,
       |  true AS union_within_bound
-      |FROM p
-      |JOIN s sa ON p.type_a = sa.event_type
-      |JOIN s sb ON p.type_b = sb.event_type
+      |FROM s sa
+      |JOIN s sb ON sa.event_type < sb.event_type
+      |LEFT JOIN p ON p.type_a = sa.event_type AND p.type_b = sb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
   /** q81 — mergeable quantiles, completing the sketch trinity

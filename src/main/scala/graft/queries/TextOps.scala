@@ -473,6 +473,15 @@ object TextOps {
     * row — like q63, only cross-engine-stable facts do, so DuckDB
     * oracles the exact counts and literal `true` flags.
     *
+    * Confidence choice (ADVICE r10): the oracle hard-codes
+    * `within_eps = true`, so the per-probe failure probability delta
+    * must make the UNION over all certified rows negligible — at
+    * confidence 0.999999 (delta 1e-6, sketch depth 20) the aggregate
+    * flip probability across the 10 q79 + 5·|sources| q97 rows is
+    * ≤ 4e-5 per fixture regeneration, vs ~4% at the old 0.999. The
+    * cost is 2× sketch depth (~320 KB per slice), still a mergeable
+    * blob, not a histogram.
+    *
     * Scale: the token stream shuffles once for the exact top-k (the
     * certification side); the sketch side moves only one ~160 KB
     * blob per slice. At 100 TB one keeps ONLY the sketch side —
@@ -483,7 +492,7 @@ object TextOps {
       .select(col("source"), explode(toks(col("text"))).as("token"))
     val sketch = tokens
       .groupBy(col("source"))
-      .agg(expr("count_min_sketch(token, 0.001d, 0.999d, 42)").as("sk"))
+      .agg(expr("count_min_sketch(token, 0.001d, 0.999999d, 42)").as("sk"))
       .agg(graft.functions.CountMin.union(col("sk")).as("sk"))
     val totals = tokens.agg(count(lit(1)).as("n_total"))
     val top = tokens
@@ -535,7 +544,7 @@ object TextOps {
       .select(col("source"), explode(toks(col("text"))).as("token"))
     val sketches = tokens
       .groupBy(col("source"))
-      .agg(expr("count_min_sketch(token, 0.001d, 0.999d, 42)").as("sk"),
+      .agg(expr("count_min_sketch(token, 0.001d, 0.999999d, 42)").as("sk"),
         count(lit(1)).as("n_group"))
     val top = tokens
       .groupBy(col("source"), col("token"))

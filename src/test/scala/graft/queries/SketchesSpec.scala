@@ -287,6 +287,18 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkFixture {
     pv shouldBe defined
     val q80row = Extras.thetaOverlap(SparkFixture.session, sfDir).head()
     pv.get.getAs[Long]("n_both") shouldBe q80row.getAs[Long]("n_both")
+    // Full-matrix coverage (ADVICE r10): every ordered type pair has a
+    // row — zero-overlap pairs included, with n_both coalesced to 0 —
+    // so the "full pair matrix" claim is structural, not data-lucky.
+    val types = graft.core.Tables.events(SparkFixture.session, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val expected = for {
+      a <- types; b <- types if a < b
+    } yield (a, b)
+    m.map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")))
+      .sorted.toSeq shouldBe expected.toSeq
   }
 
   test("q63 sketch-union row certifies itself (merge == global, error bounded)") {
