@@ -77,15 +77,86 @@ object MLOps {
       .orderBy("label_index", "prediction")
   }
 
+  // The sf0.01-trained q34 model, pinned as deployment literals
+  // (provenance + refresh procedure: `tools/DiagLrCoefs` — prints
+  // round-trippable doubles and certifies the refit is bit-
+  // deterministic). Order matches `types`: click, error, purchase,
+  // signup, view. These make the TRAINED decision surface something
+  // DuckDB can evaluate: the oracle scores with these literals, and
+  // the Spark side certifies the freshly-trained model agrees with
+  // them row-for-row (the model-drift audit every deployed scorer
+  // needs — "does what we just trained still match what we shipped?").
+  private[graft] val TrainedWeights = Seq(
+    0.13991356110692343, -0.9054508399705359, 0.26917792149714453,
+    0.17656161618382346, 0.271388933886202)
+  private[graft] val TrainedBias = 0.5123056462772183
+
   /** M1–M6 end to end on the events table: per-user event-count
     * features, a scale-free derived label (error share ≥ 20%), class
     * weights, weighted LR (reference hyperparameters + the certified
     * early-stop tol), and a confusion summary of the threshold-0.83
-    * expression scorer vs the label — grouped small output so the
-    * driver can snapshot it. */
-  def lrAnomaly(s: SparkSession, dir: String): DataFrame = {
+    * decision surface vs the label — grouped small output so the
+    * driver can snapshot it.
+    *
+    * Oracle closure (r10 verdict #2 — this was the registry's last
+    * rows-only query): the confusion matrix is computed from the
+    * PINNED literal export of the trained model (`TrainedWeights`/
+    * `TrainedBias`, q59's exp-free logit-space compare, so both
+    * engines evaluate the identical fixed-order arithmetic), and each
+    * cell carries `trained_matches_pinned` — whether the freshly
+    * RE-TRAINED model's threshold-0.83 decision agreed with the
+    * pinned scorer on every row in the cell. At the pinned snapshot's
+    * scale the flag is provably true (same data → bit-deterministic
+    * refit, `DiagLrCoefs`), so the oracle hard-codes true and any
+    * trainer/dataflow drift that moves a single decision flips the
+    * flag or the counts and fails the gate. At other scales the flag
+    * honestly reports deployment drift (trained-on-X vs shipped
+    * literals) — the production retrain-audit semantics, not a
+    * fixture artifact. */
+  def lrAnomaly(s: SparkSession, dir: String): DataFrame =
+    lrAnomalyWith(s, dir, TrainedWeights, TrainedBias)
+
+  /** q34 with the pinned literals as parameters — the spec's mutation
+    * control trains the same model but pins perturbed literals and
+    * must see the agreement flag flip (proves the certificate is
+    * sensitive, not vacuously true). */
+  private[graft] def lrAnomalyWith(s: SparkSession, dir: String,
+      pinWeights: Seq[Double], pinBias: Double): DataFrame = {
     val (weighted, assembled) = lrFrames(s, dir)
-    lrConfusion(weighted, Pipeline.trainLR(assembled, tol = LrEarlyStopTol))
+    val model = Pipeline.trainLR(assembled, tol = LrEarlyStopTol)
+    val featuresArr = array(types.map(t => col(s"n_$t")): _*)
+    val zPinned = types.zip(pinWeights)
+      .map { case (t, wi) => col(s"n_$t") * lit(wi) }
+      .reduce(_ + _) + lit(pinBias)
+    weighted
+      .withColumn("prediction", (zPinned >= LogitCutoff).cast("int"))
+      .withColumn("pred_trained", Pipeline.toScorer(model).predict(featuresArr))
+      .groupBy(col("label_index"), col("prediction"))
+      .agg(count(lit(1)).as("n"),
+        (sum(when(col("pred_trained") =!= col("prediction"), 1L).otherwise(0L))
+          === 0L).as("trained_matches_pinned"))
+      .orderBy("label_index", "prediction")
+  }
+
+  // lazy: interpolates featCte/labelSqlExpr, which are declared later
+  // in this object — an eager val would capture them as null.
+  lazy val lrAnomalySql: String = {
+    val zExpr = types.zip(TrainedWeights)
+      .map { case (t, wi) => s"n_$t * $wi" }.mkString(" + ") + s" + $TrainedBias"
+    s"""WITH $featCte,
+       |lab AS (SELECT *, $labelSqlExpr AS label FROM feat),
+       |cnt AS (SELECT label, count(*) AS nc FROM lab GROUP BY label),
+       |idx AS (
+       |  SELECT label,
+       |    CAST(row_number() OVER (ORDER BY nc DESC, label) - 1 AS INT) AS label_index
+       |  FROM cnt)
+       |SELECT i.label_index,
+       |  CASE WHEN ($zExpr) >= $LogitCutoff THEN 1 ELSE 0 END AS prediction,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  true AS trained_matches_pinned
+       |FROM lab l JOIN idx i ON l.label = i.label
+       |GROUP BY i.label_index, prediction
+       |ORDER BY label_index, prediction""".stripMargin
   }
 
   /** q59: the M6 scoring surface in oracle-checkable form — a linear
