@@ -36,7 +36,10 @@ object Sinks {
 
   /** S9: JDBC overwrite — the reference's `to_sql(if_exists='replace')`
     * shape. The driver jar for `url` must be on the classpath at
-    * runtime (none is bundled in this container). */
+    * runtime. This container bundles Derby (embedded, in
+    * `/opt/spark/jars`), which the integration gate uses for a live
+    * in-process round-trip; external databases (the reference targets
+    * Postgres) need their driver jar dropped in. */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: Properties = new Properties()): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
