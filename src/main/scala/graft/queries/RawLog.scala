@@ -39,16 +39,22 @@ object RawLog {
   def templatesPath: String = s"$dataDir/HDFS.log_templates.csv"
   def labelsPath: String = s"$dataDir/hdfs_labels.csv"
 
-  private def labels(s: SparkSession): DataFrame =
-    s.read.option("header", "true").csv(labelsPath)
+  private def labels(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").csv(path)
       .select(col("BlockId").as("block_id"), col("Label").as("label"))
 
-  private def parsedBlocks(s: SparkSession): DataFrame =
-    LogParser.withBlock(LogParser.parse(s.read.text(logPath)))
+  private def parsedBlocks(s: SparkSession, path: String): DataFrame =
+    LogParser.withBlock(LogParser.parse(s.read.text(path)))
 
   /** q61: one row per block session, labels joined. */
   def rawLogSessions(s: SparkSession, dir: String): DataFrame =
-    Sessionize.labeled(Sessionize.sessions(parsedBlocks(s)), labels(s))
+    rawLogSessionsAt(s, logPath, labelsPath)
+
+  /** q61's pipeline against arbitrary fixture paths — the same code
+    * object the registry runs, reused by the raw-log SCALE bench
+    * (`Bench`'s rawlog section) on the `MakeBigLogFixture` corpus. */
+  def rawLogSessionsAt(s: SparkSession, log: String, lab: String): DataFrame =
+    Sessionize.labeled(Sessionize.sessions(parsedBlocks(s, log)), labels(s, lab))
       .select(
         col("block_id"),
         date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
@@ -57,11 +63,16 @@ object RawLog {
       .orderBy("block_id")
 
   /** q62: the E1..E29 feature matrix, labels joined. */
-  def rawLogFeatures(s: SparkSession, dir: String): DataFrame = {
+  def rawLogFeatures(s: SparkSession, dir: String): DataFrame =
+    rawLogFeaturesAt(s, logPath, labelsPath)
+
+  /** q62's pipeline against arbitrary fixture paths (see
+    * [[rawLogSessionsAt]]). */
+  def rawLogFeaturesAt(s: SparkSession, log: String, lab: String): DataFrame = {
     val templates = Templates.load(s, templatesPath)
-    val tagged = Templates.tag(parsedBlocks(s), templates)
+    val tagged = Templates.tag(parsedBlocks(s, log), templates)
     Features.joinLabels(
-        Features.eventCounts(tagged, templates.map(_.id)), labels(s))
+        Features.eventCounts(tagged, templates.map(_.id)), labels(s, lab))
       .orderBy("block_id")
   }
 

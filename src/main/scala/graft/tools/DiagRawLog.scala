@@ -31,10 +31,14 @@ object DiagRawLog {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Optional scale mode: args = <logDir> <labelsDir> runs the same
+    // decomposition against a MakeBigLogFixture corpus.
+    val logPath = if (args.nonEmpty) args(0) else RawLog.logPath
+    val labPath = if (args.length > 1) args(1) else RawLog.labelsPath
     val templates = Templates.load(spark, RawLog.templatesPath)
     (1 to 2).foreach { rep =>
       println(s"--- rep $rep ---")
-      val raw = spark.read.text(RawLog.logPath)
+      val raw = spark.read.text(logPath)
       t("scan")(noop(raw))
       val parsed = LogParser.withBlock(LogParser.parse(raw))
       t("parse")(noop(parsed))
@@ -45,7 +49,8 @@ object DiagRawLog {
       t("longagg")(noop(long))
       val feat = Features.eventCounts(tagged, templates.map(_.id))
       t("features")(noop(feat))
-      t("full_q62")(noop(RawLog.rawLogFeatures(spark, "")))
+      t("full_q61")(noop(RawLog.rawLogSessionsAt(spark, logPath, labPath)))
+      t("full_q62")(noop(RawLog.rawLogFeaturesAt(spark, logPath, labPath)))
     }
     spark.stop()
   }

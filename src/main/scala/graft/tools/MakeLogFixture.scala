@@ -17,7 +17,11 @@ import scala.util.Random
   * approach, widened to all 29 templates). Ambiguous messages (one
   * message matching several templates) are fine: both engines run the
   * identical first-match-in-file-order semantics, so they agree by
-  * construction. Seeded RNG → re-running reproduces the same bytes.
+  * construction. Seeded RNG → re-running reproduces the same bytes
+  * (the line shapes live in `LogSynth`, shared with the scale
+  * generator `MakeBigLogFixture`; the extraction preserved this
+  * file's exact draw sequence — regen-diffed against the committed
+  * bytes).
   *
   * Run once: `sbt "runMain graft.tools.MakeLogFixture"`; the outputs
   * are committed so the driver never depends on this tool.
@@ -32,62 +36,10 @@ object MakeLogFixture {
     val templates = Files.readAllLines(
         dataDir.resolve("HDFS.log_templates.csv")).size() match {
       case 0 => sys.error("templates CSV missing")
-      case _ =>
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(dataDir.resolve("HDFS.log_templates.csv")))
-          .asScala.drop(1).map { l =>
-            val i = l.indexOf(','); (l.substring(0, i), l.substring(i + 1))
-          }.toVector
+      case _ => LogSynth.readTemplates(
+        dataDir.resolve("HDFS.log_templates.csv").toString)
     }
     val rng = new Random(Seedy)
-
-    val components = Vector(
-      ("dfs.DataNode$DataXceiver", "143"), ("dfs.FSNamesystem", "26"),
-      ("dfs.DataNode$PacketResponder", "145"), ("dfs.DataNode", "30"),
-      ("dfs.DataBlockScanner", "13"), ("dfs.FSDataset", "81"))
-    val dates = Vector("081109", "081110", "081111")
-
-    def ip(): String = s"10.25${rng.nextInt(2)}.${rng.nextInt(200)}.${rng.nextInt(250)}"
-    def filler(): String = rng.nextInt(6) match {
-      case 0 => s" /${ip()}:5${1000 + rng.nextInt(9000)} "
-      case 1 => s" ${33554432 + rng.nextInt(33554432)} "
-      case 2 => s" /mnt/hadoop/dfs/data/current/subdir${rng.nextInt(64)} "
-      case 3 => s" ${ip()}:50010 "
-      case 4 => s" ${rng.nextInt(9)} "
-      case 5 => " "
-    }
-
-    /** Instantiate a template's `[*]` holes; `blkHole` gets the block
-      * token (−1 → no block token, for blockless noise lines). */
-    def instantiate(pattern: String, blockId: String): String = {
-      val segs = pattern.split("\\[\\*\\]", -1)
-      val holes = segs.length - 1
-      val blkHole = if (holes >= 2) 1 else 0
-      val sb = new StringBuilder
-      var i = 0
-      while (i < segs.length) {
-        sb.append(segs(i))
-        if (i < holes) {
-          if (i == blkHole) sb.append(s" $blockId ").append(
-            if (rng.nextBoolean()) "" else filler().trim + " ")
-          else sb.append(filler())
-        }
-        i += 1
-      }
-      sb.toString
-    }
-
-    def hhmmss(sec: Int): String = {
-      val s = math.min(sec, 86399)
-      f"${s / 3600}%02d${s / 60 % 60}%02d${s % 60}%02d"
-    }
-
-    def rawLine(date: String, sec: Int, tmpl: (String, String), blockId: String): String = {
-      val (comp, pid0) = components(rng.nextInt(components.length))
-      val pid = if (rng.nextBoolean()) pid0 else (1 + rng.nextInt(998)).toString
-      val level = if (rng.nextInt(12) == 0) "WARN" else "INFO"
-      s"$date ${hhmmss(sec)} $pid $level $comp: ${instantiate(tmpl._2, blockId)}"
-    }
 
     val lines = Vector.newBuilder[String]
     val blockIds = Vector.newBuilder[String]
@@ -102,7 +54,7 @@ object MakeLogFixture {
         blockId = s"blk_${if (rng.nextBoolean()) "-" else ""}${java.lang.Math.floorMod(rng.nextLong(), 9000000000000000000L)}"
       } while (!usedIds.add(blockId))
       blockIds += blockId
-      val date = dates(rng.nextInt(dates.length))
+      val date = LogSynth.dates(rng.nextInt(LogSynth.dates.length))
       var sec = rng.nextInt(50000)
       // Block 0..28 leads with template b so every template occurs.
       val nLines = 3 + rng.nextInt(38)
@@ -110,19 +62,18 @@ object MakeLogFixture {
         val tmpl =
           if (b < templates.length && j == 0) templates(b)
           else templates(rng.nextInt(templates.length))
-        lines += rawLine(date, sec, tmpl, blockId)
+        lines += LogSynth.rawLine(rng, date, sec, tmpl, blockId)
         sec += rng.nextInt(1200)
       }
     }
     // Blockless-but-parseable noise (dropped by the P4 filter) and
     // unparseable garbage (NULL datetime, also blockless).
     (0 until 180).foreach { _ =>
-      val date = dates(rng.nextInt(dates.length))
-      val (comp, pid) = components(rng.nextInt(components.length))
-      lines += s"$date ${hhmmss(rng.nextInt(86400))} $pid INFO $comp: heartbeat from ${ip()} ok seq ${rng.nextInt(100000)}"
+      val date = LogSynth.dates(rng.nextInt(LogSynth.dates.length))
+      lines += LogSynth.noiseLine(rng, date)
     }
     (0 until 20).foreach { _ =>
-      lines += s"#### corrupted segment ${rng.nextInt(100000)} ####"
+      lines += LogSynth.garbageLine(rng)
     }
 
     // The notebook-documented golden block rides along in the driver
