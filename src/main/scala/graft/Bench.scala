@@ -75,8 +75,46 @@ import org.apache.spark.sql.SparkSession
   * (5 total) — more samples exactly where the min estimator is
   * weakest and where round-8's verdict demanded artifact-backed
   * numbers (q34/q49).
+  *
+  * r11 adds a RAW-LOG SCALE section (verdict #1): after the registry
+  * reps, the q61/q62 production pipeline runs against Spark-generated
+  * corpora at ~150 MiB and at the reference's own production input
+  * scale (~11.2M lines / ~1.6 GiB — BASELINE.md), with the same
+  * sentinel/steal/GC/task attribution per rep. Summary (min secs per
+  * scale) joins the stdout line as `rawlog`; full rep arrays land in
+  * BENCH_DETAIL.json. Knobs: SPARK_GRAFT_RAWLOG_BLOCKS (comma list,
+  * "" disables), _REPS, _DIR.
+  *
+  * r11 also adds a STREAMING section (verdict #5, `tools/StreamBench`):
+  * the speed layer's metrics pipeline at 3 batch sizes (rows/sec,
+  * per-batch state rows/bytes — the watermark-bounded plateau is the
+  * evidence) and the scored enrich pipeline's messages/sec, in
+  * BENCH_DETAIL.json under `streaming` (detail-only; the stdout line
+  * keeps its size contract). SPARK_GRAFT_STREAMBENCH=0 disables.
+  *
+  * r11 registry TIERING (verdict #8): a statically pinned core-20
+  * tier runs 5 round-robin passes, the long tail 2 — more samples
+  * where the min estimator is weakest, fewer where scheduling latency
+  * dominates. `value` REMAINS the all-queries total (comparable to
+  * BENCH_r01–r10 and BASELINE.json); the core subtotal is emitted as
+  * `core20` on stdout and as an object in the detail file.
   */
 object Bench {
+
+  /** The statically pinned core-20 bench tier (r11 verdict #8): the
+    * heaviest / most load-bearing queries by the r10/r11 profiles.
+    * Static so the set cannot drift with noise and round-over-round
+    * comparisons stay apples-to-apples; ContractSpec pins membership
+    * against the registry so a query rename cannot silently shrink
+    * the tier. */
+  val coreTier: Set[String] = Set(
+    "q03_revenue_by_nation", "q30_knn_join",
+    "q33_tumbling_metrics", "q34_lr_anomaly", "q46_ivf_topk",
+    "q48_salted_join", "q49_dup_clusters", "q50_revenue_rollup",
+    "q55_tfidf_terms", "q57_set_ops", "q61_raw_log_sessions",
+    "q62_raw_log_features", "q73_class_weights", "q79_cm_heavy_hitters",
+    "q83_sketch_rollup", "q85_label_index", "q86_local_supply",
+    "q92_dedup_purge", "q94_bloom_decontaminate", "q99_store_replay")
 
   /** Sink for the sentinel's result so the JIT cannot dead-code the
     * loop away. `volatile` forbids hoisting the store out of line. */
@@ -367,7 +405,25 @@ object Bench {
     // Flush warm-up task-end events so rep 1 of query 1 starts clean.
     taskTime.drain(spark.sparkContext)
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Registry tiering (r11 verdict #8): at 99 registered queries,
+    // uniform 3 reps drifts the suite toward noise-floor dominance
+    // (most queries <0.3 s vs ~0.1 s scheduling latency). The CORE
+    // tier — the 20 heaviest/most load-bearing queries by the r10/r11
+    // profiles, pinned STATICALLY so the set cannot drift with noise
+    // and round-over-round comparisons stay apples-to-apples — runs
+    // SPARK_GRAFT_BENCH_REPS (default 5) passes; the long tail runs
+    // SPARK_GRAFT_TAIL_REPS (default 2, min-of-2 keeps one outlier-
+    // rejection chance — a lone rep would put any co-tenant burst
+    // straight into the headline). Both tiers land in the detail file
+    // (rep-array lengths show the tier); stdout adds a `core20`
+    // subtotal. The headline `value` stays the ALL-QUERIES total:
+    // BASELINE.json and BENCH_r01–r10 all report that quantity, and
+    // silently re-basing it to the core tier would corrupt every
+    // cross-round comparison (documented deviation from the verdict's
+    // "headline = core tier").
+    val coreReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
+    val tailReps = sys.env.getOrElse("SPARK_GRAFT_TAIL_REPS", "2").toInt.max(1)
+    val reps = math.max(coreReps, tailReps)
     val loads = new scala.collection.mutable.ArrayBuffer[Double]
     val times = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
     val sents = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
@@ -409,12 +465,17 @@ object Bench {
       taskS(name) += (k1 - k0) / 1e3
       if (!ok) okAll(name) = false
     }
-    (1 to reps).foreach { _ =>
-      loads += loadAvg()
-      names.foreach(runRep)
-      // Trailing probe closes each pass: the sentinel AFTER the last
-      // query, so every rep is bracketed by two probe readings.
-      tailSent += sentinel()
+    (1 to reps).foreach { pass =>
+      // Round-robin within each pass; passes beyond the tail budget
+      // touch only the core tier.
+      val passNames = if (pass <= tailReps) names else names.filter(coreTier)
+      if (passNames.nonEmpty) {
+        loads += loadAvg()
+        passNames.foreach(runRep)
+        // Trailing probe closes each pass: the sentinel AFTER the last
+        // query, so every rep is bracketed by two probe readings.
+        tailSent += sentinel()
+      }
     }
     // Slow-query extension (r9): best-of-3 ≥ 2 s ⇒ 2 extra reps
     // (5 total). The min estimator needs the most samples exactly
@@ -426,6 +487,88 @@ object Bench {
       slowNames.foreach(runRep)
       tailSent += sentinel()
     }
+
+    // ---- raw-log SCALE section (r11 verdict #1) -----------------------
+    // The q61/q62 production pipeline (parse → sessionize / template →
+    // features, the registry's own code via RawLog.*At) against
+    // MakeBigLogFixture corpora at two scales: ~150 MiB (the 100×
+    // point over the committed 1.4 MB fixture) and ~1.6 GiB / 11.2M
+    // lines — the reference's actual production input scale
+    // (BASELINE.md: 11,175,629 lines / 1.47 GB). Generated into /tmp
+    // on first use (seconds, Spark-parallel), reused when present.
+    // Reps carry the same sentinel/steal/GC/task attribution as the
+    // main suite. Failures degrade to an "error" field, never abort
+    // the bench.
+    final case class RawScaleResult(blocks: Int, lines: Long, bytes: Long,
+        genSec: Double,
+        q61: Seq[Double], q62: Seq[Double],
+        sent: Seq[Double], stealS: Seq[Double], gcS: Seq[Double],
+        taskS: Seq[Double])
+    val rawlogScales = sys.env.getOrElse(
+        "SPARK_GRAFT_RAWLOG_BLOCKS", "47000,508000")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt).filter(_ > 0)
+    val rawlogReps = sys.env.getOrElse("SPARK_GRAFT_RAWLOG_REPS", "2").toInt.max(1)
+    val rawRoot = sys.env.getOrElse("SPARK_GRAFT_RAWLOG_DIR", "/tmp/graft_rawlog")
+    def timedRep(mk: => org.apache.spark.sql.DataFrame): (Double, Double, Double, Double, Double) = {
+      val sent = sentinel()
+      val g0 = gcSnap(); val s0 = sysSnap(); val k0 = taskTime.millis.get()
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = sysSnap(); val g1 = gcSnap()
+      taskTime.drain(spark.sparkContext)
+      val k1 = taskTime.millis.get()
+      (wall, sent, (s1.stealJiffies - s0.stealJiffies) / userHz,
+        (g1._1 - g0._1) / 1e3, (k1 - k0) / 1e3)
+    }
+    val rawlogResults: Either[String, Seq[RawScaleResult]] =
+      if (rawlogScales.isEmpty) Right(Nil)
+      else try {
+        // Default 128 MiB splits leave most of 32 cores idle on the
+        // map stages of a ~1.6 GiB input (13 splits); 48 MiB ≈ one
+        // split per core at the large scale. Restored after — scoped
+        // tuning, the knob a real cluster sets per workload.
+        val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", s"${48 * 1024 * 1024}")
+        try Right(rawlogScales.map { nb =>
+          val fx = graft.tools.MakeBigLogFixture.ensure(spark, rawRoot, nb)
+          val (q61s, q62s) = (new scala.collection.mutable.ArrayBuffer[Double],
+            new scala.collection.mutable.ArrayBuffer[Double])
+          val (ss, sts, gs, ts) = (new scala.collection.mutable.ArrayBuffer[Double],
+            new scala.collection.mutable.ArrayBuffer[Double],
+            new scala.collection.mutable.ArrayBuffer[Double],
+            new scala.collection.mutable.ArrayBuffer[Double])
+          (1 to rawlogReps).foreach { _ =>
+            val (w1, se1, st1, g1, t1) = timedRep(
+              graft.queries.RawLog.rawLogSessionsAt(spark, fx.logDir, fx.labelsPath))
+            val (w2, se2, st2, g2, t2) = timedRep(
+              graft.queries.RawLog.rawLogFeaturesAt(spark, fx.logDir, fx.labelsPath))
+            q61s += w1; q62s += w2
+            ss += se1; ss += se2; sts += st1 + st2; gs += g1 + g2; ts += t1 + t2
+          }
+          RawScaleResult(nb, fx.nLines, fx.bytes, fx.genSec,
+            q61s.toSeq, q62s.toSeq, ss.toSeq, sts.toSeq, gs.toSeq, ts.toSeq)
+        })
+        finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] rawlog scale section FAILED: ${e.getMessage}")
+        Left(String.valueOf(e.getMessage).take(200))
+      }
+
+    // ---- streaming micro-bench (r11 verdict #5) -----------------------
+    // The speed layer's two product pipelines (metrics1mSketched with
+    // watermarked window state; the scored enrich path) measured for
+    // rows/sec and state-store boundedness — see tools/StreamBench.
+    // Detail-file only (stdout keeps its 2 KB tail contract). Disable
+    // with SPARK_GRAFT_STREAMBENCH=0.
+    val streamingDetail: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH", "1") == "0") "null"
+      else try graft.tools.StreamBench.section(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming section FAILED: ${e.getMessage}")
+        "{\"error\":\"" +
+          String.valueOf(e.getMessage).take(200).replace("\"", "'") + "\"}"
+      }
 
     val hashes = names.map(n => n -> planHash(n)).toMap
     val results = names.map(n => (n, times(n).min, okAll(n)))
@@ -460,17 +603,37 @@ object Bench {
     val failedNames = results.collect { case (k, _, false) => k }
     def jarr(ks: Seq[String]): String =
       ks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Raw-log scale JSON: full fidelity to the detail file, min-only
+    // summary to stdout (the 2 KB tail contract).
+    val rawlogDetail = rawlogResults match {
+      case Left(err) => "{\"error\":\"" + err.replace("\"", "'") + "\"}"
+      case Right(rs) => rs.map { r =>
+        s"""{"blocks":${r.blocks},"lines":${r.lines},"bytes":${r.bytes},""" +
+        s""""gen_sec":${num("%.2f", r.genSec)},"q61_sec":${darr(r.q61)},""" +
+        s""""q62_sec":${darr(r.q62)},"sentinel":${darr(r.sent)},""" +
+        s""""steal_sec":${darr(r.stealS, "%.2f")},"gc_sec":${darr(r.gcS, "%.3f")},""" +
+        s""""task_sec":${darr(r.taskS, "%.2f")}}"""
+      }.mkString("[", ",", "]")
+    }
+    val rawlogStdout = rawlogResults match {
+      case Left(_)   => "\"error\""
+      case Right(rs) =>
+        s"""{"mb":${rs.map(r => num("%.0f", r.bytes / 1048576.0)).mkString("[", ",", "]")},""" +
+        s""""q61":${rs.map(r => num("%.1f", r.q61.min)).mkString("[", ",", "]")},""" +
+        s""""q62":${rs.map(r => num("%.1f", r.q62.min)).mkString("[", ",", "]")}}"""
+    }
     val nFailed = failedNames.length
     // Failed queries' wall time (exception-path noise) is excluded from
     // the headline metric so totals stay comparable across runs.
     val total = results.collect { case (_, t, true) => t }.sum
+    val coreTotal = results.collect { case (n, t, true) if coreTier(n) => t }.sum
     val detail =
-      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"rawlog":$rawlogDetail,"streaming":$streamingDetail,"core20":{"n":${coreTier.size},"value":${num("%.4f", coreTotal)},"reps":$coreReps,"tail_reps":$tailReps},"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not
     // eat them (see the scaladoc's output contract).
-    println(s"""{"queries":$qs,"failed":${jarr(failedNames.map(shortKey))},"n_failed":$nFailed,"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}","unit":"sec","metric":"total","value":${num("%.3f", total)}}""")
+    println(s"""{"queries":$qs,"rawlog":$rawlogStdout,"core20":${num("%.3f", coreTotal)},"failed":${jarr(failedNames.map(shortKey))},"n_failed":$nFailed,"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}","unit":"sec","metric":"total","value":${num("%.3f", total)}}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }
