@@ -134,4 +134,76 @@ object Serving {
       |WHERE contains(lower(event_type), 'err') AND value >= 100.0
       |ORDER BY ts_ms DESC, event_id DESC
       |LIMIT 200""".stripMargin
+
+  /** q99 — ServingStore END-STATE certification (round-11 verdict #7):
+    * replay a recorded multi-batch stream through the REAL store
+    * machinery and oracle-check what the store then SERVES, not just
+    * per-operator specs. The "recording" is deterministic: every event
+    * is assigned to one of 3 micro-batches by the portable keyed hash
+    * (so both engines can reconstruct the same batches), each batch is
+    * reduced to its newest row per user (`StreamTransform.dedupeLatest`
+    * semantics: ts desc, id desc) and applied IN ORDER with
+    * `ServingStore.upsert` — versioned snapshot, atomic pointer swap,
+    * batch-id high-water mark, exactly the calls `foreachBatch` makes
+    * (reference chain: `kafka_consumer.py:13-40` →
+    * `insert_data_to_HBase.py:6-46`, rowkey=key overwrite). The final
+    * batch is then RE-DELIVERED and must be skipped by the replay
+    * guard (asserted live, inside the query). The returned frame is
+    * the store's committed end-state, which DuckDB reproduces
+    * declaratively: per user, the newest row of the LAST batch that
+    * contains that user — a rank over (batch DESC, ts DESC, id DESC).
+    *
+    * Scale: one window shuffle keyed (user, batch) + K bounded keyed
+    * upserts. The per-batch frames are ≤ |users| rows each; the
+    * replay itself is the store's O(snapshot) merge, which is the
+    * documented compaction model at 100 TB (per-key-range rewrite). */
+  def storeReplay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.ServingStore
+    val nBatches = 3
+    val batch = (graft.functions.PortableHash
+      .keyedHash60(col("event_id"), "replay") % nBatches).cast("int")
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_ms"),
+      col("event_type"), col("value"), batch.as("batch"))
+    val w = Window.partitionBy(col("user_id"), col("batch"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    // Persisted: three filtered upserts + the re-delivery would
+    // otherwise each rescan events (the no-duplicated-subplan
+    // discipline from the r10 audit). Bounded: ≤ |users|·K rows.
+    val perBatch = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn").persist()
+    try {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-replay-store").toString
+      (0 until nBatches).foreach { k =>
+        val applied = ServingStore.upsert(
+          perBatch.filter(col("batch") === k).drop("batch"),
+          store, "user_id", k.toLong)
+        require(applied, s"replay batch $k must apply")
+      }
+      // Live idempotence: a re-delivered final batch (the foreachBatch
+      // recovery path) must be a no-op under the high-water mark.
+      require(!ServingStore.upsert(
+        perBatch.filter(col("batch") === (nBatches - 1)).drop("batch"),
+        store, "user_id", (nBatches - 1).toLong),
+        "re-delivered batch must be skipped by the replay guard")
+      ServingStore.read(s, store).orderBy("user_id")
+    } finally perBatch.unpersist()
+  }
+
+  val storeReplaySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+      |    ('0x' || substr(md5('replay' || event_id::VARCHAR), 1, 15))::BIGINT % 3 AS batch
+      |  FROM events
+      |), ranked AS (
+      |  SELECT user_id, event_id, ts_ms, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY batch DESC, ts_ms DESC, event_id DESC) AS rn
+      |  FROM e
+      |)
+      |SELECT user_id, event_id, ts_ms, event_type, value
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 }

@@ -9,11 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  // The ONLY entry allowed to register without oracle SQL: no LR
-  // trainer exists in the oracle engine. (q63 left this set in r8 —
-  // its row now carries only exact counts + contract booleans, which
-  // DO cross engines.)
-  private val rowsOnly = Set("q34_lr_anomaly")
+  // Empty since r11: q34 (the last rows-only entry — no LR trainer in
+  // the oracle engine) now pins the TRAINED model's coefficients as
+  // literals and oracle-checks the confusion matrix through the q59
+  // literal-weight arithmetic. Every registered query must carry
+  // oracle SQL; a new rows-only entry needs a documented reason here.
+  private val rowsOnly = Set.empty[String]
 
   test("every query has oracle SQL unless documented rows-only") {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
@@ -21,6 +22,12 @@ class ContractSpec extends AnyFunSuite {
 
   test("no orphan oracle SQL (every oracle key is a registered query)") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("the pinned bench core tier is 20 registered queries") {
+    assert(Bench.coreTier.size == 20)
+    val orphans = Bench.coreTier -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"core-tier names not in the registry: $orphans")
   }
 
   test("query names follow the qNN_ prefix contract with unique numbers") {
