@@ -29,6 +29,24 @@ import graft.core.Tables
   * hits it — heavy-hitter keys (bot users, blank domains) are the rule
   * at 100 TB, which is why the builder mandate lists salting alongside
   * broadcast and bucketing.
+  *
+  * **DECISION RULE (AQE vs manual salt — adjudicated empirically in
+  * `SkewJoinAqeSpec`, round 11):** let AQE handle it first. A skewed
+  * INNER/SEMI equi-join whose output feeds a different-keyed (or no)
+  * exchange gets its hot partition split at runtime
+  * (`AQEShuffleRead … skewed`) with zero code — do NOT salt those.
+  * Reach for `saltedHot` only when AQE provably cannot act:
+  *  1. the join output's hash partitioning is reused by a same-key
+  *     downstream operator (groupBy/window on the join key):
+  *     `OptimizeSkewedJoin` declines rather than insert an extra
+  *     shuffle (`forceOptimizeSkewedJoin` default false);
+  *  2. the skewed side is the preserved side of an outer join —
+  *     unsplittable by construction (splitting would null-extend
+  *     unmatched rows once per split);
+  *  3. there is no exchange at all (bucketed/co-located scans) — AQE
+  *     re-plans exchanges, and none exists.
+  * Salting is result-identical either way, so mis-classification is
+  * safe; it just pays the ×nSalts small-side replication needlessly.
   */
 object SkewJoin {
 
