@@ -93,11 +93,12 @@ import org.apache.spark.sql.SparkSession
   * keeps its size contract). SPARK_GRAFT_STREAMBENCH=0 disables.
   *
   * r11 registry TIERING (verdict #8): a statically pinned core-20
-  * tier runs 5 round-robin passes, the long tail 2 — more samples
-  * where the min estimator is weakest, fewer where scheduling latency
-  * dominates. `value` REMAINS the all-queries total (comparable to
-  * BENCH_r01–r10 and BASELINE.json); the core subtotal is emitted as
-  * `core20` on stdout and as an object in the detail file.
+  * tier runs 5 round-robin passes, the long tail the historical 3 —
+  * more samples where the min estimator is weakest, unchanged sample
+  * size (hence unchanged min-estimator bias) everywhere else. `value`
+  * REMAINS the all-queries total (comparable to BENCH_r01–r10 and
+  * BASELINE.json); the core subtotal is emitted as `core20` on stdout
+  * and as an object in the detail file.
   */
 object Bench {
 
@@ -115,6 +116,19 @@ object Bench {
     "q62_raw_log_features", "q73_class_weights", "q79_cm_heavy_hitters",
     "q83_sketch_rollup", "q85_label_index", "q86_local_supply",
     "q92_dedup_purge", "q94_bloom_decontaminate", "q99_store_replay")
+
+  /** Full JSON string escape for error messages landing in the detail
+    * file — Spark exception messages routinely span lines and carry
+    * backslashes; a quote-only replace left invalid JSON (review r11). */
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** Sink for the sentinel's result so the JIT cannot dead-code the
     * loop away. `volatile` forbids hoisting the store out of line. */
@@ -406,24 +420,28 @@ object Bench {
     taskTime.drain(spark.sparkContext)
 
     // Registry tiering (r11 verdict #8): at 99 registered queries,
-    // uniform 3 reps drifts the suite toward noise-floor dominance
+    // uniform reps drift the suite toward noise-floor dominance
     // (most queries <0.3 s vs ~0.1 s scheduling latency). The CORE
     // tier — the 20 heaviest/most load-bearing queries by the r10/r11
     // profiles, pinned STATICALLY so the set cannot drift with noise
     // and round-over-round comparisons stay apples-to-apples — runs
     // SPARK_GRAFT_BENCH_REPS (default 5) passes; the long tail runs
-    // SPARK_GRAFT_TAIL_REPS (default 2, min-of-2 keeps one outlier-
-    // rejection chance — a lone rep would put any co-tenant burst
-    // straight into the headline). Both tiers land in the detail file
-    // (rep-array lengths show the tier); stdout adds a `core20`
-    // subtotal. The headline `value` stays the ALL-QUERIES total:
-    // BASELINE.json and BENCH_r01–r10 all report that quantity, and
-    // silently re-basing it to the core tier would corrupt every
-    // cross-round comparison (documented deviation from the verdict's
-    // "headline = core tier").
+    // SPARK_GRAFT_TAIL_REPS (default 3 — the HISTORICAL rep count, so
+    // every tail query's min is over the same sample size as rounds
+    // 1–10 and the headline total stays statistically comparable; the
+    // verdict's 1-rep tail was rejected for exactly that bias). Tail
+    // is clamped to core so SPARK_GRAFT_BENCH_REPS=1 still means ONE
+    // pass of everything (the knob's historical contract). Both tiers
+    // land in the detail file (rep-array lengths show the tier);
+    // stdout adds a `core20` subtotal. The headline `value` stays the
+    // ALL-QUERIES total: BASELINE.json and BENCH_r01–r10 all report
+    // that quantity, and silently re-basing it to the core tier would
+    // corrupt every cross-round comparison (documented deviation from
+    // the verdict's "headline = core tier").
     val coreReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
-    val tailReps = sys.env.getOrElse("SPARK_GRAFT_TAIL_REPS", "2").toInt.max(1)
-    val reps = math.max(coreReps, tailReps)
+    val tailReps = sys.env.getOrElse("SPARK_GRAFT_TAIL_REPS", "3")
+      .toInt.max(1).min(coreReps)
+    val reps = coreReps
     val loads = new scala.collection.mutable.ArrayBuffer[Double]
     val times = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
     val sents = names.map(_ -> new scala.collection.mutable.ArrayBuffer[Double]).toMap
@@ -504,10 +522,16 @@ object Bench {
         q61: Seq[Double], q62: Seq[Double],
         sent: Seq[Double], stealS: Seq[Double], gcS: Seq[Double],
         taskS: Seq[Double])
-    val rawlogScales = sys.env.getOrElse(
-        "SPARK_GRAFT_RAWLOG_BLOCKS", "47000,508000")
-      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt).filter(_ > 0)
-    val rawlogReps = sys.env.getOrElse("SPARK_GRAFT_RAWLOG_REPS", "2").toInt.max(1)
+    // Env parsing lives INSIDE Try so a malformed knob degrades this
+    // section to an "error" field like any other failure here — the
+    // documented never-abort contract covers config too (review r11).
+    val rawlogScales: Either[String, Seq[Int]] =
+      scala.util.Try(sys.env.getOrElse(
+          "SPARK_GRAFT_RAWLOG_BLOCKS", "47000,508000")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt).filter(_ > 0))
+        .toEither.left.map(e => s"bad SPARK_GRAFT_RAWLOG_BLOCKS: ${e.getMessage}")
+    val rawlogReps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_RAWLOG_REPS", "2").toInt.max(1)).getOrElse(2)
     val rawRoot = sys.env.getOrElse("SPARK_GRAFT_RAWLOG_DIR", "/tmp/graft_rawlog")
     def timedRep(mk: => org.apache.spark.sql.DataFrame): (Double, Double, Double, Double, Double) = {
       val sent = sentinel()
@@ -522,7 +546,8 @@ object Bench {
         (g1._1 - g0._1) / 1e3, (k1 - k0) / 1e3)
     }
     val rawlogResults: Either[String, Seq[RawScaleResult]] =
-      if (rawlogScales.isEmpty) Right(Nil)
+      if (rawlogScales.isLeft) Left(rawlogScales.swap.toOption.get)
+      else if (rawlogScales.toOption.get.isEmpty) Right(Nil)
       else try {
         // Default 128 MiB splits leave most of 32 cores idle on the
         // map stages of a ~1.6 GiB input (13 splits); 48 MiB ≈ one
@@ -530,7 +555,7 @@ object Bench {
         // tuning, the knob a real cluster sets per workload.
         val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", s"${48 * 1024 * 1024}")
-        try Right(rawlogScales.map { nb =>
+        try Right(rawlogScales.toOption.get.map { nb =>
           val fx = graft.tools.MakeBigLogFixture.ensure(spark, rawRoot, nb)
           val (q61s, q62s) = (new scala.collection.mutable.ArrayBuffer[Double],
             new scala.collection.mutable.ArrayBuffer[Double])
@@ -567,7 +592,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming section FAILED: ${e.getMessage}")
         "{\"error\":\"" +
-          String.valueOf(e.getMessage).take(200).replace("\"", "'") + "\"}"
+          jsonEsc(String.valueOf(e.getMessage).take(200)) + "\"}"
       }
 
     val hashes = names.map(n => n -> planHash(n)).toMap
@@ -606,7 +631,7 @@ object Bench {
     // Raw-log scale JSON: full fidelity to the detail file, min-only
     // summary to stdout (the 2 KB tail contract).
     val rawlogDetail = rawlogResults match {
-      case Left(err) => "{\"error\":\"" + err.replace("\"", "'") + "\"}"
+      case Left(err) => "{\"error\":\"" + jsonEsc(err) + "\"}"
       case Right(rs) => rs.map { r =>
         s"""{"blocks":${r.blocks},"lines":${r.lines},"bytes":${r.bytes},""" +
         s""""gen_sec":${num("%.2f", r.genSec)},"q61_sec":${darr(r.q61)},""" +

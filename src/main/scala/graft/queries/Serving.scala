@@ -156,14 +156,26 @@ object Serving {
     * Scale: one window shuffle keyed (user, batch) + K bounded keyed
     * upserts. The per-batch frames are ≤ |users| rows each; the
     * replay itself is the store's O(snapshot) merge, which is the
-    * documented compaction model at 100 TB (per-key-range rewrite). */
+    * documented compaction model at 100 TB (per-key-range rewrite).
+    *
+    * This builder is EAGER by design — constructing the DataFrame
+    * runs the replay (the assertions above are part of the query's
+    * contract), so a plan-only caller (plan hashing, explain) also
+    * pays one replay, and each call leaves a few-KB temp store behind
+    * for the returned frame to read (OS-reaped tmp; a store cannot be
+    * deleted before its lazy reader runs). */
   def storeReplay(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.ServingStore
     val nBatches = 3
     val batch = (graft.functions.PortableHash
       .keyedHash60(col("event_id"), "replay") % nBatches).cast("int")
-    val ev = Tables.events(s, dir).select(
+    // Null keys are excluded up front: the store's left_anti merge
+    // never matches a NULL key (so stale null rows would survive
+    // every upsert) while the oracle's PARTITION BY groups all nulls
+    // together — the engines would disagree. No current fixture has
+    // null user_ids; the filter pins the contract regardless.
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull).select(
       col("user_id"), col("event_id"), col("ts_ms"),
       col("event_type"), col("value"), batch.as("batch"))
     val w = Window.partitionBy(col("user_id"), col("batch"))
@@ -197,6 +209,7 @@ object Serving {
       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
       |    ('0x' || substr(md5('replay' || event_id::VARCHAR), 1, 15))::BIGINT % 3 AS batch
       |  FROM events
+      |  WHERE user_id IS NOT NULL
       |), ranked AS (
       |  SELECT user_id, event_id, ts_ms, event_type, value,
       |    row_number() OVER (PARTITION BY user_id

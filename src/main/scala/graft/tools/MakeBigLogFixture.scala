@@ -48,13 +48,16 @@ object MakeBigLogFixture {
   private def stream(seed: Long, b: Long, salt: Long): Random =
     new Random(splitmix(seed * 1000003L + salt * 0x9E3779B9L + b))
 
-  /** Unique-by-construction realistic block id: random 13-digit base
-    * carrying the block index in the low digits. */
+  /** Unique-by-construction realistic block id: a random 6-digit
+    * prefix (no leading zero) followed by the FULL zero-padded block
+    * index — unique for any nBlocks < 10¹², i.e. at any scale this
+    * generator will ever run (a modulo-folded index would silently
+    * revert to probabilistic uniqueness past the fold; review r11). */
   private def blockId(seed: Long, b: Long): String = {
     val rng = stream(seed, b, 1L)
     val sign = if (rng.nextBoolean()) "-" else ""
-    val base = java.lang.Math.floorMod(rng.nextLong(), 9000000000000L)
-    s"blk_$sign${base * 1000000L + (b % 1000000L)}"
+    val prefix = 100000L + java.lang.Math.floorMod(rng.nextLong(), 900000L)
+    s"blk_$sign$prefix${"%012d".format(b)}"
   }
 
   private def blockLines(seed: Long, b: Long,
@@ -93,41 +96,55 @@ object MakeBigLogFixture {
     else None
   }
 
-  /** Generate (or reuse, when `_SUCCESS` and the labels file already
-    * exist) the scale fixture under `outRoot`. */
+  /** Generate (or reuse, when the metadata marker exists) the scale
+    * fixture under `outRoot`. The reuse key embeds the SEED — a
+    * determinism contract of "same (outRoot, nBlocks, seed) → same
+    * bytes" is unenforceable if a changed seed silently reuses the
+    * old corpus (review r11). `parts` changes only the file layout
+    * (per-block RNG streams are slice-independent), so it is not part
+    * of the key. The line count is written to a metadata file at
+    * generation time and read back on reuse — recounting would scan
+    * the whole ~1.6 GiB corpus on every bench run. */
   def ensure(spark: SparkSession, outRoot: String, nBlocks: Int,
       seed: Long = 20261L, parts: Int = 32): Fixture = {
-    val logDir = s"$outRoot/hdfs_synth_$nBlocks"
-    val labelsPath = s"$outRoot/hdfs_labels_$nBlocks"
-    val done = new java.io.File(s"$logDir/_SUCCESS").isFile &&
+    val logDir = s"$outRoot/hdfs_synth_${nBlocks}_s$seed"
+    val labelsPath = s"$outRoot/hdfs_labels_${nBlocks}_s$seed"
+    val metaPath = java.nio.file.Paths.get(s"$logDir/_GRAFT_META")
+    val done = java.nio.file.Files.isRegularFile(metaPath) &&
       new java.io.File(labelsPath).isDirectory
     val t0 = System.nanoTime()
-    if (!done) {
-      val templates = LogSynth.readTemplates(graft.queries.RawLog.templatesPath)
-      val sc = spark.sparkContext
-      val bc = sc.broadcast(templates)
-      import spark.implicits._
-      val body = sc.range(0L, nBlocks.toLong, numSlices = parts)
-        .mapPartitions(_.flatMap(b => blockLines(seed, b, bc.value)))
-      val golden = sc.parallelize(GoldenBlock.Lines, 1)
-      spark.createDataset(body.union(golden))
-        .write.mode("overwrite").text(logDir)
-      val labels = sc.range(0L, nBlocks.toLong, numSlices = parts)
-        .mapPartitions(_.flatMap(b => labelRow(seed, b)))
-        .union(sc.parallelize(
-          Seq(s"${GoldenBlock.BlockId},${GoldenBlock.Label}"), 1))
-      // Header-bearing single CSV, the label file's committed shape.
-      spark.createDataset(labels.map { r =>
-          val i = r.indexOf(','); (r.substring(0, i), r.substring(i + 1))
-        }).toDF("BlockId", "Label")
-        .coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(labelsPath)
-    }
+    val nLines: Long =
+      if (done) java.nio.file.Files.readString(metaPath).trim.toLong
+      else {
+        val templates = LogSynth.readTemplates(graft.queries.RawLog.templatesPath)
+        val sc = spark.sparkContext
+        val bc = sc.broadcast(templates)
+        import spark.implicits._
+        val body = sc.range(0L, nBlocks.toLong, numSlices = parts)
+          .mapPartitions(_.flatMap(b => blockLines(seed, b, bc.value)))
+        val golden = sc.parallelize(GoldenBlock.Lines, 1)
+        spark.createDataset(body.union(golden))
+          .write.mode("overwrite").text(logDir)
+        val labels = sc.range(0L, nBlocks.toLong, numSlices = parts)
+          .mapPartitions(_.flatMap(b => labelRow(seed, b)))
+          .union(sc.parallelize(
+            Seq(s"${GoldenBlock.BlockId},${GoldenBlock.Label}"), 1))
+        // Header-bearing single CSV, the label file's committed shape.
+        spark.createDataset(labels.map { r =>
+            val i = r.indexOf(','); (r.substring(0, i), r.substring(i + 1))
+          }).toDF("BlockId", "Label")
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(labelsPath)
+        val counted = spark.read.text(logDir).count()
+        // Written AFTER the data: the marker doubles as the completion
+        // flag, so a crash mid-generation never leaves a reusable dir.
+        java.nio.file.Files.writeString(metaPath, counted.toString)
+        counted
+      }
     val genSec = (System.nanoTime() - t0) / 1e9
     val files = Option(new java.io.File(logDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val bytes = files.map(_.length()).sum
-    val nLines = spark.read.text(logDir).count()
     Fixture(logDir, labelsPath, nBlocks, nLines, bytes,
       if (done) 0.0 else genSec)
   }
