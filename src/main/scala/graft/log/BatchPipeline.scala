@@ -26,7 +26,7 @@ object BatchPipeline {
       labels: DataFrame): (DataFrame, DataFrame) = {
     val templates = Templates.load(spark, templatesPath)
     val parsed = LogParser.withBlock(LogParser.parse(spark.read.text(logPath)))
-    val tagged = Templates.tag(parsed, templates)
+    val tagged = Templates.tagNative(parsed, templates)
     val features = Features.joinLabels(
       Features.eventCounts(tagged, templates.map(_.id)), labels)
     val sessions = Sessionize.labeled(Sessionize.sessions(parsed), labels)

@@ -120,6 +120,18 @@ object Templates {
       mode: MatchMode = MatchMode.FirstMatch): DataFrame =
     parsed.withColumn("event_id", eventIdColumn(templates, col("message"), mode))
 
+  /** `tag` through the native kernel — the PRODUCTION form (r11):
+    * identical FirstMatch semantics (parity pinned by
+    * TemplateMatchNativeSpec on all 29 templates), but patterns
+    * compile once per executor and each row runs one short-circuiting
+    * loop instead of a 29-branch rlike CASE. Measured at the 1.6 GiB
+    * raw-log scale this nearly halves q62 end-to-end (11.2 → 5.8 s
+    * warm — the giant CASE ladder was the feature pipeline's real
+    * bottleneck, not the aggregation). Requires a session built
+    * `withExtensions(new GraftExtensions)` (every entry point). */
+  def tagNative(parsed: DataFrame, templates: Seq[Template]): DataFrame =
+    parsed.withColumn("event_id", eventIdColumnNative(templates, col("message")))
+
   /** Drop rows no template matched (reference `prepare_data_batch.ipynb:350`). */
   def matchedOnly(tagged: DataFrame): DataFrame =
     tagged.filter(col("event_id").isNotNull)

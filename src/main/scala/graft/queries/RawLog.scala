@@ -70,7 +70,7 @@ object RawLog {
     * [[rawLogSessionsAt]]). */
   def rawLogFeaturesAt(s: SparkSession, log: String, lab: String): DataFrame = {
     val templates = Templates.load(s, templatesPath)
-    val tagged = Templates.tag(parsedBlocks(s, log), templates)
+    val tagged = Templates.tagNative(parsedBlocks(s, log), templates)
     Features.joinLabels(
         Features.eventCounts(tagged, templates.map(_.id)), labels(s, lab))
       .orderBy("block_id")

@@ -53,7 +53,7 @@ object StreamTransform {
     // stage is exactly the batch-layer parse with no extra plumbing.
     val lines = deduped.select(explode(split(col("log_full"), "\n")).as("value"))
     val parsed = LogParser.withBlock(LogParser.parse(lines, "value"))
-    val tagged = Templates.tag(parsed, templates)
+    val tagged = Templates.tagNative(parsed, templates)
     val counts = Features.eventCounts(tagged, ids)
     val features = array(ids.map(i => coalesce(col(i), lit(0))): _*)
     deduped
