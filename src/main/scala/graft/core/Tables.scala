@@ -25,21 +25,33 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects ([PARQUET_TYPE_ILLEGAL]). The session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft entry points —
-    * Bench, Verify, Probe, the test fixture — do so in their builders;
-    * setting it here would be a hidden session-wide mutation whose effect
-    * depends on call order). Exposed columns:
-    *   - `ts_ns`  raw nanos since epoch (bit-exact, joins/sorts)
+  /** The events table's `ts` physical type has varied across fixture
+    * generations: parquet TIMESTAMP(MICROS) without timezone (current
+    * driver testdata — Spark reads TIMESTAMP_NTZ) or TIMESTAMP(NANOS)
+    * (legacy, readable only as int64 via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which all graft entry
+    * points still set — harmless for micros data). Spec fixtures also
+    * write raw int64 nanos directly. This loader normalizes all of them
+    * to one downstream contract:
+    *   - `ts_ns`  int64 nanos since epoch (bit-exact, joins/sorts)
     *   - `ts_ms`  floor-divided millis (matches DuckDB `epoch_ms(ts)`)
-    *   - `ts`     TimestampType truncated to micros (matches DuckDB
-    *              `CAST(ts AS TIMESTAMP)` truncation for post-epoch data)
-    */
+    *   - `ts`     TimestampType micros under the UTC session timezone
+    *              (matches DuckDB `CAST(ts AS TIMESTAMP)`)
+    * The NTZ→instant cast is exact because every graft session pins
+    * `spark.sql.session.timeZone=UTC`, so wall-clock == UTC instant and
+    * `unix_micros` returns the stored micros — DuckDB's `epoch_ns(ts)`
+    * is then exactly `ts_ns` (micros · 1000). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    val tsNs = raw.schema("ts").dataType match {
+      // Legacy int64-nanos (nanosAsLong or a spec fixture's raw long).
+      case LongType => col("ts")
+      // TIMESTAMP_NTZ / TIMESTAMP: exact under the pinned UTC session.
+      case _ => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    }
+    raw.withColumn("ts_ns", tsNs)
       // `div` = integral division; a double `/` would lose precision on
       // ~1.7e18 nanos (beyond double's 2^53 exact-integer range).
       .withColumn("ts_ms", expr("ts_ns div 1000000"))

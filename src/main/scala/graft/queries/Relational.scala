@@ -78,21 +78,38 @@ object Relational {
 
   /** Star join: fact-fact shuffle join (lineitem ⋈ orders) + shuffled
     * customer join + broadcast dims (SURVEY J1/J2/J4). Revenue per
-    * (region, nation). */
+    * (region, nation).
+    *
+    * Shape: the lineitem side is PARTIALLY AGGREGATED on the join key
+    * BEFORE the fact-fact join (eager aggregation / group-by pushdown —
+    * the rewrite Catalyst does not apply on its own). The final group
+    * keys (r_name, n_name) are functionally determined by o_custkey, so
+    * summing revenue/items per l_orderkey first and re-summing after the
+    * joins is exact: sums of sums and sums of counts. What it buys at
+    * scale: the orderkey exchange carries ~|orders| narrow rows instead
+    * of ~|lineitem| wide ones (×4 fewer at TPC-H fan-out, and only 2
+    * doubles instead of price+discount per row), map-side combine does
+    * the reduction before the wire, and the agg's hash-partitioning on
+    * l_orderkey is REUSED by the join (same key → no second exchange on
+    * the left side). Revenue is still rounded once, at the output
+    * boundary only. */
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o  = Tables.orders(s, dir)
     val c  = Tables.customer(s, dir)
     val n  = Tables.nation(s, dir)
     val r  = Tables.region(s, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val liByOrder = li.groupBy(col("l_orderkey")).agg(
+      sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("ord_revenue"),
+      count(lit(1)).as("ord_items"))
+    liByOrder.join(o, liByOrder("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
-        count(lit(1)).as("n_items"))
+        money(sum(col("ord_revenue"))).as("revenue"),
+        sum(col("ord_items")).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
