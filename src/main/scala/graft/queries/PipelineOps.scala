@@ -565,6 +565,69 @@ object PipelineOps {
       |GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
+  /** Chunking contract (q100): fixed window of `ChunkSize` chars,
+    * stride `ChunkStride` (so adjacent chunks overlap by
+    * `ChunkSize - ChunkStride` chars — the RAG convention that no
+    * retrieval boundary splits a fact). Offsets are 0, stride,
+    * 2·stride, …; a doc of length L ≤ size yields exactly 1 chunk,
+    * else 1 + ⌈(L − size) / stride⌉ (the last chunk may be short,
+    * never empty). Integer-exact in both engines. */
+  private[queries] val ChunkSize   = 200
+  private[queries] val ChunkStride = 150
+
+  /** q100 — deterministic document chunking (context-window prep for
+    * RAG indexing / sequence packing): explode each document into its
+    * overlapping fixed-size chunks and emit per-chunk identity —
+    * (doc_id, chunk_idx, chunk_len, chunk_md5). The md5 doubles as
+    * the chunk-level dedup key downstream (the same chunk text
+    * appearing under two docs collides on it, the q24 digest idiom at
+    * chunk granularity).
+    *
+    * Scale: map-only — `sequence` + `explode` fan out rows inside one
+    * stage, no shuffle anywhere in the operator (the final orderBy is
+    * oracle determinism, not part of the pipeline form). Chunk count
+    * is ⌈L/stride⌉ per doc, so output size tracks corpus bytes ×
+    * (size/stride) ≈ 1.33× — bounded, and the chunks themselves never
+    * shuffle (downstream consumers group on the 16-byte md5, not the
+    * text). At 100 TB this is the shape you want: chunking happens in
+    * the same scan that reads the corpus, and only digests + indexes
+    * leave the stage. */
+  def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("n_chunks",
+        when(len <= ChunkSize, lit(1L)).otherwise(
+          lit(1L) + expr(
+            s"(length(text) - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk",
+        col("text").substr(
+          (col("chunk_idx") * ChunkStride + 1).cast("int"), lit(ChunkSize)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunksSql: String =
+    s"""WITH n AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) <= $ChunkSize THEN 1
+      |         ELSE 1 + (length(text) - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
+      |    END AS n_chunks
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    substr(text, CAST(i * $ChunkStride + 1 AS INTEGER), $ChunkSize) AS chunk
+      |  FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+      |  md5(chunk) AS chunk_md5
+      |FROM x
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val sourceMixSql: String =
     """WITH t AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs

@@ -416,4 +416,82 @@ object Similarity {
        |FROM x
        |GROUP BY cell, pos
        |ORDER BY cell, pos""".stripMargin
+
+  // ---- q101: int8 scalar quantization + reconstruction certificate ---
+
+  /** q101 — per-vector int8 scalar quantization, the storage/bandwidth
+    * step in front of every large ANN index (a 64-dim float32 vector
+    * becomes 64 bytes + one float scale: 4× smaller, SIMD-dot-able).
+    * Max-abs scaling: scale = max|xᵢ|, qᵢ = round(xᵢ·127/scale) ∈
+    * [−127, 127]. The output row carries the quantized identity
+    * (integer L1 mass, extremes) plus a RECONSTRUCTION CERTIFICATE:
+    * max|xᵢ − qᵢ·scale/127| ≤ scale/254 (+1e-12 double slop) — the
+    * half-step bound that makes the quantizer usable for recall
+    * estimates; it is checked per vector, in both engines, not assumed.
+    * All certified columns are integers or booleans; the one float
+    * output (the scale) is rounded at the boundary (q32 idiom).
+    *
+    * Scale: map-only — one pass over the embeddings scan, per-row HOF
+    * arithmetic, no shuffle (orderBy is oracle determinism). At 100 TB
+    * the quantized vectors would be WRITTEN (digest-width columns) and
+    * the certificate aggregated; nothing here grows state.
+    *
+    * Double-precision portability: float32→double casts are exact;
+    * both engines evaluate the same literal expression tree
+    * left-to-right over the same doubles; round() is half-away-from-
+    * zero on both (Spark HALF_UP on the shortest-repr BigDecimal ==
+    * C-library round for doubles that are not exactly half-integers,
+    * and half-integers are exactly representable so the reprs agree). */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withScale = e.withColumn(
+      "scale", array_max(transform(col("v"), x => abs(x))))
+    // qᵢ recomputed inline in the error term (identical grammar to the
+    // oracle — no zip, so both engines share one expression shape).
+    def quant(x: Column): Column =
+      when(col("scale") === 0d, lit(0d))
+        .otherwise(round(x * lit(127) / col("scale")))
+    withScale
+      .withColumn("qs", transform(col("v"), x => quant(x).cast("long")))
+      .withColumn("max_err", array_max(transform(col("v"), x =>
+        when(col("scale") === 0d, lit(0d))
+          .otherwise(abs(x - round(x * lit(127) / col("scale")) * col("scale") / lit(127))))))
+      .select(
+        col("vec_id"), col("label"),
+        aggregate(col("qs"), lit(0L), (acc, q) => acc + abs(q)).as("q_l1"),
+        array_max(col("qs")).as("q_max"),
+        array_min(col("qs")).as("q_min"),
+        round(col("scale"), 6).as("scale_r6"),
+        (col("max_err") <= col("scale") / lit(254) + lit(1e-12)).as("within_bound"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, label, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, label, scale,
+      |    list_transform(v, x ->
+      |      CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(round(x * 127 / scale) AS BIGINT) END) AS qs,
+      |    list_max(list_transform(v, x ->
+      |      CASE WHEN scale = 0 THEN 0.0
+      |           ELSE abs(x - round(x * 127 / scale) * scale / 127) END)) AS max_err
+      |  FROM s)
+      |SELECT vec_id, label,
+      |  CAST(list_aggregate(list_transform(qs, q -> abs(q)), 'sum') AS BIGINT) AS q_l1,
+      |  CAST(list_max(qs) AS BIGINT) AS q_max,
+      |  CAST(list_min(qs) AS BIGINT) AS q_min,
+      |  round(scale, 6) AS scale_r6,
+      |  (max_err <= scale / 254 + 1e-12) AS within_bound
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
 }

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** q100 (doc chunking) and q101 (int8 quantization): the properties a
+  * value-hash match against DuckDB does not state explicitly —
+  * lossless reconstruction for the chunker, certificate non-vacuity
+  * for the quantizer. Both recompute the reference answer in plain
+  * Scala over the collected fixture (500 docs / 500×64 floats —
+  * bounded), so the checks are independent of Spark's expression
+  * evaluation.
+  */
+class ChunkQuantSpec extends AnyFunSuite with SparkFixture {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q100 chunks reconstruct every document exactly (lossless, ordered, contiguous)") {
+    val size = PipelineOps.ChunkSize
+    val stride = PipelineOps.ChunkStride
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = PipelineOps.docChunks(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).toSeq
+      }
+    assert(chunks.keySet == docs.keySet, "every doc must be chunked")
+    chunks.foreach { case (id, rs) =>
+      val text = docs(id)
+      // contiguous indexes from 0
+      assert(rs.map(_.getLong(1)) == (0L until rs.size))
+      // reconstruct: first `stride` chars of every chunk + the tail of
+      // the last one re-derive the document (overlap carries no new
+      // information — the losslessness that makes the chunker safe to
+      // run destructively at corpus scale).
+      val expected = rs.indices.map { i =>
+        text.substring(i * stride, math.min(i * stride + size, text.length))
+      }
+      rs.zip(expected).foreach { case (r, exp) =>
+        assert(r.getLong(2) == exp.length, s"doc $id chunk_len")
+        assert(r.getString(3) == md5hex(exp), s"doc $id chunk_md5")
+      }
+      val rebuilt = expected.init.map(_.take(stride)).mkString + expected.last
+      assert(rebuilt == text, s"doc $id must reconstruct")
+      // every chunk except the last is full-width; the last is non-empty
+      assert(expected.init.forall(_.length == size))
+      assert(expected.last.nonEmpty)
+    }
+  }
+
+  test("q101 certificate holds everywhere and is non-vacuous (a 2x-tighter bound fails)") {
+    val out = Similarity.quantizeInt8(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), s"vec ${r.getLong(0)}")
+      // max-abs scaling pins the extreme element to exactly ±127
+      val hi = r.getAs[Long]("q_max"); val lo = r.getAs[Long]("q_min")
+      assert(hi <= 127L && lo >= -127L, s"vec ${r.getLong(0)} int8 range")
+      assert(hi == 127L || lo == -127L, s"vec ${r.getLong(0)} extreme pin")
+    }
+    // Non-vacuity: recompute the error in plain Scala and show the
+    // half-step bound is TIGHT — some vector exceeds half of it (a
+    // mutated quantizer, e.g. floor instead of round, would be caught).
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val ratios = vecs.map { v =>
+      val scale = v.map(math.abs).max
+      val maxErr = v.map { x =>
+        math.abs(x - math.round(x * 127 / scale).toDouble * scale / 127)
+      }.max
+      maxErr / (scale / 254)
+    }
+    assert(ratios.max > 0.5, f"bound should be near-tight, got ${ratios.max}%.3f")
+    assert(ratios.max <= 1.0 + 1e-9)
+  }
+}
