@@ -44,6 +44,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType}
+    // Fail fast if an entry point forgot the UTC pin: the NTZ→instant
+    // cast below silently shifts by the local offset otherwise.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft.events requires spark.sql.session.timeZone=UTC (set by all graft builders)")
     val raw = load(s, d, "events")
     val tsNs = raw.schema("ts").dataType match {
       // Legacy int64-nanos (nanosAsLong or a spec fixture's raw long).

@@ -32,8 +32,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names follow the qNN_ prefix contract with unique numbers") {
     val nums = SparkEntry.queries.keys.map { k =>
-      assert(k.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $k")
-      k.substring(1, 3).toInt
+      assert(k.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad query name: $k")
+      k.drop(1).takeWhile(_.isDigit).toInt
     }
     assert(nums.toSeq.sorted == (1 to SparkEntry.queries.size))
   }
