@@ -385,4 +385,84 @@ object Dedup {
        |FROM r
        |WHERE rk > 1
        |ORDER BY doc_id""".stripMargin
+
+  /** Chunks held by more docs than this are boilerplate (license
+    * blocks, templated headers), not duplication evidence: they would
+    * expand to O(df²) candidate pairs while saying nothing about any
+    * single pair. Same stop-shingle discipline the banded MinHash path
+    * applies; the cap bounds per-digest pair fan-out at df²=4096. */
+  private[queries] val MaxChunkDf = 64
+
+  /** q102 — chunk-grain deduplication: doc pairs sharing ≥ 50% of
+    * their chunks (containment over the SMALLER doc, so a short doc
+    * wholly embedded in a long one still scores 1.0 — exactly the
+    * partial-overlap class whole-doc MinHash (q27/q28) under-weights
+    * because the shared span is diluted in the longer doc's
+    * signature). Consumes the q100 chunking contract: same 200-char /
+    * 150-stride windows, same md5 digests, via the shared
+    * [[PipelineOps.chunkedDocs]] fan-out.
+    *
+    * The ≥50% threshold is evaluated in EXACT integer arithmetic
+    * (`2·n_shared ≥ min(nₐ, n_b)`) so both engines agree bit-for-bit;
+    * the fractional `containment` column is display-rounded output,
+    * never a predicate.
+    *
+    * Scale shape: candidates come from grouping on the 16-byte digest
+    * (the q28 band idiom at chunk grain) — never an all-pairs join.
+    * Digests with df > [[MaxChunkDf]] are dropped before pair
+    * expansion, bounding each group's fan-out; the only shuffled
+    * payloads are (digest, doc_id) then ((doc_a, doc_b), count) — the
+    * chunk text never leaves its scan stage. Per-doc chunk counts join
+    * on doc_id AFTER pair aggregation, i.e. on the (small) candidate
+    * set, not the corpus. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = PipelineOps.chunkedDocs(s, dir)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
+      .distinct()
+    val sizes = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val pairs = chunks
+      .groupBy("chunk_md5")
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, MaxChunkDf))
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_chunks").as("n_chunks_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_chunks").as("n_chunks_b")), Seq("doc_b"))
+      .filter(col("n_shared") * 2 >= least(col("n_chunks_a"), col("n_chunks_b")))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_chunks_a"), col("n_chunks_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_chunks_a"), col("n_chunks_b")), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH ${PipelineOps.chunkCteSql},
+      |dd AS (SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5 FROM x),
+      |sz AS (SELECT doc_id, count(*) AS n_chunks FROM dd GROUP BY doc_id),
+      |grp AS (
+      |  SELECT chunk_md5 FROM dd GROUP BY chunk_md5
+      |  HAVING count(*) BETWEEN 2 AND $MaxChunkDf),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM dd a
+      |  JOIN grp g ON g.chunk_md5 = a.chunk_md5
+      |  JOIN dd b ON b.chunk_md5 = a.chunk_md5 AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT p.doc_a, p.doc_b, p.n_shared,
+      |  sa.n_chunks AS n_chunks_a, sb.n_chunks AS n_chunks_b,
+      |  round(CAST(p.n_shared AS DOUBLE)
+      |    / least(sa.n_chunks, sb.n_chunks), 6) AS containment
+      |FROM pr p
+      |JOIN sz sa ON sa.doc_id = p.doc_a
+      |JOIN sz sb ON sb.doc_id = p.doc_b
+      |WHERE p.n_shared * 2 >= least(sa.n_chunks, sb.n_chunks)
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

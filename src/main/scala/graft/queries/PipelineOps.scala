@@ -592,7 +592,10 @@ object PipelineOps {
     * text). At 100 TB this is the shape you want: chunking happens in
     * the same scan that reads the corpus, and only digests + indexes
     * leave the stage. */
-  def docChunks(s: SparkSession, dir: String): DataFrame = {
+  /** The shared chunk fan-out (doc_id, chunk_idx, chunk) that q100
+    * identity and q102 chunk-grain dedup both consume — one contract,
+    * one implementation, so the two can never drift. */
+  private[queries] def chunkedDocs(s: SparkSession, dir: String): DataFrame = {
     val len = length(col("text"))
     Tables.documents(s, dir)
       .withColumn("n_chunks",
@@ -603,16 +606,12 @@ object PipelineOps {
       .withColumn("chunk",
         col("text").substr(
           (col("chunk_idx") * ChunkStride + 1).cast("int"), lit(ChunkSize)))
-      .select(
-        col("doc_id"),
-        col("chunk_idx"),
-        length(col("chunk")).cast("long").as("chunk_len"),
-        md5(col("chunk")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
-  val docChunksSql: String =
-    s"""WITH n AS (
+  /** Oracle mirror of [[chunkedDocs]]: CTEs `n` (chunk counts) and `x`
+    * (doc_id, chunk_idx, chunk), shared by q100 and q102 SQL. */
+  private[queries] val chunkCteSql: String =
+    s"""n AS (
       |  SELECT doc_id, text,
       |    CASE WHEN length(text) <= $ChunkSize THEN 1
       |         ELSE 1 + (length(text) - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
@@ -621,7 +620,19 @@ object PipelineOps {
       |x AS (
       |  SELECT doc_id, i AS chunk_idx,
       |    substr(text, CAST(i * $ChunkStride + 1 AS INTEGER), $ChunkSize) AS chunk
-      |  FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g)
+      |  FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g)""".stripMargin
+
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    chunkedDocs(s, dir)
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunksSql: String =
+    s"""WITH $chunkCteSql
       |SELECT doc_id, chunk_idx,
       |  CAST(length(chunk) AS BIGINT) AS chunk_len,
       |  md5(chunk) AS chunk_md5

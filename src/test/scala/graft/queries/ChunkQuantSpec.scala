@@ -83,4 +83,45 @@ class ChunkQuantSpec extends AnyFunSuite with SparkFixture {
     assert(ratios.max > 0.5, f"bound should be near-tight, got ${ratios.max}%.3f")
     assert(ratios.max <= 1.0 + 1e-9)
   }
+
+  test("q102 chunk-grain pairs match an independent brute-force recompute") {
+    val size = PipelineOps.ChunkSize; val stride = PipelineOps.ChunkStride
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def digestsOf(text: String): Set[String] = {
+      val n = if (text.length <= size) 1
+              else 1 + (text.length - size + stride - 1) / stride
+      (0 until n).map { i =>
+        md5hex(text.substring(i * stride, math.min(i * stride + size, text.length)))
+      }.toSet
+    }
+    val perDoc = docs.map { case (id, t) => id -> digestsOf(t) }.toMap
+    val byDigest = perDoc.toSeq
+      .flatMap { case (id, ds) => ds.map(_ -> id) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet)
+      .filter { case (_, s) => s.size >= 2 && s.size <= Dedup.MaxChunkDf }
+    val shared = byDigest.values.toSeq
+      .flatMap { s =>
+        val ids = s.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }
+      .groupBy(identity).view.mapValues(_.size)
+    val expected = shared.collect {
+      case ((a, b), ns) if 2 * ns >= math.min(perDoc(a).size, perDoc(b).size) =>
+        (a, b) -> ns
+    }.toMap
+    val got = Dedup.chunkDedup(spark, sfDir).collect()
+    assert(got.nonEmpty, "fixture should contain chunk-sharing doc pairs")
+    assert(got.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap ==
+      expected.map { case (k, v) => k -> v.toLong })
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ns, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b, "canonical pair order")
+      assert(na == perDoc(a).size && nb == perDoc(b).size)
+      assert(ns <= math.min(na, nb))
+      assert(math.abs(r.getDouble(5) - ns.toDouble / math.min(na, nb)) <= 5e-7)
+    }
+  }
 }

@@ -71,6 +71,22 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q03_revenue_by_nation") should include("BroadcastHashJoin")
   }
 
+  test("chunk-grain dedup shuffles digests, never chunk text") {
+    // q102's 100 TB posture: chunk text is digested in the corpus scan
+    // stage; every Exchange moves (digest, id) or (pair, count) rows.
+    // A refactor that shuffles the `text` or `chunk` column would be a
+    // corpus-sized shuffle at scale — fail it here.
+    val exchanges = plans("q102_chunk_dedup").linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    exchanges should not be empty
+    exchanges.foreach { l =>
+      withClue(s"exchange row carries raw text: $l") {
+        l should not include "text#"
+        l should not include "chunk#"
+      }
+    }
+  }
+
   test("native template-match kernel stays inside whole-stage codegen") {
     // AQE's plan string hides codegen spans until execution; plan the
     // query once with AQE off to see the codegen-annotated tree.
