@@ -565,6 +565,115 @@ object PipelineOps {
       |GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
+  /** The pinned subword vocabulary for q104 — a deterministic,
+    * literal-table stand-in for a trained BPE merge list (common
+    * English suffixes and character bigrams, the shapes early BPE
+    * merges actually produce). Greedy longest-match over this table is
+    * the real tokenizer ALGORITHM (what BPE inference does, piece
+    * table aside), so budget numbers computed with it scale the same
+    * way a production tokenizer's would — while staying exactly
+    * reproducible in both engines with zero model artifacts. */
+  private[queries] val SubwordVocab: Seq[String] = Seq(
+    "tion", "ment", "ness", "able", "ance", "ence", "ight", "ould",
+    "ing", "ion", "ent", "ter", "est", "ers", "ive", "and", "the", "for",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to", "nt",
+    "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de",
+    "hi", "ri", "ro", "ic")
+  private val V4 = SubwordVocab.filter(_.length == 4)
+  private val V3 = SubwordVocab.filter(_.length == 3)
+  private val V2 = SubwordVocab.filter(_.length == 2)
+
+  /** Greedy longest-match subword count of one lowercase word, as a
+    * pure HOF loop: `aggregate` over a length-n step counter carrying
+    * (pos, cnt) — at each step match the longest vocab piece at `pos`
+    * (4 → 3 → 2 chars, else a 1-char unknown), advance, count. The
+    * loop body is branch-only string/int work, so it stays inside
+    * whole-stage codegen; n steps bound the ≤ n real iterations
+    * (iterations past the end are no-ops). */
+  private def subwordCount(w: Column): Column = {
+    val n = length(w)
+    aggregate(
+      sequence(lit(1), n),
+      struct(lit(1).as("pos"), lit(0L).as("cnt")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val step = when(w.substr(pos, lit(4)).isin(V4: _*), 4)
+          .when(w.substr(pos, lit(3)).isin(V3: _*), 3)
+          .when(w.substr(pos, lit(2)).isin(V2: _*), 2)
+          .otherwise(1)
+        when(pos > n, acc).otherwise(struct(
+          (pos + step).as("pos"), (acc.getField("cnt") + 1L).as("cnt")))
+      },
+      acc => acc.getField("cnt"))
+  }
+
+  /** q104 — the q93 token-budget report at SUBWORD grain: whitespace
+    * tokens under-count what a sequence actually costs (a model
+    * consumes subwords, and long/rare words fan out), so mix decisions
+    * made on whitespace counts systematically misprice code-like and
+    * morphology-heavy sources. Same deterministic hashSplit3 strata as
+    * q93, plus per-cell subword totals from the pinned greedy
+    * longest-match vocab ([[SubwordVocab]]) and the subword-per-token
+    * inflation ratio a data lead uses to convert historical budgets.
+    *
+    * Scale: the tokenize loop is map-side work in the corpus scan
+    * (per-row HOFs, no shuffle added over q93); the aggregation is the
+    * same 60-row (source × split) cell grid. Swapping the literal
+    * vocab for a real BPE piece table changes ONLY the literal lists —
+    * the plan shape is already the production one. */
+  def subwordBudget(s: SparkSession, dir: String): DataFrame =
+    graft.log.Features.hashSplit3(
+        Tables.documents(s, dir), "source", "doc_id", "budget")
+      .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_sub",
+        aggregate(
+          transform(
+            filter(split(lower(col("text")), " "), w => length(w) > 0),
+            w => subwordCount(w)),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_ws_tokens"),
+        sum(col("n_sub")).as("n_subwords"))
+      .withColumn("subwords_per_token",
+        round(col("n_subwords") / col("n_ws_tokens"), 6))
+      .orderBy("source", "split")
+
+  val subwordBudgetSql: String = {
+    def inList(vs: Seq[String]) = vs.map("'" + _ + "'").mkString(", ")
+    s"""WITH RECURSIVE $splitCteSql,
+      |w AS (
+      |  SELECT doc_id, i, lower(wl[i]) AS wrd
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |    LATERAL (SELECT unnest(generate_series(1, len(wl))) AS i) g
+      |  WHERE length(wl[i]) > 0),
+      |r AS (
+      |  SELECT doc_id, i, wrd, 1 AS pos, 0 AS cnt FROM w
+      |  UNION ALL
+      |  SELECT doc_id, i, wrd,
+      |    pos + CASE WHEN substr(wrd, pos, 4) IN (${inList(V4)}) THEN 4
+      |               WHEN substr(wrd, pos, 3) IN (${inList(V3)}) THEN 3
+      |               WHEN substr(wrd, pos, 2) IN (${inList(V2)}) THEN 2
+      |               ELSE 1 END,
+      |    cnt + 1
+      |  FROM r WHERE pos <= length(wrd)),
+      |per_word AS (SELECT doc_id, i, cnt FROM r WHERE pos > length(wrd)),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_sub
+      |  FROM per_word GROUP BY doc_id)
+      |SELECT sp.source, sp.split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(sp.ntok) AS BIGINT) AS n_ws_tokens,
+      |  CAST(sum(COALESCE(pd.n_sub, 0)) AS BIGINT) AS n_subwords,
+      |  round(CAST(sum(COALESCE(pd.n_sub, 0)) AS DOUBLE)
+      |    / sum(sp.ntok), 6) AS subwords_per_token
+      |FROM sp LEFT JOIN per_doc pd ON pd.doc_id = sp.doc_id
+      |GROUP BY sp.source, sp.split
+      |ORDER BY sp.source, sp.split""".stripMargin
+  }
+
   /** Chunking contract (q100): fixed window of `ChunkSize` chars,
     * stride `ChunkStride` (so adjacent chunks overlap by
     * `ChunkSize - ChunkStride` chars — the RAG convention that no

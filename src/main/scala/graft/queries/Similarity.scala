@@ -468,6 +468,108 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q103 neighbourhood size and certification floor: top-10 with a
+    * ≥ 8/10 overlap requirement. The fixture achieves 10/10; the floor
+    * is the CONTRACT a quantized index must meet, not the observation. */
+  private val RecallK = 10
+  private val RecallBound = 8
+
+  /** q103 — int8 retrieval-quality certification: does ANN over the
+    * q101-quantized vectors actually return the same neighbours as
+    * float vectors? For each of the 5 probe vectors (the q30 query
+    * set), compute exact cosine top-10 twice — once over the float
+    * embeddings, once over the int8-quantized vectors — and certify
+    * per-query overlap ≥ [[RecallBound]]. Closes the loop q101 opened:
+    * a small per-element error bound does NOT by itself guarantee
+    * ranking stability; this measures ranking agreement directly.
+    *
+    * Cosine is scale-invariant, so the dequantized cosine
+    * cos(q·s/127) ≡ cos(q) — we score the INTEGER vectors directly.
+    * Integer-valued doubles (|qᵢ| ≤ 127, 64 dims ⇒ |q·q| ≤ 1.04e6)
+    * make every dot product EXACT in both engines; the only floats
+    * are one sqrt and one division over identical inputs, so ranks
+    * (ties broken by vec_id) agree bit-for-bit and the overlap counts
+    * are exact integers.
+    *
+    * Scale: queries broadcast (bounded probe set × corpus scan — the
+    * q29/q30 linear ANN-baseline shape); BOTH top-k's come out of one
+    * hash aggregation with bounded TopK partials, so the single
+    * exchange carries ≤ partitions·q·k structs. At 100 TB the probe
+    * set is the sampled certification suite, and this query is the
+    * regression gate run after every re-quantization. */
+  def int8Recall(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopKAggregator(RecallK), Encoders.product[ScoredCand])
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val z = e
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") === 0d, lit(0d))
+          .otherwise(round(x * lit(127) / col("scale")))))
+      .select(col("vec_id"), col("v"), col("q"))
+    val qry = z.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("q").as("qq"))
+    z.join(broadcast(qry), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos_f"),
+        cosine(col("q"), col("qq")).as("cos_q"))
+      .groupBy("query_id")
+      .agg(
+        topk(-col("cos_f"), col("vec_id"), col("cos_f")).as("tf"),
+        topk(-col("cos_q"), col("vec_id"), col("cos_q")).as("tq"))
+      .select(col("query_id"),
+        transform(col("tf.cands"), x => x.getField("id")).as("ids_f"),
+        transform(col("tq.cands"), x => x.getField("id")).as("ids_q"))
+      .select(col("query_id"),
+        size(array_intersect(col("ids_f"), col("ids_q"))).cast("long")
+          .as("n_overlap"),
+        aggregate(
+          zip_with(col("ids_f"), col("ids_q"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_rank_match"))
+      .withColumn("certified", col("n_overlap") >= lit(RecallBound))
+      .orderBy("query_id")
+  }
+
+  val int8RecallSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM e),
+      |z AS (
+      |  SELECT vec_id, v,
+      |    list_transform(v, x ->
+      |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x * 127 / scale) END) AS q
+      |  FROM sc),
+      |qry AS (
+      |  SELECT vec_id AS query_id, v AS qv, q AS qq FROM z WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT qry.query_id, z.vec_id,
+      |    ${cosineSql.replace("(v, qv)", "(z.v, qv)").replace("(v, v)", "(z.v, z.v)")} AS cos_f,
+      |    ${cosineSql.replace("(v, qv)", "(z.q, qq)").replace("(v, v)", "(z.q, z.q)").replace("(qv, qv)", "(qq, qq)")} AS cos_q
+      |  FROM z, qry WHERE z.vec_id <> qry.query_id),
+      |rf AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_f DESC, vec_id ASC) AS rk
+      |  FROM scored),
+      |rq AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rk
+      |  FROM scored),
+      |lf AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
+      |       FROM rf WHERE rk <= $RecallK GROUP BY query_id),
+      |lq AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
+      |       FROM rq WHERE rk <= $RecallK GROUP BY query_id)
+      |SELECT lf.query_id,
+      |  CAST(len(list_intersect(lf.ids, lq.ids)) AS BIGINT) AS n_overlap,
+      |  CAST(len(list_filter(range(1, ${RecallK + 1}),
+      |    i -> lf.ids[i] = lq.ids[i])) AS BIGINT) AS n_rank_match,
+      |  (len(list_intersect(lf.ids, lq.ids)) >= $RecallBound) AS certified
+      |FROM lf JOIN lq ON lq.query_id = lf.query_id
+      |ORDER BY lf.query_id""".stripMargin
+
   val quantizeInt8Sql: String =
     """WITH e AS (
       |  SELECT vec_id, label,
