@@ -113,6 +113,12 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  // NOTE: the Spark side pre-aggregates revenue per (orderkey-side
+  // key) below the join (two-level summation) while this oracle sums
+  // flat; the round(...,2) is what absorbs the fp reassociation delta
+  // between the two orders (Spark's partial-agg order was never
+  // deterministic anyway). If a larger fixture ever shows last-ulp
+  // drift here, mirror the two-level sum in this SQL.
   val revenueByNationSql: String =
     """SELECT r_name, n_name,
       | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

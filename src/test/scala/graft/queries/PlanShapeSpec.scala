@@ -39,7 +39,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q94_bloom_decontaminate", // 1-row train count × 1-row certificate
     "q29_cosine_topk",     // broadcast k query vectors × corpus
     "q30_knn_join",        // broadcast probe set × corpus
-    "q46_ivf_topk")        // broadcast centroid/probe side
+    "q46_ivf_topk",        // broadcast centroid/probe side
+    "q103_int8_recall")    // broadcast 5 probe vectors × corpus (q30 shape)
 
   test("no unbounded cartesian product in any registered query plan") {
     val offenders = plans.collect {
