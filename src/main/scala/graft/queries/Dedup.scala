@@ -415,7 +415,11 @@ object Dedup {
     * chunk text never leaves its scan stage. Per-doc chunk counts join
     * on doc_id AFTER pair aggregation, i.e. on the (small) candidate
     * set, not the corpus. */
-  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The q102/q105 shared candidate frame: qualifying chunk-overlap
+    * pairs with both docs' chunk counts attached — factored so the
+    * pair definition cannot drift between the pair query and the
+    * cluster query (the `componentFrame` discipline at chunk grain). */
+  private def chunkPairFrame(s: SparkSession, dir: String): DataFrame = {
     val chunks = PipelineOps.chunkedDocs(s, dir)
       .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
       .distinct()
@@ -435,16 +439,22 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"),
         col("n_chunks").as("n_chunks_b")), Seq("doc_b"))
       .filter(col("n_shared") * 2 >= least(col("n_chunks_a"), col("n_chunks_b")))
+  }
+
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkPairFrame(s, dir)
       .select(
         col("doc_a"), col("doc_b"), col("n_shared"),
         col("n_chunks_a"), col("n_chunks_b"),
         round(col("n_shared").cast("double") /
           least(col("n_chunks_a"), col("n_chunks_b")), 6).as("containment"))
       .orderBy("doc_a", "doc_b")
-  }
 
-  val chunkDedupSql: String =
-    s"""WITH ${PipelineOps.chunkCteSql},
+  /** Oracle mirror of [[chunkPairFrame]] — CTE chain ending in
+    * `cp(doc_a, doc_b, n_shared, n_chunks_a, n_chunks_b)`, shared by
+    * the q102 and q105 SQL. */
+  private val chunkPairCteSql: String =
+    s"""${PipelineOps.chunkCteSql},
       |dd AS (SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5 FROM x),
       |sz AS (SELECT doc_id, count(*) AS n_chunks FROM dd GROUP BY doc_id),
       |grp AS (
@@ -455,14 +465,59 @@ object Dedup {
       |  FROM dd a
       |  JOIN grp g ON g.chunk_md5 = a.chunk_md5
       |  JOIN dd b ON b.chunk_md5 = a.chunk_md5 AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT p.doc_a, p.doc_b, p.n_shared,
-      |  sa.n_chunks AS n_chunks_a, sb.n_chunks AS n_chunks_b,
-      |  round(CAST(p.n_shared AS DOUBLE)
-      |    / least(sa.n_chunks, sb.n_chunks), 6) AS containment
-      |FROM pr p
-      |JOIN sz sa ON sa.doc_id = p.doc_a
-      |JOIN sz sb ON sb.doc_id = p.doc_b
-      |WHERE p.n_shared * 2 >= least(sa.n_chunks, sb.n_chunks)
+      |  GROUP BY a.doc_id, b.doc_id),
+      |cp AS (
+      |  SELECT p.doc_a, p.doc_b, p.n_shared,
+      |    sa.n_chunks AS n_chunks_a, sb.n_chunks AS n_chunks_b
+      |  FROM pr p
+      |  JOIN sz sa ON sa.doc_id = p.doc_a
+      |  JOIN sz sb ON sb.doc_id = p.doc_b
+      |  WHERE p.n_shared * 2 >= least(sa.n_chunks, sb.n_chunks))""".stripMargin
+
+  val chunkDedupSql: String =
+    s"""WITH $chunkPairCteSql
+      |SELECT doc_a, doc_b, n_shared, n_chunks_a, n_chunks_b,
+      |  round(CAST(n_shared AS DOUBLE)
+      |    / least(n_chunks_a, n_chunks_b), 6) AS containment
+      |FROM cp
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q105 — chunk-grain duplicate CLUSTERS: the q102 pairs closed
+    * under transitivity by the same min-label
+    * [[graft.operators.ConnectedComponents]] loop the doc-grain chain
+    * uses (A shares half its chunks with B, B with C ⇒ {A,B,C} is one
+    * provenance group even when A and C overlap below threshold).
+    * Output matches the q49 contract — every clustered doc with its
+    * canonical id (cluster min) and cluster size — so downstream
+    * purge logic (q92's window pass) applies unchanged at chunk grain.
+    *
+    * Scale: the candidate graph is O(qualifying pairs), orders of
+    * magnitude smaller than the corpus; the CC loop is the q49
+    * machinery with its measured constant round count. */
+  def chunkDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = chunkPairFrame(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents.run(edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
+  val chunkDupClustersSql: String =
+    s"""WITH RECURSIVE $chunkPairCteSql,
+      |ce0 AS (SELECT doc_a AS src, doc_b AS dst FROM cp),
+      |cedges AS (
+      |  SELECT src, dst FROM ce0 UNION SELECT dst AS src, src AS dst FROM ce0),
+      |cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+      |creach(id, r) AS (
+      |  SELECT id, id FROM cnodes
+      |  UNION
+      |  SELECT e.dst, creach.r FROM creach JOIN cedges e ON e.src = creach.id),
+      |ccomp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM creach GROUP BY id)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS n_cluster
+      |FROM ccomp
+      |ORDER BY doc_id""".stripMargin
 }

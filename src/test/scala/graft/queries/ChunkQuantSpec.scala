@@ -123,5 +123,26 @@ class ChunkQuantSpec extends AnyFunSuite with SparkFixture {
       assert(ns <= math.min(na, nb))
       assert(math.abs(r.getDouble(5) - ns.toDouble / math.min(na, nb)) <= 5e-7)
     }
+
+    // q105: the same pairs closed under transitivity must match a
+    // plain union-find over the brute-force edge set.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expected.keys.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = expected.keys.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val byComp = members.groupBy(find)
+    val expectedClusters = byComp.flatMap { case (_, ms) =>
+      val label = ms.min
+      ms.map(m => m -> (label, ms.size.toLong))
+    }
+    val gotClusters = Dedup.chunkDupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotClusters == expectedClusters)
   }
 }
