@@ -119,6 +119,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "usage: graft_cm_estimate(sketch, item)")
         CmEstimate(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_subwords"),
+      new ExpressionInfo(classOf[graft.functions.SubwordCount].getName,
+        "graft_subwords"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_subwords(text, vocab_csv)")
+        val vocab = args(1) match {
+          case Literal(v: UTF8String, _: StringType) => v.toString.split(",").toSeq
+          case other => throw new IllegalArgumentException(
+            s"vocab_csv must be a string literal, got $other")
+        }
+        graft.functions.SubwordCount(args(0), vocab)
+      }))
     // Aggregate functions: the analyzer wraps a bare AggregateFunction
     // returned by a builder into an AggregateExpression itself, so the
     // registration shape is identical to scalar kernels.

@@ -551,3 +551,79 @@ case class TryLong(child: Expression) extends UnaryExpression {
 object TryLong {
   private val dot = UTF8String.fromString(".")
 }
+
+/** `graft_subwords(text, vocab_csv)`: total greedy longest-match
+  * subword count of a space-tokenized document over a pinned literal
+  * vocabulary (q104's BPE-inference stand-in) — one linear scan of
+  * the string with O(1) hash-set piece lookups, replacing the HOF
+  * loop that materialized a step-counter array per word and compared
+  * against the vocab as a literal `isin` chain.
+  *
+  * Semantics (BIT-IDENTICAL to the HOF form, which remains the
+  * executable spec in RecallSubwordSpec): words are maximal runs of
+  * non-space chars; at each in-word position match the longest vocab
+  * piece (4 → 3 → 2 chars), else consume 1 unknown char; each match
+  * or unknown counts one token. Window equality can never cross a
+  * space because pieces are space-free (enforced at construction), so
+  * scanning the whole text while skipping spaces reproduces per-word
+  * greedy matching exactly. Case mapping stays OUTSIDE the kernel
+  * (callers pass `lower(text)`) so Spark's own collation semantics
+  * apply.
+  *
+  * `vocab_csv` is a plan-time string literal (comma-joined pieces,
+  * lengths 2–4) — same parameter discipline as `graft_extract_long`'s
+  * key. */
+case class SubwordCount(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  require(vocab.nonEmpty, "vocab must be non-empty")
+  require(vocab.forall(v => v.length >= 2 && v.length <= 4),
+    "vocab pieces must be 2-4 chars")
+  require(vocab.forall(!_.contains(' ')),
+    "vocab pieces must be space-free (word-boundary equivalence)")
+
+  @transient private lazy val byLen: Array[java.util.HashSet[String]] = {
+    val a = Array.fill(5)(new java.util.HashSet[String]())
+    vocab.foreach(v => a(v.length).add(v))
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_subwords"
+
+  def compute(input: UTF8String): Long = {
+    val s = input.toString
+    val n = s.length
+    var i = 0
+    var cnt = 0L
+    while (i < n) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        var step = 1
+        if (i + 4 <= n && byLen(4).contains(s.substring(i, i + 4))) step = 4
+        else if (i + 3 <= n && byLen(3).contains(s.substring(i, i + 3))) step = 3
+        else if (i + 2 <= n && byLen(2).contains(s.substring(i, i + 2))) step = 2
+        cnt += 1
+        i += step
+      }
+    }
+    cnt
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordExpr", this, classOf[SubwordCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
+}

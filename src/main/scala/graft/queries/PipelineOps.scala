@@ -590,7 +590,12 @@ object PipelineOps {
     * (4 → 3 → 2 chars, else a 1-char unknown), advance, count. The
     * loop body is branch-only string/int work, so it stays inside
     * whole-stage codegen; n steps bound the ≤ n real iterations
-    * (iterations past the end are no-ops). */
+    * (iterations past the end are no-ops).
+    *
+    * This is the EXECUTABLE SPEC of the semantics; the production
+    * q104 path uses the native `graft_subwords` kernel (one linear
+    * scan, hash-set piece lookups — no per-word step array, no isin
+    * chain), parity-pinned in RecallSubwordSpec. */
   private def subwordCount(w: Column): Column = {
     val n = length(w)
     aggregate(
@@ -622,16 +627,22 @@ object PipelineOps {
     * same 60-row (source × split) cell grid. Swapping the literal
     * vocab for a real BPE piece table changes ONLY the literal lists —
     * the plan shape is already the production one. */
+  /** The whole-document HOF form (split → filter → per-word count →
+    * sum) the kernel is parity-pinned against. */
+  private[queries] def docSubwordsHof(text: Column): Column =
+    aggregate(
+      transform(
+        filter(split(lower(text), " "), w => length(w) > 0),
+        w => subwordCount(w)),
+      lit(0L), (acc, x) => acc + x)
+
   def subwordBudget(s: SparkSession, dir: String): DataFrame =
     graft.log.Features.hashSplit3(
         Tables.documents(s, dir), "source", "doc_id", "budget")
       .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_sub",
-        aggregate(
-          transform(
-            filter(split(lower(col("text")), " "), w => length(w) > 0),
-            w => subwordCount(w)),
-          lit(0L), (acc, x) => acc + x))
+        call_function("graft_subwords", lower(col("text")),
+          lit(SubwordVocab.mkString(","))))
       .groupBy(col("source"), col("split"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -47,6 +47,25 @@ class RecallSubwordSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native graft_subwords kernel is bit-identical to the HOF spec form") {
+    import org.apache.spark.sql.functions._
+    // Edge shapes the fixture may not cover: empty text, space runs,
+    // leading/trailing spaces, words truncating mid-piece, a word that
+    // is exactly one piece, unknown-only words, mixed case.
+    val edges = Seq("", " ", "   ", "the", " the ", "tion", "ti", "t",
+      "xqzw", "THE InGest", "a  b   c", "testing the estimation",
+      "abcdefghijklmnopqrstuvwxyz", "ing ing ing", "x" * 500)
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir).select($"text")
+      .unionByName(edges.toDF("text"))
+    val vocabCsv = PipelineOps.SubwordVocab.mkString(",")
+    val mismatches = docs.select(
+        PipelineOps.docSubwordsHof($"text").as("hof"),
+        call_function("graft_subwords", lower($"text"), lit(vocabCsv)).as("native"))
+      .filter($"hof" =!= $"native").count()
+    assert(mismatches == 0L)
+  }
+
   test("q104 subword totals match an independent greedy tokenizer") {
     val vocab = PipelineOps.SubwordVocab.toSet
     def tokenize(word: String): Int = {
