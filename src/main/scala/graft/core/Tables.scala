@@ -46,8 +46,13 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     // Fail fast if an entry point forgot the UTC pin: the NTZ→instant
     // cast below silently shifts by the local offset otherwise.
-    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-      "graft.events requires spark.sql.session.timeZone=UTC (set by all graft builders)")
+    // Normalized comparison so equivalent ids ("Etc/UTC", "GMT",
+    // "+00:00") — under which the cast was already exact — still pass.
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    val isUtc = scala.util.Try(
+      java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC).getOrElse(false)
+    require(isUtc,
+      s"graft.events requires a UTC session timezone (set by all graft builders), got '$tz'")
     val raw = load(s, d, "events")
     val tsNs = raw.schema("ts").dataType match {
       // Legacy int64-nanos (nanosAsLong or a spec fixture's raw long).

@@ -581,6 +581,8 @@ case class SubwordCount(child: Expression, vocab: Seq[String])
     "vocab pieces must be 2-4 chars")
   require(vocab.forall(!_.contains(' ')),
     "vocab pieces must be space-free (word-boundary equivalence)")
+  require(vocab.forall(_.forall(c => !Character.isSurrogate(c))),
+    "vocab pieces must be BMP-only (unit-window/code-point-window equivalence)")
 
   @transient private lazy val byLen: Array[java.util.HashSet[String]] = {
     val a = Array.fill(5)(new java.util.HashSet[String]())
@@ -605,10 +607,18 @@ case class SubwordCount(child: Expression, vocab: Seq[String])
     while (i < n) {
       if (s.charAt(i) == ' ') i += 1
       else {
-        var step = 1
+        // Piece windows are compared by UTF-16 units, which agrees
+        // with the code-point HOF/oracle semantics because pieces are
+        // BMP-only (enforced at construction): a window whose units
+        // aren't all BMP can't equal a piece either way. The UNKNOWN
+        // step however must consume one CODE POINT — charAt-stepping
+        // would count a surrogate pair as two unknown tokens where
+        // Spark's substr/length (code-point based) count one.
+        var step = 0
         if (i + 4 <= n && byLen(4).contains(s.substring(i, i + 4))) step = 4
         else if (i + 3 <= n && byLen(3).contains(s.substring(i, i + 3))) step = 3
         else if (i + 2 <= n && byLen(2).contains(s.substring(i, i + 2))) step = 2
+        else step = Character.charCount(s.codePointAt(i))
         cnt += 1
         i += step
       }

@@ -44,10 +44,16 @@ object Similarity {
     when(denom === 0.0, lit(-2.0)).otherwise(dot(v, qv) / denom)
   }
 
-  private val cosineSqlDenom =
-    "(sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))"
-  private val cosineSql =
-    s"CASE WHEN $cosineSqlDenom = 0 THEN -2.0 ELSE list_inner_product(v, qv) / $cosineSqlDenom END"
+  /** The oracle cosine over explicit operand expressions — parameterized
+    * so multi-pair queries (q103) can't silently mis-substitute: a
+    * string `.replace` that stops matching degrades into valid SQL
+    * that certifies nothing (review r12), whereas operands passed here
+    * are always spliced. */
+  private def cosineSqlFor(v: String, q: String): String = {
+    val denom = s"(sqrt(list_inner_product($v, $v)) * sqrt(list_inner_product($q, $q)))"
+    s"CASE WHEN $denom = 0 THEN -2.0 ELSE list_inner_product($v, $q) / $denom END"
+  }
+  private val cosineSql = cosineSqlFor("v", "qv")
 
   /** Exact cosine top-20 neighbours of vec_id = 0. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -547,8 +553,8 @@ object Similarity {
       |  SELECT vec_id AS query_id, v AS qv, q AS qq FROM z WHERE vec_id < 5),
       |scored AS (
       |  SELECT qry.query_id, z.vec_id,
-      |    ${cosineSql.replace("(v, qv)", "(z.v, qv)").replace("(v, v)", "(z.v, z.v)")} AS cos_f,
-      |    ${cosineSql.replace("(v, qv)", "(z.q, qq)").replace("(v, v)", "(z.q, z.q)").replace("(qv, qv)", "(qq, qq)")} AS cos_q
+      |    ${cosineSqlFor("z.v", "qv")} AS cos_f,
+      |    ${cosineSqlFor("z.q", "qq")} AS cos_q
       |  FROM z, qry WHERE z.vec_id <> qry.query_id),
       |rf AS (
       |  SELECT query_id, vec_id,

@@ -34,10 +34,23 @@ object ServingLatencyBench {
   private def pctl(sorted: IndexedSeq[Double], p: Double): Double =
     sorted((math.ceil(p * sorted.size).toInt - 1).max(0).min(sorted.size - 1))
 
-  /** Runs the section; returns a JSON object string for BENCH_DETAIL. */
+  /** Runs the section; returns a JSON object string for BENCH_DETAIL.
+    * The temp store (a full copy of the events table) is deleted on
+    * the way out — every bench/spec run otherwise strands one in /tmp
+    * and repeated runs on a long-lived host accumulate unbounded disk. */
   def section(spark: SparkSession, sfDir: String,
       reps: Int = 30, warm: Int = 5): String = {
-    val store = Files.createTempDirectory("graft-serving-lat").toString
+    val storeDir = Files.createTempDirectory("graft-serving-lat")
+    try sectionAt(spark, sfDir, storeDir.toString, reps, warm)
+    finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(storeDir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  private def sectionAt(spark: SparkSession, sfDir: String, store: String,
+      reps: Int, warm: Int): String = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts_ms"), col("user_id"),
         col("event_type"), col("value"))

@@ -38,10 +38,9 @@ class RecallSubwordSpec extends AnyFunSuite with SparkFixture {
       (qid, f.toSet.intersect(q.toSet).size.toLong,
         f.zip(q).count { case (a, b) => a == b }.toLong)
     }
-    val got = Similarity.int8Recall(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == expected)
-    Similarity.int8Recall(spark, sfDir).collect().foreach { r =>
+    val rows = Similarity.int8Recall(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == expected)
+    rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1), "rank matches are a subset of overlap")
       assert(r.getAs[Boolean]("certified"), s"query ${r.getLong(0)} below bound")
     }
@@ -54,7 +53,11 @@ class RecallSubwordSpec extends AnyFunSuite with SparkFixture {
     // is exactly one piece, unknown-only words, mixed case.
     val edges = Seq("", " ", "   ", "the", " the ", "tion", "ti", "t",
       "xqzw", "THE InGest", "a  b   c", "testing the estimation",
-      "abcdefghijklmnopqrstuvwxyz", "ing ing ing", "x" * 500)
+      "abcdefghijklmnopqrstuvwxyz", "ing ing ing", "x" * 500,
+      // Non-BMP: a surrogate pair must count as ONE unknown token
+      // (code-point semantics), not two code units.
+      "a😀b", "😀 the 😀😀",
+      "ing😀tion")
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir).select($"text")
       .unionByName(edges.toDF("text"))
