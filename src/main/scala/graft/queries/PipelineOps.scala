@@ -573,7 +573,7 @@ object PipelineOps {
     * table aside), so budget numbers computed with it scale the same
     * way a production tokenizer's would — while staying exactly
     * reproducible in both engines with zero model artifacts. */
-  private[queries] val SubwordVocab: Seq[String] = Seq(
+  private[graft] val SubwordVocab: Seq[String] = Seq(
     "tion", "ment", "ness", "able", "ance", "ence", "ight", "ould",
     "ing", "ion", "ent", "ter", "est", "ers", "ive", "and", "the", "for",
     "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
@@ -629,7 +629,7 @@ object PipelineOps {
     * the plan shape is already the production one. */
   /** The whole-document HOF form (split → filter → per-word count →
     * sum) the kernel is parity-pinned against. */
-  private[queries] def docSubwordsHof(text: Column): Column =
+  private[graft] def docSubwordsHof(text: Column): Column =
     aggregate(
       transform(
         filter(split(lower(text), " "), w => length(w) > 0),

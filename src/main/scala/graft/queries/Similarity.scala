@@ -537,6 +537,127 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q106 — IVF recall/scan-fraction certification: does probing the
+    * `nprobe` best cells (the q46 index discipline) actually beat
+    * scanning a random subset of the same size? For each of 5 probe
+    * vectors, exact cosine top-10 over the FULL corpus vs top-10 over
+    * only the probed cells, plus how many candidates each side
+    * scanned. The certificate is the integer-exact tradeoff property
+    * `n_overlap · n_candidates ≥ k · n_probed` — i.e. recall@k ≥ the
+    * scanned fraction, which is what "the index is better than random
+    * pruning" means and holds for ANY data distribution an IVF index
+    * is worth building on. (Absolute recall on the synthetic fixture
+    * is structurally modest — the embeddings are unclustered, so
+    * ~25% scan fraction buys ~30–50% recall; a clustered real corpus
+    * pushes recall toward 1 at the same fraction. The certificate
+    * deliberately pins the distribution-free property, not a fixture
+    * artifact.)
+    *
+    * Scale: the exact side is the unavoidable full scan (ground truth
+    * needs it); the IVF side is the production shape — at 100 TB the
+    * cell assignment is a stored column, so the probe filter prunes
+    * at the scan and reads ~nprobe/K of the data. Both sides reduce
+    * through bounded-TopK aggregations; probe cells and queries
+    * broadcast. */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (kCent, nprobe, k) = (8, 2, 10)
+    val topkE = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+    val topkI = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val cent = e.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val assigned = e.join(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"))
+    val qs = e.filter(col("vec_id").between(40, 44))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val qcells = cent.join(broadcast(qs))
+      .withColumn("cos_c", cosine(col("cv"), col("qv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
+    val scored = assigned
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cell"), col("cos"))
+    val exact = scored.groupBy("query_id").agg(
+      topkE(-col("cos"), col("vec_id"), col("cos")).as("te"),
+      count(lit(1)).as("n_candidates"))
+    val ivf = scored.join(broadcast(qcells),
+        col("query_id") === col("qc_query") && col("cell") === col("probe_cell"))
+      .groupBy("query_id").agg(
+        topkI(-col("cos"), col("vec_id"), col("cos")).as("ti"),
+        count(lit(1)).as("n_probed"))
+    exact.join(ivf, Seq("query_id"))
+      .select(col("query_id"),
+        size(array_intersect(
+          transform(col("te.cands"), x => x.getField("id")),
+          transform(col("ti.cands"), x => x.getField("id")))).cast("long")
+          .as("n_overlap"),
+        col("n_probed"), col("n_candidates"))
+      .withColumn("beats_random",
+        col("n_overlap") * col("n_candidates") >= lit(k.toLong) * col("n_probed"))
+      .orderBy("query_id")
+  }
+
+  val ivfRecallSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |sc AS (
+      |  SELECT e.vec_id, cent.c_id, e.v,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${cosineSqlFor("e.v", "cent.cv")} DESC, cent.c_id DESC) AS rn
+      |  FROM e, cent),
+      |assigned AS (SELECT vec_id, c_id AS cell, v FROM sc WHERE rn = 1),
+      |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 40 AND 44),
+      |qc AS (
+      |  SELECT query_id, c_id AS probe_cell FROM (
+      |    SELECT qs.query_id, cent.c_id,
+      |      row_number() OVER (PARTITION BY qs.query_id
+      |        ORDER BY ${cosineSqlFor("cent.cv", "qs.qv")} DESC, cent.c_id DESC) AS rn
+      |    FROM cent, qs) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT qs.query_id, a.vec_id, a.cell, ${cosineSqlFor("a.v", "qs.qv")} AS c
+      |  FROM assigned a, qs WHERE a.vec_id <> qs.query_id),
+      |ex AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rk
+      |  FROM scored),
+      |iv AS (
+      |  SELECT s.query_id, s.vec_id,
+      |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.c DESC, s.vec_id ASC) AS rk
+      |  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.probe_cell = s.cell),
+      |np AS (
+      |  SELECT s.query_id, count(*) AS n_probed
+      |  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.probe_cell = s.cell
+      |  GROUP BY s.query_id),
+      |nc AS (SELECT query_id, count(*) AS n_candidates FROM scored GROUP BY query_id),
+      |le AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
+      |       FROM ex WHERE rk <= 10 GROUP BY query_id),
+      |li AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
+      |       FROM iv WHERE rk <= 10 GROUP BY query_id)
+      |SELECT le.query_id,
+      |  CAST(len(list_intersect(le.ids, li.ids)) AS BIGINT) AS n_overlap,
+      |  CAST(np.n_probed AS BIGINT) AS n_probed,
+      |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+      |  (len(list_intersect(le.ids, li.ids)) * nc.n_candidates
+      |    >= 10 * np.n_probed) AS beats_random
+      |FROM le
+      |JOIN li ON li.query_id = le.query_id
+      |JOIN np ON np.query_id = le.query_id
+      |JOIN nc ON nc.query_id = le.query_id
+      |ORDER BY le.query_id""".stripMargin
+
   val int8RecallSql: String =
     s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

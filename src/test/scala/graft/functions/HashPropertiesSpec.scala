@@ -172,4 +172,32 @@ class HashPropertiesSpec extends AnyFunSuite with SparkFixture {
         (col("a").isNotNull && col("a") =!= col("b")))
     assert(diff.isEmpty, s"mismatch:\n${diff.limit(5).collect().mkString("\n")}")
   }
+
+  test("subword count == HOF greedy loop for arbitrary texts incl. astral chars") {
+    import spark.implicits._
+    // Space-joined fragments: vocab pieces (full and truncated), random
+    // ASCII words, supplementary-plane chars alone and embedded — the
+    // shapes that distinguish code-point from UTF-16-unit stepping.
+    // Lone-surrogate code points are excluded (UTF8String round-trips
+    // them lossily for BOTH forms, proving nothing about the kernel).
+    val fragment: Gen[String] = Gen.oneOf(
+      Gen.oneOf("the", "tion", "ing", "ti", "t", "ingestion", "testing"),
+      Gen.asciiPrintableStr.map(_.filter(_ != ' ').take(8)),
+      Gen.const("😀"),
+      Gen.const("a😀b"),
+      Gen.const("ing😀tion"),
+      Gen.listOfN(3, Gen.choose(0x1F300, 0x1F64F))
+        .map(_.flatMap(Character.toChars(_).toSeq).mkString))
+    val text: Gen[String] = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, fragment)).map(_.mkString(" "))
+    val gend = Seq.newBuilder[String]
+    forAllSeeded(text, 200)(s => gend += s)
+    val vocabCsv = graft.queries.PipelineOps.SubwordVocab.mkString(",")
+    val df = gend.result().map(Tuple1(_)).toDF("t")
+    val diff = df.select(col("t"),
+        call_function("graft_subwords", lower(col("t")), lit(vocabCsv)).as("a"),
+        graft.queries.PipelineOps.docSubwordsHof(col("t")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.isEmpty, s"mismatch:\n${diff.limit(5).collect().mkString("\n")}")
+  }
 }
