@@ -415,11 +415,10 @@ object Dedup {
     * chunk text never leaves its scan stage. Per-doc chunk counts join
     * on doc_id AFTER pair aggregation, i.e. on the (small) candidate
     * set, not the corpus. */
-  /** The q102/q105 shared candidate frame: qualifying chunk-overlap
-    * pairs with both docs' chunk counts attached — factored so the
-    * pair definition cannot drift between the pair query and the
-    * cluster query (the `componentFrame` discipline at chunk grain). */
-  private def chunkPairFrame(s: SparkSession, dir: String): DataFrame = {
+  /** ALL co-chunk candidate pairs with both docs' chunk counts — the
+    * un-thresholded base q102/q105/q107 share (the `componentFrame`
+    * discipline at chunk grain: one pair definition, zero drift). */
+  private def allChunkPairs(s: SparkSession, dir: String): DataFrame = {
     val chunks = PipelineOps.chunkedDocs(s, dir)
       .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
       .distinct()
@@ -438,8 +437,13 @@ object Dedup {
         col("n_chunks").as("n_chunks_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"),
         col("n_chunks").as("n_chunks_b")), Seq("doc_b"))
-      .filter(col("n_shared") * 2 >= least(col("n_chunks_a"), col("n_chunks_b")))
   }
+
+  /** The q102/q105 qualifying frame: [[allChunkPairs]] at the ≥ 50%
+    * containment threshold (exact integer predicate). */
+  private def chunkPairFrame(s: SparkSession, dir: String): DataFrame =
+    allChunkPairs(s, dir)
+      .filter(col("n_shared") * 2 >= least(col("n_chunks_a"), col("n_chunks_b")))
 
   def chunkDedup(s: SparkSession, dir: String): DataFrame =
     chunkPairFrame(s, dir)
@@ -466,13 +470,15 @@ object Dedup {
       |  JOIN grp g ON g.chunk_md5 = a.chunk_md5
       |  JOIN dd b ON b.chunk_md5 = a.chunk_md5 AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id),
-      |cp AS (
+      |ap AS (
       |  SELECT p.doc_a, p.doc_b, p.n_shared,
       |    sa.n_chunks AS n_chunks_a, sb.n_chunks AS n_chunks_b
       |  FROM pr p
       |  JOIN sz sa ON sa.doc_id = p.doc_a
-      |  JOIN sz sb ON sb.doc_id = p.doc_b
-      |  WHERE p.n_shared * 2 >= least(sa.n_chunks, sb.n_chunks))""".stripMargin
+      |  JOIN sz sb ON sb.doc_id = p.doc_b),
+      |cp AS (
+      |  SELECT * FROM ap
+      |  WHERE n_shared * 2 >= least(n_chunks_a, n_chunks_b))""".stripMargin
 
   val chunkDedupSql: String =
     s"""WITH $chunkPairCteSql
@@ -504,6 +510,42 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy("doc_id")
   }
+
+  /** q107 — the containment-threshold sensitivity curve: ALL co-chunk
+    * candidate pairs bucketed by containment decile
+    * (`(10·n_shared) div min(nₐ,n_b)` — exact integers, no float
+    * bucketing drift), with the descending-cumulative pair count.
+    * This is the table a data lead reads to CHOOSE q102's threshold:
+    * each row says "a cutoff at this decile keeps n_pairs_ge pairs" —
+    * the survival curve dedup papers tune T against, computed in one
+    * pass instead of re-running the pipeline per candidate T.
+    *
+    * Scale: same digest-grouped candidate generation as q102 (never
+    * all-pairs), one ≤ 11-row aggregation on top; the unpartitioned
+    * cumulative window is over those ≤ 11 rows, not data. */
+  def chunkOverlapHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allChunkPairs(s, dir)
+      .withColumn("decile",
+        expr("(n_shared * 10) div least(n_chunks_a, n_chunks_b)"))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+      .orderBy("decile")
+  }
+
+  val chunkOverlapHistogramSql: String =
+    s"""WITH $chunkPairCteSql,
+      |h AS (
+      |  SELECT (n_shared * 10) // least(n_chunks_a, n_chunks_b) AS decile,
+      |    count(*) AS n_pairs
+      |  FROM ap GROUP BY 1)
+      |SELECT decile, n_pairs,
+      |  CAST(sum(n_pairs) OVER (ORDER BY decile DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+      |FROM h
+      |ORDER BY decile""".stripMargin
 
   val chunkDupClustersSql: String =
     s"""WITH RECURSIVE $chunkPairCteSql,

@@ -144,5 +144,18 @@ class ChunkQuantSpec extends AnyFunSuite with SparkFixture {
     val gotClusters = Dedup.chunkDupClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(gotClusters == expectedClusters)
+
+    // q107: the decile histogram over ALL candidate pairs (no
+    // threshold) must match the brute-force pair set, and the
+    // descending-cumulative column must be self-consistent.
+    val expectedHist = shared.toSeq.map { case ((a, b), ns) =>
+      (10L * ns) / math.min(perDoc(a).size, perDoc(b).size)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hist = Dedup.chunkOverlapHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(h => h._1 -> h._2).toMap == expectedHist)
+    val descending = hist.sortBy(-_._1)
+    assert(descending.map(_._2).scanLeft(0L)(_ + _).tail.toSeq ==
+      descending.map(_._3).toSeq)
   }
 }
