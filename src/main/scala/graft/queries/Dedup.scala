@@ -500,12 +500,18 @@ object Dedup {
     * Scale: the candidate graph is O(qualifying pairs), orders of
     * magnitude smaller than the corpus; the CC loop is the q49
     * machinery with its measured constant round count. */
-  def chunkDupClusters(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared q105/q108 clustering: chunk-overlap edges → min-label
+    * components (the doc-grain `componentFrame` discipline). */
+  private def chunkComponentFrame(s: SparkSession, dir: String): DataFrame = {
     val edges = chunkPairFrame(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     graft.operators.ConnectedComponents.run(edges)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  def chunkDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    chunkComponentFrame(s, dir)
       .withColumn("n_cluster",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy("doc_id")
@@ -547,9 +553,10 @@ object Dedup {
       |FROM h
       |ORDER BY decile""".stripMargin
 
-  val chunkDupClustersSql: String =
-    s"""WITH RECURSIVE $chunkPairCteSql,
-      |ce0 AS (SELECT doc_a AS src, doc_b AS dst FROM cp),
+  /** The q105/q108 shared reachability CTE block (expects `cp` from
+    * [[chunkPairCteSql]] in scope; yields `ccomp(doc_id, cluster_id)`). */
+  private val chunkCcCteSql: String =
+    """ce0 AS (SELECT doc_a AS src, doc_b AS dst FROM cp),
       |cedges AS (
       |  SELECT src, dst FROM ce0 UNION SELECT dst AS src, src AS dst FROM ce0),
       |cnodes AS (SELECT DISTINCT src AS id FROM cedges),
@@ -557,9 +564,57 @@ object Dedup {
       |  SELECT id, id FROM cnodes
       |  UNION
       |  SELECT e.dst, creach.r FROM creach JOIN cedges e ON e.src = creach.id),
-      |ccomp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM creach GROUP BY id)
+      |ccomp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM creach GROUP BY id)""".stripMargin
+
+  val chunkDupClustersSql: String =
+    s"""WITH RECURSIVE $chunkPairCteSql,
+      |$chunkCcCteSql
       |SELECT doc_id, cluster_id,
       |  count(*) OVER (PARTITION BY cluster_id) AS n_cluster
       |FROM ccomp
+      |ORDER BY doc_id""".stripMargin
+
+  /** q108 — the chunk-grain PURGE list, completing the chain q100
+    * chunks → q102 pairs → q105 clusters → THIS (the q92 discipline at
+    * chunk grain): per cluster the highest-quality member survives
+    * (q37 score, 6-dp-rounded, ties by min doc_id — a total order) and
+    * every other member emits (doc_id, cluster_id, kept_doc) — the
+    * delete set a curation pipeline applies for the partial-overlap
+    * duplication that whole-doc MinHash (q92's candidate source)
+    * under-weights. One window pass computes rank + keeper together;
+    * O(clustered docs), never O(corpus). */
+  def chunkDedupPurge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = chunkComponentFrame(s, dir)
+    val quality = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    comp.join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        row_number().over(byQuality).as("rk"),
+        first(col("doc_id")).over(
+          byQuality.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("kept_doc"))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), col("cluster_id"), col("kept_doc"))
+      .orderBy("doc_id")
+  }
+
+  val chunkDedupPurgeSql: String =
+    s"""WITH RECURSIVE $chunkPairCteSql,
+      |$chunkCcCteSql,
+      |${TextOps.qualityCteSql},
+      |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q),
+      |r AS (
+      |  SELECT c.doc_id, c.cluster_id,
+      |    row_number() OVER win AS rk,
+      |    first_value(c.doc_id) OVER win AS kept_doc
+      |  FROM ccomp c JOIN sc USING (doc_id)
+      |  WINDOW win AS (PARTITION BY c.cluster_id
+      |                 ORDER BY sc.quality_score DESC, c.doc_id ASC))
+      |SELECT doc_id, cluster_id, kept_doc
+      |FROM r
+      |WHERE rk > 1
       |ORDER BY doc_id""".stripMargin
 }

@@ -145,6 +145,22 @@ class ChunkQuantSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(gotClusters == expectedClusters)
 
+    // q108: the purge list must delete exactly size-1 docs per
+    // cluster, keep one member, and agree with q105's clustering.
+    val purge = Dedup.chunkDedupPurge(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    purge.foreach { case (doc, cluster, kept) =>
+      assert(expectedClusters(doc)._1 == cluster, s"doc $doc cluster drift")
+      assert(expectedClusters(kept)._1 == cluster, s"kept $kept outside cluster")
+      assert(doc != kept)
+    }
+    val purged = purge.map(_._1).toSet
+    assert(!purge.exists(p => purged.contains(p._3)), "a kept doc was purged")
+    expectedClusters.groupBy(_._2._1).foreach { case (cluster, ms) =>
+      assert(purge.count(_._2 == cluster) == ms.size - 1,
+        s"cluster $cluster must purge size-1 docs")
+    }
+
     // q107: the decile histogram over ALL candidate pairs (no
     // threshold) must match the brute-force pair set, and the
     // descending-cumulative column must be self-consistent.
