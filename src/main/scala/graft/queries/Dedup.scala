@@ -351,9 +351,16 @@ object Dedup {
     * O(corpus)) joins quality scores on doc_id, then ONE window pass
     * per cluster computes rank and keeper together (`first_value`
     * over the same ordering — no keeper self-join). */
-  def dedupPurge(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE purge rule, shared by doc-grain q92 and chunk-grain q108
+    * (review r12: the window logic was copy-pasted in four places —
+    * a tie-break or rounding change applied to one grain would have
+    * silently diverged the other): given ANY (doc_id, cluster_id)
+    * component frame, the highest-quality member survives (q37 score,
+    * ties by min doc_id — a total order) and every other member emits
+    * (doc_id, cluster_id, kept_doc). */
+  private def purgeFrom(s: SparkSession, dir: String,
+      comp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = componentFrame(s, dir)
     val quality = TextOps.qualityScore(s, dir)
       .select(col("doc_id"), col("quality_score"))
     val byQuality = Window.partitionBy(col("cluster_id"))
@@ -369,22 +376,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val dedupPurgeSql: String =
-    s"""WITH RECURSIVE $bandsCteSql,
-       |$ccCompCteSql,
-       |${TextOps.qualityCteSql},
+  /** Oracle mirror of [[purgeFrom]]: quality + rank CTEs and the final
+    * SELECT over a component CTE named `compCte(doc_id, cluster_id)`. */
+  private def purgeTailSql(compCte: String): String =
+    s"""${TextOps.qualityCteSql},
        |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q),
        |r AS (
        |  SELECT c.doc_id, c.cluster_id,
        |    row_number() OVER win AS rk,
        |    first_value(c.doc_id) OVER win AS kept_doc
-       |  FROM comp c JOIN sc USING (doc_id)
+       |  FROM $compCte c JOIN sc USING (doc_id)
        |  WINDOW win AS (PARTITION BY c.cluster_id
        |                 ORDER BY sc.quality_score DESC, c.doc_id ASC))
        |SELECT doc_id, cluster_id, kept_doc
        |FROM r
        |WHERE rk > 1
        |ORDER BY doc_id""".stripMargin
+
+  def dedupPurge(s: SparkSession, dir: String): DataFrame =
+    purgeFrom(s, dir, componentFrame(s, dir))
+
+  val dedupPurgeSql: String =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |$ccCompCteSql,
+       |${purgeTailSql("comp")}""".stripMargin
 
   /** Chunks held by more docs than this are boilerplate (license
     * blocks, templated headers), not duplication evidence: they would
@@ -416,8 +431,9 @@ object Dedup {
     * on doc_id AFTER pair aggregation, i.e. on the (small) candidate
     * set, not the corpus. */
   /** ALL co-chunk candidate pairs with both docs' chunk counts — the
-    * un-thresholded base q102/q105/q107 share (the `componentFrame`
-    * discipline at chunk grain: one pair definition, zero drift). */
+    * un-thresholded base the whole chunk-grain chain (q102 pairs,
+    * q105 clusters, q107 curve, q108 purge) shares: one pair
+    * definition, zero drift (the `componentFrame` discipline). */
   private def allChunkPairs(s: SparkSession, dir: String): DataFrame = {
     val chunks = PipelineOps.chunkedDocs(s, dir)
       .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
@@ -439,8 +455,8 @@ object Dedup {
         col("n_chunks").as("n_chunks_b")), Seq("doc_b"))
   }
 
-  /** The q102/q105 qualifying frame: [[allChunkPairs]] at the ≥ 50%
-    * containment threshold (exact integer predicate). */
+  /** The q102/q105/q108 qualifying frame: [[allChunkPairs]] at the
+    * ≥ 50% containment threshold (exact integer predicate). */
   private def chunkPairFrame(s: SparkSession, dir: String): DataFrame =
     allChunkPairs(s, dir)
       .filter(col("n_shared") * 2 >= least(col("n_chunks_a"), col("n_chunks_b")))
@@ -455,8 +471,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
 
   /** Oracle mirror of [[chunkPairFrame]] — CTE chain ending in
-    * `cp(doc_a, doc_b, n_shared, n_chunks_a, n_chunks_b)`, shared by
-    * the q102 and q105 SQL. */
+    * `ap` (all pairs) and its thresholded `cp`, shared by the q102,
+    * q105, q107 and q108 SQL — change the chain's shape only with all
+    * four oracles in view. */
   private val chunkPairCteSql: String =
     s"""${PipelineOps.chunkCteSql},
       |dd AS (SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5 FROM x),
@@ -583,38 +600,11 @@ object Dedup {
     * duplication that whole-doc MinHash (q92's candidate source)
     * under-weights. One window pass computes rank + keeper together;
     * O(clustered docs), never O(corpus). */
-  def chunkDedupPurge(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val comp = chunkComponentFrame(s, dir)
-    val quality = TextOps.qualityScore(s, dir)
-      .select(col("doc_id"), col("quality_score"))
-    val byQuality = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-    comp.join(quality, Seq("doc_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        row_number().over(byQuality).as("rk"),
-        first(col("doc_id")).over(
-          byQuality.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("kept_doc"))
-      .filter(col("rk") > 1)
-      .select(col("doc_id"), col("cluster_id"), col("kept_doc"))
-      .orderBy("doc_id")
-  }
+  def chunkDedupPurge(s: SparkSession, dir: String): DataFrame =
+    purgeFrom(s, dir, chunkComponentFrame(s, dir))
 
   val chunkDedupPurgeSql: String =
     s"""WITH RECURSIVE $chunkPairCteSql,
       |$chunkCcCteSql,
-      |${TextOps.qualityCteSql},
-      |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q),
-      |r AS (
-      |  SELECT c.doc_id, c.cluster_id,
-      |    row_number() OVER win AS rk,
-      |    first_value(c.doc_id) OVER win AS kept_doc
-      |  FROM ccomp c JOIN sc USING (doc_id)
-      |  WINDOW win AS (PARTITION BY c.cluster_id
-      |                 ORDER BY sc.quality_score DESC, c.doc_id ASC))
-      |SELECT doc_id, cluster_id, kept_doc
-      |FROM r
-      |WHERE rk > 1
-      |ORDER BY doc_id""".stripMargin
+      |${purgeTailSql("ccomp")}""".stripMargin
 }

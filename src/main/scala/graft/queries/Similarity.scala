@@ -553,17 +553,17 @@ object Similarity {
     * deliberately pins the distribution-free property, not a fixture
     * artifact.)
     *
-    * Scale: the exact side is the unavoidable full scan (ground truth
-    * needs it); the IVF side is the production shape — at 100 TB the
-    * cell assignment is a stored column, so the probe filter prunes
-    * at the scan and reads ~nprobe/K of the data. Both sides reduce
-    * through bounded-TopK aggregations; probe cells and queries
+    * Scale: the ground truth needs the full scan anyway, so the whole
+    * certification is ONE pass over the scored corpus — probe
+    * membership is a broadcast-joined flag and both bounded top-k's
+    * reduce in the same aggregation (in production the IVF side alone
+    * would instead prune at the scan via the stored cell column,
+    * reading ~nprobe/K of the data). Probe cells and queries
     * broadcast. */
   def ivfRecall(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (kCent, nprobe, k) = (8, 2, 10)
-    val topkE = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
-    val topkI = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
     val cent = e.filter(col("vec_id") < kCent)
@@ -584,23 +584,34 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
+    // ONE pass over the scored corpus (review r12: a two-branch plan
+    // re-scored every cosine for the ivf side): the probe-membership
+    // flag comes from a broadcast left join, and BOTH bounded top-k's
+    // reduce in the same aggregation. Non-probed rows feed the ivf
+    // aggregate a sentinel (neg_cos 3.0 > any real neg-cosine ≤ 2.0,
+    // id −1) that sorts after every probed candidate, so the ivf
+    // top-k is exactly the probed top-k padded with sentinels that
+    // the id filter below drops.
     val scored = assigned
       .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .join(broadcast(qcells),
+        col("query_id") === col("qc_query") && col("cell") === col("probe_cell"),
+        "left")
       .withColumn("cos", cosine(col("v"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("cell"), col("cos"))
-    val exact = scored.groupBy("query_id").agg(
-      topkE(-col("cos"), col("vec_id"), col("cos")).as("te"),
-      count(lit(1)).as("n_candidates"))
-    val ivf = scored.join(broadcast(qcells),
-        col("query_id") === col("qc_query") && col("cell") === col("probe_cell"))
-      .groupBy("query_id").agg(
-        topkI(-col("cos"), col("vec_id"), col("cos")).as("ti"),
-        count(lit(1)).as("n_probed"))
-    exact.join(ivf, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("qc_query").isNotNull.as("in_probe"))
+    scored.groupBy("query_id").agg(
+        topk(-col("cos"), col("vec_id"), col("cos")).as("te"),
+        topk(when(col("in_probe"), -col("cos")).otherwise(lit(3.0)),
+          when(col("in_probe"), col("vec_id")).otherwise(lit(-1L)),
+          col("cos")).as("ti"),
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("in_probe"), 1L).otherwise(0L)).as("n_probed"))
       .select(col("query_id"),
         size(array_intersect(
           transform(col("te.cands"), x => x.getField("id")),
-          transform(col("ti.cands"), x => x.getField("id")))).cast("long")
+          filter(transform(col("ti.cands"), x => x.getField("id")),
+            id => id =!= lit(-1L)))).cast("long")
           .as("n_overlap"),
         col("n_probed"), col("n_candidates"))
       .withColumn("beats_random",
@@ -635,12 +646,10 @@ object Similarity {
       |  FROM scored),
       |iv AS (
       |  SELECT s.query_id, s.vec_id,
-      |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.c DESC, s.vec_id ASC) AS rk
+      |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.c DESC, s.vec_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY s.query_id) AS n_probed
       |  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.probe_cell = s.cell),
-      |np AS (
-      |  SELECT s.query_id, count(*) AS n_probed
-      |  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.probe_cell = s.cell
-      |  GROUP BY s.query_id),
+      |np AS (SELECT DISTINCT query_id, n_probed FROM iv),
       |nc AS (SELECT query_id, count(*) AS n_candidates FROM scored GROUP BY query_id),
       |le AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
       |       FROM ex WHERE rk <= 10 GROUP BY query_id),

@@ -146,12 +146,23 @@ class ChunkQuantSpec extends AnyFunSuite with SparkFixture {
     assert(gotClusters == expectedClusters)
 
     // q108: the purge list must delete exactly size-1 docs per
-    // cluster, keep one member, and agree with q105's clustering.
+    // cluster, keep one member, agree with q105's clustering, and the
+    // keeper must be the HIGHEST-quality member (min-doc-id ties) —
+    // an orderBy-direction flip applied to both engines would pass
+    // the oracle; this pins the direction independently.
+    val quality = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectedKeeper = expectedClusters.groupBy(_._2._1).map {
+      case (cluster, ms) =>
+        cluster -> ms.keys.minBy(d => (-quality(d), d))
+    }
     val purge = Dedup.chunkDedupPurge(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     purge.foreach { case (doc, cluster, kept) =>
       assert(expectedClusters(doc)._1 == cluster, s"doc $doc cluster drift")
-      assert(expectedClusters(kept)._1 == cluster, s"kept $kept outside cluster")
+      assert(kept == expectedKeeper(cluster),
+        s"cluster $cluster kept $kept, expected highest-quality ${expectedKeeper(cluster)}")
       assert(doc != kept)
     }
     val purged = purge.map(_._1).toSet
