@@ -265,12 +265,22 @@ object Extras {
     * hash-match a different engine, so the row carries only
     * cross-engine-stable facts — the exact distinct count, and two
     * booleans the sketch path must make true: `merge_matches_global`
-    * (slice reaggregation == one-pass sketch, bit-for-bit — same
-    * sketch algorithm either way) and `within_bound` (the estimate
-    * lands within 15% of exact; default lgConfigK=12 gives ~1.6%
-    * standard error, so 15% ≈ 9σ — deterministically true for a
-    * fixed dataset). DuckDB computes the same exact count and, since
-    * the contract is unconditional, literal `true` flags. */
+    * (slice reaggregation agrees with the one-pass sketch within 1%)
+    * and `within_bound` (the estimate lands within 15% of exact;
+    * default lgConfigK=12 gives ~1.6% standard error, so 15% ≈ 9σ —
+    * deterministically true for a fixed dataset). DuckDB computes the
+    * same exact count and, since the contract is unconditional,
+    * literal `true` flags.
+    *
+    * Why 1% and not bit-equality (r12, found by an off-gate sf0.1
+    * oracle sweep): exact merged==global equality held at sf0.01 by
+    * ACCIDENT of scale — at larger cardinalities the union
+    * accumulator's internal HLL representation (coupon list vs
+    * HLL_4/6/8 promotion path) legitimately lands on a slightly
+    * different estimate than the directly-built sketch. The
+    * mergeability LAW is estimate-agreement within sketch error, not
+    * register-bit identity; 1% ≪ the 15% accuracy bound yet ≫ the
+    * representation drift. */
   def sketchUnion(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val global = ev.agg(
@@ -284,7 +294,9 @@ object Extras {
     merged.crossJoin(global)
       .select(
         col("exact_distinct"),
-        (col("merged_estimate") === col("global_estimate"))
+        (abs(col("merged_estimate").cast("double") -
+            col("global_estimate").cast("double")) <=
+          lit(0.01) * col("global_estimate").cast("double"))
           .as("merge_matches_global"),
         (abs(col("merged_estimate").cast("double") - col("exact_distinct")) <=
           lit(0.15) * col("exact_distinct")).as("within_bound"))
