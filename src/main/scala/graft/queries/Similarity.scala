@@ -367,17 +367,27 @@ object Similarity {
     * resolve to the larger c_id — mirrored in the oracle's
     * `ORDER BY cos DESC, c_id DESC` row_number. */
   val CentroidK = 8
-  def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+
+  /** Literal-centroid cell assignment, shared by q72 (Lloyd update) and
+    * q109 (semantic dedup) — one contract, one implementation, so the
+    * two can never drift. Collects the first [[CentroidK]] vectors of
+    * `e` (columns vec_id, v) as centroids — k·dim doubles, ALWAYS
+    * driver-small — and tags every row with its best-cosine cell via a
+    * per-row argmax over k inlined cosines: MAP-ONLY, no join, no
+    * window, no shuffle of the corpus. The row norm is computed ONCE
+    * per row (not once per centroid — k redundant O(dim) kernel calls
+    * if codegen CSE doesn't dedupe them), and each centroid's norm is
+    * a driver-side scalar: the same sequential fold the kernel runs,
+    * so sqrt(Σx²) is bit-identical to the oracle's
+    * sqrt(list_inner_product(qv, qv)). Tie semantics: struct max is
+    * lexicographic, so equal cosines resolve to the larger c_id —
+    * mirrored in the oracle's `ORDER BY cos DESC, c_id DESC`
+    * row_number ([[cellAssignCteSql]]). Adds columns `nv` (norm) and
+    * `cell`. */
+  private def assignCells(e: DataFrame): DataFrame = {
     val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < CentroidK)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // The row norm is computed ONCE per row (not once per centroid —
-    // k redundant O(dim) kernel calls if codegen CSE doesn't dedupe
-    // them), and each centroid's norm is a driver-side scalar: the
-    // same sequential fold the kernel runs, so sqrt(Σx²) is
-    // bit-identical to the oracle's sqrt(list_inner_product(qv,qv)).
     val scored = cents.map { case (id, cv) =>
       val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
       val denom = col("nv") * lit(cnorm)
@@ -388,6 +398,28 @@ object Similarity {
     }
     e.withColumn("nv", sqrt(dot(col("v"), col("v"))))
       .withColumn("cell", array_max(array(scored.toSeq: _*)).getField("c_id"))
+  }
+
+  /** Oracle mirror of [[assignCells]]: CTEs e (doubled vectors), c
+    * (centroids), s (all vector×centroid cosines), a (cell = argmax
+    * centroid via rn = 1). Shared by q72 and q109 SQL. */
+  private val cellAssignCteSql: String =
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, v AS qv FROM e WHERE vec_id < $CentroidK),
+       |s AS (
+       |  SELECT e.vec_id, c.c_id, e.v, $cosineSql AS cos
+       |  FROM e, c),
+       |a AS (
+       |  SELECT vec_id, v, c_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id DESC) AS rn
+       |  FROM s)""".stripMargin
+
+  def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    assignCells(e)
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(
@@ -400,17 +432,7 @@ object Similarity {
   }
 
   val centroidUpdateSql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |c AS (SELECT vec_id AS c_id, v AS qv FROM e WHERE vec_id < $CentroidK),
-       |s AS (
-       |  SELECT e.vec_id, c.c_id, e.v, $cosineSql AS cos
-       |  FROM e, c),
-       |a AS (
-       |  SELECT vec_id, v, c_id AS cell,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id DESC) AS rn
-       |  FROM s),
+    s"""WITH $cellAssignCteSql,
        |x AS (
        |  SELECT cell, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
        |  FROM a, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) r
@@ -732,4 +754,87 @@ object Similarity {
       |  (max_err <= scale / 254 + 1e-12) AS within_bound
       |FROM q
       |ORDER BY vec_id""".stripMargin
+
+  // ---- q109: semantic dedup (cluster → within-cell purge) -----------
+
+  /** q109's cosine threshold — the q45 τ, so the two semantic-near-dup
+    * surfaces (LSH-bucketed pairs, cluster-pruned purge) certify the
+    * same similarity contract. */
+  private[queries] val SemDedupTau = 0.4
+
+  /** q109 — SemDeDup-style semantic deduplication (the published
+    * cluster-then-prune recipe: Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus embeddings into k cells, then within each cell
+    * purge every vector that has a LOWER-id neighbour with cosine ≥ τ.
+    * The keep-first-index rule is the paper's greedy form and needs NO
+    * transitive closure: j is purged because SOME earlier i covers it,
+    * whether or not i itself survived — so the whole purge is one
+    * aggregation over within-cell qualifying pairs, not a
+    * connected-components loop (contrast q49/q105, where cluster
+    * IDENTITY matters; here only keep/drop does).
+    *
+    * Scale shape — the reason this is THE semantic-dedup method at
+    * 100 TB:
+    *  - cell assignment is the shared [[assignCells]] literal-centroid
+    *    argmax — map-only, no corpus shuffle; k grows with the corpus
+    *    (k ≈ n / target-cell-size, SemDeDup uses k ≈ √n·const)
+    *    precisely so within-cell pair enumeration stays sub-quadratic
+    *    (Σ nᵢ² ≈ n²/k on balanced cells); the fixture pins
+    *    k = [[CentroidK]];
+    *  - pair enumeration reuses the q45 discipline: both sides
+    *    repartition on `cell` and the join is pinned shuffle-hash, so
+    *    the two exchanges canonicalize identically and ReuseExchange
+    *    computes the scan + assignment subplan ONCE (a broadcast
+    *    self-join would run it twice); norms are computed once per
+    *    vector in the signature pass, so each pair costs ONE dot;
+    *  - the τ predicate runs on exact doubles in both engines (the
+    *    q45 bit-identity argument); the output cosine is rounded only
+    *    at the boundary.
+    *
+    * Output: one row per PURGED vector — its cell, how many earlier
+    * in-cell neighbours cover it, the smallest covering id (the
+    * provenance a curation audit needs, q92's `kept_doc` idiom), and
+    * the strongest covering cosine. Survivors don't appear: at corpus
+    * scale the purge list is the small side and is what a pipeline
+    * anti-joins against (exactly the q92/q108 delete-set contract). */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val sig = assignCells(e)
+      .select(col("vec_id"), col("v"), col("nv").as("norm"), col("cell"))
+      .repartition(col("cell"))
+    val denom = col("a.norm") * col("b.norm")
+    sig.as("a")
+      .join(sig.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        when(denom === 0.0, lit(-2.0))
+          .otherwise(dot(col("a.v"), col("b.v")) / denom))
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"))
+      .agg(
+        count(lit(1)).as("n_covering"),
+        min(col("a.vec_id")).as("kept_by"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |p AS (
+       |  SELECT pa.vec_id AS i, pb.vec_id AS j, pb.cell AS cell,
+       |    CASE WHEN pa.norm * pb.norm = 0 THEN -2.0
+       |      ELSE list_inner_product(pa.v, pb.v) / (pa.norm * pb.norm) END AS cos
+       |  FROM sig pa JOIN sig pb
+       |    ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id)
+       |SELECT j AS vec_id, cell, count(*) AS n_covering,
+       |  min(i) AS kept_by, round(max(cos), 6) AS max_cos
+       |FROM p
+       |WHERE cos >= $SemDedupTau
+       |GROUP BY j, cell
+       |ORDER BY vec_id""".stripMargin
 }

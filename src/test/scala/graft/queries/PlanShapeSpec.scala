@@ -89,6 +89,18 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("semantic dedup enumerates pairs cell-locally via a shuffle-hash self-join") {
+    // q109's 100 TB posture: the within-cell pair join must be a
+    // ShuffledHashJoin whose BOTH sides hash-partition on `cell` (the
+    // sub-quadratic knob), never a broadcast nested loop or cartesian
+    // — a dropped hint here turns SemDeDup into an n² scan at scale.
+    val p = plans("q109_semantic_dedup")
+    p should include("ShuffledHashJoin [cell#")
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(cell#")) shouldBe 2
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("native template-match kernel stays inside whole-stage codegen") {
     // AQE's plan string hides codegen spans until execution; plan the
     // query once with AQE off to see the codegen-annotated tree.

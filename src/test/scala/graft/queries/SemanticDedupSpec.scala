@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** q109 (SemDeDup-style semantic dedup): the oracle hash-match proves
+  * value agreement with DuckDB; this spec proves the PURGE-RULE
+  * semantics against an independent brute-force recomputation in plain
+  * Scala over the collected fixture (500×64 doubles — bounded), so the
+  * keep-first-index contract is pinned by code that shares nothing
+  * with the Spark plan.
+  */
+class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
+
+  /** Sequential left-to-right dot — the same fold the native kernel
+    * runs, so cosines agree bitwise with the query's. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+    if (denom == 0.0) -2.0 else dot(a, b) / denom
+  }
+
+  test("q109 purge list is exactly the keep-first-index rule over within-cell pairs") {
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // Cell assignment: argmax cosine over the first-CentroidK
+    // centroids, ties to the larger c_id (the assignCells contract).
+    val cents = vecs.filter(_._1 < Similarity.CentroidK)
+    val cellOf = vecs.map { case (id, v) =>
+      val best = cents.map { case (cId, cv) => (cosine(v, cv), cId) }.max
+      id -> best._2
+    }.toMap
+    // Brute-force qualifying pairs (i < j, same cell, cos >= tau).
+    val tau = Similarity.SemDedupTau
+    val byId = vecs.toMap
+    val covering = for {
+      (j, cj) <- cellOf.toSeq
+      (i, ci) <- cellOf.toSeq
+      if i < j && ci == cj
+      c = cosine(byId(i), byId(j))
+      if c >= tau
+    } yield (j, i, c)
+    val expected = covering.groupBy(_._1).map { case (j, rs) =>
+      j -> (rs.size.toLong, rs.map(_._2).min, rs.map(_._3).max)
+    }
+
+    val out = Similarity.semanticDedup(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture must exercise the purge rule")
+    assert(out.map(_.getLong(0)).toSet == expected.keySet,
+      "purged set must match brute force")
+    out.foreach { r =>
+      val (id, cell) = (r.getLong(0), r.getLong(1))
+      val (nCov, keptBy, maxCos) = expected(id)
+      assert(cell == cellOf(id), s"vec $id cell")
+      assert(r.getLong(2) == nCov, s"vec $id n_covering")
+      assert(r.getLong(3) == keptBy, s"vec $id kept_by")
+      assert(math.abs(r.getDouble(4) - maxCos) < 1e-6, s"vec $id max_cos")
+      // The covering vector is earlier — the greedy rule's invariant.
+      assert(keptBy < id)
+    }
+    // Survivors really survive: no non-listed vector has a qualifying
+    // earlier neighbour (brute force found none — assert the split).
+    val purged = expected.keySet
+    val survivors = vecs.map(_._1).filterNot(purged).toSet
+    assert(survivors.size + purged.size == vecs.length)
+  }
+}
