@@ -770,4 +770,73 @@ object Extras {
       |FROM lineitem
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
+
+  // ---- q110: deterministic k-per-group reservoir ---------------------
+
+  /** Exemplars per stratum; tiny by design (the audit fits on a
+    * screen), and the bound k is what the whole scale argument below
+    * rests on. */
+  private[graft] val ReservoirK = 3
+
+  /** The q110 hash is the [[hashBucket]] md5 contract reduced mod 10¹²
+    * so it survives the top-k aggregate's Double channel EXACTLY
+    * (10¹² < 2⁵³; the raw 60-bit hash would round in a double and
+    * could re-order against the oracle's BIGINT sort). Ties (birthday
+    * ≈ n²/2·10⁻¹² at any audit-scale n) break by doc_id in both
+    * engines — a total order either way. */
+  private def reservoirHash(key: Column): Column =
+    graft.functions.PortableHash.keyedHash60(key, "res") % 1000000000000L
+
+  /** q110 — deterministic k-per-group reservoir sample: the smallest-
+    * hash k documents of every (source, lang) stratum, the "show me a
+    * few EXAMPLES from each bucket" op every corpus audit runs (k
+    * exemplars per source×language cell, stable across reruns and
+    * engines — the q41/q74 keyed-hash discipline at per-group-top-k
+    * grain, completing the sampling family: fraction-stratified q74,
+    * single global pick q42, and now bounded-count-per-stratum).
+    *
+    * Scale shape — this is deliberately NOT a window: `row_number()
+    * OVER (PARTITION BY g ORDER BY h)` shuffles and sorts the ENTIRE
+    * corpus to keep k rows per group. Instead the bounded top-k
+    * aggregate (`graft.functions.TopKAggregator`, the q30 machinery
+    * with the hash as the score) map-side-combines every scan
+    * partition down to ≤ k candidates per group BEFORE the exchange:
+    * at 100 TB the shuffle carries ≤ partitions·|groups|·k tiny
+    * structs and reducer state is O(k) — the corpus never moves. The
+    * oracle keeps the window form: same answer, the plan shape is the
+    * point. */
+  def groupReservoir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.functions.{ScoredCand, TopKAggregator}
+    val topk = udaf(new TopKAggregator(ReservoirK),
+      Encoders.product[ScoredCand])
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        reservoirHash(col("doc_id")).cast("double").as("h"))
+      .groupBy(col("source"), col("lang"))
+      .agg(topk(col("h"), col("doc_id"), col("h")).as("top"))
+      .select(col("source"), col("lang"),
+        posexplode(col("top.cands")).as(Seq("pos", "x")))
+      .select(col("source"), col("lang"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("x.id").as("doc_id"),
+        col("x.c").cast("long").as("h"))
+      .orderBy("source", "lang", "rank")
+  }
+
+  val groupReservoirSql: String =
+    s"""WITH h AS (
+       |  SELECT source, lang, doc_id,
+       |    ('0x' || substr(md5('res' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      % 1000000000000 AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, lang, doc_id, h,
+       |    row_number() OVER (PARTITION BY source, lang
+       |                       ORDER BY h ASC, doc_id ASC) AS rank
+       |  FROM h)
+       |SELECT source, lang, CAST(rank AS BIGINT) AS rank, doc_id, h
+       |FROM r
+       |WHERE rank <= $ReservoirK
+       |ORDER BY source, lang, rank""".stripMargin
 }

@@ -169,4 +169,30 @@ class SamplingSpec extends AnyFunSuite with Matchers with SparkFixture {
     val p2 = df.orderBy(rand(7L), col("block_id")).limit(1).head().getString(0)
     p1 shouldBe p2
   }
+
+  test("q110: bounded top-k aggregate equals the window row_number form exactly") {
+    // The 100 TB claim is that the TopKAggregator form is a plan-shape
+    // optimization ONLY — same rows, same ranks, same hashes as the
+    // window form the oracle runs. Assert exact frame equality in
+    // Spark itself, independent of DuckDB.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sfDir001 = sfDir
+    val agg = graft.queries.Extras.groupReservoir(spark, sfDir001)
+    val h = graft.functions.PortableHash
+      .keyedHash60(col("doc_id"), "res") % 1000000000000L
+    val win = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val windowed = graft.core.Tables.documents(spark, sfDir001)
+      .select(col("source"), col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= graft.queries.Extras.ReservoirK)
+      .select("source", "lang", "rank", "doc_id", "h")
+    agg.exceptAll(windowed).count() shouldBe 0
+    windowed.exceptAll(agg).count() shouldBe 0
+    agg.count() should be > 0L
+    // Every stratum is represented with at most k exemplars.
+    val perGroup = agg.groupBy("source", "lang").count().collect()
+    perGroup.foreach(r => r.getLong(2) should be <= graft.queries.Extras.ReservoirK.toLong)
+  }
 }
