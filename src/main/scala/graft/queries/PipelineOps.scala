@@ -759,6 +759,69 @@ object PipelineOps {
       |FROM x
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- q111: chunk-grain (surgical) decontamination ------------------
+
+  /** q111 — chunk-grain decontamination: WHICH chunks of a training
+    * document share a word 5-gram with the benchmark slice. q66
+    * answers "is this doc contaminated?" — the actionable modern form
+    * is "drop the contaminated CHUNKS, keep the doc" (surgical
+    * removal: a 50 kB doc with one quoted benchmark item shouldn't
+    * cost its other 49.8 kB). Consumes both standing contracts at
+    * once: the q100 chunk fan-out ([[chunkedDocs]] — same windows,
+    * same offsets, so the emitted (doc_id, chunk_idx) keys join
+    * directly against the q100 chunk index) and the q66 eval-gram
+    * definition (same source slice, same 5-gram kernel, so doc-grain
+    * and chunk-grain verdicts can't drift: any doc with a contaminated
+    * chunk is exactly a q66-flagged doc whose shared gram survived
+    * chunking intact).
+    *
+    * Output is SPARSE — only contaminated chunks appear (hits are rare
+    * by construction; that's the realistic shape and the reason this
+    * is cheap to apply: the purge set is small even when the corpus is
+    * 100 TB).
+    *
+    * Scale: the q66/q94 posture unchanged — eval grams are tiny and
+    * broadcast, the corpus side chunk-grams in its scan stage (the
+    * native distinct-n-gram kernel per chunk) and probes map-side; the
+    * only aggregation is over hit rows. The bloom form (q94) composes
+    * the same way if the eval set ever outgrows a broadcast. Grams are
+    * computed on the chunk's own text: a gram STRADDLING a chunk
+    * boundary is attributed to neither chunk — the 50-char overlap
+    * ([[ChunkSize]] − [[ChunkStride]]) exists exactly so that any
+    * ≤ 50-char span (a 5-gram of ≤ 9-char words) lands whole in at
+    * least one window. */
+  def chunkDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalGrams = docGrams(docs.filter(col("source") === EvalSource), 5)
+      .select(col("g")).distinct()
+    val chunkGrams = chunkedDocs(s, dir)
+      .filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(call_function("graft_ngrams",
+          split(col("chunk"), " "), lit(5))).as("g"))
+    chunkGrams.join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkDecontaminateSql: String =
+    s"""${gramCte(5)},
+       |$chunkCteSql,
+       |e AS (SELECT DISTINCT g.g FROM g WHERE source = '$EvalSource'),
+       |cw AS (
+       |  SELECT x.doc_id, x.chunk_idx, string_split(x.chunk, ' ') AS w
+       |  FROM x JOIN documents d ON d.doc_id = x.doc_id
+       |  WHERE d.source != '$EvalSource'),
+       |cg AS (
+       |  SELECT DISTINCT doc_id, chunk_idx,
+       |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT AS g
+       |  FROM cw, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) r)
+       |SELECT cg.doc_id, cg.chunk_idx, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cg JOIN e USING (g)
+       |GROUP BY cg.doc_id, cg.chunk_idx
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val sourceMixSql: String =
     """WITH t AS (
       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs

@@ -97,4 +97,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       .select(col("h")).distinct().count()
     assert(totalCanon == docs)
   }
+
+  test("q111 chunk decontamination matches a string-level brute force") {
+    // Recompute contaminated chunks from raw strings (no hashing, no
+    // Spark expressions): eval gram set = distinct word 5-grams of the
+    // src0 docs; a training chunk is contaminated once per distinct
+    // matching gram. Pins both the gram kernel's hash fidelity and the
+    // chunk/gram composition.
+    def grams5(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val evalGrams = docs.filter(_._2 == PipelineOps.EvalSource)
+      .flatMap(d => grams5(d._3)).toSet
+    val size = PipelineOps.ChunkSize
+    val stride = PipelineOps.ChunkStride
+    val expected = (for {
+      (id, src, text) <- docs if src != PipelineOps.EvalSource
+      nChunks = if (text.length <= size) 1
+        else 1 + (text.length - size + stride - 1) / stride
+      idx <- 0 until nChunks
+      chunk = text.substring(idx * stride,
+        math.min(idx * stride + size, text.length))
+      n = grams5(chunk).count(evalGrams)
+      if n > 0
+    } yield (id, idx.toLong) -> n.toLong).toMap
+    val out = PipelineOps.chunkDecontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty, "fixture must exercise chunk-grain hits")
+    assert(out == expected)
+  }
 }
