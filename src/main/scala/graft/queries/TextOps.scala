@@ -580,4 +580,97 @@ object TextOps {
       |  true AS within_eps
       |FROM r WHERE rk <= 5
       |ORDER BY source, n DESC, token ASC""".stripMargin
+
+  // ---- q112: BM25 retrieval top-k ------------------------------------
+
+  /** The pinned retrieval query — three fixture-vocabulary terms. */
+  private[queries] val Bm25Terms = Seq("vector", "stream", "window")
+  private[queries] val Bm25K = 20
+
+  /** q112 — BM25 lexical retrieval: score every document against a
+    * fixed term query and return the top-[[Bm25K]]. The sparse
+    * counterpart of the q29 dense cosine search — together they are
+    * the two retrieval legs every RAG/eval stack runs. Okapi form with
+    * k1 = 1.2, b = 0.75, and the RATIONAL idf variant
+    * idf(t) = (N − df + 0.5)/(df + 0.5) — the classic idf without the
+    * final log. The log is monotone, so per-term weights rank
+    * identically; dropping it keeps every arithmetic step (+,−,×,÷ on
+    * integer-derived doubles, identical expression grammar both
+    * engines) BIT-IDENTICAL cross-engine, where `ln` would hostage
+    * the top-k order to libm rounding differences (the q34/q45
+    * portability discipline: never let a transcendental near the
+    * oracle boundary).
+    *
+    * Scale shape: ONE corpus pass computes per-doc tf/dl map-side
+    * (array `filter` on the split — no explode, no gram shuffle); the
+    * corpus statistics the weights need (N, Σdl, per-term df) reduce
+    * in ONE single-row aggregate that broadcasts back (the q55
+    * denominator idiom); scoring is then map-only and the top-k is a
+    * TakeOrderedAndProject heap-merge — at 100 TB: two scans, zero
+    * wide shuffles, exactly how you'd BM25-score a corpus without an
+    * inverted index. (With one, the scan narrows to posting lists;
+    * the scoring algebra — and this oracle — stay the same.) */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+        Bm25Terms.map(t =>
+          size(filter(col("w"), x => x === lit(t))).cast("long")
+            .as(s"tf_$t")): _*)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = Bm25Terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl)))
+    }.reduceLeft(_ + _)
+    docs.join(broadcast(stats))
+      .withColumn("s", score)
+      .orderBy(col("s").desc, col("doc_id").asc)
+      .limit(Bm25K)
+      .select(col("doc_id") +: col("dl") +:
+        (Bm25Terms.map(t => col(s"tf_$t")) :+
+          round(col("s"), 6).as("bm25")): _*)
+  }
+
+  val bm25TopKSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n|    ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n|    ")
+    val score = Bm25Terms.map { t =>
+      s"""((n_docs - df_$t + 0.5) / (df_$t + 0.5))
+         | * (CAST(tf_$t AS DOUBLE) * ${k1 + 1})
+         | / (CAST(tf_$t AS DOUBLE) + $k1 * (1.0 - $b + $b * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |t AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM d),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |    $score AS s
+       |  FROM t, st)
+       |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |  round(s, 6) AS bm25
+       |FROM sc
+       |ORDER BY s DESC, doc_id ASC
+       |LIMIT $Bm25K""".stripMargin
+  }
 }
