@@ -31,7 +31,7 @@ object Dedup {
     (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P)
 
   /** (a_i, b_i) for the k=8 universal-hash family (a*h + b) mod p. */
-  private val HashParams: Seq[(Long, Long)] = Seq(
+  private[queries] val HashParams: Seq[(Long, Long)] = Seq(
     (1299721L, 104729L), (15485863L, 1299709L), (32452843L, 15485867L),
     (49979687L, 32452867L), (67867967L, 49979693L), (86028121L, 67867979L),
     (104395301L, 86028157L), (122949823L, 122949829L))
@@ -607,4 +607,98 @@ object Dedup {
     s"""WITH RECURSIVE $chunkPairCteSql,
       |$chunkCcCteSql,
       |${purgeTailSql("ccomp")}""".stripMargin
+
+  // ---- q113: incremental dedup (new batch vs standing index) ---------
+
+  /** The "today's crawl" slice: the highest-numbered source plays the
+    * incoming batch; everything else is the standing index. */
+  private[queries] val NewSource = "src19"
+  private[queries] val IncrementalTau = 0.5
+
+  /** q113 — INCREMENTAL deduplication: dedup an incoming batch against
+    * the standing corpus without ever comparing the corpus to itself.
+    * This is the shape production dedup actually runs day-to-day — the
+    * full-corpus passes (q27/q28/q49/q92) build the index ONCE; every
+    * subsequent increment runs THIS. For each new-batch doc: LSH band
+    * candidates from the index side only (new×index band equi-join —
+    * no new×new, no index×index pairs), exact token-set Jaccard
+    * confirmation on candidates only, and a per-doc verdict row:
+    * candidate count, best-matching index doc (max Jaccard, ties to
+    * the smaller doc_id via a lexicographic struct max mirrored by the
+    * oracle's row_number), and the admit/reject flag at τ =
+    * [[IncrementalTau]].
+    *
+    * Scale shape — why the increment is cheap at a 100 TB index:
+    *  - the index band table and token-hash sets are the STORED
+    *    outputs of the standing q28/q27 contract (recomputed here only
+    *    because the fixture has no warehouse); the new batch — small
+    *    by premise — is the only side that computes signatures;
+    *  - the candidate join touches only band buckets the new batch
+    *    hashes into: traffic is O(new-batch bands + matching index
+    *    rows), never O(index);
+    *  - Jaccard confirmation joins hash SETS for candidate pairs only
+    *    (8-byte hashes, the q26 arithmetic — |A∩B| exact, union by
+    *    inclusion-exclusion), then ONE aggregation emits the verdict.
+    * Docs with zero candidates are admitted implicitly (absent from
+    * the output — the sparse contract of q66/q111). */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_token_hashes",
+          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    val bands = bandFrame(s, dir).join(src, "doc_id")
+    val nb = bands.filter(col("source") === NewSource)
+      .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))
+    val ib = bands.filter(col("source") =!= NewSource)
+      .select(col("doc_id").as("idx_doc"), col("band"), col("band_hash"))
+    val cand = nb.join(ib, Seq("band", "band_hash"))
+      .select("new_doc", "idx_doc").distinct()
+    val scored = cand
+      .join(hs.select(col("doc_id").as("new_doc"), col("hs").as("ha")), "new_doc")
+      .join(hs.select(col("doc_id").as("idx_doc"), col("hs").as("hb")), "idx_doc")
+      .withColumn("n_inter",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("n_inter")))
+    scored.groupBy(col("new_doc"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(struct(col("jac"), (-col("idx_doc")).as("neg"))).as("best"))
+      .select(
+        col("new_doc"), col("n_candidates"),
+        (-col("best.neg")).as("best_match"),
+        round(col("best.jac"), 6).as("best_jaccard"),
+        (col("best.jac") >= IncrementalTau).as("is_dup"))
+      .orderBy("new_doc")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH $bandsCteSql,
+       |nb AS (SELECT b.* FROM bands b JOIN documents d USING (doc_id)
+       |       WHERE d.source = '$NewSource'),
+       |ib AS (SELECT b.* FROM bands b JOIN documents d USING (doc_id)
+       |       WHERE d.source != '$NewSource'),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc_id AS new_doc, ib.doc_id AS idx_doc
+       |  FROM nb JOIN ib ON nb.band = ib.band AND nb.band_hash = ib.band_hash),
+       |j AS (
+       |  SELECT c.new_doc, c.idx_doc,
+       |    CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+       |      / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+       |  FROM cand c
+       |    JOIN t ta ON ta.doc_id = c.new_doc
+       |    JOIN t tb ON tb.doc_id = c.idx_doc),
+       |r AS (
+       |  SELECT new_doc, idx_doc, jac,
+       |    row_number() OVER (PARTITION BY new_doc
+       |                       ORDER BY jac DESC, idx_doc ASC) AS rk,
+       |    count(*) OVER (PARTITION BY new_doc) AS n_candidates
+       |  FROM j)
+       |SELECT new_doc, CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  idx_doc AS best_match, round(jac, 6) AS best_jaccard,
+       |  (jac >= $IncrementalTau) AS is_dup
+       |FROM r
+       |WHERE rk = 1
+       |ORDER BY new_doc""".stripMargin
 }
