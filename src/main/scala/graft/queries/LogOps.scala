@@ -355,4 +355,148 @@ object LogOps {
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  // ---- q114: time-spine gap fill + LOCF ------------------------------
+
+  /** q114 — per-user daily time-series densification: build each
+    * user's complete day spine (min to max active day), mark the days
+    * with no events, and carry the last observed daily value sum
+    * forward (LOCF) — the gap-fill every downstream
+    * per-entity-per-period model (retention, LTV, anomaly baselines)
+    * needs before it can difference or window anything. Days are exact
+    * epoch-day integers (the q91/q96 pmod-floor bucketing — no DATE
+    * type at the oracle boundary).
+    *
+    * Scale shape: ONE aggregation reduces events to (user, day) grain
+    * — after that everything is per-user-period rows, corpus-free. The
+    * spine is `sequence` + `explode` per user (bounded by the span,
+    * not the event count), the fill join is key-partitioned on
+    * (user, day), and LOCF is a running `last(ignoreNulls)` window per
+    * user — O(1) state, no skew beyond the per-user span. The double
+    * sum is rounded at the boundary only AFTER the carry (the q01/q03
+    * reassociation posture). */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("(ts_ms - pmod(ts_ms, 86400000)) div 86400000").as("day"),
+        col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("filled"),
+        round(last(col("v"), ignoreNulls = true).over(byUser), 2)
+          .as("locf_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val gapFillDailySql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    count(*) AS n, sum(value) AS v
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+      |  FROM d GROUP BY user_id),
+      |j AS (
+      |  SELECT sp.user_id, sp.day, d.n, d.v
+      |  FROM sp LEFT JOIN d USING (user_id, day)),
+      |f AS (
+      |  SELECT user_id, day, coalesce(n, 0) AS n_events, (n IS NULL) AS filled,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+      |  FROM j)
+      |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events, filled,
+      |  round(locf, 2) AS locf_value
+      |FROM f
+      |ORDER BY user_id, day""".stripMargin
+
+  // ---- q115: ordered funnel ------------------------------------------
+
+  /** The funnel's overall window: each later step must land within
+    * 7 days of the user's FIRST view. Nanosecond integers — exact. */
+  private val FunnelWindowNs = 7L * 86400L * 1000000000L
+
+  /** q115 — ordered three-step funnel (view → click → purchase): a
+    * user converts step n only with an event STRICTLY after their
+    * step-(n−1) time and within [[FunnelWindowNs]] of their first
+    * view — the product-analytics staple that needs event ORDER, not
+    * just presence (contrast q23's per-user counts). One summary row:
+    * per-step converted-user counts and exact ppm conversion rates
+    * (the q96 integer-division idiom; every compared quantity is an
+    * int64 nanosecond or a count — no float near a predicate).
+    *
+    * Scale shape: three conditional min-aggregations at user grain,
+    * each chained through an equi-join on user_id against the previous
+    * step's (already user-grain, i.e. corpus-reduced) frame — the scan
+    * is filtered to one event type before each join, so no step ever
+    * shuffles the full event log, and the final counts reduce to one
+    * row. The 1×1 crossJoins assembling the summary are constant-cost
+    * (the q55/q57 denominator idiom). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_ns") > col("t_view") &&
+        col("ts_ns") <= col("t_view") + lit(FunnelWindowNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t_click"), min("t_view").as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_ns") > col("t_click") &&
+        col("ts_ns") <= col("t_view") + lit(FunnelWindowNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(
+        col("n_view"), col("n_click"), col("n_purchase"),
+        when(col("n_view") === 0, lit(null))
+          .otherwise(expr("(n_click * 1000000) div n_view"))
+          .as("view_to_click_ppm"),
+        when(col("n_click") === 0, lit(null))
+          .otherwise(expr("(n_purchase * 1000000) div n_click"))
+          .as("click_to_purchase_ppm"))
+  }
+
+  val funnelSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns
+       |  FROM events WHERE user_id IS NOT NULL),
+       |v AS (
+       |  SELECT user_id, min(ts_ns) AS t_view
+       |  FROM e WHERE event_type = 'view' GROUP BY 1),
+       |c AS (
+       |  SELECT e.user_id, min(e.ts_ns) AS t_click, min(v.t_view) AS t_view
+       |  FROM e JOIN v USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.ts_ns > v.t_view
+       |    AND e.ts_ns <= v.t_view + $FunnelWindowNs
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts_ns) AS t_purchase
+       |  FROM e JOIN c USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts_ns > c.t_click
+       |    AND e.ts_ns <= c.t_view + $FunnelWindowNs
+       |  GROUP BY 1),
+       |n AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase)
+       |SELECT n_view, n_click, n_purchase,
+       |  CASE WHEN n_view = 0 THEN NULL
+       |    ELSE (n_click * 1000000) // n_view END AS view_to_click_ppm,
+       |  CASE WHEN n_click = 0 THEN NULL
+       |    ELSE (n_purchase * 1000000) // n_click END AS click_to_purchase_ppm
+       |FROM n""".stripMargin
 }

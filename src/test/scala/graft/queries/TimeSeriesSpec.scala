@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** q114 (gap fill + LOCF) and q115 (ordered funnel): brute-force
+  * recomputation over the collected events fixture.
+  */
+class TimeSeriesSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val events =
+    graft.core.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select("user_id", "event_type", "ts_ns", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+  test("q114 spine is contiguous, fills are marked, LOCF carries the last real sum") {
+    val dayOf = (ns: Long) => {
+      val ms = Math.floorDiv(ns, 1000000L)
+      Math.floorDiv(ms, 86400000L)
+    }
+    val daily = events.groupBy(e => (e._1, dayOf(e._3))).map {
+      case ((u, d), es) => (u, d) -> (es.length.toLong, es.map(_._4).sum)
+    }
+    val out = LogOps.gapFillDaily(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    assert(out.exists(_._4), "fixture must contain gap days")
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val days = sorted.map(_._2)
+      // contiguous spine from the user's first to last active day
+      val active = daily.keys.filter(_._1 == u).map(_._2)
+      assert(days.head == active.min && days.last == active.max)
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
+      var lastV = Double.NaN
+      sorted.foreach { case (_, d, n, filled, locf) =>
+        daily.get((u, d)) match {
+          case Some((en, ev)) =>
+            assert(!filled && n == en)
+            lastV = ev
+          case None =>
+            assert(filled && n == 0L)
+        }
+        assert(math.abs(locf - (math.rint(lastV * 100) / 100)) < 1e-9 ||
+          math.abs(locf - lastV) < 5e-3, s"user $u day $d locf")
+      }
+    }
+  }
+
+  test("q115 funnel counts match an ordered brute force") {
+    val window = 7L * 86400L * 1000000000L
+    val byUser = events.groupBy(_._1)
+    def stepTimes(u: Long): (Option[Long], Option[Long], Option[Long]) = {
+      val es = byUser(u)
+      val tView = es.filter(_._2 == "view").map(_._3)
+        .sorted.headOption
+      val tClick = tView.flatMap(v => es.filter(e =>
+        e._2 == "click" && e._3 > v && e._3 <= v + window)
+        .map(_._3).sorted.headOption)
+      val tPurchase = (tView, tClick) match {
+        case (Some(v), Some(c)) => es.filter(e =>
+          e._2 == "purchase" && e._3 > c && e._3 <= v + window)
+          .map(_._3).sorted.headOption
+        case _ => None
+      }
+      (tView, tClick, tPurchase)
+    }
+    val steps = byUser.keys.map(stepTimes).toSeq
+    val (nV, nC, nP) = (steps.count(_._1.isDefined).toLong,
+      steps.count(_._2.isDefined).toLong,
+      steps.count(_._3.isDefined).toLong)
+    val r = LogOps.funnel(spark, sfDir).collect().head
+    assert(r.getLong(0) == nV && r.getLong(1) == nC && r.getLong(2) == nP)
+    assert(r.getLong(3) == nC * 1000000L / nV)
+    assert(r.getLong(4) == nP * 1000000L / nC)
+    // Monotone funnel — each step is a subset of the previous.
+    assert(nV >= nC && nC >= nP && nP > 0)
+  }
+}
