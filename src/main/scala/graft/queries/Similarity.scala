@@ -820,6 +820,96 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- q116: per-label centroid drift matrix -------------------------
+
+  /** q116 — embedding-space drift monitoring: the pairwise cosine
+    * matrix between per-label centroids, the one-glance answer to "are
+    * the class/source clusters collapsing or separating?" that an
+    * embedding-quality dashboard tracks across corpus versions (labels
+    * here play the cohort role: sources, snapshot dates, model
+    * versions at 100 TB).
+    *
+    * Exactness discipline (q72's fixed-point idiom carried one step
+    * further): centroids are per-(label, dim) micro-unit integer means
+    * — order-free exact sums, floor-rounded division — and the pair
+    * matrix is computed DIRECTLY on those integers: dot products and
+    * squared norms of 64-dim ≤ 10⁶-scale longs stay < 2⁵³ (6.4·10¹³),
+    * so every number before the final sqrt/division is EXACT in both
+    * engines and the oracle hash-checks the whole matrix to the last
+    * bit of the rounded cosine.
+    *
+    * Scale shape: ONE map-side-combined shuffle of (label, pos,
+    * partial sum) rows — labels·dim groups regardless of corpus size
+    * (the q72 contract); after that everything is |labels|·dim rows —
+    * driver-small. The pair join is |labels|²·dim on centroid rows,
+    * never on the corpus. */
+  def labelCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(doubled(col("embedding")))
+        .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("sq"))
+      .select(col("label"), col("pos"), col("n_members"),
+        floor(col("sq").cast("double") / col("n_members") + 0.5).cast("long")
+          .as("m"))
+    val norms = cents.groupBy(col("label"))
+      .agg(sum(col("m") * col("m")).as("nrm2"),
+        max(col("n_members")).as("n_members"))
+    val dots = cents.as("a")
+      .join(cents.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.m") * col("b.m")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("nrm2").as("na2"),
+        col("n_members").as("n_a")), Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("nrm2").as("nb2"),
+        col("n_members").as("n_b")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("na2") === 0L || col("nb2") === 0L, lit(-2.0))
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("cos"), 6).as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val labelCentroidDriftSql: String =
+    """WITH e AS (
+      |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |xp AS (
+      |  SELECT label, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
+      |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) r),
+      |c AS (
+      |  SELECT label, pos,
+      |    CAST(count(*) AS BIGINT) AS n_members,
+      |    CAST(floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / count(*) + 0.5) AS BIGINT) AS m
+      |  FROM xp GROUP BY label, pos),
+      |nr AS (
+      |  SELECT label, CAST(sum(m * m) AS BIGINT) AS nrm2,
+      |    max(n_members) AS n_members
+      |  FROM c GROUP BY label),
+      |d AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum(a.m * b.m) AS BIGINT) AS dot
+      |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY a.label, b.label)
+      |SELECT d.label_a, d.label_b,
+      |  na.n_members AS n_a, nb.n_members AS n_b,
+      |  round(CASE WHEN na.nrm2 = 0 OR nb.nrm2 = 0 THEN -2.0
+      |    ELSE CAST(d.dot AS DOUBLE)
+      |      / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+      |    END, 6) AS centroid_cos
+      |FROM d
+      |  JOIN nr na ON na.label = d.label_a
+      |  JOIN nr nb ON nb.label = d.label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
   val semanticDedupSql: String =
     s"""WITH $cellAssignCteSql,
        |sig AS (

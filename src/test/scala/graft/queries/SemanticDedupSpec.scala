@@ -74,4 +74,35 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     val survivors = vecs.map(_._1).filterNot(purged).toSet
     assert(survivors.size + purged.size == vecs.length)
   }
+
+  test("q116 centroid-drift matrix matches an exact integer brute force") {
+    val rows = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("label", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dim = rows.head._2.length
+    // Micro-unit integer centroid per label — the q72 fixed-point rule.
+    val cents: Map[Int, Array[Long]] = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(dim) { p =>
+        val s = vs.map(v => math.floor(v(p) * 1e6 + 0.5).toLong).sum
+        math.floor(s.toDouble / vs.length + 0.5).toLong
+      }
+    }
+    val out = Similarity.labelCentroidDrift(spark, sfDir).collect()
+    val labels = byLabel.keys.toSeq.sorted
+    assert(out.length == labels.size * (labels.size - 1) / 2)
+    out.foreach { r =>
+      val (la, lb) = (r.getInt(0), r.getInt(1))
+      assert(la < lb)
+      assert(r.getLong(2) == byLabel(la).length)
+      assert(r.getLong(3) == byLabel(lb).length)
+      val (ca, cb) = (cents(la), cents(lb))
+      val dot = ca.zip(cb).map { case (a, b) => a * b }.sum
+      val cos = dot.toDouble /
+        (math.sqrt(ca.map(x => x * x).sum.toDouble) *
+          math.sqrt(cb.map(x => x * x).sum.toDouble))
+      assert(math.abs(r.getDouble(4) - cos) < 1e-6, s"pair ($la,$lb)")
+    }
+  }
 }
