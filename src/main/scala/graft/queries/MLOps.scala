@@ -363,4 +363,71 @@ object MLOps {
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY score_z DESC""".stripMargin
   }
+
+  // ---- q117: score calibration (reliability by rank decile) ----------
+
+  /** q117 — reliability diagram for the pinned scorer: users ranked by
+    * the q59 logit, cut into 10 rank deciles, each reporting its size,
+    * observed anomaly count/rate, and mean score — the calibration
+    * view that says whether "higher score" actually means "more likely
+    * anomalous" bucket by bucket (the monitoring companion to q75's
+    * PR curve: q75 threshold-sweeps, this rank-buckets).
+    *
+    * Exactness: stays in LOGIT space (the q59 discipline — no sigmoid,
+    * no transcendental near the oracle boundary); scores are literal
+    * weights x integer counts (bit-identical both engines), rank ties
+    * break by user_id, deciles and observed rates are exact integer
+    * arithmetic (the q96 ppm idiom); only the per-decile mean score is
+    * a float, rounded at the boundary.
+    *
+    * Scale: the rank is a GLOBAL window — fine here because it runs on
+    * the user-grain frame (already corpus-reduced by the q23 pivot),
+    * not on events; at 100 TB user counts you'd swap the exact
+    * row_number for approx-quantile decile edges and keep every other
+    * column identical. The single-row count crossJoin is the q55
+    * denominator idiom. */
+  def scoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val z = types.zip(ScoreWeights)
+      .map { case (t, wi) => col(s"n_$t") * lit(wi) }
+      .reduce(_ + _) + lit(ScoreBias)
+    val scored = LogOps.eventPivot(s, dir)
+      .withColumn("score_z", z)
+      .withColumn("is_anom",
+        (anomalyLabel === "anomaly").cast("long"))
+    val w = Window.orderBy(col("score_z").desc, col("user_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_users"))))
+      .withColumn("decile", expr("((rk - 1) * 10) div n_users"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("is_anom")).as("n_anomaly"),
+        round(avg(col("score_z")), 6).as("mean_z"))
+      .withColumn("anomaly_ppm", expr("(n_anomaly * 1000000) div n"))
+      .orderBy("decile")
+  }
+
+  val scoreCalibrationSql: String = {
+    val zExpr = types.zip(ScoreWeights)
+      .map { case (t, wi) => s"n_$t * $wi" }.mkString(" + ") + s" + $ScoreBias"
+    s"""WITH $featCte,
+       |g AS (
+       |  SELECT user_id, $zExpr AS score_z,
+       |    CASE WHEN $labelSqlExpr = 'anomaly' THEN 1 ELSE 0 END AS is_anom
+       |  FROM feat),
+       |r AS (
+       |  SELECT score_z, is_anom,
+       |    row_number() OVER (ORDER BY score_z DESC, user_id ASC) AS rk,
+       |    count(*) OVER () AS n_users
+       |  FROM g)
+       |SELECT ((rk - 1) * 10) // n_users AS decile,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(is_anom) AS BIGINT) AS n_anomaly,
+       |  round(avg(score_z), 6) AS mean_z,
+       |  (CAST(sum(is_anom) AS BIGINT) * 1000000) // count(*) AS anomaly_ppm
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY decile""".stripMargin
+  }
 }

@@ -57,4 +57,26 @@ class MLQueriesSpec extends AnyFunSuite with Matchers with SparkFixture {
           (r.getAs[Long]("cum_tp") + r.getAs[Long]("cum_fp"))
     }
   }
+
+  test("q117: rank deciles partition users evenly; top decile is most anomalous") {
+    val out = MLOps.scoreCalibration(spark, sfDir).collect()
+    out.map(_.getLong(0)).toSeq shouldBe (0L to 9L)
+    val sizes = out.map(_.getLong(1))
+    // row_number deciles: sizes differ by at most 1 and sum to n_users.
+    (sizes.max - sizes.min) should be <= 1L
+    val nUsers = graft.queries.LogOps.eventPivot(spark, sfDir).count()
+    sizes.sum shouldBe nUsers
+    out.foreach { r =>
+      r.getLong(4) shouldBe r.getLong(2) * 1000000L / r.getLong(1)
+      r.getLong(2) should be <= r.getLong(1)
+    }
+    // The scorer weights error counts positively and the label IS
+    // error share: the top-score decile must be at least as anomalous
+    // as the bottom one (a flat or inverted diagram would mean the
+    // pinned scorer stopped ranking).
+    out.head.getLong(4) should be >= out.last.getLong(4)
+    // Mean score is non-increasing across deciles (rank-cut property).
+    val means = out.map(_.getDouble(3))
+    means.zip(means.tail).foreach { case (a, b) => a should be >= (b - 1e-9) }
+  }
 }

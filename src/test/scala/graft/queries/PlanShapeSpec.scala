@@ -43,7 +43,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q103_int8_recall",    // broadcast 5 probe vectors × corpus (q30 shape)
     "q106_ivf_recall",     // broadcast centroids/probe side (q46 shape)
     "q112_bm25_topk",      // 1-row corpus-stats broadcast (q55 idiom)
-    "q115_funnel")         // 1-row per-step counts assembled 1×1
+    "q115_funnel",         // 1-row per-step counts assembled 1×1
+    "q117_calibration")    // 1-row user-count denominator broadcast
 
   test("no unbounded cartesian product in any registered query plan") {
     val offenders = plans.collect {
