@@ -81,25 +81,7 @@ object Sinks {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
-  /** Bucketed+sorted parquet table — the at-rest layout that makes
-    * repeated joins/aggregations on `keys` SHUFFLE-FREE: both sides of
-    * an equi-join written with the same bucket count and keys satisfy
-    * the join's distribution requirement straight off the scan, so
-    * Catalyst plans no Exchange at all (BucketedJoinSpec pins this).
-    * At 100 TB this is the difference between re-shuffling the fact
-    * table on every query and shuffling it ONCE at write time: the
-    * canonical layout for fact tables joined on a stable key (orders ⋈
-    * lineitem on orderkey) and for any groupBy on the bucket key,
-    * which likewise skips its exchange. `sortBy` additionally orders
-    * within buckets so single-file buckets admit sort-merge joins with
-    * no Sort either. Bucketing requires the table catalog (bucket
-    * metadata lives there, not in parquet), hence `saveAsTable` rather
-    * than a path write. */
-  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      numBuckets: Int): Unit =
-    df.write.mode("overwrite")
-      .format("parquet")
-      .bucketBy(numBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+  // Bucketed+sorted table writes live in `graft.operators.Bucketing`
+  // (single-file-per-bucket contract + co-located join; OperatorsSpec
+  // pins zero-Exchange, zero-Sort, and the shuffling negative control).
 }
