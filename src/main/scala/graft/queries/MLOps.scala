@@ -409,8 +409,18 @@ object MLOps {
   }
 
   val scoreCalibrationSql: String = {
+    // DOUBLE-cast weights, unlike q59's zExpr: DuckDB parses bare
+    // decimal literals as DECIMAL and computes EXACT scores, whose
+    // ties (equal to the cent) the user_id tie-break resolves — but
+    // Spark's doubles carry per-vector rounding noise that orders
+    // those same users by noise, not user_id. q59 is insensitive (its
+    // row set doesn't depend on rank); q117's decile CUT is exactly a
+    // rank, so the oracle must reproduce the engine's double
+    // arithmetic bit-for-bit (caught by the sf0.1 sweep: one-user
+    // swaps at decile boundaries).
     val zExpr = types.zip(ScoreWeights)
-      .map { case (t, wi) => s"n_$t * $wi" }.mkString(" + ") + s" + $ScoreBias"
+      .map { case (t, wi) => s"n_$t * CAST($wi AS DOUBLE)" }
+      .mkString(" + ") + s" + CAST($ScoreBias AS DOUBLE)"
     s"""WITH $featCte,
        |g AS (
        |  SELECT user_id, $zExpr AS score_z,
