@@ -290,17 +290,24 @@ object Dedup {
     * — factored for the same reason: the clustering definition must
     * not be able to drift between the cluster query and the purge
     * query. */
-  private def componentFrame(s: SparkSession, dir: String): DataFrame = {
+  /** The LSH candidate EDGE set (member → bucket-min root, distinct)
+    * — the exact edges the q49 clustering propagates, factored so the
+    * q120 estimator audit certifies the same pairs the pipeline acts
+    * on. Star edges bound fan-out at O(bucket size), never the
+    * O(df²) all-pairs blowup. */
+  private def candidateEdges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("band_hash"))
-    val roots = bandFrame(s, dir)
+    bandFrame(s, dir)
       .select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
-    val edges = roots.filter(col("doc_id") =!= col("root"))
+      .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("src"), col("root").as("dst"))
       .distinct()
-    graft.operators.ConnectedComponents.run(edges)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
+
+  private def componentFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.run(candidateEdges(s, dir))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
 
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -314,12 +321,18 @@ object Dedup {
     * edges → recursive reachability → min-label components), shared
     * by the q49 and q92 oracles so the clustering definition cannot
     * drift between them. Expects `bands` in scope. */
-  private val ccCompCteSql: String =
+  /** Oracle mirror of [[candidateEdges]] (expects `bands` in scope;
+    * yields `e0(src, dst)` with dst = bucket-min root < src), shared
+    * by the q49/q92 component chain and the q120 estimator audit. */
+  private val candidateEdgesCteSql: String =
     """roots AS (
       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_hash) AS root
       |  FROM bands),
       |e0 AS (
-      |  SELECT DISTINCT doc_id AS src, root AS dst FROM roots WHERE doc_id <> root),
+      |  SELECT DISTINCT doc_id AS src, root AS dst FROM roots WHERE doc_id <> root)""".stripMargin
+
+  private val ccCompCteSql: String =
+    s"""$candidateEdgesCteSql,
       |edges AS (
       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -376,9 +389,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Oracle mirror of [[purgeFrom]]: quality + rank CTEs and the final
-    * SELECT over a component CTE named `compCte(doc_id, cluster_id)`. */
-  private def purgeTailSql(compCte: String): String =
+  /** Oracle mirror of [[purgeFrom]] as a CTE block ending in
+    * `pg(doc_id, cluster_id, kept_doc)` over a component CTE named
+    * `compCte(doc_id, cluster_id)` — factored from [[purgeTailSql]] so
+    * queries that CONSUME the purge list (q122's audit) share the
+    * same rule text as the queries that emit it (q92/q108). */
+  private def purgeCteSql(compCte: String): String =
     s"""${TextOps.qualityCteSql},
        |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q),
        |r AS (
@@ -387,10 +403,15 @@ object Dedup {
        |    first_value(c.doc_id) OVER win AS kept_doc
        |  FROM $compCte c JOIN sc USING (doc_id)
        |  WINDOW win AS (PARTITION BY c.cluster_id
-       |                 ORDER BY sc.quality_score DESC, c.doc_id ASC))
+       |                 ORDER BY sc.quality_score DESC, c.doc_id ASC)),
+       |pg AS (SELECT doc_id, cluster_id, kept_doc FROM r WHERE rk > 1)""".stripMargin
+
+  /** Oracle mirror of [[purgeFrom]]: the purge CTE block plus the final
+    * SELECT — the q92/q108 oracle tail. */
+  private def purgeTailSql(compCte: String): String =
+    s"""${purgeCteSql(compCte)}
        |SELECT doc_id, cluster_id, kept_doc
-       |FROM r
-       |WHERE rk > 1
+       |FROM pg
        |ORDER BY doc_id""".stripMargin
 
   def dedupPurge(s: SparkSession, dir: String): DataFrame =
@@ -701,4 +722,151 @@ object Dedup {
        |FROM r
        |WHERE rk = 1
        |ORDER BY new_doc""".stripMargin
+
+  // ---- q120: MinHash estimator error audit ---------------------------
+
+  /** q120 — certification of the ESTIMATOR the entire banded dedup
+    * chain (q27 → q28 → q49 → q92) rests on: for every candidate EDGE
+    * the clustering propagates (the [[candidateEdges]] member→root
+    * pairs — the decisions that actually form clusters), the MinHash
+    * estimate ĵ = (matching signature components)/k is put next to
+    * the EXACT token-set Jaccard, with the per-pair absolute error.
+    * This is the audit a data lead runs before trusting a purge list:
+    * MinHash theory says E[ĵ] = J with σ = √(J(1−J)/k), and this
+    * table is the empirical check of that contract on the pairs the
+    * pipeline acted on. (Auditing ALL in-bucket pairs would be the
+    * O(df²) blowup the chunk chain caps with MaxChunkDf — the star
+    * edges are both the bounded set AND the causally relevant one.)
+    *
+    * Exactness: ĵ = sig_match/8 has a power-of-two denominator, so it
+    * is EXACT in double; J = |A∩B|/|A∪B| is one correctly-rounded
+    * division of exact integers (the q26 arithmetic, union by
+    * inclusion–exclusion); their difference is a deterministic double
+    * both engines compute identically. Rounding is display-only.
+    *
+    * Scale shape: edges are O(clustered docs) by the star bound;
+    * signatures are 8 longs per doc and the token hash sets join for
+    * CANDIDATE docs only — at 100 TB both are the STORED q27 outputs,
+    * so the audit reads the index, not the corpus, and costs
+    * O(candidate edges). */
+  def minhashErrorAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = candidateEdges(s, dir)
+      .select(col("dst").as("doc_a"), col("src").as("doc_b"))
+    val sig = signatures(s, dir)
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      HashParams.indices.map(i => col(s"sig_$i").as(s"a_$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      HashParams.indices.map(i => col(s"sig_$i").as(s"b_$i")): _*)
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_token_hashes",
+          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    val sigMatch = HashParams.indices
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = col("sig_match").cast("double") / lit(HashParams.size.toDouble)
+    val jac = col("n_inter").cast("double") /
+      (size(col("ha")) + size(col("hb")) - col("n_inter"))
+    pairs
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("sig_match", sigMatch)
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .select(
+        col("doc_a"), col("doc_b"), col("sig_match"),
+        round(est, 6).as("est_jaccard"),
+        round(jac, 6).as("jaccard"),
+        round(abs(est - jac), 6).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashErrorAuditSql: String = {
+    val k = HashParams.size
+    val matchSum = HashParams.indices
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $bandsCteSql,
+       |$candidateEdgesCteSql,
+       |pairs AS (SELECT dst AS doc_a, src AS doc_b FROM e0),
+       |m AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST($matchSum AS BIGINT) AS sig_match
+       |  FROM pairs p
+       |    JOIN s sa ON sa.doc_id = p.doc_a
+       |    JOIN s sb ON sb.doc_id = p.doc_b),
+       |j AS (
+       |  SELECT m.doc_a, m.doc_b, m.sig_match,
+       |    CAST(m.sig_match AS DOUBLE) / $k AS est,
+       |    CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+       |      / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+       |  FROM m
+       |    JOIN t ta ON ta.doc_id = m.doc_a
+       |    JOIN t tb ON tb.doc_id = m.doc_b)
+       |SELECT doc_a, doc_b, sig_match,
+       |  round(est, 6) AS est_jaccard,
+       |  round(jac, 6) AS jaccard,
+       |  round(abs(est - jac), 6) AS abs_err
+       |FROM j
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q122: purge-precision audit -----------------------------------
+
+  /** q122 — the "was that purge justified?" report: every row of the
+    * q92 purge list re-examined with the EXACT token-set Jaccard
+    * between the purged doc and its keeper, plus the integer-exact
+    * similarity decile. The approximate chain (bands → components →
+    * purge) makes transitive decisions — a doc can be purged for a
+    * keeper it never shared a bucket with — and this audit is where
+    * those decisions become inspectable: low-decile rows are exactly
+    * the purges a curation review queue should sample.
+    *
+    * Deliberately NOT an assertion: transitive purges with modest
+    * direct similarity are legitimate (the cluster, not the pair, is
+    * the dedup unit); the audit's job is to measure, not to gate.
+    *
+    * Scale shape: the purge list is the SMALL side by construction
+    * (O(clustered docs)); token hash sets join on its keys only — at
+    * 100 TB this reads the stored q27 token sets for purged + keeper
+    * docs and never touches the rest of the corpus. Cost O(purged). */
+  def purgeAudit(s: SparkSession, dir: String): DataFrame = {
+    val purged = purgeFrom(s, dir, componentFrame(s, dir))
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_token_hashes",
+          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    purged
+      .join(hs.select(col("doc_id"), col("hs").as("hp")), "doc_id")
+      .join(hs.select(col("doc_id").as("kept_doc"), col("hs").as("hk")), "kept_doc")
+      .withColumn("n_inter",
+        size(array_intersect(col("hp"), col("hk"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("hp")) + size(col("hk"))).cast("long") - col("n_inter"))
+      .select(
+        col("doc_id"), col("cluster_id"), col("kept_doc"),
+        col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"),
+        expr("(n_inter * 10) div n_union").as("decile"))
+      .orderBy("doc_id")
+  }
+
+  val purgeAuditSql: String =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |$ccCompCteSql,
+       |${purgeCteSql("comp")},
+       |a AS (
+       |  SELECT pg.doc_id, pg.cluster_id, pg.kept_doc,
+       |    CAST(len(list_intersect(tp.hs, tk.hs)) AS BIGINT) AS n_inter,
+       |    CAST(len(tp.hs) + len(tk.hs)
+       |      - len(list_intersect(tp.hs, tk.hs)) AS BIGINT) AS n_union
+       |  FROM pg
+       |    JOIN t tp ON tp.doc_id = pg.doc_id
+       |    JOIN t tk ON tk.doc_id = pg.kept_doc)
+       |SELECT doc_id, cluster_id, kept_doc, n_inter, n_union,
+       |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard,
+       |  (n_inter * 10) // n_union AS decile
+       |FROM a
+       |ORDER BY doc_id""".stripMargin
 }

@@ -499,4 +499,60 @@ object LogOps {
        |  CASE WHEN n_click = 0 THEN NULL
        |    ELSE (n_purchase * 1000000) // n_click END AS click_to_purchase_ppm
        |FROM n""".stripMargin
+
+  // ---- q121: event transition matrix ---------------------------------
+
+  /** q121 — the first-order Markov transition matrix over per-user
+    * event streams: for each consecutive event pair within a user's
+    * timeline, count (src → dst) and its share of all transitions out
+    * of src in exact ppm (the funnel's q115 integer-division idiom —
+    * no float probabilities near the oracle). This is the "how do
+    * users actually move" table behind journey diagrams, next-event
+    * priors, and anomaly heuristics (a transition whose ppm collapses
+    * between releases is a broken flow).
+    *
+    * Ordering is total and deterministic: (ts_ns, event_id) — two
+    * events in the same nanosecond can't flip the matrix between runs
+    * or engines.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window (the
+    * q21 sessionize partitioning — at 100 TB the log is already
+    * bucketed by user/block for exactly these passes), then a
+    * map-side-combined aggregation on (src, dst) whose group count is
+    * |event_type|² — constant, regardless of corpus size. The ppm
+    * normalization runs on that constant-size matrix, not on data. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val perSrc = Window.partitionBy(col("src_type"))
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_src", sum(col("n")).over(perSrc))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        expr("(n * 1000000) div n_src").as("ppm"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+      |  FROM events WHERE user_id IS NOT NULL),
+      |p AS (
+      |  SELECT event_type AS src_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts_ns, event_id) AS dst_type
+      |  FROM e),
+      |c AS (
+      |  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE dst_type IS NOT NULL
+      |  GROUP BY src_type, dst_type)
+      |SELECT src_type, dst_type, n,
+      |  (n * 1000000) // CAST(sum(n) OVER (PARTITION BY src_type) AS BIGINT) AS ppm
+      |FROM c
+      |ORDER BY src_type, dst_type""".stripMargin
 }

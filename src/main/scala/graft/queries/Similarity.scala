@@ -55,30 +55,41 @@ object Similarity {
   }
   private val cosineSql = cosineSqlFor("v", "qv")
 
-  /** Exact cosine top-20 neighbours of vec_id = 0. */
-  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+  /** The UNROUNDED scored frame behind q29 (query vec_id = 0 excluded)
+    * — factored so the q118 hybrid fusion ranks on the same doubles
+    * the top-k selection orders by. */
+  private[queries] def cosineScored(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     e.join(broadcast(q))
-      .withColumn("cos", cosine(col("v"), col("qv")))
       .filter(col("vec_id") =!= 0)
+      .withColumn("cos", cosine(col("v"), col("qv")))
+  }
+
+  /** Exact cosine top-20 neighbours of vec_id = 0. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    cosineScored(s, dir)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(20)
       .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
-  }
 
-  val cosineTopKSql: String =
-    s"""WITH e AS (
+  /** Oracle mirror of [[cosineScored]] — CTE chain ending in
+    * `scored(vec_id, cos)`, shared by the q29 and q118 oracles. */
+  private[queries] val cosineScoredCteSql: String =
+    s"""e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
       |scored AS (
       |  SELECT vec_id, $cosineSql AS cos
-      |  FROM e, q)
+      |  FROM e, q
+      |  WHERE vec_id <> 0)""".stripMargin
+
+  val cosineTopKSql: String =
+    s"""WITH $cosineScoredCteSql
       |SELECT vec_id, round(cos, 6) AS cosine
       |FROM scored
-      |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id ASC
       |LIMIT 20""".stripMargin
 
@@ -926,5 +937,147 @@ object Similarity {
        |FROM p
        |WHERE cos >= $SemDedupTau
        |GROUP BY j, cell
+       |ORDER BY vec_id""".stripMargin
+
+  // ---- q118: hybrid retrieval fusion (RRF) ---------------------------
+
+  /** The standard reciprocal-rank-fusion constant (Cormack et al.'s
+    * k = 60 — large enough that rank 1 doesn't dominate, small enough
+    * that depth still matters). */
+  private[queries] val RrfK = 60
+
+  /** q118 — HYBRID retrieval: the q112 sparse (BM25) and q29 dense
+    * (cosine) top-20 lists fused by reciprocal rank fusion,
+    * rrf(d) = Σ_leg 1/(k + rank_leg(d)) — the standard way a RAG stack
+    * combines a lexical and an embedding index without score
+    * calibration (ranks, not scores, cross the fusion boundary, so
+    * the two legs' incomparable score scales never meet).
+    *
+    * Both legs rank on their UNROUNDED scores (the shared
+    * [[TextOps.bm25Scored]] / [[cosineScored]] frames — ranking on the
+    * display-rounded outputs could flip near-equal neighbours), ties
+    * broken by doc_id: a total order, so ranks are integers both
+    * engines agree on exactly, and 1/(k + rank) is one
+    * correctly-rounded division of small integers — bit-identical.
+    * Docs in only one list contribute one term (the other rank
+    * reported as 0 = "absent").
+    *
+    * Scale shape: each leg is its own already-scale-shaped contract
+    * (BM25: two scans + TakeOrdered heap; cosine: broadcast probe,
+    * map-side score, TakeOrdered). The fusion itself touches 2k rows —
+    * the in-list re-rank windows and the full-outer join run on ≤ 20
+    * rows per leg regardless of corpus size. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = TextOps.Bm25K
+    val sp = TextOps.bm25Scored(s, dir)
+      .orderBy(col("s").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank_sparse",
+        row_number().over(Window.orderBy(col("s").desc, col("doc_id").asc))
+          .cast("long"))
+      .select(col("doc_id"), col("rank_sparse"))
+    val dn = cosineScored(s, dir)
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank_dense",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+          .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    def term(r: Column): Column =
+      when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(RrfK) + r))
+    sp.join(dn, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(term(col("rank_sparse")) + term(col("rank_dense")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH ${TextOps.bm25CteSql},
+       |$cosineScoredCteSql,
+       |spr AS (
+       |  SELECT doc_id, rank_sparse FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank_sparse
+       |    FROM sc) WHERE rank_sparse <= ${TextOps.Bm25K}),
+       |den AS (
+       |  SELECT doc_id, rank_dense FROM (
+       |    SELECT vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_dense
+       |    FROM scored) WHERE rank_dense <= ${TextOps.Bm25K})
+       |SELECT COALESCE(spr.doc_id, den.doc_id) AS doc_id,
+       |  CAST(COALESCE(rank_sparse, 0) AS BIGINT) AS rank_sparse,
+       |  CAST(COALESCE(rank_dense, 0) AS BIGINT) AS rank_dense,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + rank_sparse), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + rank_dense), 0), 6) AS rrf
+       |FROM spr FULL OUTER JOIN den ON spr.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id""".stripMargin
+
+  // ---- q119: semantic decontamination --------------------------------
+
+  private[queries] val SemDecontamTau = 0.35
+  private[queries] val SemDecontamProbes = 10
+
+  /** q119 — SEMANTIC decontamination: which corpus vectors sit within
+    * cosine ≥ τ of any benchmark probe. The n-gram decontamination
+    * family (q66 exact grams, q94 bloom, q111 chunk-grain) catches
+    * verbatim and near-verbatim leakage; paraphrased eval items share
+    * no 5-gram with their source and sail through — embedding
+    * similarity is the standard second net (the contamination audits
+    * run on modern LLM corpora pair exactly these two: lexical overlap
+    * + embedding nearest-neighbour). Probes here are the vec_id <
+    * [[SemDecontamProbes]] slice (the q66 "held-out benchmark" role);
+    * output is one row per FLAGGED corpus vector — hit count, closest
+    * probe (ties to the smaller probe id via the q113 lexicographic
+    * struct max), max cosine. Clean vectors don't appear (the sparse
+    * q66/q111 contract).
+    *
+    * Scale shape: the eval set is small by premise → broadcast; the
+    * corpus side scores map-only against the broadcast probe block
+    * (|corpus|·|probes| dot products with NO shuffle — the q29/q30
+    * discipline) and only flagged rows reach the aggregation, which
+    * groups on vec_id with map-side combine. At 100 TB: one corpus
+    * scan, traffic O(contaminated rows). τ = [[SemDecontamTau]] is
+    * evaluated on bit-identical doubles in both engines. */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") < SemDecontamProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    e.filter(col("vec_id") >= SemDecontamProbes)
+      .join(broadcast(probes))
+      .withColumn("cos", cosine(col("v"), col("pv")))
+      .filter(col("cos") >= SemDecontamTau)
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_probes_hit"),
+        max(struct(col("cos"), (-col("probe_id")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("n_probes_hit"),
+        (-col("best.neg")).as("top_probe"),
+        round(col("best.cos"), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDecontaminateSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+       |      WHERE vec_id < $SemDecontamProbes),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $SemDecontamProbes),
+       |sx AS (
+       |  SELECT c.vec_id, p.probe_id, ${cosineSqlFor("c.v", "p.pv")} AS cos
+       |  FROM c, p),
+       |f AS (SELECT * FROM sx WHERE cos >= $SemDecontamTau),
+       |r AS (
+       |  SELECT vec_id, probe_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos DESC, probe_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY vec_id) AS n_probes_hit
+       |  FROM f)
+       |SELECT vec_id, CAST(n_probes_hit AS BIGINT) AS n_probes_hit,
+       |  probe_id AS top_probe, round(cos, 6) AS max_cos
+       |FROM r
+       |WHERE rk = 1
        |ORDER BY vec_id""".stripMargin
 }

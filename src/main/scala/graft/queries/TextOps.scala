@@ -610,7 +610,11 @@ object TextOps {
     * wide shuffles, exactly how you'd BM25-score a corpus without an
     * inverted index. (With one, the scan narrows to posting lists;
     * the scoring algebra — and this oracle — stay the same.) */
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** The UNROUNDED scored frame behind q112 — factored so the q118
+    * hybrid fusion ranks on the same doubles the top-k selection
+    * orders by (ranking on the display-rounded `bm25` could flip two
+    * in-list docs whose scores round equal). */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), toks(col("text")).as("w"))
@@ -633,14 +637,21 @@ object TextOps {
     }.reduceLeft(_ + _)
     docs.join(broadcast(stats))
       .withColumn("s", score)
+  }
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
       .orderBy(col("s").desc, col("doc_id").asc)
       .limit(Bm25K)
       .select(col("doc_id") +: col("dl") +:
         (Bm25Terms.map(t => col(s"tf_$t")) :+
           round(col("s"), 6).as("bm25")): _*)
-  }
 
-  val bm25TopKSql: String = {
+  /** Oracle mirror of [[bm25Scored]] — the CTE chain ending in
+    * `sc(doc_id, dl, tf_*, s)`, shared by the q112 and q118 oracles
+    * (CTE names d/t/st/sc are disjoint from the cosine chain's
+    * e/q/scored so the q118 fusion can splice both). */
+  private[queries] val bm25CteSql: String = {
     val (k1, b) = (1.2, 0.75)
     val tfCols = Bm25Terms.map(t =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n|    ")
@@ -652,7 +663,7 @@ object TextOps {
          | / (CAST(tf_$t AS DOUBLE) + $k1 * (1.0 - $b + $b * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
         .stripMargin.replaceAll("\n", "")
     }.mkString(" + ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |t AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
@@ -666,11 +677,14 @@ object TextOps {
        |sc AS (
        |  SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
        |    $score AS s
-       |  FROM t, st)
+       |  FROM t, st)""".stripMargin
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH $bm25CteSql
        |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
        |  round(s, 6) AS bm25
        |FROM sc
        |ORDER BY s DESC, doc_id ASC
        |LIMIT $Bm25K""".stripMargin
-  }
 }

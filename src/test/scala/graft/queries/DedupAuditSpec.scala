@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** q120 (MinHash estimator error audit) and q122 (purge-precision
+  * audit): brute-force replication of the hashing, banding, star-edge,
+  * union-find and Jaccard arithmetic in plain Scala over the collected
+  * fixture — no Spark expressions shared with the plans.
+  */
+class DedupAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private val P = 2147483647L
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def tokHash(t: String): Long =
+    java.lang.Long.parseLong(md5hex(t).take(15), 16) % P
+
+  /** (token hash set, 8 signature longs, 2 band hashes) per doc. */
+  private def chain(): Map[Long, (Set[Long], Seq[Long], Seq[String])] =
+    graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val hsList = r.getString(1).split(" ", -1).distinct.map(tokHash)
+        val sigs = Dedup.HashParams.map { case (a, b) =>
+          hsList.map(h => (a * h + b) % P).min
+        }
+        val bands = Seq(sigs.take(4).mkString(","), sigs.drop(4).mkString(","))
+          .map(md5hex)
+        r.getLong(0) -> ((hsList.toSet, sigs, bands))
+      }.toMap
+
+  /** The q49 candidate star edges: (bucket-min root, member). */
+  private def starEdges(c: Map[Long, (Set[Long], Seq[Long], Seq[String])])
+      : Set[(Long, Long)] = {
+    val buckets = c.toSeq.flatMap { case (id, (_, _, bands)) =>
+      bands.zipWithIndex.map { case (bh, i) => (i, bh) -> id }
+    }.groupBy(_._1).values.map(_.map(_._2))
+    buckets.filter(_.size > 1).flatMap { members =>
+      val root = members.min
+      members.filter(_ != root).map(m => (root, m))
+    }.toSet
+  }
+
+  test("q120 audits exactly the clustering's star edges, all arithmetic exact") {
+    val c = chain()
+    val expected = starEdges(c).map { case (a, b) =>
+      val sigMatch = c(a)._2.zip(c(b)._2).count { case (x, y) => x == y }.toLong
+      val (ha, hb) = (c(a)._1, c(b)._1)
+      val inter = (ha & hb).size
+      val jac = inter.toDouble / (ha.size + hb.size - inter)
+      (a, b) -> ((sigMatch, sigMatch / 8.0, jac))
+    }.toMap
+    assert(expected.nonEmpty, "fixture must produce candidate edges")
+
+    val out = Dedup.minhashErrorAudit(spark, sfDir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == expected.keySet)
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (sm, est, jac) = expected(key)
+      assert(r.getLong(2) == sm, s"$key sig_match")
+      assert(math.abs(r.getDouble(3) - est) < 1e-6, s"$key est")
+      assert(math.abs(r.getDouble(4) - jac) < 1e-6, s"$key jaccard")
+      assert(math.abs(r.getDouble(5) - math.abs(est - jac)) < 1e-6, s"$key err")
+    }
+    // Sanity of the estimator on this fixture: identical docs (J = 1)
+    // must show a full signature match (est = 1, err = 0).
+    val exact = expected.filter { case (_, (_, _, j)) => j == 1.0 }
+    assert(exact.nonEmpty)
+    exact.foreach { case (key, (sm, _, _)) =>
+      assert(sm == 8L, s"$key: J=1 pair must match all components")
+    }
+  }
+
+  test("q122 audits every q92 purge row with exact Jaccard and decile") {
+    val c = chain()
+    // Union-find over the star edges → the q49/q92 components.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    starEdges(c).foreach { case (a, b) => union(a, b) }
+    val members = parent.keySet ++ parent.values
+    val comp = members.map(m => m -> find(m)).toMap
+
+    // Keeper rule on q37's (oracle-green) quality scores.
+    val quality = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = comp.groupBy(_._2).values.flatMap { m =>
+      val ordered = m.keys.toSeq.sortBy(id => (-quality(id), id))
+      val kept = ordered.head
+      ordered.tail.map { id =>
+        val (hp, hk) = (c(id)._1, c(kept)._1)
+        val inter = (hp & hk).size.toLong
+        val union = hp.size + hk.size - inter
+        id -> ((comp(id), kept, inter, union,
+          inter.toDouble / union, (inter * 10) / union))
+      }
+    }.toMap
+    assert(expected.nonEmpty, "fixture must purge at least one doc")
+
+    val out = Dedup.purgeAudit(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (cid, kept, inter, union, jac, dec) = expected(id)
+      assert(r.getLong(1) == cid, s"doc $id cluster")
+      assert(r.getLong(2) == kept, s"doc $id kept_doc")
+      assert(r.getLong(3) == inter, s"doc $id n_inter")
+      assert(r.getLong(4) == union, s"doc $id n_union")
+      assert(math.abs(r.getDouble(5) - jac) < 1e-6, s"doc $id jaccard")
+      assert(r.getLong(6) == dec, s"doc $id decile")
+      assert(id != kept, s"doc $id purged for itself")
+    }
+    // The audit covers the purge list exactly — same rows as q92.
+    val purge = Dedup.dedupPurge(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == purge)
+  }
+}

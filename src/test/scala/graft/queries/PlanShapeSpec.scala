@@ -44,7 +44,9 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q106_ivf_recall",     // broadcast centroids/probe side (q46 shape)
     "q112_bm25_topk",      // 1-row corpus-stats broadcast (q55 idiom)
     "q115_funnel",         // 1-row per-step counts assembled 1×1
-    "q117_calibration")    // 1-row user-count denominator broadcast
+    "q117_calibration",    // 1-row user-count denominator broadcast
+    "q118_hybrid_rrf",     // q29 1-row query vector + q112 1-row stats legs
+    "q119_semantic_decontam") // broadcast probe block × corpus (q30 shape)
 
   test("no unbounded cartesian product in any registered query plan") {
     val offenders = plans.collect {

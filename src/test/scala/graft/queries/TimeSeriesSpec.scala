@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
 
-/** q114 (gap fill + LOCF) and q115 (ordered funnel): brute-force
-  * recomputation over the collected events fixture.
+/** q114 (gap fill + LOCF), q115 (ordered funnel) and q121 (transition
+  * matrix): brute-force recomputation over the collected events
+  * fixture.
   */
 class TimeSeriesSpec extends AnyFunSuite with SparkFixture {
 
@@ -78,5 +79,34 @@ class TimeSeriesSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(4) == nP * 1000000L / nC)
     // Monotone funnel — each step is a subset of the previous.
     assert(nV >= nC && nC >= nP && nP > 0)
+  }
+
+  test("q121 transition matrix matches an ordered brute force, ppm floors exact") {
+    val withIds = graft.core.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select("user_id", "ts_ns", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = withIds.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.toSeq
+    val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val srcTotals = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+
+    val out = LogOps.transitionMatrix(spark, sfDir).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == counts.keySet)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == counts(key), s"$key n")
+      assert(r.getLong(3) == counts(key) * 1000000L / srcTotals(key._1), s"$key ppm")
+    }
+    // Floor-division law: per-src ppm sums land within |dst| of 1e6.
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val total = rows.map(_.getLong(3)).sum
+      assert(total <= 1000000L && total > 1000000L - rows.length, s"$src ppm sum")
+    }
+    // Total transitions = sum over users of (events - 1).
+    val nTrans = withIds.groupBy(_._1).values.map(_.length - 1).sum.toLong
+    assert(out.map(_.getLong(2)).sum == nTrans)
   }
 }
