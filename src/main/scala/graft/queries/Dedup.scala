@@ -869,4 +869,145 @@ object Dedup {
        |  (n_inter * 10) // n_union AS decile
        |FROM a
        |ORDER BY doc_id""".stripMargin
+
+  // ---- q123: purge rate by quality decile ----------------------------
+
+  /** q123 — the dedup×quality interaction: purge rate per quality
+    * decile. Dedup is supposed to delete REDUNDANCY, not quality — if
+    * the top decile purges as heavily as the bottom one, the keeper
+    * rule (or the candidate generator) is eating good data, and this
+    * is the one-glance table that shows it. Deciles are exact global
+    * ranks over the q37 score (the q117 rank-decile idiom: ties by
+    * doc_id — a total order — then `((rk−1)·10) div n`), purge
+    * membership is the q92 list via the shared [[purgeFrom]] rule.
+    *
+    * Scale: the rank window is a global sort at corpus grain — fine
+    * at sf, and at 100 TB the documented swap is approx-quantile
+    * decile EDGES (the q117 note) with a map-only bucket assignment;
+    * the ppm arithmetic is integer-exact either way. The purge side
+    * is O(clustered docs) and LEFT-joins the corpus on doc_id. */
+  def purgeByQualityDecile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purged = purgeFrom(s, dir, componentFrame(s, dir))
+      .select(col("doc_id"), lit(1L).as("purged"))
+    val q = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id").asc)
+    q.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("decile", expr("((rk - 1) * 10) div n_docs"))
+      .join(purged, Seq("doc_id"), "left")
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(col("purged"), lit(0L))).as("n_purged"))
+      .withColumn("purge_ppm", expr("(n_purged * 1000000) div n"))
+      .orderBy("decile")
+  }
+
+  val purgeByQualityDecileSql: String =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |$ccCompCteSql,
+       |${purgeCteSql("comp")},
+       |rnk AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY quality_score DESC, doc_id ASC) AS rk
+       |  FROM sc),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sc),
+       |d AS (
+       |  SELECT ((r.rk - 1) * 10) // nn.n_docs AS decile,
+       |    CASE WHEN pg.doc_id IS NULL THEN 0 ELSE 1 END AS purged
+       |  FROM rnk r CROSS JOIN nn
+       |  LEFT JOIN pg ON pg.doc_id = r.doc_id)
+       |SELECT decile,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(purged) AS BIGINT) AS n_purged,
+       |  (CAST(sum(purged) AS BIGINT) * 1000000) // count(*) AS purge_ppm
+       |FROM d
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
+
+  // ---- q124: LSH recall certification --------------------------------
+
+  /** The ground-truth duplicate threshold for the recall slice. */
+  private[queries] val RecallTau = 0.5
+
+  /** q124 — RECALL certification of the banded LSH candidate
+    * generator, the complement of q120 (which audits the pairs LSH
+    * DID surface; this asks what it MISSED). Exhaustive ground truth
+    * is O(n²), so the certificate runs on a bounded, deterministic
+    * slice — consecutive-id pairs, the q26 discipline — where exact
+    * token-set Jaccard is computed for every pair and compared with
+    * "the pair shares ≥ 1 band bucket" (the q28 detection event).
+    * One row: slice size, true dups at τ = [[RecallTau]], detected
+    * pairs, their overlap, and exact-ppm recall/precision on the
+    * slice. MinHash theory prices recall at 1−(1−J^4)² for the 2×4
+    * banding — the measured ppm is the empirical check of that curve
+    * where it matters (J near τ).
+    *
+    * Scale: the slice is a linear-in-corpus sample contract (id
+    * adjacency is arbitrary — any fixed 1-per-doc pairing works);
+    * detection flags join the stored band table on (doc, doc+1) keys.
+    * Everything after is a single-row aggregate. */
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_token_hashes",
+          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    val pairs = hs.as("a")
+      .join(hs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long").as("ni"),
+        (size(col("a.hs")) + size(col("b.hs"))).cast("long").as("sl"))
+      .withColumn("jac", col("ni").cast("double") / (col("sl") - col("ni")))
+    val bf = bandFrame(s, dir)
+    val det = bf.as("x")
+      .join(bf.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("y.doc_id") === col("x.doc_id") + 1)
+      .select(col("x.doc_id").as("doc_a")).distinct()
+      .withColumn("detected", lit(true))
+    pairs.join(det, Seq("doc_a"), "left")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jac") >= RecallTau, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("detected"), 1L).otherwise(0L)).as("n_detected"),
+        sum(when(col("jac") >= RecallTau && col("detected"), 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("n_pairs"), col("n_true"), col("n_detected"), col("n_hits"),
+        when(col("n_true") === 0, lit(null))
+          .otherwise(expr("(n_hits * 1000000) div n_true")).as("recall_ppm"),
+        when(col("n_detected") === 0, lit(null))
+          .otherwise(expr("(n_hits * 1000000) div n_detected"))
+          .as("precision_ppm"))
+  }
+
+  val lshRecallAuditSql: String =
+    s"""WITH $bandsCteSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
+       |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+       |det AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash
+       |      AND y.doc_id = x.doc_id + 1),
+       |j AS (
+       |  SELECT p.jac, (d.doc_a IS NOT NULL) AS detected
+       |  FROM pairs p LEFT JOIN det d USING (doc_a)),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN jac >= $RecallTau THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |    CAST(sum(CASE WHEN jac >= $RecallTau AND detected THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM j)
+       |SELECT n_pairs, n_true, n_detected, n_hits,
+       |  CASE WHEN n_true = 0 THEN NULL
+       |    ELSE (n_hits * 1000000) // n_true END AS recall_ppm,
+       |  CASE WHEN n_detected = 0 THEN NULL
+       |    ELSE (n_hits * 1000000) // n_detected END AS precision_ppm
+       |FROM agg""".stripMargin
 }

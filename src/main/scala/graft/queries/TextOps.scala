@@ -687,4 +687,96 @@ object TextOps {
        |FROM sc
        |ORDER BY s DESC, doc_id ASC
        |LIMIT $Bm25K""".stripMargin
+
+  // ---- q125: per-source vocab drift (chi-square contributions) -------
+
+  /** How many top-frequency terms span the drift matrix. */
+  private[queries] val DriftTopTerms = 20
+
+  /** q125 — vocabulary drift monitoring: the full source × top-term
+    * chi-square contribution matrix. For the [[DriftTopTerms]] globally
+    * most frequent tokens (count desc, token asc — total order), each
+    * (source, term) cell carries its observed count, the expected
+    * count under source/term independence e = (row·col)/grand, and
+    * the χ² contribution (o−e)²/e — the per-cell decomposition a
+    * corpus dashboard tracks across snapshots: a cell whose
+    * contribution jumps is a source whose language shifted. Summing
+    * the cells gives the classic contingency χ² statistic; keeping
+    * them per-cell keeps the oracle exact and the diagnosis local.
+    *
+    * Exactness: every count is an exact integer; row·col stays in
+    * int64 (≤ (corpus tokens)² ≪ 2⁶³ at any sf, and the cast to
+    * double happens AFTER the exact long product, which stays below
+    * 2⁵³ up to ~10⁸ tokens per margin — loud overflow beyond);
+    * e and (o−e)²/e are then fixed-order elementary double ops —
+    * deterministic in both engines; rounding is display-only.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the token
+    * stream to (source, token) counts; term totals, the top-k rank
+    * and the dense matrix all run on the (sources × vocab) count
+    * frame, never the corpus; the dense completion (sources ×
+    * top-terms cross join, missing cells = 0 — a χ² without zeros
+    * under-counts drift) is |sources|·k rows. */
+  def vocabDriftChi2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("o"))
+    val top = st.groupBy("token").agg(sum(col("o")).as("ct"))
+      .withColumn("trk",
+        row_number().over(Window.orderBy(col("ct").desc, col("token").asc)))
+      .filter(col("trk") <= DriftTopTerms)
+      .select(col("token"), col("ct"))
+    val sources = st.select("source").distinct()
+    val cells = sources.crossJoin(broadcast(top))
+      .join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val wSrc = Window.partitionBy(col("source"))
+    val wAll = Window.partitionBy()
+    val e = (col("rs") * col("ct")).cast("double") / col("g")
+    cells
+      .withColumn("rs", sum(col("o")).over(wSrc))
+      .withColumn("g", sum(col("o")).over(wAll))
+      .select(col("source"), col("token"), col("o"),
+        round(e, 6).as("expected"),
+        // e = 0 only when a source holds none of the top terms (rs = 0,
+        // so o = 0 too): zero contribution, pinned to dodge 0/0 = NaN.
+        round(when(e === 0.0, lit(0.0))
+          .otherwise((col("o").cast("double") - e) *
+            (col("o").cast("double") - e) / e), 6).as("chi2_contrib"))
+      .orderBy("source", "token")
+  }
+
+  val vocabDriftChi2Sql: String =
+    s"""WITH tk AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |st AS (
+       |  SELECT source, token, CAST(count(*) AS BIGINT) AS o
+       |  FROM tk GROUP BY source, token),
+       |top AS (
+       |  SELECT token, ct FROM (
+       |    SELECT token, CAST(sum(o) AS BIGINT) AS ct,
+       |      row_number() OVER (ORDER BY sum(o) DESC, token ASC) AS trk
+       |    FROM st GROUP BY token) WHERE trk <= $DriftTopTerms),
+       |cells AS (
+       |  SELECT sl.source, top.token, top.ct, COALESCE(st.o, 0) AS o
+       |  FROM (SELECT DISTINCT source FROM st) sl
+       |  CROSS JOIN top
+       |  LEFT JOIN st ON st.source = sl.source AND st.token = top.token),
+       |m AS (
+       |  SELECT source, token, o, ct,
+       |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS rs,
+       |    CAST(sum(o) OVER () AS BIGINT) AS g
+       |  FROM cells)
+       |SELECT source, token, o,
+       |  round(CAST(rs * ct AS DOUBLE) / g, 6) AS expected,
+       |  round(CASE WHEN CAST(rs * ct AS DOUBLE) / g = 0 THEN 0.0
+       |    ELSE (CAST(o AS DOUBLE) - CAST(rs * ct AS DOUBLE) / g)
+       |      * (CAST(o AS DOUBLE) - CAST(rs * ct AS DOUBLE) / g)
+       |      / (CAST(rs * ct AS DOUBLE) / g) END, 6) AS chi2_contrib
+       |FROM m
+       |ORDER BY source, token""".stripMargin
 }

@@ -80,4 +80,40 @@ class CurationAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
       r.getAs[Long]("n_users") should be <= r.getAs[Long]("cohort_size")
     }
   }
+
+  test("q125 chi-square matrix matches a brute force and is dense") {
+    val docs = graft.core.Tables.documents(s, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val counts = docs.flatMap { case (src, w) => w.map(t => (src, t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val termTotals = counts.groupBy(_._1._2)
+      .map { case (t, m) => t -> m.values.sum }
+    val top = termTotals.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextOps.DriftTopTerms)
+    val sources = docs.map(_._1).distinct.sorted
+    val rowTotals = sources.map(src =>
+      src -> top.map { case (t, _) => counts.getOrElse((src, t), 0L) }.sum).toMap
+    val grand = rowTotals.values.sum
+
+    val out = TextOps.vocabDriftChi2(s, sfDir).collect()
+    assert(out.length == sources.length * TextOps.DriftTopTerms,
+      "matrix must be dense: every source x top-term cell present")
+    out.foreach { r =>
+      val (src, tok) = (r.getString(0), r.getString(1))
+      val o = counts.getOrElse((src, tok), 0L)
+      val ct = termTotals(tok)
+      val e = (rowTotals(src) * ct).toDouble / grand
+      val contrib = if (e == 0.0) 0.0 else (o - e) * (o - e) / e
+      assert(r.getLong(2) == o, s"($src,$tok) o")
+      assert(math.abs(r.getDouble(3) - e) < 1e-6, s"($src,$tok) expected")
+      assert(math.abs(r.getDouble(4) - contrib) < 1e-6, s"($src,$tok) contrib")
+    }
+    // Per-term observed counts reassemble the term totals over the
+    // top slice, and some cell actually drifts (non-degenerate).
+    top.foreach { case (t, ct) =>
+      assert(out.filter(_.getString(1) == t).map(_.getLong(2)).sum == ct)
+    }
+    assert(out.map(_.getDouble(4)).max > 0.0)
+  }
 }

@@ -4,10 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
 
-/** q120 (MinHash estimator error audit) and q122 (purge-precision
-  * audit): brute-force replication of the hashing, banding, star-edge,
-  * union-find and Jaccard arithmetic in plain Scala over the collected
-  * fixture — no Spark expressions shared with the plans.
+/** The dedup audit layer — q120 (MinHash estimator error), q122
+  * (purge precision), q123 (purge rate by quality decile), q124 (LSH
+  * recall certificate): brute-force replication of the hashing,
+  * banding, star-edge, union-find, ranking and Jaccard arithmetic in
+  * plain Scala over the collected fixture — no Spark expressions
+  * shared with the plans.
   */
 class DedupAuditSpec extends AnyFunSuite with SparkFixture {
 
@@ -127,5 +129,61 @@ class DedupAuditSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       == purge)
+  }
+
+  test("q123 decile purge rates match a brute force and partition the corpus") {
+    val purgedSet = Dedup.dedupPurge(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val quality = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val n = quality.length.toLong
+    val ranked = quality.sortBy { case (id, q) => (-q, id) }
+    val expected = ranked.zipWithIndex
+      .map { case ((id, _), i) => (i.toLong * 10 / n, purgedSet(id)) }
+      .groupBy(_._1)
+      .map { case (d, xs) =>
+        d -> (xs.length.toLong, xs.count(_._2).toLong)
+      }
+
+    val out = Dedup.purgeByQualityDecile(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val (nD, nP) = expected(r.getLong(0))
+      assert(r.getLong(1) == nD, s"decile ${r.getLong(0)} n")
+      assert(r.getLong(2) == nP, s"decile ${r.getLong(0)} n_purged")
+      assert(r.getLong(3) == nP * 1000000L / nD, s"decile ${r.getLong(0)} ppm")
+    }
+    // The deciles partition the corpus and the purges exactly.
+    assert(out.map(_.getLong(1)).sum == n)
+    assert(out.map(_.getLong(2)).sum == purgedSet.size.toLong)
+  }
+
+  test("q124 recall certificate matches a brute force over the slice") {
+    val c = chain()
+    val ids = c.keys.toSeq.sorted
+    val slice = ids.zip(ids.tail).filter { case (a, b) => b == a + 1 }
+    val stats = slice.map { case (a, b) =>
+      val (ha, hb) = (c(a)._1, c(b)._1)
+      val inter = (ha & hb).size
+      val jac = inter.toDouble / (ha.size + hb.size - inter)
+      val detected = c(a)._3.zip(c(b)._3).exists { case (x, y) => x == y }
+      (jac >= Dedup.RecallTau, detected)
+    }
+    val nTrue = stats.count(_._1).toLong
+    val nDet = stats.count(_._2).toLong
+    val nHits = stats.count(s => s._1 && s._2).toLong
+    assert(nTrue > 0, "fixture must contain true dups in the slice")
+    assert(nDet > 0, "fixture must contain detected pairs in the slice")
+
+    val r = Dedup.lshRecallAudit(spark, sfDir).collect().head
+    assert(r.getLong(0) == slice.length.toLong)
+    assert(r.getLong(1) == nTrue)
+    assert(r.getLong(2) == nDet)
+    assert(r.getLong(3) == nHits)
+    assert(r.getLong(4) == nHits * 1000000L / nTrue)
+    assert(r.getLong(5) == nHits * 1000000L / nDet)
+    // Hits are an intersection — never exceed either side.
+    assert(nHits <= math.min(nTrue, nDet))
   }
 }

@@ -46,7 +46,9 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q115_funnel",         // 1-row per-step counts assembled 1×1
     "q117_calibration",    // 1-row user-count denominator broadcast
     "q118_hybrid_rrf",     // q29 1-row query vector + q112 1-row stats legs
-    "q119_semantic_decontam") // broadcast probe block × corpus (q30 shape)
+    "q119_semantic_decontam", // broadcast probe block × corpus (q30 shape)
+    "q123_purge_by_quality", // 1-row doc-count denominator (q117 idiom)
+    "q125_vocab_drift")    // sources × broadcast top-20 terms dense completion
 
   test("no unbounded cartesian product in any registered query plan") {
     val offenders = plans.collect {
