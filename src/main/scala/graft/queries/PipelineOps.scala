@@ -841,4 +841,72 @@ object PipelineOps {
       |FROM documents d JOIN r USING (source)
       |GROUP BY d.source, r.rate_scaled
       |ORDER BY d.source""".stripMargin
+
+  // ---- q127: mixture planner under availability constraints ----------
+
+  /** q127 — the MIXTURE PLANNER: given per-source token availability
+    * and a target mixture (weights ∝ source index + 1 — a pinned
+    * stand-in for the data lead's ratio table; swapping weights
+    * changes one expression), compute the LARGEST total token budget
+    * B* the corpus can serve at that mixture, and each source's take
+    * and sampling rate under it. This is the planning step ABOVE
+    * q67/q77/q93: those execute a sampling decision, this derives it —
+    * B* = min over sources of availᵢ·den/wᵢ (the binding-constraint
+    * rule: the scarcest source relative to its target share caps the
+    * whole mix), takeᵢ = B*·wᵢ/den ≤ availᵢ by construction.
+    *
+    * Every number is exact int64 arithmetic (products ≤ avail·den ≪
+    * 2⁶³ at any plausible corpus; floor division both engines): the
+    * oracle checks the plan to the last token. `binding` marks the
+    * limiting source(s) — the row a data lead acts on (buy/crawl more
+    * of THAT, or lower its weight).
+    *
+    * Scale shape: one map-side-combined aggregation to
+    * (source, avail) — |sources| rows; the planning windows run on
+    * that constant-size frame. */
+  def mixturePlanner(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(sum(col("toks")).as("avail_tokens"))
+      .withColumn("w", substring(col("source"), 4, 10).cast("long") + 1L)
+      .withColumn("den", sum(col("w")).over(wAll))
+      .withColumn("b", expr("(avail_tokens * den) div w"))
+      .withColumn("b_star", min(col("b")).over(wAll))
+      .select(
+        col("source"), col("w"), col("avail_tokens"),
+        expr("(b_star * w) div den").as("take_tokens"),
+        expr("(((b_star * w) div den) * 1000000) div avail_tokens")
+          .as("rate_ppm"),
+        (col("b") === col("b_star")).as("binding"))
+      .orderBy("source")
+  }
+
+  val mixturePlannerSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |ww AS (
+      |  SELECT source, avail_tokens,
+      |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+      |  FROM t),
+      |m AS (
+      |  SELECT source, avail_tokens, w,
+      |    CAST(sum(w) OVER () AS BIGINT) AS den,
+      |    (avail_tokens * CAST(sum(w) OVER () AS BIGINT)) // w AS b
+      |  FROM ww),
+      |f AS (
+      |  SELECT source, w, avail_tokens, den, b,
+      |    CAST(min(b) OVER () AS BIGINT) AS b_star
+      |  FROM m)
+      |SELECT source, w, avail_tokens,
+      |  (b_star * w) // den AS take_tokens,
+      |  (((b_star * w) // den) * 1000000) // avail_tokens AS rate_ppm,
+      |  (b = b_star) AS binding
+      |FROM f
+      |ORDER BY source""".stripMargin
 }

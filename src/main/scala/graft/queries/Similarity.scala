@@ -1080,4 +1080,89 @@ object Similarity {
        |FROM r
        |WHERE rk = 1
        |ORDER BY vec_id""".stripMargin
+
+  // ---- q126: incremental semantic dedup (new batch vs cell index) ----
+
+  /** Deterministic "today's batch" slice: vec_id ≡ 9 (mod 10) — the
+    * q41 hash-slice idiom, scale-factor-independent and disjoint from
+    * the centroid ids (0..7). */
+  private[queries] val IncrSemMod = 10L
+
+  /** q126 — INCREMENTAL semantic dedup: the q113 day-to-day production
+    * shape at EMBEDDING grain. The full-corpus pass (q109) builds the
+    * cell-bucketed index once; every subsequent increment runs THIS —
+    * each new-batch vector is assigned its cell by the shared
+    * [[assignCells]] argmax and compared against the INDEX members of
+    * that cell only (never new×new, never index×index, never across
+    * cells). Verdict row per new vector with ≥ 1 in-cell index member:
+    * cell population, covering count at the q109 τ, best index match
+    * (ties to the smaller id via the oracle's row_number), and the
+    * admit/reject flag. Empty-cell vectors are admitted implicitly
+    * (the sparse q113/q66 contract).
+    *
+    * Scale shape: the index side is the STORED q109/q72 cell
+    * assignment (recomputed here only because the fixture has no
+    * warehouse); the new batch — small by premise — is the only side
+    * that computes assignments; the probe join touches only the cells
+    * the new batch lands in, so increment cost is O(new batch +
+    * matched cells), never O(index). k (cells) stays the sub-quadratic
+    * knob exactly as in q109. */
+  def incrementalSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val sig = assignCells(e)
+      .select(col("vec_id"), col("v"), col("nv").as("norm"), col("cell"))
+    val isNew = pmod(col("vec_id"), lit(IncrSemMod)) === lit(IncrSemMod - 1)
+    val nb = sig.filter(isNew)
+      .select(col("vec_id").as("new_vec"), col("v").as("nv2"),
+        col("norm").as("nn"), col("cell"))
+    val ib = sig.filter(!isNew)
+      .select(col("vec_id").as("idx_vec"), col("v").as("iv"),
+        col("norm").as("inorm"), col("cell"))
+    val denom = col("nn") * col("inorm")
+    nb.join(ib, Seq("cell"))
+      .withColumn("cos",
+        when(denom === 0.0, lit(-2.0))
+          .otherwise(dot(col("nv2"), col("iv")) / denom))
+      .groupBy(col("new_vec"), col("cell"))
+      .agg(
+        count(lit(1)).as("n_cell_index"),
+        sum(when(col("cos") >= SemDedupTau, 1L).otherwise(0L)).as("n_covering"),
+        max(struct(col("cos"), (-col("idx_vec")).as("neg"))).as("best"))
+      .select(
+        col("new_vec"), col("cell"), col("n_cell_index"), col("n_covering"),
+        (-col("best.neg")).as("best_match"),
+        round(col("best.cos"), 6).as("best_cos"),
+        (col("best.cos") >= SemDedupTau).as("is_dup"))
+      .orderBy("new_vec")
+  }
+
+  val incrementalSemanticDedupSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |nb AS (SELECT * FROM sig WHERE vec_id % $IncrSemMod = ${IncrSemMod - 1}),
+       |ib AS (SELECT * FROM sig WHERE vec_id % $IncrSemMod <> ${IncrSemMod - 1}),
+       |p AS (
+       |  SELECT nb.vec_id AS new_vec, nb.cell, ib.vec_id AS idx_vec,
+       |    CASE WHEN nb.norm * ib.norm = 0 THEN -2.0
+       |      ELSE list_inner_product(nb.v, ib.v) / (nb.norm * ib.norm) END AS cos
+       |  FROM nb JOIN ib ON ib.cell = nb.cell),
+       |r AS (
+       |  SELECT new_vec, cell, idx_vec, cos,
+       |    row_number() OVER (PARTITION BY new_vec
+       |                       ORDER BY cos DESC, idx_vec ASC) AS rk,
+       |    count(*) OVER (PARTITION BY new_vec) AS n_cell_index,
+       |    sum(CASE WHEN cos >= $SemDedupTau THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY new_vec) AS n_covering
+       |  FROM p)
+       |SELECT new_vec, cell,
+       |  CAST(n_cell_index AS BIGINT) AS n_cell_index,
+       |  CAST(n_covering AS BIGINT) AS n_covering,
+       |  idx_vec AS best_match, round(cos, 6) AS best_cos,
+       |  (cos >= $SemDedupTau) AS is_dup
+       |FROM r
+       |WHERE rk = 1
+       |ORDER BY new_vec""".stripMargin
 }

@@ -131,4 +131,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.nonEmpty, "fixture must exercise chunk-grain hits")
     assert(out == expected)
   }
+
+  test("q127 plan is exact, feasible, mixture-true, and tight at the binder") {
+    val avail = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("source", "size(split(text, ' ')) AS t").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = avail.keys.map(s => s -> (s.drop(3).toLong + 1)).toMap
+    val den = w.values.sum
+    val bStar = avail.keys.map(s => avail(s) * den / w(s)).min
+
+    val out = PipelineOps.mixturePlanner(spark, sfDir).collect()
+    assert(out.length == avail.size)
+    out.foreach { r =>
+      val s = r.getString(0)
+      val take = bStar * w(s) / den
+      assert(r.getLong(1) == w(s), s"$s w")
+      assert(r.getLong(2) == avail(s), s"$s avail")
+      assert(r.getLong(3) == take, s"$s take")
+      assert(r.getLong(4) == take * 1000000L / avail(s), s"$s rate")
+      assert(r.getBoolean(5) == (avail(s) * den / w(s) == bStar), s"$s binding")
+      // Feasible: never asks a source for more than it has.
+      assert(take <= avail(s))
+    }
+    // At least one source binds, and the binder is (near-)exhausted:
+    // its take misses avail only by the floor-division remainder.
+    val binders = out.filter(_.getBoolean(5))
+    assert(binders.nonEmpty)
+    binders.foreach { r =>
+      val s = r.getString(0)
+      assert(avail(s) - r.getLong(3) < den / w(s) + 1, s"$s not tight")
+    }
+    // Mixture-true: takes deviate from exact proportionality only by
+    // floor rounding (cross-multiplied comparison, no floats).
+    out.foreach { r =>
+      val s = r.getString(0)
+      assert((r.getLong(3) * den - bStar * w(s)).abs < den, s"$s mixture")
+    }
+  }
 }

@@ -75,6 +75,47 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     assert(survivors.size + purged.size == vecs.length)
   }
 
+  test("q126 increment verdicts match a brute force; batch/index sides never mix") {
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cents = vecs.filter(_._1 < Similarity.CentroidK)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cId, cv) => (cosine(v, cv), cId) }.max._2
+    }.toMap
+    val byId = vecs.toMap
+    val isNew = (id: Long) => id % Similarity.IncrSemMod == Similarity.IncrSemMod - 1
+    val idx = vecs.map(_._1).filterNot(isNew)
+    val expected = vecs.map(_._1).filter(isNew).flatMap { nv =>
+      val members = idx.filter(i => cellOf(i) == cellOf(nv))
+      if (members.isEmpty) None
+      else {
+        val scored = members.map(i => (i, cosine(byId(nv), byId(i))))
+        val nCov = scored.count(_._2 >= Similarity.SemDedupTau).toLong
+        val (bestI, bestC) = scored.minBy { case (i, c) => (-c, i) }
+        Some(nv -> ((cellOf(nv), members.length.toLong, nCov, bestI, bestC)))
+      }
+    }.toMap
+    assert(expected.nonEmpty)
+
+    val out = Similarity.incrementalSemanticDedup(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val nv = r.getLong(0)
+      val (cell, nCell, nCov, bestI, bestC) = expected(nv)
+      assert(r.getLong(1) == cell, s"vec $nv cell")
+      assert(r.getLong(2) == nCell, s"vec $nv n_cell_index")
+      assert(r.getLong(3) == nCov, s"vec $nv n_covering")
+      assert(r.getLong(4) == bestI, s"vec $nv best_match")
+      assert(math.abs(r.getDouble(5) - bestC) < 1e-6, s"vec $nv best_cos")
+      assert(r.getBoolean(6) == (bestC >= Similarity.SemDedupTau), s"vec $nv flag")
+      // The increment never compares new x new or index x index.
+      assert(isNew(nv) && !isNew(r.getLong(4)))
+    }
+  }
+
   test("q116 centroid-drift matrix matches an exact integer brute force") {
     val rows = graft.core.Tables.embeddings(spark, sfDir)
       .selectExpr("label", "transform(embedding, x -> cast(x as double)) AS v")
