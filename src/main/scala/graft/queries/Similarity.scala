@@ -1081,6 +1081,150 @@ object Similarity {
        |WHERE rk = 1
        |ORDER BY vec_id""".stripMargin
 
+  // ---- q128: end-to-end ANN configuration certificate (IVF × int8) ---
+
+  /** q128 — the PRODUCTION ANN configuration certified end-to-end:
+    * IVF cell pruning (q106's index discipline) over int8-quantized
+    * vectors (q101/q103's storage format) — the combination a real
+    * 100 TB vector store actually runs (route the float query through
+    * float centroids, scan only the probed cells' QUANTIZED lists) —
+    * against the exact float full-scan top-10. q106 certified pruning
+    * alone and q103 quantization alone; composing them is not free
+    * (quantization error can demote exactly the borderline neighbours
+    * pruning preserved), so the composed path gets its own measured
+    * certificate: per query, overlap with ground truth, scan fraction,
+    * and the distribution-free tradeoff property
+    * `n_overlap·n_candidates ≥ k·n_probed` (the q106 "beats random
+    * pruning" bar, now demanded of the full pipeline).
+    *
+    * Exactness: the int8 side scores INTEGER vectors directly (cosine
+    * scale-invariance, the q103 argument — every dot exact in double);
+    * the float side is the standing bit-identical cosine; ranks tie-
+    * break on vec_id; overlaps are exact integers.
+    *
+    * Scale: ONE pass over the scored corpus — both top-k's reduce in
+    * the same bounded-TopK aggregation, probe membership is a
+    * broadcast-joined flag, sentinel padding keeps non-probed rows
+    * out of the IVF heap (the q106 one-pass discipline; in production
+    * the IVF side prunes at the scan via the stored cell column and
+    * reads int8 lists — ~nprobe/K of the bytes at a quarter the
+    * width). */
+  def ivfInt8Recall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (kCent, nprobe, k) = (8, 2, 10)
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") === 0d, lit(0d))
+          .otherwise(round(x * lit(127) / col("scale")))))
+      .select(col("vec_id"), col("v"), col("q"))
+    val cent = e.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val assigned = e.join(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"), col("q"))
+    val qs = e.filter(col("vec_id").between(40, 44))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("q").as("qq"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val qcells = cent.join(broadcast(qs))
+      .withColumn("cos_c", cosine(col("cv"), col("qv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
+    val scored = assigned
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .join(broadcast(qcells),
+        col("query_id") === col("qc_query") && col("cell") === col("probe_cell"),
+        "left")
+      .withColumn("cos_f", cosine(col("v"), col("qv")))
+      .withColumn("cos_q", cosine(col("q"), col("qq")))
+      .select(col("query_id"), col("vec_id"), col("cos_f"), col("cos_q"),
+        col("qc_query").isNotNull.as("in_probe"))
+    scored.groupBy("query_id").agg(
+        topk(-col("cos_f"), col("vec_id"), col("cos_f")).as("te"),
+        topk(when(col("in_probe"), -col("cos_q")).otherwise(lit(3.0)),
+          when(col("in_probe"), col("vec_id")).otherwise(lit(-1L)),
+          col("cos_q")).as("ti"),
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("in_probe"), 1L).otherwise(0L)).as("n_probed"))
+      .select(col("query_id"),
+        size(array_intersect(
+          transform(col("te.cands"), x => x.getField("id")),
+          filter(transform(col("ti.cands"), x => x.getField("id")),
+            id => id =!= lit(-1L)))).cast("long")
+          .as("n_overlap"),
+        col("n_probed"), col("n_candidates"))
+      .withColumn("beats_random",
+        col("n_overlap") * col("n_candidates") >= lit(k.toLong) * col("n_probed"))
+      .orderBy("query_id")
+  }
+
+  val ivfInt8RecallSql: String =
+    s"""WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM e0),
+      |e AS (
+      |  SELECT vec_id, v,
+      |    list_transform(v, x ->
+      |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x * 127 / scale) END) AS q
+      |  FROM sq),
+      |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |sc AS (
+      |  SELECT e.vec_id, cent.c_id, e.v, e.q,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${cosineSqlFor("e.v", "cent.cv")} DESC, cent.c_id DESC) AS rn
+      |  FROM e, cent),
+      |assigned AS (SELECT vec_id, c_id AS cell, v, q FROM sc WHERE rn = 1),
+      |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq
+      |       FROM e WHERE vec_id BETWEEN 40 AND 44),
+      |qc AS (
+      |  SELECT query_id, c_id AS probe_cell FROM (
+      |    SELECT qs.query_id, cent.c_id,
+      |      row_number() OVER (PARTITION BY qs.query_id
+      |        ORDER BY ${cosineSqlFor("cent.cv", "qs.qv")} DESC, cent.c_id DESC) AS rn
+      |    FROM cent, qs) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT qs.query_id, a.vec_id, a.cell,
+      |    ${cosineSqlFor("a.v", "qs.qv")} AS cf,
+      |    ${cosineSqlFor("a.q", "qs.qq")} AS cq
+      |  FROM assigned a, qs WHERE a.vec_id <> qs.query_id),
+      |ex AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id ASC) AS rk
+      |  FROM scored),
+      |iv AS (
+      |  SELECT s.query_id, s.vec_id,
+      |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.cq DESC, s.vec_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY s.query_id) AS n_probed
+      |  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.probe_cell = s.cell),
+      |np AS (SELECT DISTINCT query_id, n_probed FROM iv),
+      |nc AS (SELECT query_id, count(*) AS n_candidates FROM scored GROUP BY query_id),
+      |le AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
+      |       FROM ex WHERE rk <= 10 GROUP BY query_id),
+      |li AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
+      |       FROM iv WHERE rk <= 10 GROUP BY query_id)
+      |SELECT le.query_id,
+      |  CAST(len(list_intersect(le.ids, li.ids)) AS BIGINT) AS n_overlap,
+      |  CAST(np.n_probed AS BIGINT) AS n_probed,
+      |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+      |  (len(list_intersect(le.ids, li.ids)) * nc.n_candidates
+      |    >= 10 * np.n_probed) AS beats_random
+      |FROM le
+      |JOIN li ON li.query_id = le.query_id
+      |JOIN np ON np.query_id = le.query_id
+      |JOIN nc ON nc.query_id = le.query_id
+      |ORDER BY le.query_id""".stripMargin
+
   // ---- q126: incremental semantic dedup (new batch vs cell index) ----
 
   /** Deterministic "today's batch" slice: vec_id ≡ 9 (mod 10) — the

@@ -48,7 +48,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q118_hybrid_rrf",     // q29 1-row query vector + q112 1-row stats legs
     "q119_semantic_decontam", // broadcast probe block × corpus (q30 shape)
     "q123_purge_by_quality", // 1-row doc-count denominator (q117 idiom)
-    "q125_vocab_drift")    // sources × broadcast top-20 terms dense completion
+    "q125_vocab_drift",    // sources × broadcast top-20 terms dense completion
+    "q128_ivf_int8")       // broadcast centroids/probe side (q46/q106 shape)
 
   test("no unbounded cartesian product in any registered query plan") {
     val offenders = plans.collect {

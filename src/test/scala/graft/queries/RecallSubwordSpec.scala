@@ -46,6 +46,54 @@ class RecallSubwordSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q128 composed IVF x int8 certificate matches a brute-force chain") {
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def quant(v: Array[Double]): Array[Double] = {
+      val scale = v.map(math.abs).max
+      if (scale == 0d) v.map(_ => 0d)
+      else v.map(x => math.round(x * 127 / scale).toDouble)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0d; var daa = 0d; var dbb = 0d
+      for (i <- a.indices) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i) }
+      val den = math.sqrt(daa) * math.sqrt(dbb)
+      if (den == 0d) -2d else dab / den
+    }
+    val float = vecs.toMap
+    val int8 = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    val cents = vecs.filter(_._1 < 8)
+    // Cell = argmax centroid cosine, ties to the LARGER c_id (the
+    // rn-over-(cos DESC, c_id DESC) contract).
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cId, cv) => (cos(v, cv), cId) }.max._2
+    }.toMap
+    val expected = (40L to 44L).map { qid =>
+      val probeCells = cents
+        .map { case (cId, cv) => (cos(cv, float(qid)), cId) }
+        .sortBy { case (c, id) => (-c, -id) }.take(2).map(_._2).toSet
+      val cands = vecs.map(_._1).filter(_ != qid)
+      val probed = cands.filter(id => probeCells(cellOf(id)))
+      val exact = cands.map(id => (id, cos(float(id), float(qid))))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val ivf = probed.map(id => (id, cos(int8(id), int8(qid))))
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      (qid, exact.intersect(ivf).size.toLong, probed.length.toLong,
+        cands.length.toLong)
+    }
+    val rows = Similarity.ivfInt8Recall(spark, sfDir).collect()
+    assert(rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("beats_random") ==
+        (r.getLong(1) * r.getLong(3) >= 10L * r.getLong(2)))
+      // The composed path still prunes: never a full scan.
+      assert(r.getLong(2) < r.getLong(3))
+    }
+  }
+
   test("native graft_subwords kernel is bit-identical to the HOF spec form") {
     import org.apache.spark.sql.functions._
     // Edge shapes the fixture may not cover: empty text, space runs,
