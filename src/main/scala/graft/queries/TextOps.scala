@@ -718,17 +718,26 @@ object TextOps {
     * top-terms cross join, missing cells = 0 — a χ² without zeros
     * under-counts drift) is |sources|·k rows. */
   def vocabDriftChi2(s: SparkSession, dir: String): DataFrame = {
+    // Two corpus passes, not three (review r12: grouping to
+    // (source, token) first and deriving totals/top/sources from that
+    // frame re-ran the explode+agg subplan three times — Catalyst does
+    // not dedupe common subplans): pass 1 picks the top terms from a
+    // global token count; pass 2 re-tokenizes but BROADCAST-SEMI-JOINS
+    // the 20-term list before its aggregation, so only top-term rows
+    // ever reach the second shuffle. Sources come from a separate
+    // column-pruned scan (reads the dictionary-coded `source` column
+    // only), keeping the dense completion independent of which terms
+    // a source happens to contain.
     import org.apache.spark.sql.expressions.Window
-    val st = Tables.documents(s, dir)
+    val tok = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("token").asc)
+      .limit(DriftTopTerms)
+    val st = tok.join(broadcast(top.select("token")), Seq("token"))
       .groupBy("source", "token")
       .agg(count(lit(1)).as("o"))
-    val top = st.groupBy("token").agg(sum(col("o")).as("ct"))
-      .withColumn("trk",
-        row_number().over(Window.orderBy(col("ct").desc, col("token").asc)))
-      .filter(col("trk") <= DriftTopTerms)
-      .select(col("token"), col("ct"))
-    val sources = st.select("source").distinct()
+    val sources = Tables.documents(s, dir).select("source").distinct()
     val cells = sources.crossJoin(broadcast(top))
       .join(st, Seq("source", "token"), "left")
       .select(col("source"), col("token"), col("ct"),
