@@ -1010,4 +1010,69 @@ object Dedup {
        |  CASE WHEN n_detected = 0 THEN NULL
        |    ELSE (n_hits * 1000000) // n_detected END AS precision_ppm
        |FROM agg""".stripMargin
+
+  // ---- q129: cross-source shingle provenance matrix ------------------
+
+  /** q129 — SOURCE-level provenance: for every source pair, how many
+    * distinct hashed word 3-grams they share, with exact containment
+    * ppm over the smaller side. This is q89 lifted from "which spans
+    * repeat" to "which SOURCES mirror each other" — the table that
+    * catches a crawl slice republishing another's content, a mirror
+    * site, or a template family spanning feeds, before doc-grain
+    * dedup ever runs. Complements q98 (user-overlap between event
+    * types, sketched): same matrix shape, different domain, EXACT.
+    *
+    * Scale shape: one distinct-(gram, source) aggregation — 8-byte
+    * shingle hashes shuffle, never text (the q26/q89 kernel) and
+    * map-side partials collapse each source's repeats locally; then
+    * the q102 set-collect idiom per gram — the per-gram source set is
+    * bounded by |sources| (≤ 20 here, still tiny at 100 TB where
+    * sources are crawls/feeds), so pair fan-out is C(|sources|, 2)
+    * per gram, never document-driven; the final count groups on 190
+    * pairs. No df cap needed — the source-grain df IS the bound. */
+  def sourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(hashedTriGrams(split(col("text"), " "))).as("gram"))
+      .distinct()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = g.groupBy("gram")
+      .agg(collect_set(col("source")).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"),
+        col("n_grams").as("n_grams_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"),
+        col("n_grams").as("n_grams_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_grams_a"), col("n_grams_b"),
+        expr("(n_shared * 1000000) div least(n_grams_a, n_grams_b)")
+          .as("containment_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapMatrixSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |      i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT))) AS gram
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM g a JOIN g b ON b.gram = a.gram AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT p.source_a, p.source_b, p.n_shared,
+      |  sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+      |  (p.n_shared * 1000000) // least(sa.n_grams, sb.n_grams) AS containment_ppm
+      |FROM p
+      |  JOIN sz sa ON sa.source = p.source_a
+      |  JOIN sz sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
 }

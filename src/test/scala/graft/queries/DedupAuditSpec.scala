@@ -186,4 +186,39 @@ class DedupAuditSpec extends AnyFunSuite with SparkFixture {
     // Hits are an intersection — never exceed either side.
     assert(nHits <= math.min(nTrue, nDet))
   }
+
+  test("q129 source overlap matrix matches a brute-force gram-set recompute") {
+    // 60-bit gram hash — the graft_tri_grams contract (NO mod-P fold,
+    // unlike the token hash).
+    def gram60(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(15), 16)
+    val bySource = graft.core.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+      .groupBy(_._1)
+      .map { case (src, docs) =>
+        src -> docs.flatMap { case (_, w) =>
+          w.sliding(3).filter(_.length == 3).map(t => gram60(t.mkString(" ")))
+        }.toSet
+      }
+    val expected = (for {
+      (sa, ga) <- bySource.toSeq
+      (sb, gb) <- bySource.toSeq
+      if sa < sb
+      inter = (ga & gb).size.toLong
+      if inter > 0
+    } yield (sa, sb) -> ((inter, ga.size.toLong, gb.size.toLong))).toMap
+    assert(expected.nonEmpty)
+
+    val out = Dedup.sourceOverlapMatrix(spark, sfDir).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet == expected.keySet)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (inter, na, nb) = expected(key)
+      assert(r.getLong(2) == inter, s"$key n_shared")
+      assert(r.getLong(3) == na, s"$key n_grams_a")
+      assert(r.getLong(4) == nb, s"$key n_grams_b")
+      assert(r.getLong(5) == inter * 1000000L / math.min(na, nb), s"$key ppm")
+    }
+  }
 }
