@@ -593,12 +593,38 @@ object Similarity {
     * would instead prune at the scan via the stored cell column,
     * reading ~nprobe/K of the data). Probe cells and queries
     * broadcast. */
-  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE IVF certification shape, shared by q106 (float lists)
+    * and q128 (int8 lists) — review r12: the two queries were 70-line
+    * near-copies, and a sentinel or tie-break change applied to one
+    * would have silently diverged the other (the purgeFrom
+    * discipline). `quantized` only switches WHICH vectors the pruned
+    * leg scores; the routing, sentinel padding, one-pass aggregation
+    * and tradeoff certificate are literally the same code.
+    *
+    * One pass over the scored corpus (review r12: a two-branch plan
+    * re-scored every cosine for the ivf side): the probe-membership
+    * flag comes from a broadcast left join, and BOTH bounded top-k's
+    * reduce in the same aggregation. Non-probed rows feed the ivf
+    * aggregate a sentinel (neg_cos 3.0 > any real neg-cosine ≤ 2.0,
+    * id −1) that sorts after every probed candidate, so the ivf
+    * top-k is exactly the probed top-k padded with sentinels that
+    * the id filter below drops. In the float path the pruned leg
+    * REUSES the ground-truth cosine column (no second dot). */
+  private def ivfCertify(s: SparkSession, dir: String,
+      quantized: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (kCent, nprobe, k) = (8, 2, 10)
     val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
-    val e = Tables.embeddings(s, dir)
+    val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val e =
+      if (!quantized) base.withColumn("q", col("v"))
+      else base
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("q", transform(col("v"), x =>
+          when(col("scale") === 0d, lit(0d))
+            .otherwise(round(x * lit(127) / col("scale")))))
+        .select(col("vec_id"), col("v"), col("q"))
     val cent = e.filter(col("vec_id") < kCent)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("vec_id"))
@@ -607,9 +633,9 @@ object Similarity {
       .withColumn("cos_c", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"), col("v"))
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"), col("q"))
     val qs = e.filter(col("vec_id").between(40, 44))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("q").as("qq"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_c").desc, col("c_id").desc)
     val qcells = cent.join(broadcast(qs))
@@ -617,27 +643,21 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
-    // ONE pass over the scored corpus (review r12: a two-branch plan
-    // re-scored every cosine for the ivf side): the probe-membership
-    // flag comes from a broadcast left join, and BOTH bounded top-k's
-    // reduce in the same aggregation. Non-probed rows feed the ivf
-    // aggregate a sentinel (neg_cos 3.0 > any real neg-cosine ≤ 2.0,
-    // id −1) that sorts after every probed candidate, so the ivf
-    // top-k is exactly the probed top-k padded with sentinels that
-    // the id filter below drops.
     val scored = assigned
       .join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .join(broadcast(qcells),
         col("query_id") === col("qc_query") && col("cell") === col("probe_cell"),
         "left")
-      .withColumn("cos", cosine(col("v"), col("qv")))
-      .select(col("query_id"), col("vec_id"), col("cos"),
+      .withColumn("cos_f", cosine(col("v"), col("qv")))
+      .withColumn("cos_q",
+        if (quantized) cosine(col("q"), col("qq")) else col("cos_f"))
+      .select(col("query_id"), col("vec_id"), col("cos_f"), col("cos_q"),
         col("qc_query").isNotNull.as("in_probe"))
     scored.groupBy("query_id").agg(
-        topk(-col("cos"), col("vec_id"), col("cos")).as("te"),
-        topk(when(col("in_probe"), -col("cos")).otherwise(lit(3.0)),
+        topk(-col("cos_f"), col("vec_id"), col("cos_f")).as("te"),
+        topk(when(col("in_probe"), -col("cos_q")).otherwise(lit(3.0)),
           when(col("in_probe"), col("vec_id")).otherwise(lit(-1L)),
-          col("cos")).as("ti"),
+          col("cos_q")).as("ti"),
         count(lit(1)).as("n_candidates"),
         sum(when(col("in_probe"), 1L).otherwise(0L)).as("n_probed"))
       .select(col("query_id"),
@@ -652,18 +672,45 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  val ivfRecallSql: String =
-    s"""WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+  def ivfRecall(s: SparkSession, dir: String): DataFrame =
+    ivfCertify(s, dir, quantized = false)
+
+  /** Oracle mirror of [[ivfCertify]] — one builder for both the q106
+    * (float) and q128 (int8) certificates; `quantized` switches the
+    * vector-prep chain and which columns the pruned leg scores, the
+    * rest of the CTE text is shared verbatim. */
+  private def ivfCertSql(quantized: Boolean): String = {
+    val prep =
+      if (!quantized)
+        """e0 AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |e AS (SELECT vec_id, v, v AS q FROM e0)""".stripMargin
+      else
+        """e0 AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |sq AS (
+          |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+          |  FROM e0),
+          |e AS (
+          |  SELECT vec_id, v,
+          |    list_transform(v, x ->
+          |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x * 127 / scale) END) AS q
+          |  FROM sq)""".stripMargin
+    val cq =
+      if (quantized) cosineSqlFor("a.q", "qs.qq")
+      else cosineSqlFor("a.v", "qs.qv")
+    s"""WITH $prep,
       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
       |sc AS (
-      |  SELECT e.vec_id, cent.c_id, e.v,
+      |  SELECT e.vec_id, cent.c_id, e.v, e.q,
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY ${cosineSqlFor("e.v", "cent.cv")} DESC, cent.c_id DESC) AS rn
       |  FROM e, cent),
-      |assigned AS (SELECT vec_id, c_id AS cell, v FROM sc WHERE rn = 1),
-      |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 40 AND 44),
+      |assigned AS (SELECT vec_id, c_id AS cell, v, q FROM sc WHERE rn = 1),
+      |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq
+      |       FROM e WHERE vec_id BETWEEN 40 AND 44),
       |qc AS (
       |  SELECT query_id, c_id AS probe_cell FROM (
       |    SELECT qs.query_id, cent.c_id,
@@ -671,15 +718,17 @@ object Similarity {
       |        ORDER BY ${cosineSqlFor("cent.cv", "qs.qv")} DESC, cent.c_id DESC) AS rn
       |    FROM cent, qs) WHERE rn <= 2),
       |scored AS (
-      |  SELECT qs.query_id, a.vec_id, a.cell, ${cosineSqlFor("a.v", "qs.qv")} AS c
+      |  SELECT qs.query_id, a.vec_id, a.cell,
+      |    ${cosineSqlFor("a.v", "qs.qv")} AS cf,
+      |    $cq AS cq
       |  FROM assigned a, qs WHERE a.vec_id <> qs.query_id),
       |ex AS (
       |  SELECT query_id, vec_id,
-      |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rk
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id ASC) AS rk
       |  FROM scored),
       |iv AS (
       |  SELECT s.query_id, s.vec_id,
-      |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.c DESC, s.vec_id ASC) AS rk,
+      |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.cq DESC, s.vec_id ASC) AS rk,
       |    count(*) OVER (PARTITION BY s.query_id) AS n_probed
       |  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.probe_cell = s.cell),
       |np AS (SELECT DISTINCT query_id, n_probed FROM iv),
@@ -699,6 +748,9 @@ object Similarity {
       |JOIN np ON np.query_id = le.query_id
       |JOIN nc ON nc.query_id = le.query_id
       |ORDER BY le.query_id""".stripMargin
+  }
+
+  val ivfRecallSql: String = ivfCertSql(quantized = false)
 
   val int8RecallSql: String =
     s"""WITH e AS (
@@ -1109,121 +1161,10 @@ object Similarity {
     * the IVF side prunes at the scan via the stored cell column and
     * reads int8 lists — ~nprobe/K of the bytes at a quarter the
     * width). */
-  def ivfInt8Recall(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (kCent, nprobe, k) = (8, 2, 10)
-    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), doubled(col("embedding")).as("v"))
-      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("q", transform(col("v"), x =>
-        when(col("scale") === 0d, lit(0d))
-          .otherwise(round(x * lit(127) / col("scale")))))
-      .select(col("vec_id"), col("v"), col("q"))
-    val cent = e.filter(col("vec_id") < kCent)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("c_id").desc)
-    val assigned = e.join(broadcast(cent))
-      .withColumn("cos_c", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"), col("v"), col("q"))
-    val qs = e.filter(col("vec_id").between(40, 44))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("q").as("qq"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_c").desc, col("c_id").desc)
-    val qcells = cent.join(broadcast(qs))
-      .withColumn("cos_c", cosine(col("cv"), col("qv")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
-    val scored = assigned
-      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
-      .join(broadcast(qcells),
-        col("query_id") === col("qc_query") && col("cell") === col("probe_cell"),
-        "left")
-      .withColumn("cos_f", cosine(col("v"), col("qv")))
-      .withColumn("cos_q", cosine(col("q"), col("qq")))
-      .select(col("query_id"), col("vec_id"), col("cos_f"), col("cos_q"),
-        col("qc_query").isNotNull.as("in_probe"))
-    scored.groupBy("query_id").agg(
-        topk(-col("cos_f"), col("vec_id"), col("cos_f")).as("te"),
-        topk(when(col("in_probe"), -col("cos_q")).otherwise(lit(3.0)),
-          when(col("in_probe"), col("vec_id")).otherwise(lit(-1L)),
-          col("cos_q")).as("ti"),
-        count(lit(1)).as("n_candidates"),
-        sum(when(col("in_probe"), 1L).otherwise(0L)).as("n_probed"))
-      .select(col("query_id"),
-        size(array_intersect(
-          transform(col("te.cands"), x => x.getField("id")),
-          filter(transform(col("ti.cands"), x => x.getField("id")),
-            id => id =!= lit(-1L)))).cast("long")
-          .as("n_overlap"),
-        col("n_probed"), col("n_candidates"))
-      .withColumn("beats_random",
-        col("n_overlap") * col("n_candidates") >= lit(k.toLong) * col("n_probed"))
-      .orderBy("query_id")
-  }
+  def ivfInt8Recall(s: SparkSession, dir: String): DataFrame =
+    ivfCertify(s, dir, quantized = true)
 
-  val ivfInt8RecallSql: String =
-    s"""WITH e0 AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |sq AS (
-      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
-      |  FROM e0),
-      |e AS (
-      |  SELECT vec_id, v,
-      |    list_transform(v, x ->
-      |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x * 127 / scale) END) AS q
-      |  FROM sq),
-      |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
-      |sc AS (
-      |  SELECT e.vec_id, cent.c_id, e.v, e.q,
-      |    row_number() OVER (PARTITION BY e.vec_id
-      |      ORDER BY ${cosineSqlFor("e.v", "cent.cv")} DESC, cent.c_id DESC) AS rn
-      |  FROM e, cent),
-      |assigned AS (SELECT vec_id, c_id AS cell, v, q FROM sc WHERE rn = 1),
-      |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq
-      |       FROM e WHERE vec_id BETWEEN 40 AND 44),
-      |qc AS (
-      |  SELECT query_id, c_id AS probe_cell FROM (
-      |    SELECT qs.query_id, cent.c_id,
-      |      row_number() OVER (PARTITION BY qs.query_id
-      |        ORDER BY ${cosineSqlFor("cent.cv", "qs.qv")} DESC, cent.c_id DESC) AS rn
-      |    FROM cent, qs) WHERE rn <= 2),
-      |scored AS (
-      |  SELECT qs.query_id, a.vec_id, a.cell,
-      |    ${cosineSqlFor("a.v", "qs.qv")} AS cf,
-      |    ${cosineSqlFor("a.q", "qs.qq")} AS cq
-      |  FROM assigned a, qs WHERE a.vec_id <> qs.query_id),
-      |ex AS (
-      |  SELECT query_id, vec_id,
-      |    row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id ASC) AS rk
-      |  FROM scored),
-      |iv AS (
-      |  SELECT s.query_id, s.vec_id,
-      |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.cq DESC, s.vec_id ASC) AS rk,
-      |    count(*) OVER (PARTITION BY s.query_id) AS n_probed
-      |  FROM scored s JOIN qc ON qc.query_id = s.query_id AND qc.probe_cell = s.cell),
-      |np AS (SELECT DISTINCT query_id, n_probed FROM iv),
-      |nc AS (SELECT query_id, count(*) AS n_candidates FROM scored GROUP BY query_id),
-      |le AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
-      |       FROM ex WHERE rk <= 10 GROUP BY query_id),
-      |li AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
-      |       FROM iv WHERE rk <= 10 GROUP BY query_id)
-      |SELECT le.query_id,
-      |  CAST(len(list_intersect(le.ids, li.ids)) AS BIGINT) AS n_overlap,
-      |  CAST(np.n_probed AS BIGINT) AS n_probed,
-      |  CAST(nc.n_candidates AS BIGINT) AS n_candidates,
-      |  (len(list_intersect(le.ids, li.ids)) * nc.n_candidates
-      |    >= 10 * np.n_probed) AS beats_random
-      |FROM le
-      |JOIN li ON li.query_id = le.query_id
-      |JOIN np ON np.query_id = le.query_id
-      |JOIN nc ON nc.query_id = le.query_id
-      |ORDER BY le.query_id""".stripMargin
+  val ivfInt8RecallSql: String = ivfCertSql(quantized = true)
 
   // ---- q126: incremental semantic dedup (new batch vs cell index) ----
 
