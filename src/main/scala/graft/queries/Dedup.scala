@@ -1075,4 +1075,46 @@ object Dedup {
       |  JOIN sz sa ON sa.source = p.source_a
       |  JOIN sz sb ON sb.source = p.source_b
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- q130: LSH bucket-size histogram (candidate-graph health) ------
+
+  /** q130 — the capacity-planning audit for the banded chain: the
+    * bucket-size histogram of the q28 LSH index, with the edge counts
+    * each size class contributes under the star-edge discipline
+    * (size−1 per bucket) NEXT TO what naive all-pairs expansion would
+    * cost (size·(size−1)/2). This is the table an operator reads
+    * BEFORE launching CC at 100 TB: a fat tail here means boilerplate
+    * is about to blow up the candidate graph, and the all-pairs column
+    * quantifies exactly how much the star bound saves. (The chunk
+    * chain's MaxChunkDf exists because of this distribution — q130
+    * makes the doc-grain version observable instead of assumed.)
+    *
+    * Scale: one (band, band_hash) count — the index aggregation the
+    * chain already runs — then a ≤ |distinct sizes|-row histogram.
+    * Nothing touches documents. */
+  def bucketSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    bandFrame(s, dir)
+      .groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("sz").as("bucket_size"), col("n_buckets"),
+        expr("(bucket_size - 1) * n_buckets").as("star_edges"),
+        expr("(bucket_size * (bucket_size - 1)) div 2 * n_buckets")
+          .as("allpairs_edges"))
+      .orderBy("bucket_size")
+
+  val bucketSizeHistogramSql: String =
+    s"""WITH $bandsCteSql,
+       |b AS (
+       |  SELECT band, band_hash, CAST(count(*) AS BIGINT) AS sz
+       |  FROM bands GROUP BY band, band_hash),
+       |h AS (
+       |  SELECT sz AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+       |  FROM b GROUP BY sz)
+       |SELECT bucket_size, n_buckets,
+       |  (bucket_size - 1) * n_buckets AS star_edges,
+       |  (bucket_size * (bucket_size - 1)) // 2 * n_buckets AS allpairs_edges
+       |FROM h
+       |ORDER BY bucket_size""".stripMargin
 }

@@ -788,4 +788,56 @@ object TextOps {
        |      / (CAST(rs * ct AS DOUBLE) / g) END, 6) AS chi2_contrib
        |FROM m
        |ORDER BY source, token""".stripMargin
+
+  // ---- q131: per-source quality rank normalization -------------------
+
+  /** q131 — QUALITY NORMALIZATION: the q37 score re-expressed as an
+    * exact within-source percentile. Raw quality scores are not
+    * comparable across sources (a mediocre doc from a clean feed can
+    * outscore a good doc from a noisy crawl on absolute features), so
+    * every mixture/filter decision that crosses sources — q67, q77,
+    * q90, q127 — properly runs on the RANK, not the score. Per doc:
+    * its rank within its source (quality desc, doc_id — total order)
+    * and the exact-ppm percentile `((rk−1)·10⁶) div (n−1)` (0 = best,
+    * 10⁶ = worst; single-doc sources pin to 0 rather than divide by
+    * zero). Integer arithmetic end to end — no float percentile near
+    * the oracle.
+    *
+    * Scale: ONE source-keyed window over map-only scored rows — the
+    * partition key is the stratum, exactly how the corpus is already
+    * laid out for every per-source stage; no global sort anywhere. */
+  def qualityNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(qualityScore(s, dir).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+      .withColumn("src_rank", row_number().over(bySrc).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_rank"),
+        when(col("n_src") === 1L, lit(0L))
+          .otherwise(expr("((src_rank - 1) * 1000000) div (n_src - 1)"))
+          .as("pct_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val qualityNormalizeSql: String =
+    s"""WITH $qualityCteSql,
+       |sc AS (SELECT doc_id, $qualityScoreExprSql AS quality_score FROM q),
+       |r AS (
+       |  SELECT d.doc_id, d.source, sc.quality_score,
+       |    row_number() OVER (PARTITION BY d.source
+       |                       ORDER BY sc.quality_score DESC, d.doc_id ASC)
+       |      AS src_rank,
+       |    count(*) OVER (PARTITION BY d.source) AS n_src
+       |  FROM documents d JOIN sc USING (doc_id))
+       |SELECT doc_id, source, quality_score,
+       |  CAST(src_rank AS BIGINT) AS src_rank,
+       |  CAST(CASE WHEN n_src = 1 THEN 0
+       |    ELSE ((src_rank - 1) * 1000000) // (n_src - 1) END AS BIGINT) AS pct_ppm
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
 }

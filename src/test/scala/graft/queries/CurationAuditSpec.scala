@@ -116,4 +116,40 @@ class CurationAuditSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
     assert(out.map(_.getDouble(4)).max > 0.0)
   }
+
+  test("q131 percentile is an exact within-source rank, comparable across sources") {
+    val quality = TextOps.qualityScore(s, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val srcOf = graft.core.Tables.documents(s, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = srcOf.groupBy(_._2).values.flatMap { docs =>
+      val ordered = docs.keys.toSeq.sortBy(id => (-quality(id), id))
+      val n = ordered.length.toLong
+      ordered.zipWithIndex.map { case (id, i) =>
+        id -> ((i + 1).toLong,
+          if (n == 1) 0L else i.toLong * 1000000L / (n - 1))
+      }
+    }.toMap
+
+    val out = TextOps.qualityNormalize(s, sfDir).collect()
+    assert(out.length == srcOf.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (rk, ppm) = expected(id)
+      assert(r.getString(1) == srcOf(id), s"doc $id source")
+      assert(math.abs(r.getDouble(2) - quality(id)) < 1e-9, s"doc $id score")
+      assert(r.getLong(3) == rk, s"doc $id rank")
+      assert(r.getLong(4) == ppm, s"doc $id pct_ppm")
+    }
+    // Every source spans the full percentile range (0 at its best
+    // doc, 1e6 at its worst when n > 1) — that is the comparability
+    // contract mixture decisions rely on.
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(4)).min == 0L, s"$src min")
+      if (rows.length > 1)
+        assert(rows.map(_.getLong(4)).max == 1000000L, s"$src max")
+    }
+  }
 }

@@ -187,6 +187,30 @@ class DedupAuditSpec extends AnyFunSuite with SparkFixture {
     assert(nHits <= math.min(nTrue, nDet))
   }
 
+  test("q130 bucket histogram reassembles the index and prices both edge rules") {
+    val c = chain()
+    val sizes = c.toSeq
+      .flatMap { case (id, (_, _, bands)) =>
+        bands.zipWithIndex.map { case (bh, i) => (i, bh) -> id }
+      }
+      .groupBy(_._1).values.map(_.size.toLong)
+    val expected = sizes.groupBy(identity)
+      .map { case (sz, xs) => sz -> xs.size.toLong }
+
+    val out = Dedup.bucketSizeHistogram(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val sz = r.getLong(0)
+      assert(r.getLong(1) == expected(sz), s"size $sz n_buckets")
+      assert(r.getLong(2) == (sz - 1) * expected(sz), s"size $sz star")
+      assert(r.getLong(3) == sz * (sz - 1) / 2 * expected(sz), s"size $sz allpairs")
+    }
+    // The histogram accounts for every (doc, band) row exactly, and
+    // the star edge total matches the q120 audit's edge count.
+    assert(out.map(r => r.getLong(0) * r.getLong(1)).sum == 2L * c.size)
+    assert(out.map(_.getLong(2)).sum >= starEdges(c).size.toLong)
+  }
+
   test("q129 source overlap matrix matches a brute-force gram-set recompute") {
     // 60-bit gram hash — the graft_tri_grams contract (NO mod-P fold,
     // unlike the token hash).
