@@ -55,6 +55,24 @@ object StreamOps {
         s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $within"))
   }
 
+  /** Stream-side benchmark decontamination: drop documents whose any
+    * hashed word n-gram hits the (broadcast-as-literal) eval bloom —
+    * the q94 bloom path applied AT INGESTION, so contaminated text
+    * never lands in the corpus instead of being purged later. The
+    * whole probe is one codegen'd per-row expression (gram array →
+    * `exists` over `graft_bloom_contains`): map-only and STATELESS,
+    * so it composes with any watermark/output mode and adds zero
+    * state-store pressure — exactly the property a curation stage
+    * needs to run inside the speed layer. The bloom's no-false-
+    * negative guarantee means a dropped-set audit only ever finds
+    * fpp-bounded over-drops, never leakage (the q94 certificate).
+    * Works identically on batch frames. */
+  def decontaminate(df: DataFrame, textCol: String, bloomBits: Array[Byte],
+      n: Int = 5): DataFrame =
+    df.filter(!exists(
+      call_function("graft_ngrams", split(col(textCol), " "), lit(n)),
+      g => call_function("graft_bloom_contains", lit(bloomBits), g)))
+
   /** Gap-based sessions via the built-in `session_window`: a session
     * extends while events keep arriving within `gap` of the previous
     * one and closes `gap` after the last. Emits one row per closed

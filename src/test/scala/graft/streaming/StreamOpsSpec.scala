@@ -184,4 +184,62 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkFixture {
       streamGot.map(_.toSeq) shouldBe batchGot.map(_.toSeq)
     } finally query.stop()
   }
+
+  test("stream-side bloom decontamination drops leakage at ingestion, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfd = "/root/testdata/sf0.001"
+    // Eval slice + bloom exactly as q94 builds them.
+    val docs = graft.core.Tables.documents(spark, sfd)
+    val evalGrams = docs.filter(col("source") === "src0")
+      .select(explode(call_function("graft_ngrams",
+        split(col("text"), " "), lit(5))).as("g"))
+      .distinct()
+    val bits = graft.functions.Bloom.buildLong(evalGrams, "g", evalGrams.count(), 1e-6)
+    // Ground truth: train docs sharing any 5-gram with the eval slice.
+    val evalSet = evalGrams.collect().map(_.getLong(0)).toSet
+    val train = docs.filter(col("source") =!= "src0")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[Long] = {
+      val w = t.split(" ", -1)
+      w.sliding(5).filter(_.length == 5).map { g =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(g.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16)
+      }.toSet
+    }
+    val contaminated = train.filter { case (_, t) => (grams(t) & evalSet).nonEmpty }
+      .map(_._1).toSet
+    assert(contaminated.nonEmpty, "fixture must contain leakage")
+
+    // Batch parity first (same expression tree).
+    val batchKept = StreamOps.decontaminate(
+        docs.filter(col("source") =!= "src0"), "text", bits)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((batchKept & contaminated).isEmpty, "no false negatives (batch)")
+
+    // Stream: the identical filter over a MemoryStream.
+    val input = MemoryStream[(Long, String)]
+    val kept = StreamOps.decontaminate(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      "text", bits)
+    val query = kept.writeStream.format("memory")
+      .queryName("decontam_out").outputMode("append").start()
+    try {
+      input.addData(train.toSeq: _*)
+      query.processAllAvailable()
+      val streamKept = spark.table("decontam_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // Stream equals batch row-for-row, leakage never lands, and
+      // over-drop is bounded by the bloom fpp (zero expected here).
+      assert(streamKept == batchKept)
+      assert((streamKept & contaminated).isEmpty, "no false negatives (stream)")
+      assert(train.length - batchKept.size - contaminated.size <= 1,
+        "fp over-drop beyond the fpp bound")
+      // Stateless: the plan carries no stateful operator.
+      assert(!query.lastProgress.toString.contains("stateOperators\" : [ {"))
+    } finally query.stop()
+  }
 }
