@@ -1117,4 +1117,71 @@ object Dedup {
        |  (bucket_size * (bucket_size - 1)) // 2 * n_buckets AS allpairs_edges
        |FROM h
        |ORDER BY bucket_size""".stripMargin
+
+  // ---- q133: dedup impact report (what the purge costs, per source) --
+
+  /** q133 — the "what did dedup do to my corpus" report: per source,
+    * docs and whitespace tokens before the purge and in the q92
+    * delete set, quality mass in exact micro-units (the q72
+    * fixed-point idiom — the 6-dp-rounded q37 score ×10⁶ as int64, so
+    * SUMS are order-free exact where a double mean would be
+    * reassociation-dependent), and the exact-ppm retention rate.
+    * This is the sign-off table a data lead reads after a dedup run:
+    * which sources shrank, whether the removed mass was low-quality
+    * (it should be — q123 checks the rate by decile, THIS shows the
+    * absolute mass), and what the retained corpus weighs.
+    *
+    * Scale: the corpus side is one map-only pass (tokens + quality
+    * per doc) into a source-keyed aggregation; the purge flag is a
+    * LEFT join against the O(clustered docs) delete set. Nothing
+    * new shuffles at corpus width. */
+  def purgeImpact(s: SparkSession, dir: String): DataFrame = {
+    val purged = purgeFrom(s, dir, componentFrame(s, dir))
+      .select(col("doc_id"), lit(1L).as("pu"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .join(TextOps.qualityScore(s, dir)
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1e6 + 0.5).cast("long").as("q_micro")),
+        Seq("doc_id"))
+      .join(purged, Seq("doc_id"), "left")
+      .withColumn("pu", coalesce(col("pu"), lit(0L)))
+    base.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pu")).as("n_purged"),
+        sum(col("toks")).as("tokens"),
+        sum(col("toks") * col("pu")).as("tokens_purged"),
+        sum(col("q_micro")).as("quality_micro"),
+        sum(col("q_micro") * col("pu")).as("quality_micro_purged"))
+      .withColumn("retained_ppm",
+        expr("((n_docs - n_purged) * 1000000) div n_docs"))
+      .orderBy("source")
+  }
+
+  val purgeImpactSql: String =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |$ccCompCteSql,
+       |${purgeCteSql("comp")},
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+       |    CAST(floor(sc.quality_score * 1e6 + 0.5) AS BIGINT) AS q_micro,
+       |    CASE WHEN pg.doc_id IS NULL THEN 0 ELSE 1 END AS pu
+       |  FROM documents d
+       |    JOIN sc USING (doc_id)
+       |    LEFT JOIN pg ON pg.doc_id = d.doc_id)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pu) AS BIGINT) AS n_purged,
+       |  CAST(sum(toks) AS BIGINT) AS tokens,
+       |  CAST(sum(toks * pu) AS BIGINT) AS tokens_purged,
+       |  CAST(sum(q_micro) AS BIGINT) AS quality_micro,
+       |  CAST(sum(q_micro * pu) AS BIGINT) AS quality_micro_purged,
+       |  ((CAST(count(*) AS BIGINT) - CAST(sum(pu) AS BIGINT)) * 1000000)
+       |    // count(*) AS retained_ppm
+       |FROM base
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 }

@@ -538,6 +538,70 @@ object LogOps {
       .orderBy("src_type", "dst_type")
   }
 
+  // ---- q132: inter-event gap quantiles -------------------------------
+
+  /** q132 — latency/cadence profiling: per event type, the
+    * distribution of inter-arrival gaps within a user's stream of
+    * that type — count, lower median, and p90, all RANK-EXACT (the
+    * value at row_number (n+1) div 2 resp. ceil(9n/10) of the sorted
+    * gaps) rather than interpolated: engines disagree on percentile
+    * interpolation rules, but the value at a rank in a sorted
+    * multiset is engine-independent even under row_number tie
+    * shuffling (equal gaps at the boundary carry the same value).
+    * This is the table a pipeline owner reads to set session gaps
+    * (q21/q84), watermarks (ST5), and poll budgets.
+    *
+    * Scale: one (user, type)-keyed window computes gaps (the
+    * sessionize partitioning), one type-keyed rank window over the
+    * gap rows, one aggregation. Gap rows ≈ event rows; nothing
+    * quadratic, no driver collection. */
+  def gapQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byStream = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byStream))
+      .filter(col("prev_ns").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_ns - prev_ns) div 1000000").as("gap_ms"))
+    val counts = gaps.groupBy("event_type").agg(count(lit(1)).as("n_gaps"))
+    val byGap = Window.partitionBy(col("event_type")).orderBy(col("gap_ms"))
+    gaps.join(broadcast(counts), Seq("event_type"))
+      .withColumn("rk", row_number().over(byGap).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n_gaps")).as("n_gaps"),
+        max(when(col("rk") === expr("(n_gaps + 1) div 2"), col("gap_ms")))
+          .as("median_gap_ms"),
+        max(when(col("rk") === expr("(9 * n_gaps + 9) div 10"), col("gap_ms")))
+          .as("p90_gap_ms"))
+      .orderBy("event_type")
+  }
+
+  val gapQuantilesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+      |  FROM events WHERE user_id IS NOT NULL),
+      |g AS (
+      |  SELECT event_type,
+      |    (ts_ns - lag(ts_ns) OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY ts_ns, event_id)) // 1000000 AS gap_ms
+      |  FROM e),
+      |gg AS (SELECT event_type, gap_ms FROM g WHERE gap_ms IS NOT NULL),
+      |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+      |      FROM gg GROUP BY event_type),
+      |r AS (
+      |  SELECT gg.event_type, gg.gap_ms, c.n_gaps,
+      |    row_number() OVER (PARTITION BY gg.event_type ORDER BY gg.gap_ms) AS rk
+      |  FROM gg JOIN c USING (event_type))
+      |SELECT event_type, max(n_gaps) AS n_gaps,
+      |  max(CASE WHEN rk = (n_gaps + 1) // 2 THEN gap_ms END) AS median_gap_ms,
+      |  max(CASE WHEN rk = (9 * n_gaps + 9) // 10 THEN gap_ms END) AS p90_gap_ms
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val transitionMatrixSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns

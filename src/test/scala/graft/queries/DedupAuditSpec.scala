@@ -211,6 +211,42 @@ class DedupAuditSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getLong(2)).sum >= starEdges(c).size.toLong)
   }
 
+  test("q133 impact report reconciles with the purge list and corpus totals") {
+    val purgedSet = Dedup.dedupPurge(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val quality = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * 1e6 + 0.5).toLong).toMap
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val p = ds.filter(d => purgedSet(d._1))
+      src -> ((ds.length.toLong, p.length.toLong,
+        ds.map(_._3).sum, p.map(_._3).sum,
+        ds.map(d => quality(d._1)).sum, p.map(d => quality(d._1)).sum))
+    }
+
+    val out = Dedup.purgeImpact(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val (n, np, tk, tkp, qm, qmp) = expected(src)
+      assert(r.getLong(1) == n, s"$src n_docs")
+      assert(r.getLong(2) == np, s"$src n_purged")
+      assert(r.getLong(3) == tk, s"$src tokens")
+      assert(r.getLong(4) == tkp, s"$src tokens_purged")
+      assert(r.getLong(5) == qm, s"$src quality_micro")
+      assert(r.getLong(6) == qmp, s"$src quality_micro_purged")
+      assert(r.getLong(7) == (n - np) * 1000000L / n, s"$src retained_ppm")
+    }
+    // The report reconciles exactly with the purge list and corpus.
+    assert(out.map(_.getLong(2)).sum == purgedSet.size.toLong)
+    assert(out.map(_.getLong(1)).sum == docs.length.toLong)
+  }
+
   test("q129 source overlap matrix matches a brute-force gram-set recompute") {
     // 60-bit gram hash — the graft_tri_grams contract (NO mod-P fold,
     // unlike the token hash).

@@ -109,4 +109,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkFixture {
     val nTrans = withIds.groupBy(_._1).values.map(_.length - 1).sum.toLong
     assert(out.map(_.getLong(2)).sum == nTrans)
   }
+
+  test("q132 gap quantiles are the exact rank values of a brute-force sort") {
+    val withIds = graft.core.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull)
+      .select("user_id", "ts_ns", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = withIds.groupBy(e => (e._1, e._4)).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      ts.zip(ts.tail).map { case (a, b) =>
+        es.head._4 -> Math.floorDiv(b - a, 1000000L)
+      }
+    }.toSeq.groupBy(_._1).map { case (t, gs) =>
+      val sorted = gs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val med = sorted(((n + 1) / 2 - 1).toInt)
+      val p90 = sorted(((9 * n + 9) / 10 - 1).toInt)
+      t -> ((n, med, p90))
+    }
+
+    val out = LogOps.gapQuantiles(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val (n, med, p90) = expected(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} n_gaps")
+      assert(r.getLong(2) == med, s"${r.getString(0)} median")
+      assert(r.getLong(3) == p90, s"${r.getString(0)} p90")
+      assert(r.getLong(2) <= r.getLong(3), "median <= p90")
+    }
+  }
 }
