@@ -188,19 +188,43 @@ object Dedup {
       |ORDER BY n_docs DESC, gram ASC
       |LIMIT 50""".stripMargin
 
+  /** (doc_id, hs) — the DISTINCT token-hash SET of each document.
+    * `graft_token_hashes` maps distinct tokens mod P = 2³¹−1, so two
+    * distinct tokens can collide and leave duplicate hashes in the
+    * array; every Jaccard consumer (q113/q120/q122/q124) divides by
+    * |A|+|B|−|A∩B| where the intersect is set-valued, so a duplicate
+    * would inflate the union (ADVICE r12). `array_distinct` here makes
+    * `hs` a true set once, for all consumers — and is a no-op for the
+    * MinHash path (min over duplicates is unchanged). Oracle mirror:
+    * the `list_distinct` in [[bandsCteSql]]'s `t` CTE. */
+  private[queries] def tokenHashSetOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(call_function("graft_token_hashes",
+        array_distinct(split(col("text"), " ")), lit(P))).as("hs"))
+
+  private[queries] def tokenHashSet(s: SparkSession, dir: String): DataFrame =
+    tokenHashSetOf(Tables.documents(s, dir))
+
   /** Per-doc k=8 MinHash signature over distinct word tokens, using the
-    * portable md5-based token hash so the oracle reproduces every bit. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        call_function("graft_token_hashes",
-          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    * portable md5-based token hash so the oracle reproduces every bit.
+    * Frame-based so the index build (full corpus) and the incremental
+    * path (new batch only) share one signature definition. */
+  /** k=8 MinHash signatures from a (doc_id, hs) token-hash-set frame —
+    * the step `Warehouse.build` applies to its STORED `token_hashes`
+    * table (each warehouse stage reads the previous stage's table). */
+  private[queries] def sigsFromHs(hs: DataFrame): DataFrame = {
     val sigs = HashParams.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
         .as(s"sig_$i")
     }
-    docs.select(col("doc_id") +: sigs: _*)
+    hs.select(col("doc_id") +: sigs: _*)
   }
+
+  private[queries] def signaturesOf(docs: DataFrame): DataFrame =
+    sigsFromHs(tokenHashSetOf(docs))
+
+  private[queries] def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(Tables.documents(s, dir))
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir).orderBy("doc_id")
@@ -211,8 +235,8 @@ object Dedup {
     }.mkString(",\n")
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    list_transform(list_distinct(string_split(text, ' ')),
-       |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647) AS hs
+       |    list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+       |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)) AS hs
        |  FROM documents)
        |SELECT doc_id,
        |$sigCols
@@ -225,15 +249,18 @@ object Dedup {
     * the signature subplan (a unionAll(sig, sig) would make Catalyst
     * compute — and scan — the signature subplan twice; it does not
     * dedupe common subplans). */
-  private def bandFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def bandFrameOfSigs(sigs: DataFrame): DataFrame = {
     def bandHash(cols: Seq[String]): Column =
       md5(concat_ws(",", cols.map(c => col(c).cast("string")): _*))
-    signatures(s, dir)
+    sigs
       .select(col("doc_id"), posexplode(array(
         bandHash(Seq("sig_0", "sig_1", "sig_2", "sig_3")),
         bandHash(Seq("sig_4", "sig_5", "sig_6", "sig_7")))).as(Seq("band", "band_hash")))
       .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
   }
+
+  private[queries] def bandFrame(s: SparkSession, dir: String): DataFrame =
+    bandFrameOfSigs(signatures(s, dir))
 
   /** LSH banding over the MinHash signature (2 bands × 4 rows): docs
     * sharing a band hash are near-dup candidates. Reports candidate
@@ -247,24 +274,24 @@ object Dedup {
 
   /** The t/s/bands CTE chain (DuckDB form of `bandFrame`), shared by
     * the q28 and q49 oracles. */
-  private val bandsCteSql: String = {
+  private[queries] val bandsCteSql: String = {
     def band(cols: Seq[Int]): String =
       "md5(" + cols.map(i => s"sig_$i::VARCHAR").mkString(" || ',' || ") + ")"
     s"""t AS (
        |  SELECT doc_id,
-       |    list_transform(list_distinct(string_split(text, ' ')),
-       |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647) AS hs
+       |    list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+       |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)) AS hs
        |  FROM documents),
-       |s AS (
+       |sg AS (
        |  SELECT doc_id,
        |${HashParams.zipWithIndex.map { case ((a, b), i) =>
             s"    list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647)) AS sig_$i"
           }.mkString(",\n")}
        |  FROM t),
        |bands AS (
-       |  SELECT doc_id, ${band(Seq(0, 1, 2, 3))} AS band_hash, CAST(0 AS BIGINT) AS band FROM s
+       |  SELECT doc_id, ${band(Seq(0, 1, 2, 3))} AS band_hash, CAST(0 AS BIGINT) AS band FROM sg
        |  UNION ALL
-       |  SELECT doc_id, ${band(Seq(4, 5, 6, 7))} AS band_hash, CAST(1 AS BIGINT) AS band FROM s)""".stripMargin
+       |  SELECT doc_id, ${band(Seq(4, 5, 6, 7))} AS band_hash, CAST(1 AS BIGINT) AS band FROM sg)""".stripMargin
   }
 
   val minhashBandsSql: String =
@@ -295,17 +322,20 @@ object Dedup {
     * q120 estimator audit certifies the same pairs the pipeline acts
     * on. Star edges bound fan-out at O(bucket size), never the
     * O(df²) all-pairs blowup. */
-  private def candidateEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def candidateEdgesFrom(bands: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("band_hash"))
-    bandFrame(s, dir)
+    bands
       .select(col("doc_id"), min(col("doc_id")).over(w).as("root"))
       .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("src"), col("root").as("dst"))
       .distinct()
   }
 
-  private def componentFrame(s: SparkSession, dir: String): DataFrame =
+  private[queries] def candidateEdges(s: SparkSession, dir: String): DataFrame =
+    candidateEdgesFrom(bandFrame(s, dir))
+
+  private[queries] def componentFrame(s: SparkSession, dir: String): DataFrame =
     graft.operators.ConnectedComponents.run(candidateEdges(s, dir))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
 
@@ -324,14 +354,14 @@ object Dedup {
   /** Oracle mirror of [[candidateEdges]] (expects `bands` in scope;
     * yields `e0(src, dst)` with dst = bucket-min root < src), shared
     * by the q49/q92 component chain and the q120 estimator audit. */
-  private val candidateEdgesCteSql: String =
+  private[queries] val candidateEdgesCteSql: String =
     """roots AS (
       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_hash) AS root
       |  FROM bands),
       |e0 AS (
       |  SELECT DISTINCT doc_id AS src, root AS dst FROM roots WHERE doc_id <> root)""".stripMargin
 
-  private val ccCompCteSql: String =
+  private[queries] val ccCompCteSql: String =
     s"""$candidateEdgesCteSql,
       |edges AS (
       |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
@@ -371,11 +401,17 @@ object Dedup {
     * component frame, the highest-quality member survives (q37 score,
     * ties by min doc_id — a total order) and every other member emits
     * (doc_id, cluster_id, kept_doc). */
-  private def purgeFrom(s: SparkSession, dir: String,
-      comp: DataFrame): DataFrame = {
+  private[queries] def purgeFrom(s: SparkSession, dir: String,
+      comp: DataFrame): DataFrame =
+    purgeFromWith(comp, TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score")))
+
+  /** [[purgeFrom]] against an EXPLICIT quality frame — the form the
+    * warehouse build uses with its own `doc_stats` table, so the
+    * stored purge list is derived from the stored quality column. */
+  private[queries] def purgeFromWith(comp: DataFrame,
+      quality: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quality = TextOps.qualityScore(s, dir)
-      .select(col("doc_id"), col("quality_score"))
     val byQuality = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
     comp.join(quality, Seq("doc_id"))
@@ -394,7 +430,7 @@ object Dedup {
     * `compCte(doc_id, cluster_id)` — factored from [[purgeTailSql]] so
     * queries that CONSUME the purge list (q122's audit) share the
     * same rule text as the queries that emit it (q92/q108). */
-  private def purgeCteSql(compCte: String): String =
+  private[queries] def purgeCteSql(compCte: String): String =
     s"""${TextOps.qualityCteSql},
        |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q),
        |r AS (
@@ -455,10 +491,15 @@ object Dedup {
     * un-thresholded base the whole chunk-grain chain (q102 pairs,
     * q105 clusters, q107 curve, q108 purge) shares: one pair
     * definition, zero drift (the `componentFrame` discipline). */
-  private def allChunkPairs(s: SparkSession, dir: String): DataFrame = {
-    val chunks = PipelineOps.chunkedDocs(s, dir)
+  /** The distinct (doc_id, chunk_md5) digest set — what the chunk
+    * chain actually indexes (and what `Warehouse.build` persists as
+    * the `chunk_digests` table: 16-byte digests, never chunk text). */
+  private[queries] def chunkDigests(s: SparkSession, dir: String): DataFrame =
+    PipelineOps.chunkedDocs(s, dir)
       .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
       .distinct()
+
+  private[queries] def allChunkPairsFrom(chunks: DataFrame): DataFrame = {
     val sizes = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
     val pairs = chunks
       .groupBy("chunk_md5")
@@ -476,11 +517,17 @@ object Dedup {
         col("n_chunks").as("n_chunks_b")), Seq("doc_b"))
   }
 
-  /** The q102/q105/q108 qualifying frame: [[allChunkPairs]] at the
-    * ≥ 50% containment threshold (exact integer predicate). */
-  private def chunkPairFrame(s: SparkSession, dir: String): DataFrame =
-    allChunkPairs(s, dir)
+  private[queries] def allChunkPairs(s: SparkSession, dir: String): DataFrame =
+    allChunkPairsFrom(chunkDigests(s, dir))
+
+  /** The ≥ 50% containment threshold (exact integer predicate) over
+    * [[allChunkPairsFrom]] — the q102/q105/q108 qualifying frame. */
+  private[queries] def chunkPairFrameFrom(chunks: DataFrame): DataFrame =
+    allChunkPairsFrom(chunks)
       .filter(col("n_shared") * 2 >= least(col("n_chunks_a"), col("n_chunks_b")))
+
+  private def chunkPairFrame(s: SparkSession, dir: String): DataFrame =
+    chunkPairFrameFrom(chunkDigests(s, dir))
 
   def chunkDedup(s: SparkSession, dir: String): DataFrame =
     chunkPairFrame(s, dir)
@@ -495,7 +542,7 @@ object Dedup {
     * `ap` (all pairs) and its thresholded `cp`, shared by the q102,
     * q105, q107 and q108 SQL — change the chain's shape only with all
     * four oracles in view. */
-  private val chunkPairCteSql: String =
+  private[queries] val chunkPairCteSql: String =
     s"""${PipelineOps.chunkCteSql},
       |dd AS (SELECT DISTINCT doc_id, md5(chunk) AS chunk_md5 FROM x),
       |sz AS (SELECT doc_id, count(*) AS n_chunks FROM dd GROUP BY doc_id),
@@ -540,12 +587,15 @@ object Dedup {
     * machinery with its measured constant round count. */
   /** Shared q105/q108 clustering: chunk-overlap edges → min-label
     * components (the doc-grain `componentFrame` discipline). */
-  private def chunkComponentFrame(s: SparkSession, dir: String): DataFrame = {
-    val edges = chunkPairFrame(s, dir)
+  private[queries] def chunkComponentFrameFrom(chunks: DataFrame): DataFrame = {
+    val edges = chunkPairFrameFrom(chunks)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     graft.operators.ConnectedComponents.run(edges)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
+
+  private[queries] def chunkComponentFrame(s: SparkSession, dir: String): DataFrame =
+    chunkComponentFrameFrom(chunkDigests(s, dir))
 
   def chunkDupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -593,7 +643,7 @@ object Dedup {
 
   /** The q105/q108 shared reachability CTE block (expects `cp` from
     * [[chunkPairCteSql]] in scope; yields `ccomp(doc_id, cluster_id)`). */
-  private val chunkCcCteSql: String =
+  private[queries] val chunkCcCteSql: String =
     """ce0 AS (SELECT doc_a AS src, doc_b AS dst FROM cp),
       |cedges AS (
       |  SELECT src, dst FROM ce0 UNION SELECT dst AS src, src AS dst FROM ce0),
@@ -651,9 +701,11 @@ object Dedup {
     *
     * Scale shape — why the increment is cheap at a 100 TB index:
     *  - the index band table and token-hash sets are the STORED
-    *    outputs of the standing q28/q27 contract (recomputed here only
-    *    because the fixture has no warehouse); the new batch — small
-    *    by premise — is the only side that computes signatures;
+    *    outputs of the standing q28/q27 contract — since r13 read
+    *    from the materialized [[Warehouse]] (PlanShapeSpec pins that
+    *    the plan scans warehouse parquet, not the corpus); the new
+    *    batch — small by premise — is the only side that computes
+    *    signatures;
     *  - the candidate join touches only band buckets the new batch
     *    hashes into: traffic is O(new-batch bands + matching index
     *    rows), never O(index);
@@ -662,22 +714,13 @@ object Dedup {
     *    inclusion-exclusion), then ONE aggregation emits the verdict.
     * Docs with zero candidates are admitted implicitly (absent from
     * the output — the sparse contract of q66/q111). */
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val hs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        call_function("graft_token_hashes",
-          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
-    val bands = bandFrame(s, dir).join(src, "doc_id")
-    val nb = bands.filter(col("source") === NewSource)
-      .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))
-    val ib = bands.filter(col("source") =!= NewSource)
-      .select(col("doc_id").as("idx_doc"), col("band"), col("band_hash"))
-    val cand = nb.join(ib, Seq("band", "band_hash"))
-      .select("new_doc", "idx_doc").distinct()
+  /** The verdict aggregation both incremental forms share: candidate
+    * pairs → exact token-set Jaccard → one verdict row per new doc. */
+  private def incrementVerdict(cand: DataFrame, ha: DataFrame,
+      hb: DataFrame): DataFrame = {
     val scored = cand
-      .join(hs.select(col("doc_id").as("new_doc"), col("hs").as("ha")), "new_doc")
-      .join(hs.select(col("doc_id").as("idx_doc"), col("hs").as("hb")), "idx_doc")
+      .join(ha, "new_doc")
+      .join(hb, "idx_doc")
       .withColumn("n_inter",
         size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jac", col("n_inter").cast("double") /
@@ -694,7 +737,57 @@ object Dedup {
       .orderBy("new_doc")
   }
 
-  val incrementalDedupSql: String =
+  /** The PRODUCTION form (since r13): the index side is the STORED
+    * warehouse — band rows and token-hash sets read from parquet the
+    * standing build wrote — and only the new batch computes signatures
+    * from raw text. The plan scans `documents` solely for the
+    * source-filtered new slice (PushedFilters pinned by
+    * PlanShapeSpec); everything index-side is a warehouse scan, which
+    * is what makes the increment O(new batch + matched buckets) at a
+    * 100 TB index. q135 certifies row-identity with the recompute
+    * form below. Construction is EAGER on first use per corpus dir
+    * (the warehouse build — the q99 discipline). */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val idxSrc = Warehouse.stored(s, dir, "doc_stats")
+      .filter(col("source") =!= NewSource).select("doc_id")
+    val ib = Warehouse.stored(s, dir, "bands").join(idxSrc, "doc_id")
+      .select(col("doc_id").as("idx_doc"), col("band"), col("band_hash"))
+    val newDocs = Tables.documents(s, dir).filter(col("source") === NewSource)
+    val nb = bandFrameOfSigs(signaturesOf(newDocs))
+      .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))
+    val cand = nb.join(ib, Seq("band", "band_hash"))
+      .select("new_doc", "idx_doc").distinct()
+    val ha = tokenHashSetOf(newDocs)
+      .select(col("doc_id").as("new_doc"), col("hs").as("ha"))
+    val hb = Warehouse.stored(s, dir, "token_hashes")
+      .select(col("doc_id").as("idx_doc"), col("hs").as("hb"))
+    incrementVerdict(cand, ha, hb)
+  }
+
+  /** The r12 recompute form (both sides derived from `documents`
+    * in-query) — kept as the certification witness for q135: stored
+    * path ≡ recompute path, row for row. */
+  private[queries] def incrementalDedupRecompute(
+      s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val hs = tokenHashSet(s, dir)
+    val bands = bandFrame(s, dir).join(src, "doc_id")
+    val nb = bands.filter(col("source") === NewSource)
+      .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))
+    val ib = bands.filter(col("source") =!= NewSource)
+      .select(col("doc_id").as("idx_doc"), col("band"), col("band_hash"))
+    val cand = nb.join(ib, Seq("band", "band_hash"))
+      .select("new_doc", "idx_doc").distinct()
+    incrementVerdict(cand,
+      hs.select(col("doc_id").as("new_doc"), col("hs").as("ha")),
+      hs.select(col("doc_id").as("idx_doc"), col("hs").as("hb")))
+  }
+
+  /** The q113 oracle chain with an optional extra output column —
+    * factored so the q135 stored-vs-recompute certification oracle is
+    * the SAME text plus its `matches_recompute` flag (the q34
+    * pinned-flag idiom). */
+  private[queries] def incrementalDedupSqlWith(extraCol: String): String =
     s"""WITH $bandsCteSql,
        |nb AS (SELECT b.* FROM bands b JOIN documents d USING (doc_id)
        |       WHERE d.source = '$NewSource'),
@@ -718,10 +811,12 @@ object Dedup {
        |  FROM j)
        |SELECT new_doc, CAST(n_candidates AS BIGINT) AS n_candidates,
        |  idx_doc AS best_match, round(jac, 6) AS best_jaccard,
-       |  (jac >= $IncrementalTau) AS is_dup
+       |  (jac >= $IncrementalTau) AS is_dup$extraCol
        |FROM r
        |WHERE rk = 1
        |ORDER BY new_doc""".stripMargin
+
+  val incrementalDedupSql: String = incrementalDedupSqlWith("")
 
   // ---- q120: MinHash estimator error audit ---------------------------
 
@@ -750,17 +845,16 @@ object Dedup {
     * so the audit reads the index, not the corpus, and costs
     * O(candidate edges). */
   def minhashErrorAudit(s: SparkSession, dir: String): DataFrame = {
-    val pairs = candidateEdges(s, dir)
+    // Since r13 every input is a STORED warehouse table — the audit
+    // never touches `documents` (PlanShapeSpec pins zero corpus scans).
+    val pairs = candidateEdgesFrom(Warehouse.stored(s, dir, "bands"))
       .select(col("dst").as("doc_a"), col("src").as("doc_b"))
-    val sig = signatures(s, dir)
+    val sig = Warehouse.stored(s, dir, "signatures")
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       HashParams.indices.map(i => col(s"sig_$i").as(s"a_$i")): _*)
     val sigB = sig.select(col("doc_id").as("doc_b") +:
       HashParams.indices.map(i => col(s"sig_$i").as(s"b_$i")): _*)
-    val hs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        call_function("graft_token_hashes",
-          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    val hs = Warehouse.stored(s, dir, "token_hashes")
     val sigMatch = HashParams.indices
       .map(i => when(col(s"a_$i") === col(s"b_$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -794,8 +888,8 @@ object Dedup {
        |  SELECT p.doc_a, p.doc_b,
        |    CAST($matchSum AS BIGINT) AS sig_match
        |  FROM pairs p
-       |    JOIN s sa ON sa.doc_id = p.doc_a
-       |    JOIN s sb ON sb.doc_id = p.doc_b),
+       |    JOIN sg sa ON sa.doc_id = p.doc_a
+       |    JOIN sg sb ON sb.doc_id = p.doc_b),
        |j AS (
        |  SELECT m.doc_a, m.doc_b, m.sig_match,
        |    CAST(m.sig_match AS DOUBLE) / $k AS est,
@@ -832,11 +926,11 @@ object Dedup {
     * 100 TB this reads the stored q27 token sets for purged + keeper
     * docs and never touches the rest of the corpus. Cost O(purged). */
   def purgeAudit(s: SparkSession, dir: String): DataFrame = {
-    val purged = purgeFrom(s, dir, componentFrame(s, dir))
-    val hs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        call_function("graft_token_hashes",
-          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    // Since r13: the purge list and the token-hash sets are STORED
+    // warehouse tables — the audit costs O(purged) reads, zero corpus
+    // scans (PlanShapeSpec-pinned).
+    val purged = Warehouse.stored(s, dir, "purge")
+    val hs = Warehouse.stored(s, dir, "token_hashes")
     purged
       .join(hs.select(col("doc_id"), col("hs").as("hp")), "doc_id")
       .join(hs.select(col("doc_id").as("kept_doc"), col("hs").as("hk")), "kept_doc")
@@ -888,9 +982,11 @@ object Dedup {
     * is O(clustered docs) and LEFT-joins the corpus on doc_id. */
   def purgeByQualityDecile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val purged = purgeFrom(s, dir, componentFrame(s, dir))
+    // Since r13: purge membership and quality both come from STORED
+    // warehouse tables (zero corpus scans, PlanShapeSpec-pinned).
+    val purged = Warehouse.stored(s, dir, "purge")
       .select(col("doc_id"), lit(1L).as("purged"))
-    val q = TextOps.qualityScore(s, dir)
+    val q = Warehouse.stored(s, dir, "doc_stats")
       .select(col("doc_id"), col("quality_score"))
     val w = Window.orderBy(col("quality_score").desc, col("doc_id").asc)
     q.withColumn("rk", row_number().over(w))
@@ -950,17 +1046,16 @@ object Dedup {
     * detection flags join the stored band table on (doc, doc+1) keys.
     * Everything after is a single-row aggregate. */
   def lshRecallAudit(s: SparkSession, dir: String): DataFrame = {
-    val hs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        call_function("graft_token_hashes",
-          array_distinct(split(col("text"), " ")), lit(P)).as("hs"))
+    // Since r13: token-hash sets and the band index are STORED
+    // warehouse tables (zero corpus scans, PlanShapeSpec-pinned).
+    val hs = Warehouse.stored(s, dir, "token_hashes")
     val pairs = hs.as("a")
       .join(hs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"),
         size(array_intersect(col("a.hs"), col("b.hs"))).cast("long").as("ni"),
         (size(col("a.hs")) + size(col("b.hs"))).cast("long").as("sl"))
       .withColumn("jac", col("ni").cast("double") / (col("sl") - col("ni")))
-    val bf = bandFrame(s, dir)
+    val bf = Warehouse.stored(s, dir, "bands")
     val det = bf.as("x")
       .join(bf.as("y"),
         col("x.band") === col("y.band") &&
@@ -1136,15 +1231,15 @@ object Dedup {
     * LEFT join against the O(clustered docs) delete set. Nothing
     * new shuffles at corpus width. */
   def purgeImpact(s: SparkSession, dir: String): DataFrame = {
-    val purged = purgeFrom(s, dir, componentFrame(s, dir))
+    // Since r13: the corpus-side stats (source, token counts, quality)
+    // and the delete set are STORED warehouse tables — the report costs
+    // one doc_stats pass + an O(purged) left join, zero corpus scans.
+    val purged = Warehouse.stored(s, dir, "purge")
       .select(col("doc_id"), lit(1L).as("pu"))
-    val base = Tables.documents(s, dir)
+    val base = Warehouse.stored(s, dir, "doc_stats")
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
-      .join(TextOps.qualityScore(s, dir)
-        .select(col("doc_id"),
-          floor(col("quality_score") * 1e6 + 0.5).cast("long").as("q_micro")),
-        Seq("doc_id"))
+        col("n_tokens").as("toks"),
+        floor(col("quality_score") * 1e6 + 0.5).cast("long").as("q_micro"))
       .join(purged, Seq("doc_id"), "left")
       .withColumn("pu", coalesce(col("pu"), lit(0L)))
     base.groupBy("source")

@@ -872,7 +872,20 @@ object PipelineOps {
         size(split(col("text"), " ")).cast("long").as("toks"))
       .groupBy("source")
       .agg(sum(col("toks")).as("avail_tokens"))
-      .withColumn("w", substring(col("source"), 4, 10).cast("long") + 1L)
+      // Fixture contract (pinned): source names are 'src<N>', so the
+      // weight is the UNBOUNDED numeric suffix + 1 — the same parse
+      // rule as the oracle's substr(source, 4) (ADVICE r12: the old
+      // 10-char bound could silently diverge the engines on a long
+      // suffix). A non-conforming source parses to NULL and fails
+      // LOUDLY here instead of silently nulling `den` and poisoning
+      // every row of the plan.
+      .withColumn("w", {
+        val parsed = expr("TRY_CAST(substring(source, 4) AS BIGINT)")
+        when(parsed.isNull,
+          raise_error(concat(lit("q127: source not of form src<N>: "),
+            col("source"))).cast("long"))
+          .otherwise(parsed + 1L)
+      })
       .withColumn("den", sum(col("w")).over(wAll))
       .withColumn("b", expr("(avail_tokens * den) div w"))
       .withColumn("b_star", min(col("b")).over(wAll))

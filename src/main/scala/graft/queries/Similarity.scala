@@ -395,10 +395,22 @@ object Similarity {
     * mirrored in the oracle's `ORDER BY cos DESC, c_id DESC`
     * row_number ([[cellAssignCteSql]]). Adds columns `nv` (norm) and
     * `cell`. */
-  private def assignCells(e: DataFrame): DataFrame = {
-    val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < CentroidK)
+  private def assignCells(e: DataFrame): DataFrame =
+    assignCellsWith(e, collectCentroids(e))
+
+  /** The first [[CentroidK]] vectors of `e` (columns vec_id, v) as
+    * driver-side literal centroids — k·dim doubles, ALWAYS small. */
+  private[queries] def collectCentroids(e: DataFrame): Array[(Long, Seq[Double])] =
+    e.filter(col("vec_id") < CentroidK)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** [[assignCells]] against an EXPLICIT centroid set — the form the
+    * incremental path uses with the warehouse's STORED centroids, so
+    * an increment assigns new vectors with exactly the cells the index
+    * build used (one contract, whichever side supplies the centroids). */
+  private[queries] def assignCellsWith(e: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
     val scored = cents.map { case (id, cv) =>
       val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
       val denom = col("nv") * lit(cnorm)
@@ -411,10 +423,31 @@ object Similarity {
       .withColumn("cell", array_max(array(scored.toSeq: _*)).getField("c_id"))
   }
 
+  /** The cell-bucketed vector index (vec_id, cell, norm, v) — what an
+    * IVF-style index physically stores: every vector grouped by its
+    * assigned cell, with the norm precomputed. This frame is what
+    * `Warehouse.build` persists as the `cells` table and what q109's
+    * pair enumeration / q126's increment probe read. */
+  private[queries] def cellIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    assignCells(e)
+      .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v"))
+  }
+
+  /** Centroid rows (c_id, v) for the warehouse's `centroids` table —
+    * the literal centroids the build assigned cells with, persisted so
+    * increments can re-create the SAME assignment without touching the
+    * corpus. */
+  private[queries] def centroidFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < CentroidK)
+      .select(col("vec_id").as("c_id"), doubled(col("embedding")).as("v"))
+
   /** Oracle mirror of [[assignCells]]: CTEs e (doubled vectors), c
     * (centroids), s (all vector×centroid cosines), a (cell = argmax
     * centroid via rn = 1). Shared by q72 and q109 SQL. */
-  private val cellAssignCteSql: String =
+  private[queries] val cellAssignCteSql: String =
     s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -861,11 +894,17 @@ object Similarity {
     * the strongest covering cosine. Survivors don't appear: at corpus
     * scale the purge list is the small side and is what a pipeline
     * anti-joins against (exactly the q92/q108 delete-set contract). */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), doubled(col("embedding")).as("v"))
-    val sig = assignCells(e)
-      .select(col("vec_id"), col("v"), col("nv").as("norm"), col("cell"))
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticPurgeFromCells(cellIndex(s, dir))
+
+  /** The within-cell greedy purge over an EXPLICIT cell index frame
+    * (vec_id, cell, norm, v) — shared by q109 (index build form) and
+    * `Warehouse.build` (which persists the purge computed from its own
+    * stored `cells` table), so the purge rule cannot drift between the
+    * registry query and the warehouse. */
+  private[queries] def semanticPurgeFromCells(cellsIdx: DataFrame): DataFrame = {
+    val sig = cellsIdx
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
       .repartition(col("cell"))
     val denom = col("a.norm") * col("b.norm")
     sig.as("a")
@@ -973,17 +1012,25 @@ object Similarity {
       |  JOIN nr nb ON nb.label = d.label_b
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** Oracle mirror of [[semanticPurgeFromCells]]'s pair enumeration
+    * (expects the [[cellAssignCteSql]] chain in scope; yields
+    * `sig(vec_id, v, cell, norm)` and `p(i, j, cell, cos)`) — shared
+    * by the q109 oracle and the q134 warehouse-stats oracle so the
+    * semantic pair definition cannot drift between them. */
+  private[queries] val semPairCteSql: String =
+    """sig AS (
+      |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+      |  FROM a WHERE rn = 1),
+      |p AS (
+      |  SELECT pa.vec_id AS i, pb.vec_id AS j, pb.cell AS cell,
+      |    CASE WHEN pa.norm * pb.norm = 0 THEN -2.0
+      |      ELSE list_inner_product(pa.v, pb.v) / (pa.norm * pb.norm) END AS cos
+      |  FROM sig pa JOIN sig pb
+      |    ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id)""".stripMargin
+
   val semanticDedupSql: String =
     s"""WITH $cellAssignCteSql,
-       |sig AS (
-       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
-       |  FROM a WHERE rn = 1),
-       |p AS (
-       |  SELECT pa.vec_id AS i, pb.vec_id AS j, pb.cell AS cell,
-       |    CASE WHEN pa.norm * pb.norm = 0 THEN -2.0
-       |      ELSE list_inner_product(pa.v, pb.v) / (pa.norm * pb.norm) END AS cos
-       |  FROM sig pa JOIN sig pb
-       |    ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id)
+       |$semPairCteSql
        |SELECT j AS vec_id, cell, count(*) AS n_covering,
        |  min(i) AS kept_by, round(max(cos), 6) AS max_cos
        |FROM p
@@ -1186,22 +1233,27 @@ object Similarity {
     * (the sparse q113/q66 contract).
     *
     * Scale shape: the index side is the STORED q109/q72 cell
-    * assignment (recomputed here only because the fixture has no
-    * warehouse); the new batch — small by premise — is the only side
+    * assignment — since r13 read from the materialized
+    * [[Warehouse]]'s `cells`/`centroids` tables; the new batch —
+    * small by premise — is the only side
     * that computes assignments; the probe join touches only the cells
     * the new batch lands in, so increment cost is O(new batch +
     * matched cells), never O(index). k (cells) stays the sub-quadratic
     * knob exactly as in q109. */
   def incrementalSemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), doubled(col("embedding")).as("v"))
-    val sig = assignCells(e)
-      .select(col("vec_id"), col("v"), col("nv").as("norm"), col("cell"))
     val isNew = pmod(col("vec_id"), lit(IncrSemMod)) === lit(IncrSemMod - 1)
-    val nb = sig.filter(isNew)
+    // Since r13 the index side IS the stored warehouse: the increment
+    // probes the persisted `cells` table (vectors bucketed by cell,
+    // norms precomputed) and assigns the new batch with the persisted
+    // `centroids` — the new batch is the only side that computes
+    // anything from raw embeddings (PlanShapeSpec pins the shape).
+    val cents = graft.queries.Warehouse.storedCentroids(s, dir)
+    val newE = Tables.embeddings(s, dir).filter(isNew)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val nb = assignCellsWith(newE, cents)
       .select(col("vec_id").as("new_vec"), col("v").as("nv2"),
-        col("norm").as("nn"), col("cell"))
-    val ib = sig.filter(!isNew)
+        col("nv").as("nn"), col("cell"))
+    val ib = graft.queries.Warehouse.stored(s, dir, "cells").filter(!isNew)
       .select(col("vec_id").as("idx_vec"), col("v").as("iv"),
         col("norm").as("inorm"), col("cell"))
     val denom = col("nn") * col("inorm")

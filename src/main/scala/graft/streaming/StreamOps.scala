@@ -66,12 +66,27 @@ object StreamOps {
     * needs to run inside the speed layer. The bloom's no-false-
     * negative guarantee means a dropped-set audit only ever finds
     * fpp-bounded over-drops, never leakage (the q94 certificate).
-    * Works identically on batch frames. */
+    * Works identically on batch frames.
+    *
+    * NULL text is KEPT explicitly (ADVICE r12): `exists` over a null
+    * gram array yields null and a bare `!null` filter would silently
+    * drop the row — an over-drop outside the advertised fpp bound. A
+    * null document has no n-grams, so it cannot be contaminated; the
+    * `coalesce(..., false)` pins that contract.
+    *
+    * Bloom size caveat: the bits ride the plan as an expression
+    * LITERAL — ideal for the ≤ a-few-hundred-KB eval blooms this stage
+    * targets (one broadcast-free codegen'd probe), but a multi-MB
+    * bloom would inflate every task's serialized plan; at that size
+    * switch the caller to a broadcast variable + UDF-free join on the
+    * q94 batch path instead. */
   def decontaminate(df: DataFrame, textCol: String, bloomBits: Array[Byte],
       n: Int = 5): DataFrame =
-    df.filter(!exists(
-      call_function("graft_ngrams", split(col(textCol), " "), lit(n)),
-      g => call_function("graft_bloom_contains", lit(bloomBits), g)))
+    df.filter(!coalesce(
+      exists(
+        call_function("graft_ngrams", split(col(textCol), " "), lit(n)),
+        g => call_function("graft_bloom_contains", lit(bloomBits), g)),
+      lit(false)))
 
   /** Gap-based sessions via the built-in `session_window`: a session
     * extends while events keep arriving within `gap` of the previous

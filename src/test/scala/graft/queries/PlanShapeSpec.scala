@@ -51,6 +51,40 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q125_vocab_drift",    // sources × broadcast top-20 terms dense completion
     "q128_ivf_int8")       // broadcast centroids/probe side (q46/q106 shape)
 
+  test("audit queries read the STORED warehouse, never the corpus") {
+    // The r13 warehouse contract: every dedup audit's plan scans
+    // warehouse parquet only — a refactor that quietly re-derives an
+    // input from `documents` would reintroduce the corpus-sized scan
+    // the materialized index exists to avoid.
+    Seq("q120_minhash_error", "q122_purge_audit", "q123_purge_by_quality",
+        "q124_lsh_recall", "q133_purge_impact", "q134_warehouse_stats")
+      .foreach { n =>
+        withClue(s"$n must not scan the corpus:") {
+          plans(n) should not include "documents.parquet"
+        }
+        withClue(s"$n must scan the stored warehouse:") {
+          plans(n) should include("graft-warehouse")
+        }
+      }
+  }
+
+  test("the incremental paths scan the warehouse index side and only the new slice of the corpus") {
+    // q113: index bands/token-hashes from stored parquet; the ONLY
+    // documents scans are the new batch with the source filter pushed.
+    plans("q113_incr_dedup") should include("graft-warehouse")
+    val docScans = plans("q113_incr_dedup").linesIterator
+      .filter(l => l.contains("documents.parquet")).toSeq
+    docScans should not be empty
+    docScans.foreach { l =>
+      withClue(s"corpus scan without the new-batch pushdown: $l") {
+        l should include("EqualTo(source,src19)")
+      }
+    }
+    // q126: cell index from stored parquet; embeddings scanned only
+    // for the new-batch assignment.
+    plans("q126_incr_semdedup") should include("graft-warehouse")
+  }
+
   test("no unbounded cartesian product in any registered query plan") {
     val offenders = plans.collect {
       case (n, p) if p.contains("CartesianProduct") => n

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** The materialized index warehouse (round-13 verdict #1): snapshot
+  * protocol, stored-vs-recompute content identity, and the increment
+  * certification the registry's q135 relies on. */
+class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+    a.count() shouldBe b.count()
+  }
+
+  test("build commits an atomic versioned snapshot and reaps old ones") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-spec").toString
+    Warehouse.version(wh) shouldBe 0L
+    intercept[IllegalArgumentException](Warehouse.read(spark, wh, "bands"))
+    Warehouse.build(spark, sfDir, wh) shouldBe 1L
+    Warehouse.version(wh) shouldBe 1L
+    Warehouse.TableNames.foreach { t =>
+      Warehouse.read(spark, wh, t).count() should be > 0L
+    }
+    // Second build: version 2 commits, v=1 (superseded-before-last) is
+    // kept for in-flight readers until the NEXT commit reaps it —
+    // the ServingStore reap discipline (1L until curVer).
+    Warehouse.build(spark, sfDir, wh) shouldBe 2L
+    Warehouse.build(spark, sfDir, wh) shouldBe 3L
+    Warehouse.version(wh) shouldBe 3L
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "v=1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "v=3")))
+  }
+
+  test("stored tables are content-identical to the recompute builders") {
+    // The memoized fixture warehouse the registry queries read.
+    sameRows(Warehouse.stored(spark, sfDir, "token_hashes"),
+      Dedup.tokenHashSet(spark, sfDir))
+    sameRows(Warehouse.stored(spark, sfDir, "signatures"),
+      Dedup.signatures(spark, sfDir))
+    sameRows(Warehouse.stored(spark, sfDir, "bands"),
+      Dedup.bandFrame(spark, sfDir))
+    sameRows(Warehouse.stored(spark, sfDir, "clusters"),
+      Dedup.componentFrame(spark, sfDir))
+    sameRows(Warehouse.stored(spark, sfDir, "purge"),
+      Dedup.purgeFrom(spark, sfDir, Dedup.componentFrame(spark, sfDir)))
+    sameRows(Warehouse.stored(spark, sfDir, "chunk_digests"),
+      Dedup.chunkDigests(spark, sfDir))
+    sameRows(Warehouse.stored(spark, sfDir, "chunk_purge"),
+      Dedup.purgeFrom(spark, sfDir, Dedup.chunkComponentFrame(spark, sfDir)))
+    sameRows(Warehouse.stored(spark, sfDir, "cells"),
+      Similarity.cellIndex(spark, sfDir))
+    sameRows(Warehouse.stored(spark, sfDir, "sem_purge"),
+      Similarity.semanticDedup(spark, sfDir))
+  }
+
+  test("q113 stored-path increment is row-identical to the recompute form") {
+    sameRows(Dedup.incrementalDedup(spark, sfDir),
+      Dedup.incrementalDedupRecompute(spark, sfDir))
+    // …and therefore q135's live flag pins true.
+    val flags = Warehouse.warehouseIncrCertify(spark, sfDir)
+      .select("matches_recompute").distinct().collect().map(_.getBoolean(0))
+    flags.toSeq shouldBe Seq(true)
+  }
+
+  test("q126 stored-path semantic increment matches an all-recompute run") {
+    // Recompute form: both sides assigned in-query (the r12 body).
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sig = Similarity.assignCellsWith(e, Similarity.collectCentroids(e))
+      .select(col("vec_id"), col("v"), col("nv").as("norm"), col("cell"))
+    val isNew = pmod(col("vec_id"), lit(10L)) === lit(9L)
+    val nb = sig.filter(isNew)
+      .select(col("vec_id").as("new_vec"), col("v").as("nv2"),
+        col("norm").as("nn"), col("cell"))
+    val ib = sig.filter(!isNew)
+      .select(col("vec_id").as("idx_vec"), col("v").as("iv"),
+        col("norm").as("inorm"), col("cell"))
+    val denom = col("nn") * col("inorm")
+    val recompute = nb.join(ib, Seq("cell"))
+      .withColumn("cos",
+        when(denom === 0.0, lit(-2.0))
+          .otherwise(aggregate(zip_with(col("nv2"), col("iv"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) / denom))
+      .groupBy(col("new_vec"), col("cell"))
+      .agg(count(lit(1)).as("n_cell_index"),
+        sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_covering"),
+        max(struct(col("cos"), (-col("idx_vec")).as("neg"))).as("best"))
+      .select(col("new_vec"), col("cell"), col("n_cell_index"),
+        col("n_covering"), (-col("best.neg")).as("best_match"),
+        round(col("best.cos"), 6).as("best_cos"),
+        (col("best.cos") >= 0.4).as("is_dup"))
+    sameRows(Similarity.incrementalSemanticDedup(spark, sfDir), recompute)
+  }
+}

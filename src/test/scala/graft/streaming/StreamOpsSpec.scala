@@ -242,4 +242,18 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkFixture {
       assert(!query.lastProgress.toString.contains("stateOperators\" : [ {"))
     } finally query.stop()
   }
+
+  test("decontaminate keeps null-text rows (no silent over-drop)") {
+    import spark.implicits._
+    // A null document has no n-grams, so it cannot be contaminated —
+    // ADVICE r12: exists() over a null gram array yields null and a
+    // bare !null filter dropped the row. A tiny real bloom (one gram)
+    // exercises the same expression tree as production.
+    val g = Seq(Tuple1(42L)).toDF("g")
+    val bits = graft.functions.Bloom.buildLong(g, "g", 1L, 1e-6)
+    val rows = Seq((1L, "a b c"), (2L, null), (3L, "")).toDF("doc_id", "text")
+    val kept = StreamOps.decontaminate(rows, "text", bits)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
 }
