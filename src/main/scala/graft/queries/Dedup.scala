@@ -430,17 +430,32 @@ object Dedup {
     * `compCte(doc_id, cluster_id)` — factored from [[purgeTailSql]] so
     * queries that CONSUME the purge list (q122's audit) share the
     * same rule text as the queries that emit it (q92/q108). */
-  private[queries] def purgeCteSql(compCte: String): String =
+  /** The quality-score CTE pair (`q`, `sc`) the purge rank consumes —
+    * factored out of [[purgeCteSql]] so a statement instantiating the
+    * purge rule at BOTH grains (q136's curation summary) includes the
+    * quality computation exactly once. */
+  private[queries] val qualityScCteSql: String =
     s"""${TextOps.qualityCteSql},
-       |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q),
-       |r AS (
+       |sc AS (SELECT doc_id, ${TextOps.qualityScoreExprSql} AS quality_score FROM q)""".stripMargin
+
+  /** The rank-and-keep block of [[purgeFromWith]] over a component CTE
+    * (expects `sc` in scope; yields `<prefix>pg(doc_id, cluster_id,
+    * kept_doc)`). `prefix` disambiguates multiple instantiations in
+    * one statement. */
+  private[queries] def purgeRankCteSql(compCte: String,
+      prefix: String = ""): String =
+    s"""${prefix}r AS (
        |  SELECT c.doc_id, c.cluster_id,
-       |    row_number() OVER win AS rk,
-       |    first_value(c.doc_id) OVER win AS kept_doc
+       |    row_number() OVER ${prefix}win AS rk,
+       |    first_value(c.doc_id) OVER ${prefix}win AS kept_doc
        |  FROM $compCte c JOIN sc USING (doc_id)
-       |  WINDOW win AS (PARTITION BY c.cluster_id
+       |  WINDOW ${prefix}win AS (PARTITION BY c.cluster_id
        |                 ORDER BY sc.quality_score DESC, c.doc_id ASC)),
-       |pg AS (SELECT doc_id, cluster_id, kept_doc FROM r WHERE rk > 1)""".stripMargin
+       |${prefix}pg AS (SELECT doc_id, cluster_id, kept_doc FROM ${prefix}r WHERE rk > 1)""".stripMargin
+
+  private[queries] def purgeCteSql(compCte: String): String =
+    s"""$qualityScCteSql,
+       |${purgeRankCteSql(compCte)}""".stripMargin
 
   /** Oracle mirror of [[purgeFrom]]: the purge CTE block plus the final
     * SELECT — the q92/q108 oracle tail. */

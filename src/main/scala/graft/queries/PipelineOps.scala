@@ -27,7 +27,7 @@ import graft.core.Tables
 object PipelineOps {
 
   /** Portable 60-bit hash (first 15 md5 hex digits) of a column. */
-  private def hash60(c: Column): Column =
+  private[queries] def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct-per-doc hashed word n-grams: one row per (doc_id, gram),
@@ -38,7 +38,7 @@ object PipelineOps {
     * `transform(sequence, i -> element_at(w, i)...)` form re-evaluates
     * the split per element — lambdas block subexpression elimination —
     * which measured 5 s at sf0.1 where the kernel takes 0.3 s.) */
-  private def docGrams(docs: DataFrame, n: Int): DataFrame =
+  private[queries] def docGrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       explode(call_function("graft_ngrams", split(col("text"), " "), lit(n))).as("g"))
 

@@ -131,6 +131,11 @@ object Warehouse {
     next
   }
 
+  /** [[commit]] for sibling stage stores that reuse this snapshot
+    * protocol (the curation run's `outDir`). */
+  private[queries] def commitSnapshot(whDir: String, curVer: Long,
+      newVer: Long): Unit = commit(whDir, curVer, newVer)
+
   /** Atomic pointer swap (write-temp + ATOMIC_MOVE), then reap
     * snapshots older than the one just superseded — the ServingStore
     * commit discipline. */

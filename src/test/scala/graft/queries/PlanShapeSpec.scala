@@ -68,6 +68,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
       }
   }
 
+  test("the curation summary is served from the run's committed store") {
+    // q136: the whole chain ran at pipeline time; the registry query
+    // is one parquet scan of the persisted summary.
+    plans("q136_curation_run") should include("graft-curation")
+    plans("q136_curation_run") should not include "documents.parquet"
+  }
+
   test("the incremental paths scan the warehouse index side and only the new slice of the corpus") {
     // q113: index bands/token-hashes from stored parquet; the ONLY
     // documents scans are the new batch with the source filter pushed.
