@@ -729,6 +729,39 @@ object Dedup {
     *    inclusion-exclusion), then ONE aggregation emits the verdict.
     * Docs with zero candidates are admitted implicitly (absent from
     * the output — the sparse contract of q66/q111). */
+  /** The TWO band hashes of a text column as one map-only array
+    * expression — the q27 signature + q28 banding contract collapsed
+    * into a single per-row projection (no explode, no shuffle), for
+    * the stream-side index probe (`StreamOps.flagIndexDuplicates`).
+    * Hashes are the 60-bit md5-prefix longs of the band strings, the
+    * same longs [[bandHashBloom]] folds index-side. */
+  private[graft] def bandHashes60(text: Column): Column = {
+    val hs = array_distinct(call_function("graft_token_hashes",
+      array_distinct(split(text, " ")), lit(P)))
+    val sigs = HashParams.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
+    }
+    def bh(sl: Seq[Column]): Column =
+      conv(substring(md5(concat_ws(",", sl.map(_.cast("string")): _*)), 1, 15),
+        16, 10).cast("long")
+    array(bh(sigs.take(4)), bh(sigs.drop(4)))
+  }
+
+  /** Bloom filter over the STORED band index's bucket hashes — the
+    * broadcastable form of the standing q28 index a speed-layer stage
+    * probes (state bound: the bloom's bits, fixed at build time; zero
+    * state-store rows). No false negatives: any incoming doc sharing
+    * a band bucket with the index is flagged; over-flagging is
+    * fpp-bounded (the q94 certificate family). */
+  private[graft] def bandHashBloom(s: SparkSession, dir: String,
+      fpp: Double = 1e-6): Array[Byte] = {
+    val hashes = Warehouse.stored(s, dir, "bands")
+      .select(conv(substring(col("band_hash"), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    graft.functions.Bloom.buildLong(hashes, "h", hashes.count(), fpp)
+  }
+
   /** The verdict aggregation both incremental forms share: candidate
     * pairs → exact token-set Jaccard → one verdict row per new doc. */
   private def incrementVerdict(cand: DataFrame, ha: DataFrame,
@@ -1004,9 +1037,15 @@ object Dedup {
     val q = Warehouse.stored(s, dir, "doc_stats")
       .select(col("doc_id"), col("quality_score"))
     val w = Window.orderBy(col("quality_score").desc, col("doc_id").asc)
-    q.withColumn("rk", row_number().over(w))
-      .crossJoin(broadcast(q.agg(count(lit(1)).as("n_docs"))))
-      .withColumn("decile", expr("((rk - 1) * 10) div n_docs"))
+    // The at-scale decile swap (r13 verdict #4): flag on → sketch-edge
+    // buckets, no global sort. Default = the exact oracle rank form.
+    val withDecile =
+      if (Deciles.useApprox(s))
+        Deciles.withApproxDescDecile(q, "quality_score")
+      else q.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(q.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("decile", expr("((rk - 1) * 10) div n_docs"))
+    withDecile
       .join(purged, Seq("doc_id"), "left")
       .groupBy("decile")
       .agg(

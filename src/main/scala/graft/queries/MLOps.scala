@@ -395,10 +395,15 @@ object MLOps {
       .withColumn("is_anom",
         (anomalyLabel === "anomaly").cast("long"))
     val w = Window.orderBy(col("score_z").desc, col("user_id").asc)
-    scored
-      .withColumn("rk", row_number().over(w))
-      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_users"))))
-      .withColumn("decile", expr("((rk - 1) * 10) div n_users"))
+    // The at-scale decile swap (r13 verdict #4): flag on → sketch-edge
+    // buckets, no global sort. Default = the exact oracle rank form.
+    val withDecile =
+      if (Deciles.useApprox(s)) Deciles.withApproxDescDecile(scored, "score_z")
+      else scored
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_users"))))
+        .withColumn("decile", expr("((rk - 1) * 10) div n_users"))
+    withDecile
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n"),

@@ -26,20 +26,20 @@ object Similarity {
   /** Sequential double dot product — the native codegen'd kernel
     * (`graft.functions.DotProduct`), bit-identical to the HOF fold
     * `dotHof` below (HashExprsSpec asserts equality row-for-row). */
-  private def dot(a: Column, b: Column): Column =
+  private[queries] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
   /** The HOF reference form of `dot` (kept as the executable spec). */
   private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def doubled(c: Column): Column = transform(c, x => x.cast("double"))
+  private[queries] def doubled(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Zero-norm-guarded cosine: a 0/0 would yield NaN, whose sort order
     * differs between Spark (greatest) and a struct-field ascending sort
     * (last) — and DuckDB division can disagree again. Pin the degenerate
     * case to -2.0 (below any real cosine) on BOTH sides instead. */
-  private def cosine(v: Column, qv: Column): Column = {
+  private[queries] def cosine(v: Column, qv: Column): Column = {
     val denom = sqrt(dot(v, v)) * sqrt(dot(qv, qv))
     when(denom === 0.0, lit(-2.0)).otherwise(dot(v, qv) / denom)
   }
@@ -49,7 +49,7 @@ object Similarity {
     * string `.replace` that stops matching degrades into valid SQL
     * that certifies nothing (review r12), whereas operands passed here
     * are always spliced. */
-  private def cosineSqlFor(v: String, q: String): String = {
+  private[queries] def cosineSqlFor(v: String, q: String): String = {
     val denom = s"(sqrt(list_inner_product($v, $v)) * sqrt(list_inner_product($q, $q)))"
     s"CASE WHEN $denom = 0 THEN -2.0 ELSE list_inner_product($v, $q) / $denom END"
   }

@@ -824,6 +824,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The q131 AT-SCALE form (r13 verdict #4): per-source decile
+    * buckets from sketch edges instead of the exact per-source rank
+    * percentile — one mergeable-sketch aggregation to |sources| edge
+    * rows + a map-only bucket assignment, no per-source sort of the
+    * corpus. Not registered (the exact form is the oracle contract);
+    * `DecileSwapSpec` certifies bucket agreement with the exact
+    * percentile's decile. */
+  def qualityNormalizeAtScale(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(qualityScore(s, dir).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+    Deciles.withApproxDescDecileBy(scored, "source", "quality_score")
+      .select("doc_id", "source", "quality_score", "decile")
+  }
+
   val qualityNormalizeSql: String =
     s"""WITH $qualityCteSql,
        |sc AS (SELECT doc_id, $qualityScoreExprSql AS quality_score FROM q),

@@ -49,7 +49,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q119_semantic_decontam", // broadcast probe block × corpus (q30 shape)
     "q123_purge_by_quality", // 1-row doc-count denominator (q117 idiom)
     "q125_vocab_drift",    // sources × broadcast top-20 terms dense completion
-    "q128_ivf_int8")       // broadcast centroids/probe side (q46/q106 shape)
+    "q128_ivf_int8",       // broadcast centroids/probe side (q46/q106 shape)
+    "q137_retrieval_eval") // broadcast |Q| query vectors + 1-row stats legs
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans

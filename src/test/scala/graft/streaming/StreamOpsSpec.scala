@@ -243,6 +243,63 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup flags index band-bucket hits, stateless, stream ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sfd = "/root/testdata/sf0.001"
+    // Index = the stored warehouse bands minus the incoming source —
+    // exactly q113's premise (src19 plays today's crawl). The bloom is
+    // built over the FULL stored index; the incoming docs' own bands
+    // are in it too, which can only ADD flags — the ground truth below
+    // therefore uses the full-index band sets as well.
+    val bloom = graft.queries.Dedup.bandHashBloom(spark, sfd)
+    val incoming = graft.core.Tables.documents(spark, sfd)
+      .filter(col("source") === "src19")
+      .select("doc_id", "text")
+
+    // Ground truth: the doc's two band hashes against the stored
+    // band-hash set (exact, no bloom).
+    val idxHashes = graft.queries.Warehouse.stored(spark, sfd, "bands")
+      .select(conv(substring(col("band_hash"), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(_.getLong(0)).toSet
+    val truth = incoming
+      .select(col("doc_id"),
+        graft.queries.Dedup.bandHashes60(col("text")).as("bh"))
+      .collect()
+      .filter(r => r.getSeq[Long](1).exists(idxHashes.contains))
+      .map(_.getLong(0)).toSet
+    assert(truth.nonEmpty, "fixture must contain index hits")
+
+    // Batch parity.
+    val batchFlagged = StreamOps.flagIndexDuplicates(incoming, "text", bloom)
+      .filter(col("dup_candidate")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((truth -- batchFlagged).isEmpty, "no false negatives (batch)")
+
+    // Stream: identical expression over a MemoryStream.
+    val input = MemoryStream[(Long, String)]
+    val flagged = StreamOps.flagIndexDuplicates(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      "text", bloom)
+    val query = flagged.writeStream.format("memory")
+      .queryName("dup_probe_out").outputMode("append").start()
+    try {
+      val rows = incoming.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.toSeq: _*)
+      query.processAllAvailable()
+      val streamFlagged = spark.table("dup_probe_out")
+        .filter(col("dup_candidate")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamFlagged == batchFlagged, "stream ≡ batch")
+      assert((truth -- streamFlagged).isEmpty, "no false negatives (stream)")
+      // fpp-bounded over-flag (1e-6 × 2 probes/doc ⇒ 0 expected).
+      assert((streamFlagged -- truth).size <= 1, "over-flag beyond fpp bound")
+      // Stateless: no state-store operator in the progress.
+      assert(!query.lastProgress.toString.contains("stateOperators\" : [ {"))
+    } finally query.stop()
+  }
+
   test("decontaminate keeps null-text rows (no silent over-drop)") {
     import spark.implicits._
     // A null document has no n-grams, so it cannot be contaminated —
