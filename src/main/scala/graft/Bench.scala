@@ -243,6 +243,11 @@ object Bench {
     * always processed before their task-ends). */
   private class TaskTimeListener extends org.apache.spark.scheduler.SparkListener {
     val millis = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Shuffle traffic counters (r13 corpus-dedup section): bytes the
+    // measured stage wrote to / read from shuffle, the per-stage
+    // attribution the 100 TB scaling argument is graded on.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
     private val markerStages =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val markerJobs =
@@ -261,7 +266,12 @@ object Bench {
     }
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       if (e.taskInfo != null && !markerStages.contains(e.stageId)) {
-        millis.addAndGet(e.taskInfo.duration); ()
+        millis.addAndGet(e.taskInfo.duration)
+        if (e.taskMetrics != null) {
+          shufWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(e.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        }
+        ()
       }
     override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
       val entry = markerJobs.remove(e.jobId)
@@ -580,6 +590,66 @@ object Bench {
         Left(String.valueOf(e.getMessage).take(200))
       }
 
+    // ---- corpus-scale dedup chain (r13 verdict #3) --------------------
+    // The warehouse doc-grain build (token_hashes → signatures → bands
+    // → clusters → purge — the q27→q49→q92 chain as it actually runs
+    // in production) over MakeBigCorpusFixture corpora with planted
+    // 3-member near-dup clusters, at ~120 MB and ~1.2 GB of raw text.
+    // Per STAGE: wall + the full attribution battery + shuffle bytes
+    // written/read — the columns the at-scale scaling argument reads
+    // (shuffle traffic must track the DIGEST width, not the corpus).
+    // Detail-file only (the stdout line keeps its 2 KB tail contract).
+    // Knobs: SPARK_GRAFT_CORPUS_DOCS (comma doc counts, "" disables),
+    // SPARK_GRAFT_CORPUS_DIR.
+    final case class StageRow(name: String, wall: Double, sent: Double,
+        stealS: Double, gcS: Double, taskS: Double,
+        shufWriteMb: Double, shufReadMb: Double)
+    final case class CorpusResult(nDocs: Long, textBytes: Long,
+        parquetBytes: Long, genSec: Double, purgeRows: Long,
+        clusterRows: Long, stages: Seq[StageRow])
+    val corpusScales: Either[String, Seq[Long]] =
+      scala.util.Try(sys.env.getOrElse(
+          "SPARK_GRAFT_CORPUS_DOCS", "120000,1200000")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong).filter(_ > 0))
+        .toEither.left.map(e => s"bad SPARK_GRAFT_CORPUS_DOCS: ${e.getMessage}")
+    val corpusRoot = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_corpus")
+    val corpusResults: Either[String, Seq[CorpusResult]] =
+      if (corpusScales.isLeft) Left(corpusScales.swap.toOption.get)
+      else if (corpusScales.toOption.get.isEmpty) Right(Nil)
+      else try Right(corpusScales.toOption.get.map { n =>
+        val fx = graft.tools.MakeBigCorpusFixture.ensure(spark, corpusRoot, n)
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-bench-wh").toString
+        val rows = new scala.collection.mutable.ArrayBuffer[StageRow]
+        graft.queries.Warehouse.buildDocChain(spark, fx.dir, wh,
+          (name, work) => {
+            val sent = sentinel()
+            val g0 = gcSnap(); val s0 = sysSnap()
+            val k0 = taskTime.millis.get()
+            val w0 = taskTime.shufWrite.get(); val r0 = taskTime.shufRead.get()
+            val t0 = System.nanoTime()
+            work()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val s1 = sysSnap(); val g1 = gcSnap()
+            taskTime.drain(spark.sparkContext)
+            rows += StageRow(name, wall, sent,
+              (s1.stealJiffies - s0.stealJiffies) / userHz,
+              (g1._1 - g0._1) / 1e3,
+              (taskTime.millis.get() - k0) / 1e3,
+              (taskTime.shufWrite.get() - w0) / 1048576.0,
+              (taskTime.shufRead.get() - r0) / 1048576.0)
+          })
+        val v = graft.queries.Warehouse.version(wh)
+        val purgeRows = spark.read.parquet(s"$wh/v=$v/purge").count()
+        val clusterRows = spark.read.parquet(s"$wh/v=$v/clusters").count()
+        CorpusResult(n, fx.textBytes, fx.parquetBytes, fx.genSec,
+          purgeRows, clusterRows, rows.toSeq)
+      })
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus dedup section FAILED: ${e.getMessage}")
+        Left(String.valueOf(e.getMessage).take(200))
+      }
+
     // ---- streaming micro-bench (r11 verdict #5) -----------------------
     // The speed layer's two product pipelines (metrics1mSketched with
     // watermarked window state; the scored enrich path) measured for
@@ -654,6 +724,23 @@ object Bench {
         s""""task_sec":${darr(r.taskS, "%.2f")}}"""
       }.mkString("[", ",", "]")
     }
+    val corpusDedupDetail = corpusResults match {
+      case Left(err) => "{\"error\":\"" + jsonEsc(err) + "\"}"
+      case Right(rs) => rs.map { r =>
+        val stages = r.stages.map { st =>
+          s"""{"stage":"${st.name}","wall_sec":${num("%.3f", st.wall)},""" +
+          s""""sentinel":${num("%.4f", st.sent)},"steal_sec":${num("%.2f", st.stealS)},""" +
+          s""""gc_sec":${num("%.3f", st.gcS)},"task_sec":${num("%.2f", st.taskS)},""" +
+          s""""shuffle_write_mb":${num("%.2f", st.shufWriteMb)},""" +
+          s""""shuffle_read_mb":${num("%.2f", st.shufReadMb)}}"""
+        }.mkString("[", ",", "]")
+        s"""{"docs":${r.nDocs},"text_bytes":${r.textBytes},""" +
+        s""""parquet_bytes":${r.parquetBytes},"gen_sec":${num("%.2f", r.genSec)},""" +
+        s""""cluster_rows":${r.clusterRows},"purge_rows":${r.purgeRows},""" +
+        s""""stages":$stages}"""
+      }.mkString("[", ",", "]")
+    }
+
     val rawlogStdout = rawlogResults match {
       case Left(_)   => "\"error\""
       case Right(rs) =>
@@ -667,7 +754,7 @@ object Bench {
     val total = results.collect { case (_, t, true) => t }.sum
     val coreTotal = results.collect { case (n, t, true) if coreTier(n) => t }.sum
     val detail =
-      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"rawlog":$rawlogDetail,"streaming":$streamingDetail,"serving":$servingDetail,"core20":{"n":${coreTier.size},"value":${num("%.4f", coreTotal)},"reps":$coreReps,"tail_reps":$tailReps},"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"rawlog":$rawlogDetail,"corpus_dedup":$corpusDedupDetail,"streaming":$streamingDetail,"serving":$servingDetail,"core20":{"n":${coreTier.size},"value":${num("%.4f", coreTotal)},"reps":$coreReps,"tail_reps":$tailReps},"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not
