@@ -421,7 +421,11 @@ object Bench {
     (1 to 3).foreach(_ => sentinel())
     val calib = Vector.fill(5)(sentinel()).sorted
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Registry filter (r13 verdict #8): `--only=q113,q122` argument or
+    // SPARK_GRAFT_ONLY env — bare qNN prefix or full name. Default =
+    // the whole registry (the driver contract).
+    val selected = Verify.onlyFilter(args.toSeq)
+    val names = SparkEntry.queries.keys.toSeq.filter(selected).sorted
 
     // Warm-up (JIT, codegen caches, parquet footer reads) on sf0.001.
     val warmDir = "/root/testdata/sf0.001"

@@ -2,10 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Registry filter (r13 verdict #8 — discoverability at 137 queries):
+  * a third `--only=q113,q134_warehouse_stats` argument (or the
+  * `SPARK_GRAFT_ONLY` env var) restricts the run to the named queries,
+  * matched by bare `qNN` prefix or full name. Default = everything
+  * (the driver's two-arg contract is unchanged). */
 object Verify {
+  private[graft] def onlyFilter(args: Seq[String]): String => Boolean = {
+    val spec = args.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only="))
+      .orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    name => spec.forall(f =>
+      f.contains(name) || f.contains(name.takeWhile(_ != '_')))
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    val selected = onlyFilter(args.drop(2).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +34,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
