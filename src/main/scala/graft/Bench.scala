@@ -610,7 +610,8 @@ object Bench {
         shufWriteMb: Double, shufReadMb: Double)
     final case class CorpusResult(nDocs: Long, textBytes: Long,
         parquetBytes: Long, genSec: Double, purgeRows: Long,
-        clusterRows: Long, stages: Seq[StageRow])
+        clusterRows: Long, stages: Seq[StageRow],
+        incr: StageRow, incrRows: Long, incrDups: Long)
     val corpusScales: Either[String, Seq[Long]] =
       scala.util.Try(sys.env.getOrElse(
           "SPARK_GRAFT_CORPUS_DOCS", "120000,1200000")
@@ -646,8 +647,36 @@ object Bench {
         val v = graft.queries.Warehouse.version(wh)
         val purgeRows = spark.read.parquet(s"$wh/v=$v/purge").count()
         val clusterRows = spark.read.parquet(s"$wh/v=$v/clusters").count()
+        // The day-to-day INCREMENT against the committed warehouse:
+        // src19 (5% of the corpus, all planted near-dups of stored
+        // bases) plays today's crawl. The claim under test is the
+        // central one — increment wall ≪ build wall (O(new batch +
+        // matched buckets), never O(index)) — and the planted ground
+        // truth pins correctness at scale: every new doc must verdict
+        // is_dup (J ≈ 0.99 against its base).
+        val sent = sentinel()
+        val g0 = gcSnap(); val s0 = sysSnap()
+        val k0 = taskTime.millis.get()
+        val w0 = taskTime.shufWrite.get(); val r0 = taskTime.shufRead.get()
+        val t0 = System.nanoTime()
+        val verdicts = graft.queries.Dedup.incrementAgainst(spark, fx.dir,
+            t => graft.queries.Warehouse.read(spark, wh, t), "src19")
+          .select(org.apache.spark.sql.functions.col("is_dup")).cache()
+        val incrRows = verdicts.count()
+        val incrDups = verdicts
+          .filter(org.apache.spark.sql.functions.col("is_dup")).count()
+        verdicts.unpersist()
+        val incrWall = (System.nanoTime() - t0) / 1e9
+        val s1 = sysSnap(); val g1 = gcSnap()
+        taskTime.drain(spark.sparkContext)
+        val incrRow = StageRow("increment", incrWall, sent,
+          (s1.stealJiffies - s0.stealJiffies) / userHz,
+          (g1._1 - g0._1) / 1e3,
+          (taskTime.millis.get() - k0) / 1e3,
+          (taskTime.shufWrite.get() - w0) / 1048576.0,
+          (taskTime.shufRead.get() - r0) / 1048576.0)
         CorpusResult(n, fx.textBytes, fx.parquetBytes, fx.genSec,
-          purgeRows, clusterRows, rows.toSeq)
+          purgeRows, clusterRows, rows.toSeq, incrRow, incrRows, incrDups)
       })
       catch { case e: Throwable =>
         System.err.println(s"[bench] corpus dedup section FAILED: ${e.getMessage}")
@@ -738,9 +767,16 @@ object Bench {
           s""""shuffle_write_mb":${num("%.2f", st.shufWriteMb)},""" +
           s""""shuffle_read_mb":${num("%.2f", st.shufReadMb)}}"""
         }.mkString("[", ",", "]")
+        val inc = r.incr
         s"""{"docs":${r.nDocs},"text_bytes":${r.textBytes},""" +
         s""""parquet_bytes":${r.parquetBytes},"gen_sec":${num("%.2f", r.genSec)},""" +
         s""""cluster_rows":${r.clusterRows},"purge_rows":${r.purgeRows},""" +
+        s""""incr":{"wall_sec":${num("%.3f", inc.wall)},"rows":${r.incrRows},""" +
+        s""""dups":${r.incrDups},"sentinel":${num("%.4f", inc.sent)},""" +
+        s""""steal_sec":${num("%.2f", inc.stealS)},"gc_sec":${num("%.3f", inc.gcS)},""" +
+        s""""task_sec":${num("%.2f", inc.taskS)},""" +
+        s""""shuffle_write_mb":${num("%.2f", inc.shufWriteMb)},""" +
+        s""""shuffle_read_mb":${num("%.2f", inc.shufReadMb)}},""" +
         s""""stages":$stages}"""
       }.mkString("[", ",", "]")
     }

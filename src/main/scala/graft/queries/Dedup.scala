@@ -763,12 +763,19 @@ object Dedup {
   }
 
   /** The verdict aggregation both incremental forms share: candidate
-    * pairs → exact token-set Jaccard → one verdict row per new doc. */
+    * pairs → exact token-set Jaccard → one verdict row per new doc.
+    *
+    * Join shape matters for the O(new batch) claim: the candidate
+    * side (pairs × new-doc hash sets) is O(new batch · bounded bucket
+    * fan-out) and BROADCASTS; the index token-hash table is then
+    * probed MAP-SIDE — without the hint the planner sort-merges and
+    * shuffles the ENTIRE stored token set (measured 128 MB at the
+    * 120k-doc bench scale vs ~0 after), which is exactly the
+    * O(index) cost the increment exists to avoid. */
   private def incrementVerdict(cand: DataFrame, ha: DataFrame,
       hb: DataFrame): DataFrame = {
-    val scored = cand
-      .join(ha, "new_doc")
-      .join(hb, "idx_doc")
+    val scored = hb
+      .join(broadcast(cand.join(ha, "new_doc")), "idx_doc")
       .withColumn("n_inter",
         size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jac", col("n_inter").cast("double") /
@@ -795,19 +802,27 @@ object Dedup {
     * 100 TB index. q135 certifies row-identity with the recompute
     * form below. Construction is EAGER on first use per corpus dir
     * (the warehouse build — the q99 discipline). */
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val idxSrc = Warehouse.stored(s, dir, "doc_stats")
-      .filter(col("source") =!= NewSource).select("doc_id")
-    val ib = Warehouse.stored(s, dir, "bands").join(idxSrc, "doc_id")
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementAgainst(s, dir, Warehouse.stored(s, dir, _), NewSource)
+
+  /** The stored-index increment against an EXPLICIT warehouse reader —
+    * factored so the corpus-scale bench can run the SAME production
+    * path against the warehouse its `buildDocChain` just committed
+    * (q113 binds it to the fixture warehouse + [[NewSource]]). */
+  private[graft] def incrementAgainst(s: SparkSession, dir: String,
+      table: String => DataFrame, newSource: String): DataFrame = {
+    val idxSrc = table("doc_stats")
+      .filter(col("source") =!= newSource).select("doc_id")
+    val ib = table("bands").join(idxSrc, "doc_id")
       .select(col("doc_id").as("idx_doc"), col("band"), col("band_hash"))
-    val newDocs = Tables.documents(s, dir).filter(col("source") === NewSource)
+    val newDocs = Tables.documents(s, dir).filter(col("source") === newSource)
     val nb = bandFrameOfSigs(signaturesOf(newDocs))
       .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))
     val cand = nb.join(ib, Seq("band", "band_hash"))
       .select("new_doc", "idx_doc").distinct()
     val ha = tokenHashSetOf(newDocs)
       .select(col("doc_id").as("new_doc"), col("hs").as("ha"))
-    val hb = Warehouse.stored(s, dir, "token_hashes")
+    val hb = table("token_hashes")
       .select(col("doc_id").as("idx_doc"), col("hs").as("hb"))
     incrementVerdict(cand, ha, hb)
   }

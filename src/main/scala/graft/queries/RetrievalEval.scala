@@ -74,11 +74,6 @@ object RetrievalEval {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val dl = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-    val posting = docs
-      .select(col("doc_id"), explode(col("w")).as("term"))
-      .select(col("doc_id"), PipelineOps.hash60(col("term")).as("th"))
-      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
-    val dfq = posting.groupBy("th").agg(count(lit(1)).as("dfq"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
     // Queries: docs with an embedding, id ≡ 3 (mod 25); the sparse
@@ -93,6 +88,21 @@ object RetrievalEval {
           i => element_at(col("w"), i)))).as("term"))
       .select(col("q_id"), PipelineOps.hash60(col("term")).as("th"))
       .distinct()
+
+    // Only postings for terms SOME query mentions ever reach a shuffle:
+    // the explode still scans every token map-side, but the broadcast
+    // semi-join drops non-query terms before the (doc_id, th) combine —
+    // at corpus scale that's the difference between shuffling the whole
+    // inverted index and shuffling the queried slice of it. tf and df
+    // are unchanged for the surviving terms (per-term counts don't
+    // depend on other terms), so scores and ranks are identical.
+    val queriedTerms = qterms.select("th").distinct()
+    val posting = docs
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .select(col("doc_id"), PipelineOps.hash60(col("term")).as("th"))
+      .join(broadcast(queriedTerms), Seq("th"), "left_semi")
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val dfq = posting.groupBy("th").agg(count(lit(1)).as("dfq"))
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = (col("n_docs") - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5))
