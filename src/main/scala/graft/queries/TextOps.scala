@@ -86,11 +86,18 @@ object TextOps {
     * bit-identical out. */
   private def quant6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(s, dir))
+
+  /** [[qualityScore]] over an explicit docs frame — the score is a
+    * pure per-doc function (no corpus statistics), so a slice scores
+    * identically to its rows inside the full corpus; the warehouse
+    * merge path relies on exactly that. */
+  private[queries] def qualityScoreOf(docs: DataFrame): DataFrame = {
     // Same layering as langId: split once, distinct once, each derived
     // ratio once — every reuse below reads a materialized column.
     val n = col("n")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), length(col("text")).cast("double").as("chars"),
         toks(col("text")).as("t"))
       .select(col("doc_id"), col("chars"),

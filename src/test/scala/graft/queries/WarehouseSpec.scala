@@ -67,6 +67,28 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
     flags.toSeq shouldBe Seq(true)
   }
 
+  test("mergeBatch commits a new version whose tables equal a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-merge-spec").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    // Standing index without src19, then the batch merged in.
+    Warehouse.buildDocChainOf(spark,
+      docs.filter(col("source") =!= "src19"), wh) shouldBe 1L
+    Warehouse.mergeBatch(spark, wh,
+      docs.filter(col("source") === "src19")) shouldBe 2L
+    Warehouse.version(wh) shouldBe 2L
+    // Every maintained table equals the from-scratch fixture build.
+    Warehouse.DocChainTables.foreach { t =>
+      withClue(s"table $t after merge:") {
+        sameRows(Warehouse.read(spark, wh, t), Warehouse.stored(spark, sfDir, t))
+      }
+    }
+    // …and q138's live flags pin true.
+    Warehouse.warehouseMergeCertify(spark, sfDir)
+      .select("matches_full_build").distinct().collect()
+      .map(_.getBoolean(0)).toSeq shouldBe Seq(true)
+  }
+
   test("q126 stored-path semantic increment matches an all-recompute run") {
     // Recompute form: both sides assigned in-query (the r12 body).
     import org.apache.spark.sql.functions._
