@@ -904,9 +904,10 @@ object Dedup {
     *
     * Scale shape: edges are O(clustered docs) by the star bound;
     * signatures are 8 longs per doc and the token hash sets join for
-    * CANDIDATE docs only — at 100 TB both are the STORED q27 outputs,
-    * so the audit reads the index, not the corpus, and costs
-    * O(candidate edges). */
+    * CANDIDATE docs only — since r13 both ARE the stored warehouse
+    * tables (not a fixture recompute), so the audit reads the index,
+    * never the corpus (PlanShapeSpec-pinned), and costs O(candidate
+    * edges). */
   def minhashErrorAudit(s: SparkSession, dir: String): DataFrame = {
     // Since r13 every input is a STORED warehouse table — the audit
     // never touches `documents` (PlanShapeSpec pins zero corpus scans).
@@ -985,9 +986,10 @@ object Dedup {
     * the dedup unit); the audit's job is to measure, not to gate.
     *
     * Scale shape: the purge list is the SMALL side by construction
-    * (O(clustered docs)); token hash sets join on its keys only — at
-    * 100 TB this reads the stored q27 token sets for purged + keeper
-    * docs and never touches the rest of the corpus. Cost O(purged). */
+    * (O(clustered docs)); token hash sets join on its keys only —
+    * since r13 both sides ARE the stored warehouse tables, so the
+    * audit never touches the corpus (PlanShapeSpec-pinned). Cost
+    * O(purged). */
   def purgeAudit(s: SparkSession, dir: String): DataFrame = {
     // Since r13: the purge list and the token-hash sets are STORED
     // warehouse tables — the audit costs O(purged) reads, zero corpus
