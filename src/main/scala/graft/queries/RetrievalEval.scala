@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.{ScoredCand, TopKAggregator}
 
 /** q137 — retrieval QUALITY evaluation (round-13 verdict #5): q118
   * fuses a sparse and a dense leg, but nothing measured whether the
@@ -62,6 +63,40 @@ import graft.core.Tables
   * the top ranks contribute ≤ 10⁶/k ppm. |Q| is the knob (mod 25). */
 object RetrievalEval {
 
+  /** Session flag (r13 verdict #4's discipline applied here): a
+    * positive integer K plans each leg's per-query ranking as the
+    * bounded [[TopKAggregator]] (O(K) state per query, map-side
+    * partials — no per-query sort of the corpus, the documented
+    * at-scale form) instead of the exact full `row_number` window.
+    * recall@1/recall@10 are UNCHANGED for K ≥ 10 (a doc at exact rank
+    * ≤ 10 is in any top-K list at the same rank); MRR truncates to
+    * MRR@K — per query the lost tail term is < 10⁶/K ppm.
+    * `RetrievalTopKSpec` certifies both. Default/0 = the exact oracle
+    * form. */
+  val TopKConf = "spark.graft.retrieval.topk"
+
+  /** Per-query ranks of `scored` on (`score` DESC, id ASC): the exact
+    * window, or the bounded top-K aggregation under [[TopKConf]]. */
+  private def legRanks(s: SparkSession, scored: DataFrame, qCol: String,
+      idCol: String, score: Column, rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topK = s.conf.getOption(TopKConf).map(_.trim.toInt).getOrElse(0)
+    if (topK > 0) {
+      val agg = udaf(new TopKAggregator(topK), Encoders.product[ScoredCand])
+      scored.groupBy(col(qCol))
+        .agg(agg((-score).cast("double"), col(idCol).cast("long"), lit(0.0))
+          .as("tk"))
+        .select(col(qCol), posexplode(col("tk.cands")).as(Seq("pos", "x")))
+        .select(col(qCol), col("x.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as(rankName))
+    } else
+      scored
+        .withColumn(rankName, row_number().over(
+          Window.partitionBy(col(qCol))
+            .orderBy(score.desc, col(idCol).asc)).cast("long"))
+        .select(col(qCol), col(idCol).as("doc_id"), col(rankName))
+  }
+
   private[queries] val QueryMod = 25L
   private[queries] val QueryRes = 3L
   private[queries] val Stride = 3L
@@ -116,11 +151,9 @@ object RetrievalEval {
         idf * (tfd * lit(K1 + 1)) /
           (tfd + lit(K1) * (lit(1.0) - lit(B) + lit(B) * (col("dl") / avgdl)))
           * 1e6).cast("long"))
-    val srk = contrib.groupBy("q_id", "doc_id")
-      .agg(sum(col("cm")).as("s_micro"))
-      .withColumn("rs", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("s_micro").desc, col("doc_id").asc)).cast("long"))
-      .select("q_id", "doc_id", "rs")
+    val srk = legRanks(s,
+      contrib.groupBy("q_id", "doc_id").agg(sum(col("cm")).as("s_micro")),
+      "q_id", "doc_id", col("s_micro"), "rs")
 
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.doubled(col("embedding")).as("v"))
@@ -135,11 +168,10 @@ object RetrievalEval {
         transform(sequence(lit(1), size(col("v"))),
           i => when((i - 1) % lit(Stride) === 0,
             element_at(col("v"), i)).otherwise(lit(0.0))).as("qv"))
-    val drk = e.crossJoin(broadcast(qv))
-      .withColumn("cos", Similarity.cosine(col("v"), col("qv")))
-      .withColumn("rd", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
-      .select(col("q_id"), col("vec_id").as("doc_id"), col("rd"))
+    val drk = legRanks(s,
+      e.crossJoin(broadcast(qv))
+        .withColumn("cos", Similarity.cosine(col("v"), col("qv"))),
+      "q_id", "vec_id", col("cos"), "rd")
 
     val rrfK = Similarity.RrfK
     val fused = drk.join(srk, Seq("q_id", "doc_id"), "left")
@@ -149,8 +181,17 @@ object RetrievalEval {
       .withColumn("rf", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
 
-    val self = fused.filter(col("doc_id") === col("q_id"))
-      .select("q_id", "rs", "rd", "rf")
+    // Metrics basis = the QUERY set (not the fused rows): under the
+    // top-K flag a query's self row can fall out of every list — that
+    // is a miss (null ranks → zero contributions), never a shrunken
+    // denominator.
+    def selfOf(ranks: DataFrame, rank: String): DataFrame =
+      ranks.filter(col("doc_id") === col("q_id")).select(col("q_id"), col(rank))
+    val self = qv.select(col("q_id"))
+      .join(selfOf(srk, "rs"), Seq("q_id"), "left")
+      .join(selfOf(drk, "rd"), Seq("q_id"), "left")
+      .join(selfOf(fused.select(col("q_id"), col("doc_id"), col("rf")), "rf"),
+        Seq("q_id"), "left")
     def m(r: String) = Seq(
       sum(when(col(r) === 1, 1L).otherwise(0L)).as(s"${r}1"),
       sum(when(col(r) <= 10, 1L).otherwise(0L)).as(s"${r}10"),
