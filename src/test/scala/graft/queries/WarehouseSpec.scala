@@ -36,6 +36,23 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "v=3")))
   }
 
+  test("a crash mid-build leaves readers on the old version; the next build recovers") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-crash").toString
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 1L
+    val v1Bands = Warehouse.read(spark, wh, "bands").count()
+    // Simulate a crash: a half-written v=2 exists but the pointer was
+    // never moved.
+    val torn = java.nio.file.Paths.get(wh, "v=2", "bands")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("garbage"), "not parquet")
+    Warehouse.version(wh) shouldBe 1L
+    Warehouse.read(spark, wh, "bands").count() shouldBe v1Bands
+    // The next successful build claims v=2 (overwrite mode clobbers the
+    // torn directory) and commits atomically.
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 2L
+    Warehouse.read(spark, wh, "bands").count() shouldBe v1Bands
+  }
+
   test("stored tables are content-identical to the recompute builders") {
     // The memoized fixture warehouse the registry queries read.
     sameRows(Warehouse.stored(spark, sfDir, "token_hashes"),
