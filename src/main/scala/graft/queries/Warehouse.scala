@@ -193,6 +193,34 @@ object Warehouse {
     next
   }
 
+  /** Compact every table of the current snapshot to `targetFiles`
+    * parquet files — the small-files maintenance pass a merge-driven
+    * warehouse needs (each [[mergeBatch]] union-write inherits the
+    * session's parallelism, so a low-rate merge cadence accumulates
+    * files faster than bytes and scan planning cost grows with file
+    * count, not data). Runs under the same snapshot protocol as every
+    * other writer: a fresh version, one atomic pointer move, readers
+    * never see a half-compacted warehouse — the `ServingStore.compact`
+    * discipline lifted to the multi-table snapshot. At 100 TB the
+    * same pass sizes `targetFiles` per table from bytes / target file
+    * size and runs per partition range. */
+  def compact(s: SparkSession, whDir: String, targetFiles: Int = 1): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val cur = version(whDir)
+    require(cur > 0, s"compact needs a committed snapshot in $whDir")
+    val next = cur + 1
+    // Only tables present in THIS snapshot are compacted (a doc-chain
+    // warehouse has six; a full build twelve).
+    val present = TableNames.filter(t =>
+      Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
+    present.foreach { t =>
+      read(s, whDir, t).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$whDir/v=$next/$t")
+    }
+    commit(whDir, cur, next)
+    next
+  }
+
   /** Build a full index snapshot from the corpus at `corpusDir` into
     * `whDir` and commit it atomically. Returns the new version. */
   def build(s: SparkSession, corpusDir: String, whDir: String): Long = {

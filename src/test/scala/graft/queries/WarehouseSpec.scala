@@ -84,6 +84,25 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
     flags.toSeq shouldBe Seq(true)
   }
 
+  test("compact preserves every table's content in targetFiles files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-compact").toString
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 1L
+    val before = Warehouse.DocChainTables
+      .map(t => t -> Warehouse.read(spark, wh, t).count()).toMap
+    Warehouse.compact(spark, wh) shouldBe 2L
+    Warehouse.version(wh) shouldBe 2L
+    Warehouse.DocChainTables.foreach { t =>
+      Warehouse.read(spark, wh, t).count() shouldBe before(t)
+      val files = Option(new java.io.File(s"$wh/v=2/$t").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      withClue(s"$t data files after compact:") { files.length shouldBe 1 }
+    }
+    // Content identity, not just counts, on the widest table.
+    sameRows(Warehouse.read(spark, wh, "token_hashes"),
+      Dedup.tokenHashSet(spark, sfDir))
+  }
+
   test("mergeBatch commits a new version whose tables equal a full rebuild") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft-merge-spec").toString
