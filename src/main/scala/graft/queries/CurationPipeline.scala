@@ -89,7 +89,7 @@ object CurationPipeline {
     val wAll = Window.partitionBy()
     retained.groupBy("source")
       .agg(sum(col("n_tokens")).as("avail_tokens"))
-      .withColumn("w", expr("TRY_CAST(substring(source, 4) AS BIGINT) + 1"))
+      .withColumn("w", PipelineOps.srcWeightCol)
       .withColumn("den", sum(col("w")).over(wAll))
       .withColumn("b", expr("(avail_tokens * den) div w"))
       .withColumn("b_star", min(col("b")).over(wAll))
@@ -147,7 +147,7 @@ object CurationPipeline {
     Files.createDirectories(java.nio.file.Paths.get(outDir))
     val cur = Warehouse.version(outDir)
     val next = cur + 1
-    val base = s"$outDir/v=$next"
+    val base = Warehouse.freshVersionDir(outDir, next)
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$base/$name")
     def readBack(name: String): DataFrame = s.read.parquet(s"$base/$name")

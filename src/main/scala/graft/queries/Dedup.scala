@@ -765,17 +765,23 @@ object Dedup {
   /** The verdict aggregation both incremental forms share: candidate
     * pairs → exact token-set Jaccard → one verdict row per new doc.
     *
-    * Join shape matters for the O(new batch) claim: the candidate
-    * side (pairs × new-doc hash sets) is O(new batch · bounded bucket
-    * fan-out) and BROADCASTS; the index token-hash table is then
-    * probed MAP-SIDE — without the hint the planner sort-merges and
+    * Join shape matters for the O(new batch) claim: the index
+    * token-hash table is probed MAP-SIDE by TWO SEPARATE broadcasts —
+    * the SKINNY candidate pairs (16 B/row) and the batch's hash sets
+    * (O(batch) rows) — without the hints the planner sort-merges and
     * shuffles the ENTIRE stored token set (measured 128 MB at the
-    * 120k-doc bench scale vs ~0 after), which is exactly the
-    * O(index) cost the increment exists to avoid. */
+    * 120k-doc bench scale vs ~0 after), which is exactly the O(index)
+    * cost the increment exists to avoid. Broadcasting them SEPARATELY
+    * matters as much as broadcasting at all: the r13 form broadcast
+    * `cand ⋈ ha` — pairs × hash-set arrays, O(candidates · |hs|)
+    * bytes — which at sf0.1's 479k bucket-heavy candidates built a
+    * ~570 MB broadcast for what is ~8 MB of pairs + ~4 MB of batch
+    * sets when shipped unjoined. */
   private def incrementVerdict(cand: DataFrame, ha: DataFrame,
       hb: DataFrame): DataFrame = {
     val scored = hb
-      .join(broadcast(cand.join(ha, "new_doc")), "idx_doc")
+      .join(broadcast(cand), "idx_doc")
+      .join(broadcast(ha), "new_doc")
       .withColumn("n_inter",
         size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jac", col("n_inter").cast("double") /
@@ -811,16 +817,35 @@ object Dedup {
     * (q113 binds it to the fixture warehouse + [[NewSource]]). */
   private[graft] def incrementAgainst(s: SparkSession, dir: String,
       table: String => DataFrame, newSource: String): DataFrame = {
-    val idxSrc = table("doc_stats")
-      .filter(col("source") =!= newSource).select("doc_id")
-    val ib = table("bands").join(idxSrc, "doc_id")
-      .select(col("doc_id").as("idx_doc"), col("band"), col("band_hash"))
     val newDocs = Tables.documents(s, dir).filter(col("source") === newSource)
-    val nb = bandFrameOfSigs(signaturesOf(newDocs))
+    val hsNew = tokenHashSetOf(newDocs)
+    val nb = bandFrameOfSigs(sigsFromHs(hsNew))
       .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))
-    val cand = nb.join(ib, Seq("band", "band_hash"))
+    // The index side NEVER shuffles (r13 verdict #1 — the old shape
+    // sort-merged the whole stored band table, measured O(index):
+    // 14 → 136 MB of increment shuffle across a 10× index sweep).
+    // Two broadcast probes keep it map-only:
+    //  - the batch's doc_ids anti-prune the fixture's own batch rows
+    //    out of the index side map-side (production indexes don't
+    //    contain the incoming batch; the stored `bands` schema needs
+    //    no `source` column either way — the old form joined the
+    //    whole `doc_stats` table in for exactly this filter);
+    //  - the batch's band rows broadcast into the candidate equi-join,
+    //    which prunes the stored scan to the MATCHED BUCKETS inside
+    //    the same map-side hash probe (a separate distinct-keys
+    //    semi-join would re-run the batch's signature subplan for
+    //    zero extra pruning here; at 100 TB the stored `bands` table
+    //    is additionally bucketed by band_hash — operators/Bucketing —
+    //    so the same key set prunes the READ, not just the probe).
+    // The first exchange in the whole increment is the candidate-pair
+    // distinct — O(batch · bucket fan-out) rows, never O(index).
+    val newIds = newDocs.select(col("doc_id"))
+    val cand = table("bands")
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("idx_doc"), col("band"), col("band_hash"))
+      .join(broadcast(nb), Seq("band", "band_hash"))
       .select("new_doc", "idx_doc").distinct()
-    val ha = tokenHashSetOf(newDocs)
+    val ha = hsNew
       .select(col("doc_id").as("new_doc"), col("hs").as("ha"))
     val hb = table("token_hashes")
       .select(col("doc_id").as("idx_doc"), col("hs").as("hb"))

@@ -30,6 +30,20 @@ object PipelineOps {
   private[queries] def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The pinned q127 source-weight rule — `source` is 'src<N>', weight
+    * is N + 1 — as ONE guarded expression shared by every
+    * instantiation (`mixturePlanner`, the curation run's mixture
+    * stage; ADVICE r13). A non-conforming source fails LOUDLY via
+    * raise_error instead of silently nulling the weight and poisoning
+    * the whole plan's denominators downstream. */
+  private[queries] def srcWeightCol: Column = {
+    val parsed = expr("TRY_CAST(substring(source, 4) AS BIGINT)")
+    when(parsed.isNull,
+      raise_error(concat(lit("q127: source not of form src<N>: "),
+        col("source"))).cast("long"))
+      .otherwise(parsed + 1L)
+  }
+
   /** Distinct-per-doc hashed word n-grams: one row per (doc_id, gram),
     * via the native `graft_ngrams` kernel — split once, one pass,
     * per-doc dedup inside the expression (no distinct shuffle). Grams
@@ -879,13 +893,7 @@ object PipelineOps {
       // suffix). A non-conforming source parses to NULL and fails
       // LOUDLY here instead of silently nulling `den` and poisoning
       // every row of the plan.
-      .withColumn("w", {
-        val parsed = expr("TRY_CAST(substring(source, 4) AS BIGINT)")
-        when(parsed.isNull,
-          raise_error(concat(lit("q127: source not of form src<N>: "),
-            col("source"))).cast("long"))
-          .otherwise(parsed + 1L)
-      })
+      .withColumn("w", srcWeightCol)
       .withColumn("den", sum(col("w")).over(wAll))
       .withColumn("b", expr("(avail_tokens * den) div w"))
       .withColumn("b_star", min(col("b")).over(wAll))

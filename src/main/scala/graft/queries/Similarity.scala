@@ -1257,7 +1257,14 @@ object Similarity {
       .select(col("vec_id").as("idx_vec"), col("v").as("iv"),
         col("norm").as("inorm"), col("cell"))
     val denom = col("nn") * col("inorm")
-    nb.join(ib, Seq("cell"))
+    // The batch side BROADCASTS (r13 verdict #1's cell-probe audit):
+    // without the hint the planner sort-merges on `cell` — k=8 keys,
+    // so the ENTIRE stored cell index shuffles into 8 skewed
+    // partitions. Broadcasting the (small by premise) batch keeps the
+    // stored side map-only; the only exchange left is the final
+    // per-new-vector aggregation, whose map-side combine reduces to
+    // O(batch) rows before it ships.
+    broadcast(nb).join(ib, Seq("cell"))
       .withColumn("cos",
         when(denom === 0.0, lit(-2.0))
           .otherwise(dot(col("nv2"), col("iv")) / denom))

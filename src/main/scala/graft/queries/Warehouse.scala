@@ -142,7 +142,7 @@ object Warehouse {
     Files.createDirectories(Paths.get(whDir))
     val cur = version(whDir)
     val next = cur + 1
-    writeDocChain(s, docs, s"$whDir/v=$next", measure)
+    writeDocChain(s, docs, freshVersionDir(whDir, next), measure)
     commit(whDir, cur, next)
     next
   }
@@ -209,6 +209,7 @@ object Warehouse {
     val cur = version(whDir)
     require(cur > 0, s"compact needs a committed snapshot in $whDir")
     val next = cur + 1
+    freshVersionDir(whDir, next)
     // Only tables present in THIS snapshot are compacted (a doc-chain
     // warehouse has six; a full build twelve).
     val present = TableNames.filter(t =>
@@ -227,7 +228,7 @@ object Warehouse {
     Files.createDirectories(Paths.get(whDir))
     val cur = version(whDir)
     val next = cur + 1
-    val base = s"$whDir/v=$next"
+    val base = freshVersionDir(whDir, next)
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$base/$name")
     def readBack(name: String): DataFrame = s.read.parquet(s"$base/$name")
@@ -254,18 +255,47 @@ object Warehouse {
   private[queries] def commitSnapshot(whDir: String, curVer: Long,
       newVer: Long): Unit = commit(whDir, curVer, newVer)
 
+  /** Recursively delete a directory tree (best-effort), closing the
+    * walk stream (ADVICE r13: a leaked `Files.walk` stream holds a
+    * directory fd per reaping commit in a long-lived driver). */
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) scala.util.Try {
+      scala.util.Using.resource(Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+      }
+    }
+
+  /** The version directory a writer is about to populate, GUARANTEED
+    * empty (ADVICE r13): a crashed build can leave a half-written
+    * v=next behind (the pointer never moved, so nothing reaped it);
+    * the next writer lands on the SAME version number, and if it
+    * writes fewer tables than the crash did (a doc-chain build after
+    * a crashed full build), the torn leftover tables would silently
+    * join its committed snapshot. Deleting v=next first makes every
+    * snapshot contain exactly the tables its committing writer wrote. */
+  private[queries] def freshVersionDir(whDir: String, next: Long): String = {
+    val base = Paths.get(whDir, s"v=$next")
+    deleteTree(base)
+    Files.createDirectories(base)
+    base.toString
+  }
+
   /** Atomic pointer swap (write-temp + ATOMIC_MOVE), then reap
     * snapshots older than the one just superseded — the ServingStore
-    * commit discipline. */
+    * commit discipline. Also sweeps stale `_CURRENT.tmp.*` files a
+    * crash between write and move could leave (ADVICE r13). */
   private def commit(whDir: String, curVer: Long, newVer: Long): Unit = {
     val tmp = Paths.get(whDir, s"_CURRENT.tmp.$newVer")
     Files.writeString(tmp, newVer.toString)
     Files.move(tmp, pointerPath(whDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     (1L until curVer).foreach { old =>
-      val dir = Paths.get(whDir, s"v=$old")
-      if (Files.exists(dir)) scala.util.Try {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      deleteTree(Paths.get(whDir, s"v=$old"))
+    }
+    scala.util.Try {
+      scala.util.Using.resource(Files.list(Paths.get(whDir))) { st =>
+        st.filter(p => p.getFileName.toString.startsWith("_CURRENT.tmp."))
           .forEach(f => { Files.deleteIfExists(f); () })
       }
     }

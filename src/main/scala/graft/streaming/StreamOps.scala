@@ -105,15 +105,22 @@ object StreamOps {
     * fpp-bounded. Flagged docs route to the batch confirmer (q113's
     * exact-Jaccard verdict) instead of being dropped blind — exactly
     * how a production speed layer splits cheap-routing from exact
-    * adjudication. NULL text is kept unflagged (a null doc has no
-    * bands — the [[decontaminate]] null contract). Works identically
+    * adjudication. NULL text is kept unflagged via an EXPLICIT
+    * null-gate (ADVICE r13): unlike [[decontaminate]]'s gram array,
+    * `bandHashes60` over null text does NOT propagate null — the
+    * all-null signature components fall through `concat_ws` (which
+    * skips nulls) to md5("") and yield two REAL band hashes, so a
+    * null-text doc would collide with any null-text doc already in
+    * the index. The `when(isNull)` gate pins the contract instead of
+    * relying on null propagation that never occurs. Works identically
     * on batch frames (the spec's stream≡batch parity). */
   def flagIndexDuplicates(df: DataFrame, textCol: String,
       bloomBits: Array[Byte]): DataFrame =
-    df.withColumn("dup_candidate", coalesce(
-      exists(graft.queries.Dedup.bandHashes60(col(textCol)),
-        b => call_function("graft_bloom_contains", lit(bloomBits), b)),
-      lit(false)))
+    df.withColumn("dup_candidate",
+      when(col(textCol).isNull, lit(false)).otherwise(coalesce(
+        exists(graft.queries.Dedup.bandHashes60(col(textCol)),
+          b => call_function("graft_bloom_contains", lit(bloomBits), b)),
+        lit(false))))
 
   /** Gap-based sessions via the built-in `session_window`: a session
     * extends while events keep arriving within `gap` of the previous

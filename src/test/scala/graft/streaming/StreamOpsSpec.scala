@@ -300,6 +300,24 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally query.stop()
   }
 
+  test("flagIndexDuplicates keeps null-text rows unflagged (md5('') band collision)") {
+    import spark.implicits._
+    // ADVICE r13: bandHashes60 over null text does NOT null-propagate —
+    // the all-null signature falls through concat_ws to md5("") and
+    // yields two REAL band hashes. Build the bloom over an index that
+    // CONTAINS a null-text doc's bands, so an unguarded probe would
+    // flag every null incoming doc; the explicit when(isNull) gate
+    // must keep it unflagged.
+    val nullBands = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(explode(graft.queries.Dedup.bandHashes60(col("text"))).as("h"))
+    val bits = graft.functions.Bloom.buildLong(nullBands, "h", 2L, 1e-6)
+    val rows = Seq((1L, "a b c"), (2L, null)).toDF("doc_id", "text")
+    val flagged = StreamOps.flagIndexDuplicates(rows, "text", bits)
+      .filter(col("dup_candidate")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!flagged.contains(2L), "null-text doc must stay unflagged")
+  }
+
   test("decontaminate keeps null-text rows (no silent over-drop)") {
     import spark.implicits._
     // A null document has no n-grams, so it cannot be contaminated —
