@@ -510,7 +510,12 @@ object Dedup {
     * chain actually indexes (and what `Warehouse.build` persists as
     * the `chunk_digests` table: 16-byte digests, never chunk text). */
   private[queries] def chunkDigests(s: SparkSession, dir: String): DataFrame =
-    PipelineOps.chunkedDocs(s, dir)
+    chunkDigestsOf(Tables.documents(s, dir))
+
+  /** [[chunkDigests]] over an explicit docs frame — the seam the
+    * warehouse merge path uses to digest ONLY the incoming batch. */
+  private[queries] def chunkDigestsOf(docs: DataFrame): DataFrame =
+    PipelineOps.chunkedDocsOf(docs)
       .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"))
       .distinct()
 

@@ -729,9 +729,14 @@ object PipelineOps {
   /** The shared chunk fan-out (doc_id, chunk_idx, chunk) that q100
     * identity and q102 chunk-grain dedup both consume — one contract,
     * one implementation, so the two can never drift. */
-  private[queries] def chunkedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def chunkedDocs(s: SparkSession, dir: String): DataFrame =
+    chunkedDocsOf(Tables.documents(s, dir))
+
+  /** [[chunkedDocs]] over an explicit docs frame — the seam the
+    * warehouse merge path uses to chunk ONLY the incoming batch. */
+  private[queries] def chunkedDocsOf(docs: DataFrame): DataFrame = {
     val len = length(col("text"))
-    Tables.documents(s, dir)
+    docs
       .withColumn("n_chunks",
         when(len <= ChunkSize, lit(1L)).otherwise(
           lit(1L) + expr(

@@ -428,19 +428,37 @@ object Similarity {
     * assigned cell, with the norm precomputed. This frame is what
     * `Warehouse.build` persists as the `cells` table and what q109's
     * pair enumeration / q126's increment probe read. */
-  private[queries] def cellIndex(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+  private[queries] def cellIndex(s: SparkSession, dir: String): DataFrame =
+    cellIndexOf(Tables.embeddings(s, dir))
+
+  /** [[cellIndex]] over an explicit raw embeddings frame (vec_id,
+    * embedding) — the seam the full-grain merge certification uses to
+    * build a STANDING index from the corpus minus today's batch. */
+  private[queries] def cellIndexOf(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), doubled(col("embedding")).as("v"))
     assignCells(e)
       .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v"))
   }
+
+  /** Cell rows (vec_id, cell, norm, v) for a raw embeddings frame
+    * assigned against EXPLICIT centroids — the warehouse merge path's
+    * batch-side assignment: new vectors get exactly the cells the
+    * standing build used, without touching the stored corpus. */
+  private[queries] def cellRowsWith(emb: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame =
+    assignCellsWith(
+      emb.select(col("vec_id"), doubled(col("embedding")).as("v")), cents)
+      .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v"))
 
   /** Centroid rows (c_id, v) for the warehouse's `centroids` table —
     * the literal centroids the build assigned cells with, persisted so
     * increments can re-create the SAME assignment without touching the
     * corpus. */
   private[queries] def centroidFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    centroidFrameOf(Tables.embeddings(s, dir))
+
+  private[queries] def centroidFrameOf(emb: DataFrame): DataFrame =
+    emb
       .filter(col("vec_id") < CentroidK)
       .select(col("vec_id").as("c_id"), doubled(col("embedding")).as("v"))
 

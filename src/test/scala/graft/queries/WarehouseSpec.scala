@@ -125,6 +125,77 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
       .map(_.getBoolean(0)).toSeq shouldBe Seq(true)
   }
 
+  test("a crashed FULL build cannot leak torn tables into a later doc-chain snapshot") {
+    // ADVICE r13: the crash spec above covers a same-table-set writer;
+    // this one covers the cross-writer case — a full 12-table build
+    // crashes at v=2, then a DOC-CHAIN build claims v=2. The committed
+    // snapshot must contain exactly the committing writer's 6 tables;
+    // the crash's torn chunk/semantic leftovers must be gone, not
+    // silently adopted.
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-xcrash").toString
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 1L
+    val torn = java.nio.file.Paths.get(wh, "v=2", "chunk_digests")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("garbage"), "not parquet")
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 2L
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, "v=2", "chunk_digests")),
+      "torn table from the crashed full build survived into the snapshot")
+    Warehouse.DocChainTables.foreach { t =>
+      Warehouse.read(spark, wh, t).count() should be > 0L
+    }
+  }
+
+  test("mergeBatch refuses a full warehouse without the batch's embeddings") {
+    import org.apache.spark.sql.functions.col
+    // ADVICE r13: a doc-only merge on a 12-table warehouse would commit
+    // a snapshot whose semantic tables silently miss the batch (and the
+    // reaper would then delete the last version that had it right).
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-refuse").toString
+    Warehouse.build(spark, sfDir, wh) shouldBe 1L
+    val batch = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("source") === "src19")
+    val e = intercept[IllegalArgumentException](
+      Warehouse.mergeBatch(spark, wh, batch))
+    e.getMessage should include("embeddings")
+    Warehouse.version(wh) shouldBe 1L
+  }
+
+  test("merge leaf append re-references the standing files instead of rewriting them") {
+    import org.apache.spark.sql.functions.col
+    // r13 verdict #3: the leaf merge must be O(batch) I/O — the
+    // standing version's parquet files appear in the merged version
+    // BY NAME (hard links), with only the batch's rows in new files.
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-link").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    Warehouse.buildDocChainOf(spark,
+      docs.filter(col("source") =!= "src19"), wh) shouldBe 1L
+    def parts(v: Long, t: String): Set[String] =
+      Option(new java.io.File(s"$wh/v=$v/$t").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .toSet
+    val standing = Warehouse.DocChainTables.map(t => t -> parts(1L, t)).toMap
+    Warehouse.mergeBatch(spark, wh,
+      docs.filter(col("source") === "src19")) shouldBe 2L
+    Seq("doc_stats", "token_hashes", "signatures", "bands").foreach { t =>
+      withClue(s"leaf $t:") {
+        // Every standing file re-referenced, plus ≥1 new batch file.
+        (standing(t) -- parts(2L, t)) shouldBe empty
+        (parts(2L, t) -- standing(t)).size should be > 0
+      }
+    }
+  }
+
+  test("all-grain merge certification (q139) pins every table to the rebuild") {
+    val rows = Warehouse.warehouseFullMergeCertify(spark, sfDir).collect()
+    rows.length shouldBe Warehouse.TableNames.length
+    rows.foreach { r =>
+      withClue(s"table ${r.getString(0)}:") {
+        r.getBoolean(2) shouldBe true
+      }
+    }
+  }
+
   test("q126 stored-path semantic increment matches an all-recompute run") {
     // Recompute form: both sides assigned in-query (the r12 body).
     import org.apache.spark.sql.functions._
