@@ -611,42 +611,61 @@ object Bench {
     final case class CorpusResult(nDocs: Long, textBytes: Long,
         parquetBytes: Long, genSec: Double, purgeRows: Long,
         clusterRows: Long, stages: Seq[StageRow],
-        incr: StageRow, incrRows: Long, incrDups: Long)
+        incr: StageRow, incrRows: Long, incrDups: Long,
+        incrFixed: StageRow, incrFixedRows: Long, incrFixedDups: Long,
+        mergeStages: Seq[StageRow],
+        bloom: StageRow, bloomBytes: Long,
+        probe: StageRow, probeRows: Long, probeFlagged: Long,
+        buildFullStages: Seq[StageRow], curationStages: Seq[StageRow])
     val corpusScales: Either[String, Seq[Long]] =
       scala.util.Try(sys.env.getOrElse(
           "SPARK_GRAFT_CORPUS_DOCS", "120000,1200000")
         .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong).filter(_ > 0))
         .toEither.left.map(e => s"bad SPARK_GRAFT_CORPUS_DOCS: ${e.getMessage}")
     val corpusRoot = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_corpus")
+    // The curation run + full 12-table build execute at the LARGEST
+    // scale only (they dominate the section's wall); "0" disables.
+    val corpusCuration = sys.env.getOrElse("SPARK_GRAFT_CORPUS_CURATION", "1") != "0"
     val corpusResults: Either[String, Seq[CorpusResult]] =
       if (corpusScales.isLeft) Left(corpusScales.swap.toOption.get)
       else if (corpusScales.toOption.get.isEmpty) Right(Nil)
       else try Right(corpusScales.toOption.get.map { n =>
+        import org.apache.spark.sql.functions.{col, length, sum}
+        val maxScale = corpusScales.toOption.get.max
         val fx = graft.tools.MakeBigCorpusFixture.ensure(spark, corpusRoot, n)
         val wh = java.nio.file.Files
           .createTempDirectory("graft-bench-wh").toString
+        def stageRow(name: String)(work: => Unit): StageRow = {
+          val sent = sentinel()
+          val g0 = gcSnap(); val s0 = sysSnap()
+          val k0 = taskTime.millis.get()
+          val w0 = taskTime.shufWrite.get(); val r0 = taskTime.shufRead.get()
+          val t0 = System.nanoTime()
+          work
+          val wall = (System.nanoTime() - t0) / 1e9
+          val s1 = sysSnap(); val g1 = gcSnap()
+          taskTime.drain(spark.sparkContext)
+          StageRow(name, wall, sent,
+            (s1.stealJiffies - s0.stealJiffies) / userHz,
+            (g1._1 - g0._1) / 1e3,
+            (taskTime.millis.get() - k0) / 1e3,
+            (taskTime.shufWrite.get() - w0) / 1048576.0,
+            (taskTime.shufRead.get() - r0) / 1048576.0)
+        }
+        // STANDING index = corpus minus src19 (production-true since
+        // r14: the index never contains the incoming batch, so the
+        // increments below need no fixture exclusion join). Planted
+        // ground truth on the standing corpus: clusters 0.25n members
+        // in 0.10n clusters, purge exactly 0.15n (the +7 dups and the
+        // src9-half of the +9 dups).
+        val docs = graft.core.Tables.documents(spark, fx.dir)
         val rows = new scala.collection.mutable.ArrayBuffer[StageRow]
-        graft.queries.Warehouse.buildDocChain(spark, fx.dir, wh,
-          (name, work) => {
-            val sent = sentinel()
-            val g0 = gcSnap(); val s0 = sysSnap()
-            val k0 = taskTime.millis.get()
-            val w0 = taskTime.shufWrite.get(); val r0 = taskTime.shufRead.get()
-            val t0 = System.nanoTime()
-            work()
-            val wall = (System.nanoTime() - t0) / 1e9
-            val s1 = sysSnap(); val g1 = gcSnap()
-            taskTime.drain(spark.sparkContext)
-            rows += StageRow(name, wall, sent,
-              (s1.stealJiffies - s0.stealJiffies) / userHz,
-              (g1._1 - g0._1) / 1e3,
-              (taskTime.millis.get() - k0) / 1e3,
-              (taskTime.shufWrite.get() - w0) / 1048576.0,
-              (taskTime.shufRead.get() - r0) / 1048576.0)
-          })
-        val v = graft.queries.Warehouse.version(wh)
-        val purgeRows = spark.read.parquet(s"$wh/v=$v/purge").count()
-        val clusterRows = spark.read.parquet(s"$wh/v=$v/clusters").count()
+        graft.queries.Warehouse.buildDocChainOf(spark,
+          docs.filter(col("source") =!= "src19"), wh,
+          (name, work) => { rows += stageRow(name)(work()) })
+        def whRead(t: String) = graft.queries.Warehouse.read(spark, wh, t)
+        val purgeRows = whRead("purge").count()
+        val clusterRows = whRead("clusters").count()
         // The day-to-day INCREMENT against the committed warehouse:
         // src19 (5% of the corpus, all planted near-dups of stored
         // bases) plays today's crawl. The claim under test is the
@@ -654,29 +673,77 @@ object Bench {
         // matched buckets), never O(index)) — and the planted ground
         // truth pins correctness at scale: every new doc must verdict
         // is_dup (J ≈ 0.99 against its base).
-        val sent = sentinel()
-        val g0 = gcSnap(); val s0 = sysSnap()
-        val k0 = taskTime.millis.get()
-        val w0 = taskTime.shufWrite.get(); val r0 = taskTime.shufRead.get()
-        val t0 = System.nanoTime()
-        val verdicts = graft.queries.Dedup.incrementAgainst(spark, fx.dir,
-            t => graft.queries.Warehouse.read(spark, wh, t), "src19")
-          .select(org.apache.spark.sql.functions.col("is_dup")).cache()
-        val incrRows = verdicts.count()
-        val incrDups = verdicts
-          .filter(org.apache.spark.sql.functions.col("is_dup")).count()
-        verdicts.unpersist()
-        val incrWall = (System.nanoTime() - t0) / 1e9
-        val s1 = sysSnap(); val g1 = gcSnap()
-        taskTime.drain(spark.sparkContext)
-        val incrRow = StageRow("increment", incrWall, sent,
-          (s1.stealJiffies - s0.stealJiffies) / userHz,
-          (g1._1 - g0._1) / 1e3,
-          (taskTime.millis.get() - k0) / 1e3,
-          (taskTime.shufWrite.get() - w0) / 1048576.0,
-          (taskTime.shufRead.get() - r0) / 1048576.0)
+        var incrRows = 0L; var incrDups = 0L
+        val incrRow = stageRow("increment") {
+          val v = graft.queries.Dedup.incrementAgainst(spark, fx.dir,
+              whRead, "src19")
+            .select(col("is_dup")).cache()
+          incrRows = v.count()
+          incrDups = v.filter(col("is_dup")).count()
+          v.unpersist(); ()
+        }
+        // FIXED-batch increment (r13 verdict #1's "done" criterion):
+        // the SAME 6,000 docs at every index scale — shuffle bytes
+        // must stay ~flat as the index grows 10×, or the increment is
+        // O(index) again.
+        val fixedBatch = docs.filter(
+          col("source") === "src19" && col("doc_id") < 120000L)
+        var incrFixedRows = 0L; var incrFixedDups = 0L
+        val incrFixedRow = stageRow("increment_fixed") {
+          val v = graft.queries.Dedup.incrementAgainstDocs(fixedBatch, whRead)
+            .select(col("is_dup")).cache()
+          incrFixedRows = v.count()
+          incrFixedDups = v.filter(col("is_dup")).count()
+          v.unpersist(); ()
+        }
+        // Stream-side probe (r13 verdict #7): bloom folded from the
+        // stored band table (build time = the per-index-version cost a
+        // speed layer pays once), then the whole corpus probed in one
+        // batch pass — rows/s is nDocs / probe wall; the baseline
+        // full-text scan cost rides in the same row via task_sec.
+        var bloomBits: Array[Byte] = null
+        val bloomRow = stageRow("bloom_build") {
+          bloomBits = graft.queries.Dedup.bandHashBloomOf(whRead("bands"))
+        }
+        var probeFlagged = 0L
+        val probeRow = stageRow("stream_probe") {
+          probeFlagged = graft.streaming.StreamOps
+            .flagIndexDuplicates(docs.select(col("doc_id"), col("text")),
+              "text", bloomBits)
+            .agg(sum(col("dup_candidate").cast("long"))).first().getLong(0)
+        }
+        // MERGE of the fixed batch (r13 verdict #2/#3's criterion):
+        // leaf appends are O(batch) I/O and the recluster touches only
+        // the batch's components, so merge wall must stay ~flat across
+        // the 10× index sweep (sub-linear in index size).
+        val mergeRows = new scala.collection.mutable.ArrayBuffer[StageRow]
+        graft.queries.Warehouse.mergeBatch(spark, wh, fixedBatch, None,
+          (name, work) => { mergeRows += stageRow(name)(work()) })
+        // FULL 12-table build + the one-call curation run (r13 verdict
+        // #6), largest scale only: per-stage rows prove the curation
+        // chain is warehouse-read-dominated (its stages-total vs the
+        // index build total is the ledger's stated ratio).
+        val (buildFullRows, curationRows) =
+          if (corpusCuration && n == maxScale) {
+            val whFull = java.nio.file.Files
+              .createTempDirectory("graft-bench-whfull").toString
+            val bf = new scala.collection.mutable.ArrayBuffer[StageRow]
+            graft.queries.Warehouse.buildOf(spark, docs,
+              graft.core.Tables.embeddings(spark, fx.dir), whFull,
+              (name, work) => { bf += stageRow(name)(work()) })
+            val cr = new scala.collection.mutable.ArrayBuffer[StageRow]
+            val curOut = java.nio.file.Files
+              .createTempDirectory("graft-bench-cur").toString
+            graft.queries.CurationPipeline.run(spark, fx.dir, curOut,
+              t => graft.queries.Warehouse.read(spark, whFull, t),
+              (name, work) => { cr += stageRow(name)(work()) })
+            (bf.toSeq, cr.toSeq)
+          } else (Seq.empty[StageRow], Seq.empty[StageRow])
         CorpusResult(n, fx.textBytes, fx.parquetBytes, fx.genSec,
-          purgeRows, clusterRows, rows.toSeq, incrRow, incrRows, incrDups)
+          purgeRows, clusterRows, rows.toSeq, incrRow, incrRows, incrDups,
+          incrFixedRow, incrFixedRows, incrFixedDups, mergeRows.toSeq,
+          bloomRow, bloomBits.length.toLong, probeRow, n, probeFlagged,
+          buildFullRows, curationRows)
       })
       catch { case e: Throwable =>
         System.err.println(s"[bench] corpus dedup section FAILED: ${e.getMessage}")
@@ -691,7 +758,7 @@ object Bench {
     // with SPARK_GRAFT_STREAMBENCH=0.
     val streamingDetail: String =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH", "1") == "0") "null"
-      else try graft.tools.StreamBench.section(spark)
+      else try graft.tools.StreamBench.section(spark, probeDir = Some(sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming section FAILED: ${e.getMessage}")
         "{\"error\":\"" +
@@ -760,24 +827,34 @@ object Bench {
     val corpusDedupDetail = corpusResults match {
       case Left(err) => "{\"error\":\"" + jsonEsc(err) + "\"}"
       case Right(rs) => rs.map { r =>
-        val stages = r.stages.map { st =>
+        def stageJson(st: StageRow): String =
           s"""{"stage":"${st.name}","wall_sec":${num("%.3f", st.wall)},""" +
           s""""sentinel":${num("%.4f", st.sent)},"steal_sec":${num("%.2f", st.stealS)},""" +
           s""""gc_sec":${num("%.3f", st.gcS)},"task_sec":${num("%.2f", st.taskS)},""" +
           s""""shuffle_write_mb":${num("%.2f", st.shufWriteMb)},""" +
           s""""shuffle_read_mb":${num("%.2f", st.shufReadMb)}}"""
-        }.mkString("[", ",", "]")
-        val inc = r.incr
+        def stagesJson(sts: Seq[StageRow]): String =
+          sts.map(stageJson).mkString("[", ",", "]")
+        def incJson(inc: StageRow, rows: Long, dups: Long): String =
+          s"""{"wall_sec":${num("%.3f", inc.wall)},"rows":$rows,""" +
+          s""""dups":$dups,"sentinel":${num("%.4f", inc.sent)},""" +
+          s""""steal_sec":${num("%.2f", inc.stealS)},"gc_sec":${num("%.3f", inc.gcS)},""" +
+          s""""task_sec":${num("%.2f", inc.taskS)},""" +
+          s""""shuffle_write_mb":${num("%.2f", inc.shufWriteMb)},""" +
+          s""""shuffle_read_mb":${num("%.2f", inc.shufReadMb)}}"""
         s"""{"docs":${r.nDocs},"text_bytes":${r.textBytes},""" +
         s""""parquet_bytes":${r.parquetBytes},"gen_sec":${num("%.2f", r.genSec)},""" +
         s""""cluster_rows":${r.clusterRows},"purge_rows":${r.purgeRows},""" +
-        s""""incr":{"wall_sec":${num("%.3f", inc.wall)},"rows":${r.incrRows},""" +
-        s""""dups":${r.incrDups},"sentinel":${num("%.4f", inc.sent)},""" +
-        s""""steal_sec":${num("%.2f", inc.stealS)},"gc_sec":${num("%.3f", inc.gcS)},""" +
-        s""""task_sec":${num("%.2f", inc.taskS)},""" +
-        s""""shuffle_write_mb":${num("%.2f", inc.shufWriteMb)},""" +
-        s""""shuffle_read_mb":${num("%.2f", inc.shufReadMb)}},""" +
-        s""""stages":$stages}"""
+        s""""incr":${incJson(r.incr, r.incrRows, r.incrDups)},""" +
+        s""""incr_fixed":${incJson(r.incrFixed, r.incrFixedRows, r.incrFixedDups)},""" +
+        s""""merge_stages":${stagesJson(r.mergeStages)},""" +
+        s""""bloom":${stageJson(r.bloom)},"bloom_bytes":${r.bloomBytes},""" +
+        s""""probe":${stageJson(r.probe)},"probe_rows":${r.probeRows},""" +
+        s""""probe_flagged":${r.probeFlagged},""" +
+        s""""probe_rows_per_sec":${num("%.0f", r.probeRows / math.max(r.probe.wall, 1e-9))},""" +
+        s""""build_full_stages":${stagesJson(r.buildFullStages)},""" +
+        s""""curation_stages":${stagesJson(r.curationStages)},""" +
+        s""""stages":${stagesJson(r.stages)}}"""
       }.mkString("[", ",", "]")
     }
 

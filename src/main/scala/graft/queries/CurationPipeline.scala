@@ -50,8 +50,9 @@ object CurationPipeline {
     Seq("cur_flags", "cur_mixture", "cur_pack", "cur_summary")
 
   /** Per-doc gate verdicts over the training slice (stage 1). */
-  private def flagFrame(s: SparkSession, corpusDir: String): DataFrame = {
-    val stats = Warehouse.stored(s, corpusDir, "doc_stats")
+  private def flagFrame(s: SparkSession, corpusDir: String,
+      table: String => DataFrame): DataFrame = {
+    val stats = table("doc_stats")
       .filter(col("source") =!= PipelineOps.EvalSource)
     val docs = Tables.documents(s, corpusDir)
     val evalGrams = PipelineOps
@@ -62,8 +63,8 @@ object CurationPipeline {
       .join(broadcast(evalGrams), "g")
       .select("doc_id").distinct()
       .withColumn("ctm", lit(true))
-    def flagOf(table: String, name: String, key: String = "doc_id"): DataFrame =
-      Warehouse.stored(s, corpusDir, table)
+    def flagOf(tbl: String, name: String, key: String = "doc_id"): DataFrame =
+      table(tbl)
         .select(col(key).as("doc_id")).distinct()
         .withColumn(name, lit(true))
     stats
@@ -142,8 +143,15 @@ object CurationPipeline {
   /** Execute the full curation run against `corpusDir`, persisting
     * every stage under `outDir` (versioned, atomic pointer). Each
     * stage reads the PREVIOUS stage's stored table — the warehouse
-    * build's proven-lineage discipline. Returns the new version. */
-  def run(s: SparkSession, corpusDir: String, outDir: String): Long = {
+    * build's proven-lineage discipline. `table` is the index reader
+    * (defaults to the memoized fixture warehouse; the corpus bench
+    * passes the warehouse it just built and measured) and `measure`
+    * the per-stage attribution hook (the `buildOf` contract). Returns
+    * the new version. */
+  def run(s: SparkSession, corpusDir: String, outDir: String,
+      table: String => DataFrame = null,
+      measure: (String, () => Unit) => Unit = (_, f) => f()): Long = {
+    val tbl = Option(table).getOrElse(Warehouse.stored(s, corpusDir, _))
     Files.createDirectories(java.nio.file.Paths.get(outDir))
     val cur = Warehouse.version(outDir)
     val next = cur + 1
@@ -152,12 +160,12 @@ object CurationPipeline {
       df.write.mode("overwrite").parquet(s"$base/$name")
     def readBack(name: String): DataFrame = s.read.parquet(s"$base/$name")
 
-    write("cur_flags", flagFrame(s, corpusDir))
-    val retained = readBack("cur_flags").filter(col("retained"))
-    write("cur_mixture", mixtureFrame(retained))
-    write("cur_pack", packFrame(retained))
-    write("cur_summary", summaryFrame(
-      readBack("cur_flags"), readBack("cur_mixture"), readBack("cur_pack")))
+    measure("cur_flags", () => write("cur_flags", flagFrame(s, corpusDir, tbl)))
+    def retained = readBack("cur_flags").filter(col("retained"))
+    measure("cur_mixture", () => write("cur_mixture", mixtureFrame(retained)))
+    measure("cur_pack", () => write("cur_pack", packFrame(retained)))
+    measure("cur_summary", () => write("cur_summary", summaryFrame(
+      readBack("cur_flags"), readBack("cur_mixture"), readBack("cur_pack"))))
     Warehouse.commitSnapshot(outDir, cur, next)
     next
   }

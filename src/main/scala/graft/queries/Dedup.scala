@@ -759,8 +759,14 @@ object Dedup {
     * a band bucket with the index is flagged; over-flagging is
     * fpp-bounded (the q94 certificate family). */
   private[graft] def bandHashBloom(s: SparkSession, dir: String,
+      fpp: Double = 1e-6): Array[Byte] =
+    bandHashBloomOf(Warehouse.stored(s, dir, "bands"), fpp)
+
+  /** [[bandHashBloom]] over an EXPLICIT stored band frame — the seam
+    * the corpus bench uses to fold the warehouse it just built. */
+  private[graft] def bandHashBloomOf(bands: DataFrame,
       fpp: Double = 1e-6): Array[Byte] = {
-    val hashes = Warehouse.stored(s, dir, "bands")
+    val hashes = bands
       .select(conv(substring(col("band_hash"), 1, 15), 16, 10)
         .cast("long").as("h"))
       .distinct()
@@ -821,8 +827,17 @@ object Dedup {
     * path against the warehouse its `buildDocChain` just committed
     * (q113 binds it to the fixture warehouse + [[NewSource]]). */
   private[graft] def incrementAgainst(s: SparkSession, dir: String,
-      table: String => DataFrame, newSource: String): DataFrame = {
-    val newDocs = Tables.documents(s, dir).filter(col("source") === newSource)
+      table: String => DataFrame, newSource: String): DataFrame =
+    incrementAgainstDocs(
+      Tables.documents(s, dir).filter(col("source") === newSource), table)
+
+  /** [[incrementAgainst]] over an EXPLICIT new-batch frame — the seam
+    * the corpus bench's fixed-batch sweep uses to hold the batch
+    * CONSTANT while the index grows 10× (the r13 verdict #1 "done"
+    * criterion: increment shuffle must stay flat across index size at
+    * fixed batch size). */
+  private[graft] def incrementAgainstDocs(newDocs: DataFrame,
+      table: String => DataFrame): DataFrame = {
     val hsNew = tokenHashSetOf(newDocs)
     val nb = bandFrameOfSigs(sigsFromHs(hsNew))
       .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))

@@ -41,6 +41,21 @@ object MakeBigCorpusFixture {
     x ^ (x >>> 31)
   }
 
+  /** Deterministic 32-d embedding for vector `id` (one seeded stream
+    * per vector, like [[docText]]). Vectors with `id % 10 ∈ {7, 9}`
+    * re-generate the BASE vector `id − (id % 10)` and perturb one
+    * coordinate by 1% — cosine ≈ 0.9999 against the base, so the
+    * semantic chain (cells → sem_purge) sees the same planted
+    * 3-member cluster structure the text side has. */
+  private[tools] def vecOf(seed: Long, id: Long): Array[Float] = {
+    val dup = id % 10 == 7 || id % 10 == 9
+    val seedId = if (dup) id - (id % 10) else id
+    val rng = new Random(splitmix(seed * 7654321L + seedId))
+    val v = Array.fill(32)(rng.nextFloat() * 2f - 1f)
+    if (dup) v((id % 97).toInt % 32) += 0.01f
+    v
+  }
+
   private[tools] def docText(seed: Long, id: Long): String = {
     val dup = id % 10 == 7 || id % 10 == 9
     val seedId = if (dup) id - (id % 10) else id
@@ -84,6 +99,23 @@ object MakeBigCorpusFixture {
         java.nio.file.Files.writeString(metaPath, counted.toString)
         counted
       }
+    // Embeddings (round-14: the full-warehouse/curation bench needs the
+    // semantic grain): n/100 vectors, vec_id k ↔ doc_id k (the leading
+    // slice of the corpus carries an embedding — the curation flag
+    // join's vec_id→doc_id contract), same planted near-dup structure
+    // at the vector grain. Own marker so pre-round-14 fixture dirs
+    // upgrade in place.
+    val embTable = s"$dir/embeddings.parquet"
+    val embMeta = java.nio.file.Paths.get(s"$dir/_GRAFT_META_EMB")
+    if (!java.nio.file.Files.isRegularFile(embMeta)) {
+      import spark.implicits._
+      val sc = spark.sparkContext
+      sc.range(0L, nDocs / 100, numSlices = parts)
+        .map(id => (id, vecOf(seed, id), (id % 3).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(embTable)
+      java.nio.file.Files.writeString(embMeta, (nDocs / 100).toString)
+    }
     val genSec = (System.nanoTime() - t0) / 1e9
     val files = Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))

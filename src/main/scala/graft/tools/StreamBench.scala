@@ -203,18 +203,91 @@ object StreamBench {
     SizeRun(batchRows, stats)
   }
 
+  // ---- stream-side index-dedup probe path (r13 verdict #7) ---------
+
+  /** The `StreamOps.flagIndexDuplicates` speed-layer probe measured as
+    * a stream: documents land as JSONL batch files, each micro-batch
+    * runs the codegen'd signature→band→bloom expression (probe ON) or
+    * a pass-through projection of the same columns (probe OFF — the
+    * baseline isolating the probe's marginal per-row cost). Stateless
+    * by construction, so `state_rows` stays 0 at any stream length.
+    *
+    * Bloom sizing at index scale (the documented tradeoff): bits/key ≈
+    * 1.44·log₂(1/fpp) — the default fpp=1e-6 costs ~28.8 bits per
+    * stored band bucket, i.e. ~6.9 MB of literal riding the plan at
+    * the 1.2M-doc corpus index (measured in the corpus section's
+    * `bloom_bytes`). The literal form is right up to a few MB; past
+    * that, raise fpp (1e-3 ⇒ ~2.4 MB at 10× the buckets — over-flags
+    * route to the exact confirmer anyway) or move the probe to the
+    * q94 broadcast-join batch path. */
+  def runDupProbe(spark: SparkSession, sfDir: String, batchRows: Int,
+      nBatches: Int, probeOn: Boolean,
+      bloomBits: Array[Byte]): SizeRun = {
+    val srcDir = Files.createTempDirectory("graft-sb-probe-src")
+    val base = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(srcDir.toString)
+    val flagged =
+      if (probeOn)
+        graft.streaming.StreamOps.flagIndexDuplicates(base, "text", bloomBits)
+      else base.withColumn("dup_candidate", lit(false))
+    val query = flagged.writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sb-probe-ckpt").toString)
+      .start()
+    val all = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .limit(batchRows * nBatches).collect()
+    // Small fixtures wrap around so every micro-batch carries rows
+    // (re-delivery is exactly what the stateless probe must tolerate).
+    val docs = Array.tabulate(batchRows * nBatches)(i => all(i % all.length))
+    val stats = try {
+      (0 until nBatches).map { k =>
+        val slice = docs.slice(k * batchRows, (k + 1) * batchRows)
+        landBatch(srcDir, f"batch-$k%05d.jsonl", slice.iterator.map { r =>
+          s"""{"doc_id":${r.getLong(0)},"text":"${jsonEscape(r.getString(1))}"}"""
+        })
+        val t0 = System.nanoTime()
+        query.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (sr, sb) = lastState(query)
+        BatchStat(slice.length.toLong, wall, sr, sb)
+      }
+    } finally query.stop()
+    SizeRun(batchRows, stats)
+  }
+
   /** The BENCH_DETAIL `streaming` JSON: metrics path at 3 batch sizes
-    * (16× range) + scored path at one production-shaped size. The
-    * boundedness evidence is in the per-batch `state_rows` arrays —
-    * they plateau at the open-window count once the event-time span
-    * passes the watermark. */
+    * (16× range) + scored path at one production-shaped size + the
+    * index-dedup probe path (probe on vs off over the same stream;
+    * `probeDir` supplies the corpus whose stored band index feeds the
+    * bloom — the bench passes its SF dir, whose fixture warehouse the
+    * query reps already built). The boundedness evidence is in the
+    * per-batch `state_rows` arrays — they plateau at the open-window
+    * count once the event-time span passes the watermark (and stay 0
+    * on the stateless probe path). */
   def section(spark: SparkSession,
       metricSizes: Seq[Int] = Seq(10000, 40000, 160000),
       metricBatches: Int = 8,
-      scoredRows: Int = 2000, scoredBatches: Int = 4): String = {
+      scoredRows: Int = 2000, scoredBatches: Int = 4,
+      probeDir: Option[String] = None,
+      probeRows: Int = 1000, probeBatches: Int = 4): String = {
     val metrics = metricSizes.map(runMetrics(spark, _, metricBatches))
     val scored = runScored(spark, scoredRows, scoredBatches)
+    val probe = probeDir.map { d =>
+      val t0 = System.nanoTime()
+      val bloom = graft.queries.Dedup.bandHashBloom(spark, d)
+      val bloomSec = (System.nanoTime() - t0) / 1e9
+      val on = runDupProbe(spark, d, probeRows, probeBatches,
+        probeOn = true, bloom)
+      val off = runDupProbe(spark, d, probeRows, probeBatches,
+        probeOn = false, bloom)
+      s"""{"bloom_build_sec":${num("%.2f", bloomSec)},""" +
+        s""""bloom_bytes":${bloom.length},"fpp":1e-6,""" +
+        s""""probe_on":${jRuns(Seq(on))},"probe_off":${jRuns(Seq(off))}}"""
+    }.getOrElse("null")
     s"""{"metrics_path":${jRuns(metrics)},"scored_path":${jRuns(Seq(scored))},""" +
+      s""""dup_probe":$probe,""" +
       s""""watermark":"5 minutes","event_minutes_per_batch":2}"""
   }
 
