@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, KllQuantile, KllSketchAgg, SimHashBucket, TemplateMatch, TokenHashes}
+import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, InterSize, KllQuantile, KllSketchAgg, SimHashBucket, TemplateMatch, TokenHashes}
 
 /** Engine extensions, registered the idiomatic Spark way:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -24,6 +24,8 @@ import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, Kll
   *    hashes (mod p when p > 0);
   *  - `graft_fingerprint(tokens, p)` — rolling polynomial document
   *    fingerprint over token hashes;
+  *  - `graft_inter_size(a, b)` — |A∩B| of two long-array sets
+  *    without materializing the intersection (the Jaccard numerator);
   *  - `graft_tri_grams(words)` — distinct hashed word 3-grams;
   *  - `graft_bloom_contains(bits, v)` — Bloom-filter probe of a long
   *    against a foldable serialized filter (`functions.Bloom`).
@@ -63,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "usage: graft_token_hashes(tokens, p)")
         TokenHashes(args(0), longLit(args(1), "p"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_inter_size"),
+      new ExpressionInfo(classOf[InterSize].getName, "graft_inter_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_inter_size(a, b)")
+        InterSize(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),

@@ -239,6 +239,96 @@ case class TokenHashes(child: Expression, p: Long)
     copy(child = newChild)
 }
 
+/** `graft_inter_size(a, b)`: |A ∩ B| of two long-array SETS — the
+  * Jaccard numerator of every dedup confirmation (q26/q113/q120),
+  * equal by contract to `size(array_intersect(a, b))` when both
+  * inputs are distinct (the `tokenHashSetOf` guarantee) and null-free.
+  * Why native: `array_intersect` MATERIALIZES the intersection array
+  * (per-row allocation of up to min(|A|,|B|) elements plus its
+  * internal set) only for `size` to throw it away; at the increment's
+  * 479k-candidate sf0.1 fixture that allocation is the hot path. This
+  * kernel probes an open-addressed long table (smaller side builds,
+  * larger side probes, no boxing, one count) — same count, none of
+  * the garbage. NULL if either array contains a null element (the
+  * set contract is broken; let the caller's null semantics surface
+  * rather than guessing array_intersect's null-dedup rule). */
+case class InterSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.asInstanceOf[DataType] match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_inter_size"
+
+  private def scramble(v: Long): Int = {
+    val x = v * 0x9E3779B97F4A7C15L
+    (x ^ (x >>> 32)).toInt
+  }
+
+  /** Boxed Long so codegen's `ev.isNull` contract can surface a
+    * broken-set (null element) input as SQL NULL. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val (s, bg) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val sn = s.numElements()
+    val bn = bg.numElements()
+    if (sn == 0) return java.lang.Long.valueOf(0L)
+    var cap = 4
+    while (cap < sn * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var i = 0
+    while (i < sn) {
+      if (s.isNullAt(i)) return null
+      val v = s.getLong(i)
+      var h = scramble(v) & mask
+      while (used(h) && table(h) != v) h = (h + 1) & mask
+      if (!used(h)) { used(h) = true; table(h) = v }
+      i += 1
+    }
+    var cnt = 0L
+    var j = 0
+    while (j < bn) {
+      if (bg.isNullAt(j)) return null
+      val v = bg.getLong(j)
+      var h = scramble(v) & mask
+      while (used(h) && table(h) != v) h = (h + 1) & mask
+      if (used(h)) cnt += 1
+      j += 1
+    }
+    java.lang.Long.valueOf(cnt)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("interSizeExpr", this, classOf[InterSize].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("interBoxed")
+      s"""
+      |java.lang.Long $boxed = $ref.compute($a, $b);
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed.longValue(); }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterSize =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_fingerprint(tokens, p)`: order-sensitive rolling polynomial
   * fingerprint — fold((acc * 31 + h) % p) over per-token portable
   * hashes (h = hash60 % p), seeded with the first token's hash.

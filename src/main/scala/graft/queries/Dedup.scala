@@ -124,7 +124,7 @@ object Dedup {
         first(when(col("side") === 1, col("grams")), ignoreNulls = true).as("gb"))
       .filter(col("ga").isNotNull && col("gb").isNotNull)
       .withColumn("n_inter",
-        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        call_function("graft_inter_size", col("ga"), col("gb")))
       .select(
         col("pair_id").as("doc_a"),
         (col("pair_id") + 1).as("doc_b"),
@@ -793,8 +793,12 @@ object Dedup {
     val scored = hb
       .join(broadcast(cand), "idx_doc")
       .join(broadcast(ha), "new_doc")
+      // Native |A∩B| kernel: same count as size(array_intersect) on
+      // the distinct hash SETS both sides carry, without materializing
+      // the intersection array per candidate pair (the allocation is
+      // the hot path at bucket-heavy fixtures — 479k pairs at sf0.1).
       .withColumn("n_inter",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        call_function("graft_inter_size", col("ha"), col("hb")))
       .withColumn("jac", col("n_inter").cast("double") /
         (size(col("ha")) + size(col("hb")) - col("n_inter")))
     scored.groupBy(col("new_doc"))
@@ -976,7 +980,7 @@ object Dedup {
       .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .withColumn("n_inter",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        call_function("graft_inter_size", col("ha"), col("hb")))
       .select(
         col("doc_a"), col("doc_b"), col("sig_match"),
         round(est, 6).as("est_jaccard"),
@@ -1045,7 +1049,7 @@ object Dedup {
       .join(hs.select(col("doc_id"), col("hs").as("hp")), "doc_id")
       .join(hs.select(col("doc_id").as("kept_doc"), col("hs").as("hk")), "kept_doc")
       .withColumn("n_inter",
-        size(array_intersect(col("hp"), col("hk"))).cast("long"))
+        call_function("graft_inter_size", col("hp"), col("hk")))
       .withColumn("n_union",
         (size(col("hp")) + size(col("hk"))).cast("long") - col("n_inter"))
       .select(
@@ -1168,7 +1172,7 @@ object Dedup {
     val pairs = hs.as("a")
       .join(hs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_a"),
-        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long").as("ni"),
+        call_function("graft_inter_size", col("a.hs"), col("b.hs")).as("ni"),
         (size(col("a.hs")) + size(col("b.hs"))).cast("long").as("sl"))
       .withColumn("jac", col("ni").cast("double") / (col("sl") - col("ni")))
     val bf = Warehouse.stored(s, dir, "bands")

@@ -42,6 +42,30 @@ class HashPropertiesSpec extends AnyFunSuite with SparkFixture {
     assert(diff.isEmpty, s"mismatch:\n${diff.limit(3).collect().mkString("\n")}")
   }
 
+  test("graft_inter_size == size(array_intersect) for arbitrary long sets") {
+    import spark.implicits._
+    val longSet: Gen[List[Long]] =
+      Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.distinct))
+    val pairs = Seq.newBuilder[(Seq[Long], Seq[Long])]
+    forAllSeeded(Gen.zip(longSet, longSet), 120)(p => pairs += p)
+    // Skewed overlap cases the uniform generator rarely hits.
+    pairs += ((Seq.empty, Seq(1L, 2L)))
+    pairs += ((Seq(1L, 2L, 3L), Seq.empty))
+    pairs += ((Seq(5L), Seq(5L)))
+    val df = pairs.result().toDF("a", "b")
+    val diff = df.select(
+        call_function("graft_inter_size", col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("r"))
+      .filter(col("n") =!= col("r"))
+    assert(diff.isEmpty, s"mismatch:\n${diff.limit(3).collect().mkString("\n")}")
+    // Null-element inputs surface as NULL (the broken-set contract).
+    val withNull = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L)))
+      .toDF("a", "b")
+      .select(call_function("graft_inter_size", col("a"), col("b")).as("n"))
+    assert(withNull.filter(col("n").isNotNull).isEmpty)
+  }
+
   test("token hashes == conv(md5) transform for arbitrary unicode tokens") {
     val batches = Seq.newBuilder[Seq[String]]
     forAllSeeded(tokenList, 60)(ws => batches += ws)

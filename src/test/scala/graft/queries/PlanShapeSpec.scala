@@ -93,6 +93,27 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q126_incr_semdedup") should include("graft-warehouse")
   }
 
+  test("the increment's index side never shuffles (r13 verdict #1, pinned)") {
+    // The O(matched buckets) claim as a PLAN contract: every join in
+    // q113/q126 is a broadcast probe (batch side ships; stored side
+    // streams map-only). A single SortMergeJoin or ShuffledHashJoin
+    // would mean an index-sized exchange crept back in; the only
+    // non-broadcast exchanges allowed are the candidate-distinct and
+    // the final per-doc aggregation/sort, all O(batch · fan-out).
+    Seq("q113_incr_dedup", "q126_incr_semdedup").foreach { n =>
+      withClue(s"$n index side must stay map-only:") {
+        plans(n) should not include "SortMergeJoin"
+        plans(n) should not include "ShuffledHashJoin"
+      }
+    }
+    val shuffles = plans("q113_incr_dedup").linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
+    withClue("q113 non-broadcast exchanges (candidate distinct + verdict agg + sort):") {
+      shuffles should be <= 3
+    }
+  }
+
   test("no unbounded cartesian product in any registered query plan") {
     val offenders = plans.collect {
       case (n, p) if p.contains("CartesianProduct") => n
