@@ -108,6 +108,30 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     assert(joined.count() === plainCount)
   }
 
+  test("bucketed band index joins a bucketed batch with zero Exchange (the increment's too-big-to-broadcast form)") {
+    // r13 verdict #1's last step, executed: q113's production form
+    // broadcasts the batch's band rows (map-only index side); once a
+    // batch outgrows a broadcast, BOTH the stored band index and the
+    // batch's band frame are bucketed on band_hash and the candidate
+    // equi-join reads bucket i against bucket i — zero Exchange on
+    // the index side (or either side), at any batch size.
+    val bands = graft.queries.Warehouse.stored(spark, sfDir, "bands")
+    val idx = bands.filter(col("doc_id") % 20 =!= 19)
+      .select(col("doc_id").as("idx_doc"), col("band_hash"))
+    val batch = bands.filter(col("doc_id") % 20 === 19)
+      .select(col("doc_id").as("new_doc"), col("band_hash"))
+    Bucketing.writeBucketed(idx, "bands_idx_bucketed", "band_hash", buckets = 4)
+    Bucketing.writeBucketed(batch, "bands_batch_bucketed", "band_hash", buckets = 4)
+    val joined = Bucketing.cocolocatedJoin(
+      spark, "bands_idx_bucketed", "bands_batch_bucketed",
+      "band_hash", "band_hash")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed candidate join must not shuffle the index:\n$plan")
+    val plainCount = idx.join(batch, "band_hash").count()
+    assert(joined.count() === plainCount)
+  }
+
   test("aggregation on the bucket key also plans with zero Exchange") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     Bucketing.writeBucketed(li, "li_bucketed_agg", "l_orderkey", buckets = 4)
