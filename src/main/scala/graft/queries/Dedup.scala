@@ -617,6 +617,45 @@ object Dedup {
   private[queries] def chunkComponentFrame(s: SparkSession, dir: String): DataFrame =
     chunkComponentFrameFrom(chunkDigests(s, dir))
 
+  /** [[chunkComponentFrameFrom]] over a SUBGRAPH of member docs with
+    * the df cap supplied as a DENY list — the warehouse merge's
+    * touched-component form. Within the member set a digest's doc
+    * list sees only members, so the MaxChunkDf document-frequency
+    * gate cannot be recomputed locally; but the gate's only effect is
+    * EXCLUDING digests with global df > cap, so the stored
+    * `chunk_heavy` table (global heavy digests, maintained O(batch)
+    * per merge) is the complete correction: anti-join it, and the
+    * within-member ≥ 2 holder filter supplies the lower bound (2
+    * member holders ⇒ global df ≥ 2; a digest with global df in
+    * 2..cap but one member holder forms no member–member pair, so its
+    * absence from the gate is unobservable). A cap-crossing digest
+    * (batch pushed its df past the cap) lands in the deny list and
+    * drops edges — splitting components — exactly as the full rebuild
+    * would. Pair enumeration itself needs only the two endpoints' own
+    * rows, so restricting to members loses no member–member edge. */
+  private[queries] def chunkComponentFrameWithout(chunks: DataFrame,
+      heavy: DataFrame): DataFrame = {
+    val sizes = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val pairs = chunks
+      .join(broadcast(heavy), Seq("chunk_md5"), "left_anti")
+      .groupBy("chunk_md5")
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_chunks").as("n_chunks_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_chunks").as("n_chunks_b")), Seq("doc_b"))
+      .filter(col("n_shared") * 2 >= least(col("n_chunks_a"), col("n_chunks_b")))
+    graft.operators.ConnectedComponents.run(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   def chunkDupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     chunkComponentFrame(s, dir)

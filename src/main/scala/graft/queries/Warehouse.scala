@@ -45,6 +45,9 @@ import graft.core.Tables
   *  - `clusters`       doc_id, cluster_id (q49)
   *  - `purge`          doc_id, cluster_id, kept_doc (q92)
   *  - `chunk_digests`  doc_id, chunk_md5 (q100's digest set)
+  *  - `chunk_heavy`    chunk_md5 (global df > MaxChunkDf deny list —
+  *                     the only global state the chunk grain's
+  *                     incremental recluster needs)
   *  - `chunk_clusters` doc_id, cluster_id (q105)
   *  - `chunk_purge`    doc_id, cluster_id, kept_doc (q108)
   *  - `centroids`      c_id, v (the literal centroids of the build)
@@ -72,7 +75,7 @@ object Warehouse {
 
   val TableNames: Seq[String] = Seq(
     "doc_stats", "token_hashes", "signatures", "bands", "clusters", "purge",
-    "chunk_digests", "chunk_clusters", "chunk_purge",
+    "chunk_digests", "chunk_heavy", "chunk_clusters", "chunk_purge",
     "centroids", "cells", "sem_purge")
 
   private def pointerPath(whDir: String): Path = Paths.get(whDir, "_CURRENT")
@@ -230,10 +233,13 @@ object Warehouse {
     *    O(batch + touched-cluster members), bounded by q130's bucket
     *    histogram, never O(bands).
     *  - CHUNK/SEMANTIC derived tables (chunk_clusters, chunk_purge,
-    *    sem_purge) re-derive from the MERGED leaf tables (never from
-    *    text/embeddings of the standing corpus) — the documented
-    *    O(index-leaves) compute step; their own touched-component
-    *    refinement is the same splice pattern when profiles demand it.
+    *    sem_purge) splice too: the chunk grain re-clusters only the
+    *    components whose digests the batch shares (with the df gate
+    *    read from the GLOBAL merged digest table, so cap-crossing
+    *    digests drop edges — and split components — exactly as a full
+    *    rebuild would), and sem_purge recomputes only the CELLS the
+    *    batch's vectors land in (the purge rule never crosses cells).
+    *    Nothing re-reads the standing corpus's text or embeddings.
     *
     * Commits as one new atomic version: readers see the pre-merge or
     * post-merge index, never a half-merged one. A full warehouse
@@ -311,25 +317,84 @@ object Warehouse {
         .select(col("doc_id"), col("cluster_id"), col("kept_doc")))
     })
 
-    // -- chunk grain: append digests, re-derive from merged leaves ----
+    // -- chunk grain: append digests, recluster touched components ----
+    // Same splice pattern as the doc grain, with TWO chunk-specific
+    // twists the full rebuild's semantics force: (a) the touched set
+    // must include every doc sharing a digest with the batch even when
+    // no edge forms — the batch can push a digest's df past MaxChunkDf
+    // and DROP old edges (components can split on merge); (b) the df
+    // gate inside the subgraph is supplied as the stored GLOBAL
+    // `chunk_heavy` deny list ([[Dedup.chunkComponentFrameWithout]]),
+    // maintained O(batch) below.
     if (chunkGrain) measure("chunk_grain", () => {
-      appendTable(s, whDir, cur, next, "chunk_digests",
-        Dedup.chunkDigestsOf(batch))
-      write("chunk_clusters",
-        Dedup.chunkComponentFrameFrom(readBack("chunk_digests")))
-      write("chunk_purge", Dedup.purgeFromWith(readBack("chunk_clusters"),
-        readBack("doc_stats").select(col("doc_id"), col("quality_score"))))
+      val batchDigests = Dedup.chunkDigestsOf(batch).localCheckpoint(false)
+      appendTable(s, whDir, cur, next, "chunk_digests", batchDigests)
+      val storedDigests = read(s, whDir, "chunk_digests")
+      val oldCC = read(s, whDir, "chunk_clusters")
+      val batchKeys = batchDigests.select("chunk_md5").distinct()
+      val t0docs = storedDigests
+        .join(broadcast(batchKeys), Seq("chunk_md5"), "left_semi")
+        .select("doc_id").distinct()
+      val touchedIds = oldCC
+        .join(broadcast(t0docs), Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct()
+      val members = oldCC
+        .join(broadcast(touchedIds), Seq("cluster_id"), "left_semi")
+        .select("doc_id").union(t0docs).distinct()
+      val memberDigests = storedDigests
+        .join(broadcast(members), Seq("doc_id"), "left_semi")
+        .unionByName(batchDigests)
+      // Maintain the heavy-digest deny list O(batch): a digest's df
+      // changes only if the batch holds it, so merged heaviness =
+      // stored heavy ∪ batch-held digests whose MERGED df crossed the
+      // cap (counted over just the holders of batch digests — a
+      // pushed semi-join, never a full-df recount).
+      val crossed = readBack("chunk_digests")
+        .join(broadcast(batchKeys), Seq("chunk_md5"), "left_semi")
+        .groupBy("chunk_md5").agg(count(lit(1)).as("df"))
+        .filter(col("df") > Dedup.MaxChunkDf)
+        .select("chunk_md5")
+      write("chunk_heavy", read(s, whDir, "chunk_heavy")
+        .unionByName(crossed).distinct())
+      val newCC = Dedup.chunkComponentFrameWithout(memberDigests,
+        readBack("chunk_heavy"))
+      write("chunk_clusters", oldCC
+        .join(broadcast(touchedIds), Seq("cluster_id"), "left_anti")
+        .unionByName(newCC)
+        .select(col("doc_id"), col("cluster_id")))
+      val subQuality = readBack("doc_stats")
+        .select(col("doc_id"), col("quality_score"))
+        .join(broadcast(newCC.select("doc_id")), Seq("doc_id"), "left_semi")
+      write("chunk_purge", read(s, whDir, "chunk_purge")
+        .join(broadcast(touchedIds), Seq("cluster_id"), "left_anti")
+        .unionByName(Dedup.purgeFromWith(newCC, subQuality))
+        .select(col("doc_id"), col("cluster_id"), col("kept_doc")))
     })
 
-    // -- semantic grain: stored centroids forward, append cells -------
+    // -- semantic grain: stored centroids forward, append cells, ------
+    // recompute sem_purge for the TOUCHED CELLS only. Cells partition
+    // vectors and the purge rule never crosses cells, so splicing by
+    // cell is exact: a new vector can change old vectors' covering
+    // counts (or purge them — smaller-id coverage) only within its own
+    // cell. At the fixture k=8 every cell is usually touched; at
+    // production k ~ √n the batch touches O(batch) of them.
     if (semGrain) measure("sem_grain", () => {
       val cents = read(s, whDir, "centroids")
         .orderBy("c_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
       linkTableForward(whDir, cur, next, "centroids")
-      appendTable(s, whDir, cur, next, "cells",
-        Similarity.cellRowsWith(batchEmb.get, cents))
-      write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
+      val batchCells = Similarity.cellRowsWith(batchEmb.get, cents)
+        .localCheckpoint(false)
+      appendTable(s, whDir, cur, next, "cells", batchCells)
+      val touchedCells = batchCells.select("cell").distinct()
+      val recomputed = Similarity.semanticPurgeFromCells(
+        readBack("cells")
+          .join(broadcast(touchedCells), Seq("cell"), "left_semi"))
+      val spCols = read(s, whDir, "sem_purge").columns.toSeq
+      write("sem_purge", read(s, whDir, "sem_purge")
+        .join(broadcast(touchedCells), Seq("cell"), "left_anti")
+        .unionByName(recomputed)
+        .select(spCols.map(col): _*))
     })
 
     commit(whDir, cur, next)
@@ -393,6 +458,15 @@ object Warehouse {
     // embeddings), each stage reading stored inputs like the doc chain.
     measure("chunk_digests", () =>
       write("chunk_digests", Dedup.chunkDigestsOf(docs)))
+    // Global heavy-digest deny list (df > MaxChunkDf) — tiny by the
+    // q130 df distribution, and the ONLY global state the chunk
+    // grain's incremental recluster needs (see mergeBatch): the df
+    // gate's sole effect is excluding these digests.
+    measure("chunk_heavy", () =>
+      write("chunk_heavy", readBack("chunk_digests")
+        .groupBy("chunk_md5").agg(count(lit(1)).as("df"))
+        .filter(col("df") > Dedup.MaxChunkDf)
+        .select("chunk_md5")))
     measure("centroids", () =>
       write("centroids", Similarity.centroidFrameOf(emb)))
     measure("cells", () => write("cells", Similarity.cellIndexOf(emb)))
@@ -537,6 +611,10 @@ object Warehouse {
        |  SELECT 'chunk_clusters', CAST(count(*) AS BIGINT) FROM ccomp
        |  UNION ALL
        |  SELECT 'chunk_digests', CAST(count(*) AS BIGINT) FROM dd
+       |  UNION ALL
+       |  SELECT 'chunk_heavy', CAST(count(*) AS BIGINT) FROM (
+       |    SELECT chunk_md5 FROM dd GROUP BY chunk_md5
+       |    HAVING count(*) > ${Dedup.MaxChunkDf})
        |  UNION ALL
        |  SELECT 'chunk_purge',
        |    (SELECT CAST(count(*) AS BIGINT) FROM ccomp)

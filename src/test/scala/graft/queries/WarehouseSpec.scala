@@ -24,7 +24,11 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
     Warehouse.build(spark, sfDir, wh) shouldBe 1L
     Warehouse.version(wh) shouldBe 1L
     Warehouse.TableNames.foreach { t =>
-      Warehouse.read(spark, wh, t).count() should be > 0L
+      // chunk_heavy is a deny list — legitimately EMPTY at fixture df
+      // distributions; every other table must be populated.
+      if (t == "chunk_heavy")
+        Warehouse.read(spark, wh, t).count() should be >= 0L
+      else Warehouse.read(spark, wh, t).count() should be > 0L
     }
     // Second build: version 2 commits, v=1 (superseded-before-last) is
     // kept for in-flight readers until the NEXT commit reaps it —
@@ -182,6 +186,47 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
         // Every standing file re-referenced, plus ≥1 new batch file.
         (standing(t) -- parts(2L, t)) shouldBe empty
         (parts(2L, t) -- standing(t)).size should be > 0
+      }
+    }
+  }
+
+  test("a merge that pushes a digest past MaxChunkDf splits the cluster like a rebuild") {
+    // The one chunk-grain path no fixture exercises (dfs stay tiny):
+    // 64 standing docs share one chunk digest (df = cap → one
+    // 64-member cluster); the 65th copy arrives in a batch, df
+    // crosses the cap, the digest lands in the stored `chunk_heavy`
+    // deny list, and the whole cluster must DISSOLVE — exactly what a
+    // full rebuild of the merged corpus produces. Certifies the
+    // deny-list maintenance (`crossed`) and the subgraph recluster's
+    // edge-REMOVAL semantics, table for table.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ") // 1 chunk
+    def docsOf(n: Int) = (0 until n)
+      .map(i => (i.toLong, s"src${i % 3}", shared))
+      .toDF("doc_id", "source", "text")
+    val emb = (0L until 10L)
+      .map(i => (i, Array.fill(4)((i + 1) * 0.1f), 0)).toDF("vec_id", "embedding", "label")
+    val emptyBatchEmb = emb.filter(col("vec_id") < 0L)
+    val whStanding = java.nio.file.Files
+      .createTempDirectory("graft-wh-cap-standing").toString
+    val whFull = java.nio.file.Files
+      .createTempDirectory("graft-wh-cap-full").toString
+    Warehouse.buildOf(spark, docsOf(64), emb, whStanding) shouldBe 1L
+    // Sanity: the standing index has ONE 64-member chunk cluster and
+    // an empty deny list.
+    Warehouse.read(spark, whStanding, "chunk_clusters").count() shouldBe 64L
+    Warehouse.read(spark, whStanding, "chunk_heavy").count() shouldBe 0L
+    val batch = Seq((64L, "src1", shared)).toDF("doc_id", "source", "text")
+    Warehouse.mergeBatch(spark, whStanding, batch, Some(emptyBatchEmb)) shouldBe 2L
+    Warehouse.buildOf(spark, docsOf(65), emb, whFull) shouldBe 1L
+    // The crossing is recorded and the cluster dissolved.
+    Warehouse.read(spark, whStanding, "chunk_heavy").count() shouldBe 1L
+    Warehouse.read(spark, whStanding, "chunk_clusters").count() shouldBe 0L
+    Warehouse.TableNames.foreach { t =>
+      withClue(s"table $t after cap-crossing merge:") {
+        sameRows(Warehouse.read(spark, whStanding, t),
+          Warehouse.read(spark, whFull, t))
       }
     }
   }
