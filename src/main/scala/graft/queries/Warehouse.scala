@@ -80,10 +80,29 @@ object Warehouse {
 
   private def pointerPath(whDir: String): Path = Paths.get(whDir, "_CURRENT")
 
-  /** Current committed version; 0 = never built. */
-  def version(whDir: String): Long = {
+  /** Pointer fields: `version` or `version,streamBatchId` — the
+    * second field is the exactly-once high-water mark a streaming
+    * maintainer's [[mergeBatch]] records (the `ServingStore.upsert`
+    * pointer discipline lifted to the warehouse). One atomic file
+    * carries both, so the mark can never refer to a version other
+    * than the one it was committed with. */
+  private def pointerFields(whDir: String): Array[String] = {
     val p = pointerPath(whDir)
-    if (!Files.exists(p)) 0L else Files.readString(p).trim.toLong
+    if (!Files.exists(p)) Array("0") else Files.readString(p).trim.split(",")
+  }
+
+  /** Current committed version; 0 = never built. */
+  def version(whDir: String): Long = pointerFields(whDir)(0).toLong
+
+  /** High-water stream batch id of the current snapshot; -1 = no
+    * streaming merge recorded. A foreachBatch re-delivery with
+    * `batchId <=` this mark must be (and is — see [[mergeBatch]]) a
+    * no-op: Structured Streaming batch ids are monotone per
+    * checkpoint, so the guard gives the sink exactly-once warehouse
+    * maintenance over at-least-once batch delivery. */
+  def lastMergedBatch(whDir: String): Long = {
+    val f = pointerFields(whDir)
+    if (f.length > 1) f(1).toLong else -1L
   }
 
   /** Read one table of the CURRENT committed snapshot. */
@@ -251,9 +270,15 @@ object Warehouse {
     * table for table. */
   def mergeBatch(s: SparkSession, whDir: String, batch: DataFrame,
       batchEmb: Option[DataFrame] = None,
-      measure: (String, () => Unit) => Unit = (_, f) => f()): Long = {
+      measure: (String, () => Unit) => Unit = (_, f) => f(),
+      streamBatchId: Option[Long] = None): Long = {
     val cur = version(whDir)
     require(cur > 0, s"mergeBatch needs a standing index in $whDir")
+    // Exactly-once over at-least-once delivery: a foreachBatch
+    // re-delivery at or below the snapshot's recorded high-water mark
+    // is a committed-already batch — return the standing version
+    // untouched (the `ServingStore.upsert` replay guard).
+    if (streamBatchId.exists(_ <= lastMergedBatch(whDir))) return cur
     val present = TableNames.filter(t =>
       Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
     val chunkGrain = present.contains("chunk_digests")
@@ -397,7 +422,7 @@ object Warehouse {
         .select(spCols.map(col): _*))
     })
 
-    commit(whDir, cur, next)
+    commit(whDir, cur, next, streamBatchId.getOrElse(-1L))
     next
   }
 
@@ -519,10 +544,16 @@ object Warehouse {
   /** Atomic pointer swap (write-temp + ATOMIC_MOVE), then reap
     * snapshots older than the one just superseded — the ServingStore
     * commit discipline. Also sweeps stale `_CURRENT.tmp.*` files a
-    * crash between write and move could leave (ADVICE r13). */
-  private def commit(whDir: String, curVer: Long, newVer: Long): Unit = {
+    * crash between write and move could leave (ADVICE r13).
+    * `streamBatch` < 0 CARRIES FORWARD the existing high-water mark
+    * (so a compact or rebuild between streaming merges cannot reopen
+    * the replay window); a streaming merge passes its batch id. */
+  private def commit(whDir: String, curVer: Long, newVer: Long,
+      streamBatch: Long = -1L): Unit = {
+    val mark = if (streamBatch >= 0) streamBatch else lastMergedBatch(whDir)
     val tmp = Paths.get(whDir, s"_CURRENT.tmp.$newVer")
-    Files.writeString(tmp, newVer.toString)
+    Files.writeString(tmp,
+      if (mark >= 0) s"$newVer,$mark" else newVer.toString)
     Files.move(tmp, pointerPath(whDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     (1L until curVer).foreach { old =>
@@ -804,6 +835,79 @@ object Warehouse {
   val warehouseFullMergeCertifySql: String =
     s"""$statsCtePrefixSql
        |SELECT table_name, n_rows, TRUE AS matches_full_build FROM (
+       |$tableCountsBodySql)
+       |ORDER BY table_name""".stripMargin
+
+  // ---- q140: STREAMING maintenance ≡ rebuild certification ------------
+
+  private val streamMaintainedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Map[String, Boolean], Boolean)]()
+
+  /** Standing full index (the q139 split), then the [[Dedup.NewSource]]
+    * docs + the q126 vector slice arrive as THREE micro-batches
+    * through the REAL `StreamIndexMaintainer.sink` (the q99
+    * through-the-real-sink idiom), followed by a re-delivery of the
+    * final batch which the pointer's high-water mark must turn into a
+    * no-op (version unchanged). Sub-batch k of the day: docs with
+    * doc_id ≡ k (mod 3), vectors with ⌊vec_id/IncrSemMod⌋ ≡ k (mod 3)
+    * — deterministic, so the drained stream state is the q139 merged
+    * corpus and must equal the full fixture rebuild table for table.
+    * Memoized per corpus dir (eager — the q99/q135/q138 discipline). */
+  private def ensureStreamMaintained(s: SparkSession,
+      dir: String): (String, Map[String, Boolean], Boolean) =
+    streamMaintainedFixtures.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("graft-streamwh").toString
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val isNewVec = pmod(col("vec_id"), lit(Similarity.IncrSemMod)) ===
+        lit(Similarity.IncrSemMod - 1)
+      buildOf(s, docs.filter(col("source") =!= Dedup.NewSource),
+        emb.filter(!isNewVec), wh)
+      val nB = 3L
+      def docBatch(k: Long): DataFrame = docs.filter(
+        col("source") === Dedup.NewSource &&
+          pmod(col("doc_id"), lit(nB)) === lit(k))
+      def embBatch(k: Long): DataFrame = emb.filter(isNewVec &&
+        pmod((col("vec_id") / lit(Similarity.IncrSemMod)).cast("long"),
+          lit(nB)) === lit(k))
+      val sink = graft.streaming.StreamIndexMaintainer
+        .sink(s, wh, (_, id) => Some(embBatch(id))) _
+      (0L until nB).foreach(k => sink(docBatch(k), k))
+      val vDrained = version(wh)
+      sink(docBatch(nB - 1), nB - 1) // crash-recovery re-delivery
+      val replayNoop = version(wh) == vDrained
+      val verdicts = TableNames.map { t =>
+        val cols = stored(s, dir, t).columns.sorted.map(col).toSeq
+        val full = stored(s, dir, t).select(cols: _*)
+        val merged = read(s, wh, t).select(cols: _*)
+        t -> (full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty)
+      }.toMap
+      (wh, verdicts, replayNoop)
+    })
+
+  /** q140 — the STREAMING index-maintenance certification: the r14
+    * merge write path driven by the speed layer. One row per stored
+    * table with the drained-stream row count (hash-checked against
+    * the q134 DuckDB chains over the full corpus) plus two live
+    * pinned flags: `matches_full_build` (three sequential exactly-once
+    * merges ≡ one from-scratch rebuild — the maintenance contract
+    * composed) and `replay_noop` (a re-delivered final batch left the
+    * version untouched — exactly-once over at-least-once delivery,
+    * certified through the real foreachBatch sink body). */
+  def warehouseStreamCertify(s: SparkSession, dir: String): DataFrame = {
+    val (wh, verdicts, replayNoop) = ensureStreamMaintained(s, dir)
+    TableNames.sorted.map { t =>
+      read(s, wh, t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          lit(verdicts(t)).as("matches_full_build"),
+          lit(replayNoop).as("replay_noop"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+  val warehouseStreamCertifySql: String =
+    s"""$statsCtePrefixSql
+       |SELECT table_name, n_rows, TRUE AS matches_full_build,
+       |  TRUE AS replay_noop FROM (
        |$tableCountsBodySql)
        |ORDER BY table_name""".stripMargin
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+import graft.queries.Warehouse
+
+/** The speed layer maintaining the warehouse (round 14): a REAL
+  * Structured Streaming query whose foreachBatch sink merges each
+  * micro-batch into the standing index, plus the exactly-once replay
+  * guard the pointer's high-water mark provides. */
+class StreamIndexMaintainerSpec extends AnyFunSuite with Matchers
+    with SparkFixture {
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+    a.count() shouldBe b.count()
+  }
+
+  // 20-token docs, 3 planted exact-duplicate pairs spanning the
+  // standing/streamed boundary so the merge must actually join new
+  // docs into standing clusters.
+  private def docsOf(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val base = if (i % 7 == 3) 3L else i // dup groups share doc 3's text
+      (i, s"src${i % 3}", (1 to 20).map(t => s"w${base}_$t").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  private def embOf(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, Array.tabulate(8)(d => ((i % 5) + d + 1) * 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("a MemoryStream-driven maintainer converges to the full rebuild") {
+    import spark.implicits._
+    val standingDocs = docsOf(0L until 40L)
+    val allEmb = embOf(0L until 12L)
+    // Vectors 0..9 standing; 10 and 11 arrive with stream batches 0/1.
+    val standingEmb = allEmb.filter(col("vec_id") < 10L)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-stream-wh").toString
+    val whFull = java.nio.file.Files
+      .createTempDirectory("graft-stream-whfull").toString
+    Warehouse.buildOf(spark, standingDocs, standingEmb, wh) shouldBe 1L
+    Warehouse.lastMergedBatch(wh) shouldBe -1L
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docsStream = input.toDF().toDF("doc_id", "source", "text")
+    val q = StreamIndexMaintainer.run(spark, wh, docsStream,
+      (_, id) => Some(allEmb.filter(col("vec_id") === 10L + id)),
+      java.nio.file.Files.createTempDirectory("graft-stream-ck").toString)
+    try {
+      val b0 = docsOf(40L until 50L).as[(Long, String, String)].collect()
+      val b1 = docsOf(50L until 60L).as[(Long, String, String)].collect()
+      input.addData(b0.toSeq)
+      q.processAllAvailable()
+      val vAfterFirst = Warehouse.version(wh)
+      vAfterFirst should be > 1L
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      Warehouse.version(wh) should be > vAfterFirst
+    } finally q.stop()
+
+    // Drained stream ≡ one from-scratch build of everything.
+    Warehouse.buildOf(spark, docsOf(0L until 60L), allEmb, whFull)
+    Warehouse.TableNames.foreach { t =>
+      withClue(s"table $t after streamed maintenance:") {
+        sameRows(Warehouse.read(spark, wh, t),
+          Warehouse.read(spark, whFull, t))
+      }
+    }
+    Warehouse.lastMergedBatch(wh) should be >= 1L
+  }
+
+  test("a re-delivered batch is a no-op and compact carries the mark") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-stream-replay").toString
+    Warehouse.buildOf(spark, docsOf(0L until 30L), embOf(0L until 10L), wh)
+    val sink = StreamIndexMaintainer.sink(spark, wh,
+      (_, _) => Some(embOf(Seq.empty))) _
+    sink(docsOf(30L until 40L), 0L)
+    val v = Warehouse.version(wh)
+    Warehouse.lastMergedBatch(wh) shouldBe 0L
+    // Crash-recovery re-delivery of the same batch: nothing applied.
+    sink(docsOf(30L until 40L), 0L)
+    Warehouse.version(wh) shouldBe v
+    // A non-stream writer between merges must not reopen the replay
+    // window: compact carries the high-water mark forward.
+    Warehouse.compact(spark, wh)
+    Warehouse.lastMergedBatch(wh) shouldBe 0L
+    sink(docsOf(30L until 40L), 0L)
+    Warehouse.version(wh) shouldBe v + 1 // the compact's version only
+    // The next real batch applies.
+    sink(docsOf(40L until 45L), 1L)
+    Warehouse.version(wh) shouldBe v + 2
+    Warehouse.lastMergedBatch(wh) shouldBe 1L
+  }
+}
