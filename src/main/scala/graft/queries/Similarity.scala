@@ -481,7 +481,15 @@ object Similarity {
   def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), doubled(col("embedding")).as("v"))
-    assignCells(e)
+    lloydMeansOf(assignCells(e)).orderBy("cell", "pos")
+  }
+
+  /** The Lloyd update's per-(cell, pos) micro-unit means over any
+    * frame carrying `cell` + `v` — factored (r14) so the warehouse's
+    * stored-path semantic refresh runs the IDENTICAL arithmetic as
+    * q72 (one rule text, two instantiations). */
+  private[queries] def lloydMeansOf(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(
@@ -490,21 +498,27 @@ object Similarity {
       .select(col("cell"), col("pos"), col("n_members"),
         floor(col("sq").cast("double") / col("n_members") + 0.5).cast("long")
           .as("mean_micro"))
-      .orderBy("cell", "pos")
-  }
+
+  /** Oracle mirror of [[lloydMeansOf]] over the `a` assignment CTE:
+    * `x` explodes (cell, pos, element), `m` is the micro-unit mean
+    * per (cell, pos). Shared by q72 and the q141 refresh chain. */
+  private[queries] val lloydMeansCteSql: String =
+    """x AS (
+      |  SELECT cell, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
+      |  FROM a, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) r
+      |  WHERE rn = 1),
+      |m AS (
+      |  SELECT cell, pos, count(*) AS n_members,
+      |    CAST(floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / count(*) + 0.5) AS BIGINT) AS mean_micro
+      |  FROM x
+      |  GROUP BY cell, pos)""".stripMargin
 
   val centroidUpdateSql: String =
     s"""WITH $cellAssignCteSql,
-       |x AS (
-       |  SELECT cell, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
-       |  FROM a, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) r
-       |  WHERE rn = 1)
-       |SELECT cell, pos,
-       |  count(*) AS n_members,
-       |  CAST(floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-       |    / count(*) + 0.5) AS BIGINT) AS mean_micro
-       |FROM x
-       |GROUP BY cell, pos
+       |$lloydMeansCteSql
+       |SELECT cell, pos, n_members, mean_micro
+       |FROM m
        |ORDER BY cell, pos""".stripMargin
 
   // ---- q101: int8 scalar quantization + reconstruction certificate ---

@@ -426,6 +426,95 @@ object Warehouse {
     next
   }
 
+  /** The semantic-grain family [[refreshSemantic]] rewrites;
+    * everything else hard-links forward through a refresh. */
+  private val SemTables = Seq("centroids", "cells", "sem_purge")
+
+  /** One Lloyd step of the SEMANTIC grain from STORED state only
+    * (r14): new centroids = the micro-unit means of each stored
+    * cell's vectors (the exact q72 arithmetic — one rule text, two
+    * instantiations), every stored vector re-assigned against them,
+    * sem_purge recomputed. NOTHING re-reads the corpus: the cells
+    * table already carries the vectors (it is what an IVF index
+    * materializes), so the refresh is one k·dim-group aggregate + one
+    * map-only re-assignment + the within-cell purge — the same
+    * shuffle shapes as the build's semantic stages, index-sized, at
+    * any corpus scale. All non-semantic tables hard-link forward; one
+    * atomic version; the stream high-water mark carries forward, so a
+    * refresh between streamed merges cannot reopen the replay window.
+    *
+    * Production cadence: merges keep assigning new vectors against
+    * the STORED centroids (q139/q140) — correct but slowly staling as
+    * the corpus drifts from the build-time seeds; when
+    * [[semanticDriftMicro]] warrants, this re-centers without a
+    * rebuild, and subsequent merges assign against the REFRESHED
+    * centroids automatically (they read the stored table). A cell
+    * with no members keeps no centroid (its vectors re-home to the
+    * surviving cells). Returns the new version. */
+  def refreshSemantic(s: SparkSession, whDir: String): Long = {
+    val cur = version(whDir)
+    require(cur > 0, s"refreshSemantic needs a committed snapshot in $whDir")
+    val present = TableNames.filter(t =>
+      Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
+    require(SemTables.forall(present.contains),
+      s"refreshSemantic needs the semantic tables; snapshot has $present")
+    val next = cur + 1
+    val base = freshVersionDir(whDir, next)
+    present.filterNot(SemTables.contains)
+      .foreach(t => linkTableForward(whDir, cur, next, t))
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$base/$name")
+    def readBack(name: String): DataFrame = s.read.parquet(s"$base/$name")
+    val cells = read(s, whDir, "cells")
+    val cents = refreshedCentroids(s, whDir)
+    import s.implicits._
+    write("centroids", cents.toSeq.toDF("c_id", "v"))
+    write("cells", Similarity.assignCellsWith(
+        cells.select(col("vec_id"), col("v")), cents)
+      .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v")))
+    write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
+    commit(whDir, cur, next)
+    next
+  }
+
+  /** The refreshed centroid literals (c_id = cell, element =
+    * mean_micro / 1e6) — k·dim rows, ALWAYS driver-small (the q72
+    * contract: k grows with the corpus, k·dim stays kilobytes). */
+  private def refreshedCentroids(s: SparkSession,
+      whDir: String): Array[(Long, Seq[Double])] =
+    Similarity.lloydMeansOf(read(s, whDir, "cells"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1))
+          .map(_.getLong(3).toDouble / 1e6).toSeq)
+      }.toArray
+
+  /** Max |refreshed mean − stored centroid| over (cell, pos), in
+    * micro units — the drift statistic gating a refresh (q116's
+    * centroid-drift idea specialized to the stored index). A cell
+    * absent from the stored centroids contributes its full mean. */
+  def semanticDriftMicro(s: SparkSession, whDir: String): Long = {
+    val storedCents = read(s, whDir, "centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    Similarity.lloydMeansOf(read(s, whDir, "cells")).collect()
+      .foldLeft(0L) { (acc, r) =>
+        val cm = storedCents.get(r.getLong(0))
+          .map(v => math.floor(v(r.getInt(1)) * 1e6 + 0.5).toLong)
+          .getOrElse(0L)
+        math.max(acc, math.abs(r.getLong(3) - cm))
+      }
+  }
+
+  /** Refresh iff the drift statistic exceeds `thresholdMicro`; None
+    * when the stored centroids are still within tolerance (the
+    * maintenance job's one-call policy entry). */
+  def refreshSemanticIfDrifted(s: SparkSession, whDir: String,
+      thresholdMicro: Long): Option[Long] =
+    if (semanticDriftMicro(s, whDir) > thresholdMicro)
+      Some(refreshSemantic(s, whDir))
+    else None
+
   /** Compact every table of the current snapshot to `targetFiles`
     * parquet files — the small-files maintenance pass a merge-driven
     * warehouse needs (each [[mergeBatch]] union-write inherits the
@@ -910,4 +999,98 @@ object Warehouse {
        |  TRUE AS replay_noop FROM (
        |$tableCountsBodySql)
        |ORDER BY table_name""".stripMargin
+
+  // ---- q141: stored-path semantic refresh certification ---------------
+
+  private val semRefreshFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[Long, Long], Boolean)]()
+
+  /** Full fixture build → [[refreshSemantic]], capturing the
+    * pre-refresh per-cell member counts (the mean basis) and the live
+    * non-semantic-preservation verdict (every linked-forward table
+    * content-identical to its pre-refresh self). Memoized per corpus
+    * dir (eager — the q99/q135/q138 discipline). */
+  private def ensureSemRefreshed(s: SparkSession,
+      dir: String): (String, Map[Long, Long], Boolean) =
+    semRefreshFixtures.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("graft-semrefresh-wh").toString
+      buildOf(s, Tables.documents(s, dir), Tables.embeddings(s, dir), wh)
+      val preCounts = read(s, wh, "cells").groupBy("cell").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      refreshSemantic(s, wh)
+      val preserved = TableNames
+        .filter(t => !SemTables.contains(t) &&
+          Files.isDirectory(Paths.get(wh, "v=2", t)))
+        .forall { t =>
+          // v=1 is still on disk: superseded-before-last survives
+          // until the NEXT commit, and the refresh was the last one.
+          val pre = s.read.parquet(s"$wh/v=1/$t")
+          val post = read(s, wh, t)
+          pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+        }
+      (wh, preCounts, preserved)
+    })
+
+  /** q141 — the SEMANTIC REFRESH certification: the one-Lloyd-step
+    * re-centering executed purely from stored tables. One row per
+    * (cell, dimension) of the refreshed centroids with the micro-unit
+    * coordinate, the pre-refresh member count the mean averaged over,
+    * and the post-refresh per-cell purge count — all content-level
+    * (not just counts) against DuckDB recomputing the full chain
+    * (build-time assignment → micro means → re-assignment → within-
+    * cell purge rule) from the raw embeddings. `non_sem_preserved`
+    * pins that the refresh touched NOTHING outside the semantic
+    * family (hard-linked tables content-identical, live-checked). */
+  def warehouseSemRefreshCertify(s: SparkSession, dir: String): DataFrame = {
+    val (wh, preCounts, preserved) = ensureSemRefreshed(s, dir)
+    import s.implicits._
+    val nm = preCounts.toSeq.toDF("cell", "n_members")
+    val purge = read(s, wh, "sem_purge")
+      .groupBy("cell").agg(count(lit(1)).as("n_purged"))
+    read(s, wh, "centroids")
+      .select(col("c_id").as("cell"),
+        posexplode(col("v")).as(Seq("pos", "cv")))
+      .select(col("cell"), col("pos"),
+        floor(col("cv") * 1e6 + 0.5).cast("long").as("mean_micro"))
+      .join(broadcast(nm), Seq("cell"))
+      .join(purge, Seq("cell"), "left")
+      .select(col("cell"), col("pos"), col("n_members"), col("mean_micro"),
+        coalesce(col("n_purged"), lit(0L)).as("n_purged"),
+        lit(preserved).as("non_sem_preserved"))
+      .orderBy("cell", "pos")
+  }
+  val warehouseSemRefreshCertifySql: String =
+    s"""WITH ${Similarity.cellAssignCteSql},
+       |${Similarity.lloydMeansCteSql},
+       |c2 AS (
+       |  SELECT cell AS c_id, list(mean_micro / 1000000.0 ORDER BY pos) AS qv
+       |  FROM m GROUP BY cell),
+       |v1 AS (SELECT vec_id, v FROM a WHERE rn = 1),
+       |s2 AS (
+       |  SELECT v1.vec_id, v1.v, c2.c_id,
+       |    ${Similarity.cosineSqlFor("v1.v", "c2.qv")} AS cos
+       |  FROM v1, c2),
+       |a2 AS (
+       |  SELECT vec_id, v, c_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, c_id DESC) AS rn
+       |  FROM s2),
+       |sig2 AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a2 WHERE rn = 1),
+       |p2 AS (
+       |  SELECT pa.vec_id AS i, pb.vec_id AS j, pb.cell AS cell,
+       |    CASE WHEN pa.norm * pb.norm = 0 THEN -2.0
+       |      ELSE list_inner_product(pa.v, pb.v) / (pa.norm * pb.norm)
+       |      END AS cos
+       |  FROM sig2 pa JOIN sig2 pb
+       |    ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id),
+       |pc AS (
+       |  SELECT cell, CAST(count(DISTINCT j) AS BIGINT) AS n_purged
+       |  FROM p2 WHERE cos >= ${Similarity.SemDedupTau} GROUP BY cell)
+       |SELECT m.cell, m.pos, CAST(m.n_members AS BIGINT) AS n_members,
+       |  m.mean_micro, COALESCE(pc.n_purged, 0) AS n_purged,
+       |  TRUE AS non_sem_preserved
+       |FROM m LEFT JOIN pc ON m.cell = pc.cell
+       |ORDER BY m.cell, m.pos""".stripMargin
 }

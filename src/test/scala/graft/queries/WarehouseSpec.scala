@@ -231,6 +231,62 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("semantic refresh re-centers from stored state and links everything else") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-wh-refresh").toString
+    Warehouse.build(spark, sfDir, wh) shouldBe 1L
+    def parts(v: Long, t: String): Set[String] =
+      Option(new java.io.File(s"$wh/v=$v/$t").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .toSet
+    val nonSem = Warehouse.TableNames
+      .filterNot(Seq("centroids", "cells", "sem_purge").contains)
+    val pre = nonSem.map(t => t -> parts(1L, t)).toMap
+    val cellsBefore = Warehouse.read(spark, wh, "cells").count()
+    // The fixture's seed centroids are not cell means: drift is real,
+    // the gate fires at threshold 0 and stays quiet at a huge one.
+    Warehouse.semanticDriftMicro(spark, wh) should be > 0L
+    Warehouse.refreshSemanticIfDrifted(spark, wh, Long.MaxValue) shouldBe None
+    Warehouse.version(wh) shouldBe 1L
+    Warehouse.refreshSemanticIfDrifted(spark, wh, 0L) shouldBe Some(2L)
+    Warehouse.version(wh) shouldBe 2L
+    // Non-semantic tables: every file re-referenced BY NAME, none new.
+    nonSem.foreach { t =>
+      withClue(s"linked table $t:") { parts(2L, t) shouldBe pre(t) }
+    }
+    // Semantic family: every vector still indexed, centroids are the
+    // stored cells' means, purge consistent with the new cells.
+    Warehouse.read(spark, wh, "cells").count() shouldBe cellsBefore
+    Warehouse.read(spark, wh, "centroids").count() should be > 0L
+    sameRows(Warehouse.read(spark, wh, "sem_purge"),
+      Similarity.semanticPurgeFromCells(Warehouse.read(spark, wh, "cells")))
+  }
+
+  test("a merge after a refresh assigns batch vectors against the refreshed centroids") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-wh-refresh-merge").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val isNewVec = pmod(col("vec_id"), lit(10L)) === lit(9L)
+    Warehouse.buildOf(spark, docs.filter(col("source") =!= "src19"),
+      emb.filter(!isNewVec), wh) shouldBe 1L
+    Warehouse.refreshSemantic(spark, wh) shouldBe 2L
+    val cents = Warehouse.read(spark, wh, "centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    Warehouse.mergeBatch(spark, wh, docs.filter(col("source") === "src19"),
+      Some(emb.filter(isNewVec))) shouldBe 3L
+    // Batch vectors were assigned with the REFRESHED centroid set.
+    val batchCells = Warehouse.read(spark, wh, "cells")
+      .filter(isNewVec)
+    sameRows(batchCells,
+      Similarity.cellRowsWith(emb.filter(isNewVec), cents))
+    // And the spliced purge is consistent with the merged cells.
+    sameRows(Warehouse.read(spark, wh, "sem_purge"),
+      Similarity.semanticPurgeFromCells(Warehouse.read(spark, wh, "cells")))
+  }
+
   test("all-grain merge certification (q139) pins every table to the rebuild") {
     val rows = Warehouse.warehouseFullMergeCertify(spark, sfDir).collect()
     rows.length shouldBe Warehouse.TableNames.length
