@@ -112,6 +112,28 @@ object Warehouse {
     s.read.parquet(s"$whDir/v=$v/$table")
   }
 
+  /** The snapshot versions still on disk, ascending. The commit
+    * protocol retains the last two (current + superseded-before-last,
+    * kept for in-flight readers until the next commit), so this is
+    * {v-1, v} in steady state — the time-travel window. */
+  def versions(whDir: String): Seq[Long] =
+    Option(new java.io.File(whDir).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ <= version(whDir)) // a writer's in-flight v=next is not readable
+      .sorted.toSeq
+
+  /** TIME-TRAVEL read: one table at an explicit retained version —
+    * "what did the index say before today's merge" for audit diffs
+    * and blue/green readers. Refuses versions outside the retained
+    * window rather than returning a half-reaped directory. */
+  def readAt(s: SparkSession, whDir: String, table: String,
+      ver: Long): DataFrame = {
+    require(versions(whDir).contains(ver),
+      s"version $ver not retained in $whDir (have ${versions(whDir)})")
+    s.read.parquet(s"$whDir/v=$ver/$table")
+  }
+
   /** The per-doc stats row (doc_id, source, n_tokens, quality_score)
     * of a docs frame — shared by the full chain and the merge path's
     * batch side (quality is a pure per-doc function, so a slice
@@ -532,12 +554,21 @@ object Warehouse {
     require(cur > 0, s"compact needs a committed snapshot in $whDir")
     val next = cur + 1
     freshVersionDir(whDir, next)
-    // Only tables present in THIS snapshot are compacted (a doc-chain
-    // warehouse has six; a full build twelve).
+    // Only tables present in THIS snapshot are considered (a doc-chain
+    // warehouse has six; a full build thirteen) — and of those, only
+    // the FRAGMENTED ones are rewritten (r14): a table already at or
+    // under the target file count hard-links forward, so compaction
+    // I/O is O(what fragmented), not O(index). Merge-driven
+    // fragmentation concentrates in the append-leaf tables; the
+    // derived tables a merge rewrites whole arrive already coalesced.
     val present = TableNames.filter(t =>
       Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
     present.foreach { t =>
-      read(s, whDir, t).coalesce(targetFiles)
+      val dataFiles = Option(
+          new java.io.File(s"$whDir/v=$cur/$t").listFiles()).getOrElse(Array())
+        .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      if (dataFiles <= targetFiles) linkTableForward(whDir, cur, next, t)
+      else read(s, whDir, t).coalesce(targetFiles)
         .write.mode("overwrite").parquet(s"$whDir/v=$next/$t")
     }
     commit(whDir, cur, next)

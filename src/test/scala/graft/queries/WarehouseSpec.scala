@@ -107,6 +107,39 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
       Dedup.tokenHashSet(spark, sfDir))
   }
 
+  test("time travel reads the pre-merge snapshot; compact skips unfragmented tables") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-tt").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    Warehouse.buildDocChainOf(spark,
+      docs.filter(col("source") =!= "src19"), wh) shouldBe 1L
+    val standingCount = Warehouse.read(spark, wh, "doc_stats").count()
+    Warehouse.mergeBatch(spark, wh,
+      docs.filter(col("source") === "src19")) shouldBe 2L
+    // Both snapshots retained: the audit diff "what did today's merge
+    // change" reads them side by side.
+    Warehouse.versions(wh) shouldBe Seq(1L, 2L)
+    Warehouse.readAt(spark, wh, "doc_stats", 1L).count() shouldBe standingCount
+    Warehouse.readAt(spark, wh, "doc_stats", 2L).count() should
+      be > standingCount
+    intercept[IllegalArgumentException](
+      Warehouse.readAt(spark, wh, "doc_stats", 99L))
+    def files(v: Long, t: String): Set[String] =
+      Option(new java.io.File(s"$wh/v=$v/$t").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .toSet
+    // A compact at a generous target rewrites NOTHING: every table is
+    // already under the bound, so its files hard-link forward by name.
+    Warehouse.compact(spark, wh, targetFiles = 10000) shouldBe 3L
+    Warehouse.DocChainTables.foreach { t =>
+      withClue(s"unfragmented $t after compact:") {
+        files(3L, t) shouldBe files(2L, t)
+      }
+    }
+    // The retention window slid: v=1 reaped, the last two remain.
+    Warehouse.versions(wh) shouldBe Seq(2L, 3L)
+  }
+
   test("mergeBatch commits a new version whose tables equal a full rebuild") {
     import org.apache.spark.sql.functions.col
     val wh = java.nio.file.Files.createTempDirectory("graft-merge-spec").toString
