@@ -273,26 +273,33 @@ object Dedup {
       .orderBy("band", "band_hash")
 
   /** The t/s/bands CTE chain (DuckDB form of `bandFrame`), shared by
-    * the q28 and q49 oracles. */
-  private[queries] val bandsCteSql: String = {
+    * the q28 and q49 oracles. Parameterized (r14) over a CTE-name
+    * `prefix` and a documents `where` clause so one statement can
+    * instantiate the chain over TWO document populations (q143 diffs
+    * the purge chain with and without the merged batch) — one rule
+    * text, every instantiation spliced from it. */
+  private[queries] def bandsCteSqlFor(prefix: String = "",
+      where: String = ""): String = {
     def band(cols: Seq[Int]): String =
       "md5(" + cols.map(i => s"sig_$i::VARCHAR").mkString(" || ',' || ") + ")"
-    s"""t AS (
+    s"""${prefix}t AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(list_distinct(string_split(text, ' ')),
        |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)) AS hs
-       |  FROM documents),
-       |sg AS (
+       |  FROM documents$where),
+       |${prefix}sg AS (
        |  SELECT doc_id,
        |${HashParams.zipWithIndex.map { case ((a, b), i) =>
             s"    list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647)) AS sig_$i"
           }.mkString(",\n")}
-       |  FROM t),
-       |bands AS (
-       |  SELECT doc_id, ${band(Seq(0, 1, 2, 3))} AS band_hash, CAST(0 AS BIGINT) AS band FROM sg
+       |  FROM ${prefix}t),
+       |${prefix}bands AS (
+       |  SELECT doc_id, ${band(Seq(0, 1, 2, 3))} AS band_hash, CAST(0 AS BIGINT) AS band FROM ${prefix}sg
        |  UNION ALL
-       |  SELECT doc_id, ${band(Seq(4, 5, 6, 7))} AS band_hash, CAST(1 AS BIGINT) AS band FROM sg)""".stripMargin
+       |  SELECT doc_id, ${band(Seq(4, 5, 6, 7))} AS band_hash, CAST(1 AS BIGINT) AS band FROM ${prefix}sg)""".stripMargin
   }
+
+  private[queries] val bandsCteSql: String = bandsCteSqlFor()
 
   val minhashBandsSql: String =
     s"""WITH $bandsCteSql
@@ -354,23 +361,30 @@ object Dedup {
   /** Oracle mirror of [[candidateEdges]] (expects `bands` in scope;
     * yields `e0(src, dst)` with dst = bucket-min root < src), shared
     * by the q49/q92 component chain and the q120 estimator audit. */
-  private[queries] val candidateEdgesCteSql: String =
-    """roots AS (
+  private[queries] def candidateEdgesCteSqlFor(prefix: String = ""): String =
+    s"""${prefix}roots AS (
       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, band_hash) AS root
-      |  FROM bands),
-      |e0 AS (
-      |  SELECT DISTINCT doc_id AS src, root AS dst FROM roots WHERE doc_id <> root)""".stripMargin
+      |  FROM ${prefix}bands),
+      |${prefix}e0 AS (
+      |  SELECT DISTINCT doc_id AS src, root AS dst FROM ${prefix}roots WHERE doc_id <> root)""".stripMargin
 
-  private[queries] val ccCompCteSql: String =
-    s"""$candidateEdgesCteSql,
-      |edges AS (
-      |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-      |nodes AS (SELECT DISTINCT src AS id FROM edges),
-      |reach(id, r) AS (
-      |  SELECT id, id FROM nodes
+  private[queries] val candidateEdgesCteSql: String = candidateEdgesCteSqlFor()
+
+  /** The q49 component chain, prefix-parameterized like
+    * [[bandsCteSqlFor]] so q143 can run the clustering over two
+    * document populations in one statement. */
+  private[queries] def ccCompCteSqlFor(prefix: String = ""): String =
+    s"""${candidateEdgesCteSqlFor(prefix)},
+      |${prefix}edges AS (
+      |  SELECT src, dst FROM ${prefix}e0 UNION SELECT dst AS src, src AS dst FROM ${prefix}e0),
+      |${prefix}nodes AS (SELECT DISTINCT src AS id FROM ${prefix}edges),
+      |${prefix}reach(id, r) AS (
+      |  SELECT id, id FROM ${prefix}nodes
       |  UNION
-      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-      |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+      |  SELECT e.dst, ${prefix}reach.r FROM ${prefix}reach JOIN ${prefix}edges e ON e.src = ${prefix}reach.id),
+      |${prefix}comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM ${prefix}reach GROUP BY id)""".stripMargin
+
+  private[queries] val ccCompCteSql: String = ccCompCteSqlFor()
 
   val dupClustersSql: String =
     s"""WITH RECURSIVE $bandsCteSql,

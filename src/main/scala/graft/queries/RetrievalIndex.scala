@@ -1,0 +1,424 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The MATERIALIZED retrieval index — the third serving leg of the
+  * warehouse family.
+  *
+  * The round-13/14 warehouse made dedup (q113) and ANN (q142) read
+  * the stored index instead of the corpus; lexical retrieval (q112)
+  * still BM25-scored the raw corpus per query. This store closes that
+  * gap: `build` persists the classic inverted-index pair —
+  *
+  *  - `postings`      term, doc_id, tf, dl — one row per (doc,
+  *                    distinct term), the document length DENORMALIZED
+  *                    into the posting row (the standard trick that
+  *                    makes scoring join-free), PARTITIONED BY
+  *                    `term_bucket` = hash(term) mod [[NBuckets]] so a
+  *                    query's terms prune to their buckets at PLAN
+  *                    time — the executed form of the partition-
+  *                    pruning posture the ANN `cells` table documents;
+  *  - `corpus_stats`  n_docs, sum_dl — the one-row global the Okapi
+  *                    weights need.
+  *
+  * It is a SEPARATE snapshot store (same `_CURRENT` pointer protocol,
+  * reusing [[Warehouse.freshVersionDir]]/[[Warehouse.commitSnapshot]])
+  * rather than two more tables in the dedup/ANN warehouse: a retrieval
+  * index versions on a different cadence (a tokenizer change rebuilds
+  * postings and nothing else; a dedup-parameter change never touches
+  * them), and blue/green serving wants independently swappable
+  * pointers per index family.
+  *
+  * Scale: postings is corpus-sized — that is what an inverted index
+  * IS — but a query reads |terms| buckets of [[NBuckets]] (static
+  * partition pruning, pinned by PlanShapeSpec and the selected-
+  * partition count in `RetrievalIndexSpec`), so serve cost is
+  * O(posting lists of the query's terms), independent of corpus size.
+  * Maintenance is the cheapest in the family: postings rows are
+  * per-doc deterministic, so a merge hard-links the standing partition
+  * tree and appends O(batch) rows into the touched buckets, and the
+  * stats row is one add — no derived tables to splice at all (df is
+  * derived per-query from the pruned read, so it is never stale).
+  */
+object RetrievalIndex {
+
+  /** Postings partition count. At fixture scale 64 keeps partitions
+    * non-trivial; at 100 TB the same layout holds with more buckets —
+    * the serve plan shape (prune to |query terms| buckets) is
+    * unchanged by the constant. */
+  val NBuckets = 64
+
+  private def bucketCol(term: Column): Column =
+    pmod(PipelineOps.hash60(term), lit(NBuckets.toLong)).cast("int")
+
+  /** Driver-side replica of [[bucketCol]] for PINNED literal terms, so
+    * the serve filter is literal `IN` predicates the planner prunes
+    * statically (no runtime subquery, no collect): first 15 hex chars
+    * of md5 as a long (`PipelineOps.hash60`), mod [[NBuckets]]. */
+  private[queries] def bucketOf(term: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % NBuckets).toInt
+  }
+
+  /** The postings frame of a docs population — the SAME `split` /
+    * length / term-frequency algebra as `TextOps.bm25Scored`, shaped
+    * as one row per (doc, distinct term). Shared by build and merge,
+    * so a batch's posting rows are bit-identical to what a full
+    * rebuild would produce for those docs (the append-only merge
+    * argument). */
+  private def postingsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+      explode(col("w")).as("term"))
+    .groupBy(col("doc_id"), col("dl"), col("term"))
+    .agg(count(lit(1)).as("tf"))
+    .withColumn("term_bucket", bucketCol(col("term")))
+
+  private def statsOf(docs: DataFrame): DataFrame = docs
+    .select(size(split(col("text"), " ")).cast("long").as("dl"))
+    .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Build and commit one snapshot version over an explicit docs
+    * frame. Returns the committed version. */
+  def buildOf(s: SparkSession, docs: DataFrame, whDir: String): Long = {
+    Files.createDirectories(Paths.get(whDir))
+    val cur = Warehouse.version(whDir)
+    val next = cur + 1
+    val base = Warehouse.freshVersionDir(whDir, next)
+    postingsOf(docs).write.mode("overwrite")
+      .partitionBy("term_bucket").parquet(s"$base/postings")
+    statsOf(docs).write.mode("overwrite").parquet(s"$base/corpus_stats")
+    Warehouse.commitSnapshot(whDir, cur, next)
+    next
+  }
+
+  /** Hard-link `src`'s tree (partition subdirectories included) into
+    * `dst` — the partition-aware form of the warehouse leaf append's
+    * re-reference step. */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    scala.util.Using.resource(Files.list(src)) { st =>
+      st.forEach { f =>
+        val name = f.getFileName.toString
+        if (Files.isDirectory(f)) linkTree(f, dst.resolve(name))
+        else if (!name.startsWith(".") && !name.startsWith("_")) {
+          try Files.createLink(dst.resolve(name), f)
+          catch { case _: Exception =>
+            Files.copy(f, dst.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    }
+  }
+
+  /** INCREMENTAL maintenance: merge a batch of new documents into the
+    * standing retrieval index. Postings rows are per-doc
+    * deterministic, so the merge is a REAL append — the standing
+    * partition tree hard-links into the new version and only the
+    * batch's O(batch) rows are written (into the ≤|batch vocabulary|
+    * buckets they land in); the stats row is one two-row sum. No
+    * derived state exists to go stale: df is computed per-query from
+    * the pruned posting read, so it reflects every merge by
+    * construction. I/O is O(batch); commit is the same atomic
+    * pointer swap ([[Warehouse.commitSnapshot]]), so a reader sees
+    * the pre-merge or post-merge index, never a half-appended one.
+    * Equivalence contract (q145): buildOf(standing) then
+    * mergeBatchOf(batch) ≡ buildOf(standing ∪ batch), content
+    * (not just counts) certified. */
+  def mergeBatchOf(s: SparkSession, whDir: String, batch: DataFrame,
+      streamBatchId: Option[Long] = None): Long = {
+    val cur = Warehouse.version(whDir)
+    require(cur > 0, s"mergeBatchOf needs a standing retrieval index in $whDir")
+    // Exactly-once over at-least-once delivery (the q140 discipline):
+    // a re-delivered stream batch at/below the pointer's high-water
+    // mark is a no-op.
+    if (streamBatchId.exists(_ <= Warehouse.lastMergedBatch(whDir))) return cur
+    val next = cur + 1
+    val base = Warehouse.freshVersionDir(whDir, next)
+    linkTree(Paths.get(whDir, s"v=$cur", "postings"),
+      Paths.get(base, "postings"))
+    postingsOf(batch).write.mode("append")
+      .partitionBy("term_bucket").parquet(s"$base/postings")
+    val merged = Warehouse.read(s, whDir, "corpus_stats")
+      .unionByName(statsOf(batch))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    merged.write.mode("overwrite").parquet(s"$base/corpus_stats")
+    Warehouse.commitSnapshot(whDir, cur, next, streamBatchId)
+    next
+  }
+
+  /** Compact the postings store — the partition-aware form of
+    * [[Warehouse.compact]]'s O(fragmented) discipline. Daily merges
+    * append one small file per touched bucket per batch, so
+    * fragmentation accumulates bucket-by-bucket; this rewrites ONLY
+    * buckets whose data-file count exceeds `targetFiles` and
+    * hard-links every other bucket (and the one-row stats table)
+    * forward — compaction I/O is O(fragmented buckets), not O(index).
+    * A rewritten bucket is read AS its directory (the partition value
+    * lives in the dir name, not the files), so the layout — and the
+    * q144 serve plan's static pruning — is unchanged. Same atomic
+    * pointer swap; readers see the old or the new snapshot, never a
+    * half-compacted one. */
+  def compact(s: SparkSession, whDir: String, targetFiles: Int = 1): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val cur = Warehouse.version(whDir)
+    require(cur > 0, s"compact needs a committed snapshot in $whDir")
+    val next = cur + 1
+    val base = Warehouse.freshVersionDir(whDir, next)
+    linkTree(Paths.get(whDir, s"v=$cur", "corpus_stats"),
+      Paths.get(base, "corpus_stats"))
+    val src = Paths.get(whDir, s"v=$cur", "postings")
+    val dst = Paths.get(base, "postings")
+    Files.createDirectories(dst)
+    scala.util.Using.resource(Files.list(src)) { st =>
+      st.forEach { bucket =>
+        val name = bucket.getFileName.toString
+        if (Files.isDirectory(bucket)) {
+          val nFiles = Option(bucket.toFile.listFiles()).getOrElse(Array())
+            .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          if (nFiles <= targetFiles) linkTree(bucket, dst.resolve(name))
+          else s.read.parquet(bucket.toString).coalesce(targetFiles)
+            .write.mode("overwrite").parquet(dst.resolve(name).toString)
+        }
+      }
+    }
+    Warehouse.commitSnapshot(whDir, cur, next)
+    next
+  }
+
+  // ---- fixture stores (memoized per corpus dir per JVM) --------------
+
+  private val fixtureRetr =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized full-corpus retrieval index for `corpusDir`. */
+  def ensure(s: SparkSession, corpusDir: String): String =
+    fixtureRetr.computeIfAbsent(corpusDir, _ => {
+      val wh = Files.createTempDirectory("graft-retr-wh").toString
+      buildOf(s, Tables.documents(s, corpusDir), wh)
+      wh
+    })
+
+  private val mergedRetr =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized MERGED fixture: standing index built from the corpus
+    * minus [[Dedup.NewSource]], then one [[mergeBatchOf]] of that
+    * source — the q138 fixture protocol at the retrieval grain. */
+  private[queries] def ensureMerged(s: SparkSession, corpusDir: String): String =
+    mergedRetr.computeIfAbsent(corpusDir, _ => {
+      val wh = Files.createTempDirectory("graft-retr-merge").toString
+      val docs = Tables.documents(s, corpusDir)
+      buildOf(s, docs.filter(col("source") =!= lit(Dedup.NewSource)), wh)
+      mergeBatchOf(s, wh, docs.filter(col("source") === lit(Dedup.NewSource)))
+      wh
+    })
+
+  // ---- q144: BM25 top-k SERVED from the stored postings --------------
+
+  /** q144 — q112's BM25 retrieval served from the materialized
+    * inverted index, zero corpus scans: the plan reads the pinned
+    * query terms' PARTITIONS of the stored `postings` (literal
+    * `term_bucket IN (...)` → static partition pruning, PlanShapeSpec-
+    * pinned) plus the one-row `corpus_stats`; df comes from the pruned
+    * read itself (posting-list length per term), so every weight input
+    * is index-resident. Scoring algebra is IDENTICAL to q112 —
+    * rational idf, k1 = 1.2, b = 0.75 — over the candidate docs (docs
+    * holding ≥1 query term; every candidate outscores every
+    * non-candidate, whose score is exactly 0, and candidates ≫ k at
+    * every fixture SF, so candidate top-k ≡ corpus top-k). The oracle
+    * is q112's own full-scan recompute from the raw corpus — the
+    * serving path's certificate IS that it reproduces the full scan
+    * from posting lists alone. */
+  def bm25Serve(s: SparkSession, dir: String): DataFrame =
+    bm25ServeFrom(s, ensure(s, dir))
+
+  /** [[bm25Serve]] against an explicit store — the seam the
+    * serve-after-merge spec uses (a merged index must serve the same
+    * ranking a rebuilt one does). */
+  private[graft] def bm25ServeFrom(s: SparkSession, wh: String): DataFrame = {
+    val terms = TextOps.Bm25Terms
+    bm25ServeScoredFrom(s, wh)
+      .orderBy(col("s").desc, col("doc_id").asc)
+      .limit(TextOps.Bm25K)
+      .select(col("doc_id") +: col("dl") +:
+        (terms.map(t => col(s"tf_$t")) :+ round(col("s"), 6).as("bm25")): _*)
+  }
+
+  /** The q144 candidate frame BEFORE top-k/rounding — every doc
+    * holding ≥1 query term with its UNROUNDED BM25 score `s`. Factored
+    * so the q146 hybrid fusion ranks on the identical scores the
+    * standalone serve ranks on (the q118 discipline: ranking on
+    * display-rounded values could flip near-equal neighbours). */
+  private[queries] def bm25ServeScoredFrom(s: SparkSession, wh: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = TextOps.Bm25Terms
+    val p = Warehouse.read(s, wh, "postings")
+      .filter(col("term_bucket").isin(terms.map(bucketOf): _*) &&
+        col("term").isin(terms: _*))
+    val dfCols = terms.map(t =>
+      sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"df_$t"))
+    val dfs = p.groupBy().agg(dfCols.head, dfCols.tail: _*)
+    val tfCols = terms.map(t =>
+      sum(when(col("term") === lit(t), col("tf")).otherwise(0L)).as(s"tf_$t"))
+    val cand = p.groupBy(col("doc_id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val stats = Warehouse.read(s, wh, "corpus_stats")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl)))
+    }.reduceLeft(_ + _)
+    cand.join(broadcast(stats)).join(broadcast(dfs))
+      .withColumn("s", score)
+  }
+
+  /** Oracle: the q112 full-scan chain — serving from postings must
+    * reproduce the corpus scan exactly. */
+  val bm25ServeSql: String = TextOps.bm25TopKSql
+
+  // ---- q145: retrieval-index merge ≡ rebuild certification -----------
+
+  /** q145 — the retrieval grain's q138: certify that the O(batch)
+    * merge composes to the full rebuild. Over the merged fixture
+    * (standing = corpus minus [[Dedup.NewSource]], one merged batch of
+    * that source), emits per metric:
+    *
+    *  - `postings_minus_rebuild` / `rebuild_minus_postings` — LIVE
+    *    multiset differences (exceptAll both ways) between the merged
+    *    store's postings and a from-scratch recompute over the full
+    *    corpus: content equivalence, not count coincidence;
+    *  - `postings_rows`, `stats_n_docs`, `stats_sum_dl` — the merged
+    *    store's committed values, hash-checked against DuckDB
+    *    recomputing them from the raw corpus.
+    *
+    * `ok` is live-computed (diffs empty; stored values equal the
+    * recompute) and oracle-pinned TRUE. */
+  def mergeCertify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = ensureMerged(s, dir)
+    val stored = Warehouse.read(s, wh, "postings")
+      .select("term", "doc_id", "tf", "dl", "term_bucket")
+    val rebuild = postingsOf(Tables.documents(s, dir))
+      .select("term", "doc_id", "tf", "dl", "term_bucket")
+    val extra = stored.exceptAll(rebuild).count()
+    val missing = rebuild.exceptAll(stored).count()
+    val nPostings = stored.count()
+    val st = Warehouse.read(s, wh, "corpus_stats").collect()(0)
+    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+    val expSt = statsOf(Tables.documents(s, dir)).collect()(0)
+    Seq(
+      ("postings_minus_rebuild", extra, extra == 0L),
+      ("postings_rows", nPostings, missing == 0L && extra == 0L),
+      ("rebuild_minus_postings", missing, missing == 0L),
+      ("stats_n_docs", nDocs, nDocs == expSt.getLong(0)),
+      ("stats_sum_dl", sumDl, sumDl == expSt.getLong(1)))
+      .toDF("metric", "value", "ok")
+      .orderBy("metric")
+  }
+
+  // ---- q146: hybrid RRF retrieval SERVED from the stored indexes -----
+
+  /** q146 — the q118 hybrid fusion with BOTH legs served from
+    * materialized indexes and ZERO corpus scans (PlanShapeSpec pins
+    * neither `documents.parquet` nor `embeddings.parquet` in the
+    * plan): the sparse leg is q144's stored-postings BM25 (pruned to
+    * the query terms' partitions), the dense leg is q142's stored
+    * IVF probe (centroids broadcast, candidates from the nprobe
+    * probed cells) — each leg ranked on its UNROUNDED serving score
+    * (the shared [[Similarity.annServeScored]] /
+    * [[bm25ServeScoredFrom]] frames, the q118 discipline), fused by
+    * reciprocal rank fusion at the q118 constant. This is the
+    * production RAG read path end to end: a query hits two
+    * independently-versioned index stores and never touches the
+    * corpus; each leg keeps its own scale contract (posting-list
+    * pruning / cell pruning), and the fusion itself touches
+    * ≤ Bm25K + AnnServeK = 30 rows regardless of corpus size.
+    *
+    * The dense leg is the APPROXIMATE production search (nprobe
+    * cells, not a full scan) — so the oracle splices the q142 probe
+    * rule text, not q118's exact-scan leg: the certificate is that
+    * the fused SERVED ranking reproduces a from-scratch re-derivation
+    * of both indexes + both serves + the fusion. Absent legs
+    * contribute rank 0 ("not retrieved"), exactly q118's contract. */
+  def hybridServe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = bm25ServeScoredFrom(s, ensure(s, dir))
+      .orderBy(col("s").desc, col("doc_id").asc).limit(TextOps.Bm25K)
+      .withColumn("rank_sparse",
+        row_number().over(Window.orderBy(col("s").desc, col("doc_id").asc))
+          .cast("long"))
+      .select(col("doc_id"), col("rank_sparse"))
+    val dn = Similarity.annServeScored(s, dir)
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(Similarity.AnnServeK)
+      .withColumn("rank_dense",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+          .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    def term(r: Column): Column =
+      when(r.isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(Similarity.RrfK) + r))
+    sp.join(dn, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(term(col("rank_sparse")) + term(col("rank_dense")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** Oracle: both index derivations from the raw tables (the shared
+    * bm25 + cellAssign/probe rule texts) + both serves + the q118
+    * fusion algebra — one statement, zero shared engine code. */
+  val hybridServeSql: String =
+    s"""WITH ${TextOps.bm25CteSql},
+       |${Similarity.cellAssignCteSql},
+       |${Similarity.annProbeCteSql},
+       |spr AS (
+       |  SELECT doc_id, rank_sparse FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank_sparse
+       |    FROM sc WHERE ${TextOps.Bm25Terms.map(t => s"tf_$t > 0").mkString(" OR ")})
+       |  WHERE rank_sparse <= ${TextOps.Bm25K}),
+       |den AS (
+       |  SELECT doc_id, rank_dense FROM (
+       |    SELECT vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_dense
+       |    FROM cand) WHERE rank_dense <= ${Similarity.AnnServeK})
+       |SELECT COALESCE(spr.doc_id, den.doc_id) AS doc_id,
+       |  CAST(COALESCE(rank_sparse, 0) AS BIGINT) AS rank_sparse,
+       |  CAST(COALESCE(rank_dense, 0) AS BIGINT) AS rank_dense,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_sparse), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_dense), 0), 6) AS rrf
+       |FROM spr FULL OUTER JOIN den ON spr.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id""".stripMargin
+
+  val mergeCertifySql: String =
+    s"""WITH p AS (
+       |  SELECT DISTINCT doc_id, t.term
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents) t),
+       |d AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+       |  FROM documents)
+       |SELECT * FROM (
+       |  SELECT 'postings_minus_rebuild' AS metric, CAST(0 AS BIGINT) AS value, TRUE AS ok
+       |  UNION ALL
+       |  SELECT 'postings_rows', (SELECT CAST(count(*) AS BIGINT) FROM p), TRUE
+       |  UNION ALL
+       |  SELECT 'rebuild_minus_postings', CAST(0 AS BIGINT), TRUE
+       |  UNION ALL
+       |  SELECT 'stats_n_docs', (SELECT n_docs FROM d), TRUE
+       |  UNION ALL
+       |  SELECT 'stats_sum_dl', (SELECT sum_dl FROM d), TRUE)
+       |ORDER BY metric""".stripMargin
+}

@@ -1313,6 +1313,97 @@ object Similarity {
       .orderBy("new_vec")
   }
 
+  // ---- q142: ANN top-k SERVED from the stored index ------------------
+
+  /** q142 — the ANN SERVING read path of the materialized warehouse:
+    * the q46 IVF dataflow with every stage's input coming from STORED
+    * tables, zero corpus scans (PlanShapeSpec pins neither
+    * `embeddings.parquet` nor `documents.parquet` in the plan). The
+    * query vector itself is fetched from the stored `cells` table —
+    * a serving tier holds the index, not the corpus — the probe cells
+    * are chosen against the stored `centroids` (k·dim rows, broadcast),
+    * and the candidate scan reads `cells` restricted to the nprobe
+    * probed cells with the norms PRECOMPUTED at build time (the point
+    * of materializing an IVF index: search does no per-row sqrt over
+    * the corpus side).
+    *
+    * Scale: at 100 TB `cells` is partitioned BY CELL, so the probe
+    * semi-join is partition pruning — the scan reads nprobe/K of the
+    * index and nothing else; the two broadcast sides are one row (the
+    * query) and nprobe rows (the probed cell ids). Search latency is
+    * O(index/K · nprobe), independent of corpus size, exactly the IVF
+    * contract. Recall at this nprobe is certified by q106/q128; THIS
+    * query certifies the stored read path end to end (the builder
+    * mandate's similarity-search scale path, served from the
+    * materialized index the way q113 serves dedup). */
+  /** q142/q146 serve-protocol constants — the hybrid fusion serves
+    * the SAME search as the standalone ANN query, one definition. */
+  private[queries] val AnnProbeN = 2
+  private[queries] val AnnQueryId = 42L
+  private[queries] val AnnServeK = 10
+
+  /** The q142 candidate frame BEFORE top-k/rounding — (vec_id, cell,
+    * cos) for every index vector in the probed cells. Factored so the
+    * q146 hybrid fusion ranks on the identical unrounded scores
+    * (ranking on display-rounded values could flip near-equal
+    * neighbours — the q118 discipline). */
+  private[queries] def annServeScored(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.queries.Warehouse.stored(s, dir, "cells")
+    val qv = cells.filter(col("vec_id") === AnnQueryId)
+      .select(col("v").as("quv"), col("norm").as("qn"))
+    val qcells = graft.queries.Warehouse.stored(s, dir, "centroids")
+      .join(broadcast(qv))
+      .withColumn("cos_c", cosine(col("v"), col("quv")))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+      .limit(AnnProbeN)
+      .select(col("c_id").as("probe_cell"))
+    val denom = col("norm") * col("qn")
+    cells
+      .join(broadcast(qcells), col("cell") === col("probe_cell"))
+      .join(broadcast(qv))
+      .filter(col("vec_id") =!= AnnQueryId)
+      .withColumn("cos", when(denom === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), col("quv")) / denom))
+  }
+
+  def annServe(s: SparkSession, dir: String): DataFrame =
+    annServeScored(s, dir)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(AnnServeK)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
+
+  /** Oracle rule text of the q142 probe chain (sig → qp → qc → cand);
+    * splice [[cellAssignCteSql]] before it. Shared by q142 and the
+    * q146 hybrid fusion so the serving path and the fused leg cannot
+    * drift. */
+  private[queries] val annProbeCteSql: String =
+    s"""sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |qp AS (SELECT v AS quv, norm AS qn FROM sig WHERE vec_id = $AnnQueryId),
+       |qc AS (
+       |  SELECT c_id AS probe_cell FROM c, qp
+       |  ORDER BY ${cosineSqlFor("c.qv", "qp.quv")} DESC, c_id DESC
+       |  LIMIT $AnnProbeN),
+       |cand AS (
+       |  SELECT sig.vec_id, sig.cell,
+       |    CASE WHEN sig.norm * qp.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, qp.quv) / (sig.norm * qp.qn)
+       |      END AS cos
+       |  FROM sig JOIN qc ON sig.cell = qc.probe_cell, qp
+       |  WHERE sig.vec_id <> $AnnQueryId)""".stripMargin
+
+  /** Oracle: DuckDB re-derives the whole index from raw embeddings
+    * (the shared [[cellAssignCteSql]] chain — what the warehouse
+    * build persisted) and then runs the same probe + exact-rerank. */
+  val annServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |$annProbeCteSql
+       |SELECT vec_id, cell, round(cos, 6) AS cosine
+       |FROM cand
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT $AnnServeK""".stripMargin
+
   val incrementalSemanticDedupSql: String =
     s"""WITH $cellAssignCteSql,
        |sig AS (

@@ -635,6 +635,13 @@ object Warehouse {
   private[queries] def commitSnapshot(whDir: String, curVer: Long,
       newVer: Long): Unit = commit(whDir, curVer, newVer)
 
+  /** [[commitSnapshot]] carrying a streaming high-water mark — the
+    * seam the retrieval store's exactly-once stream maintenance uses
+    * (same pointer-file discipline as [[mergeBatch]]'s). */
+  private[queries] def commitSnapshot(whDir: String, curVer: Long,
+      newVer: Long, streamBatchId: Option[Long]): Unit =
+    commit(whDir, curVer, newVer, streamBatchId.getOrElse(-1L))
+
   /** Recursively delete a directory tree (best-effort), closing the
     * walk stream (ADVICE r13: a leaked `Files.walk` stream holds a
     * directory fd per reaping commit in a long-lived driver). */
@@ -899,6 +906,63 @@ object Warehouse {
        |  UNION ALL
        |  SELECT 'token_hashes', n, TRUE FROM nd)
        |ORDER BY table_name""".stripMargin
+
+  // ---- q143: TIME-TRAVEL merge diff (newly purged by the merge) -------
+
+  /** q143 — time travel made QUERYABLE: "what did today's merge newly
+    * purge" — the daily sign-off diff a curation team reads after each
+    * index maintenance run. Runs over the q138 merged fixture (standing
+    * index = corpus minus [[Dedup.NewSource]], one [[mergeBatch]] of
+    * that source) and diffs the purge table ACROSS THE MERGE via the
+    * snapshot protocol's retention window: the merged version read with
+    * [[read]], the pre-merge version with [[readAt]] — both already
+    * materialized, so the diff is an anti-join of two index-sized
+    * parquet scans plus a doc_stats lookup for provenance. Nothing
+    * recomputes and nothing reads the corpus (PlanShapeSpec pins zero
+    * `documents.parquet` scans).
+    *
+    * Output per newly-purged doc: its source, merged cluster, the
+    * keeper that shadows it, and `is_batch_doc` — FALSE rows are the
+    * interesting audits (a STANDING doc demoted because the batch
+    * delivered a higher-quality duplicate; purge membership is
+    * monotone under merge — a non-keeper stays a non-keeper when its
+    * cluster grows — so demoted keepers and batch-arrived dups are
+    * exactly the delta).
+    *
+    * The oracle recomputes BOTH chains from the raw corpus — the full
+    * purge and the standing purge over `documents WHERE source <>
+    * '${Dedup.NewSource}'` — through the same prefixed rule texts
+    * (bands → components → purge rank) and anti-joins them, so the
+    * time-travel read path is content-certified against a from-scratch
+    * derivation of both snapshots. */
+  def mergePurgeDelta(s: SparkSession, dir: String): DataFrame = {
+    val (wh, _) = ensureMerged(s, dir)
+    val vNow = version(wh)
+    val vPre = versions(wh).filter(_ < vNow).max
+    read(s, wh, "purge")
+      .join(readAt(s, wh, "purge", vPre).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .join(read(s, wh, "doc_stats").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("cluster_id"), col("kept_doc"),
+        (col("source") === lit(Dedup.NewSource)).as("is_batch_doc"))
+      .orderBy("doc_id")
+  }
+
+  val mergePurgeDeltaSql: String =
+    s"""WITH RECURSIVE ${Dedup.bandsCteSql},
+       |${Dedup.ccCompCteSql},
+       |${Dedup.bandsCteSqlFor("n", s" WHERE source <> '${Dedup.NewSource}'")},
+       |${Dedup.ccCompCteSqlFor("n")},
+       |${Dedup.qualityScCteSql},
+       |${Dedup.purgeRankCteSql("comp")},
+       |${Dedup.purgeRankCteSql("ncomp", "n")}
+       |SELECT p.doc_id, d.source, p.cluster_id, p.kept_doc,
+       |  (d.source = '${Dedup.NewSource}') AS is_batch_doc
+       |FROM pg p
+       |JOIN documents d USING (doc_id)
+       |WHERE p.doc_id NOT IN (SELECT doc_id FROM npg)
+       |ORDER BY p.doc_id""".stripMargin
 
   // ---- q139: ALL-GRAIN merge ≡ rebuild certification ------------------
 

@@ -281,4 +281,59 @@ class DedupAuditSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(5) == inter * 1000000L / math.min(na, nb), s"$key ppm")
     }
   }
+
+  test("q143 merge delta is exactly full-purge minus standing-purge (brute force)") {
+    val c = chain()
+    val sources = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quality = TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // The full q49/q92 chain (union-find + keeper rule) over an
+    // arbitrary doc population — instantiated for the whole corpus and
+    // for the standing corpus (minus the batch source).
+    def purgeOf(ids: Set[Long]): Map[Long, (Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      starEdges(c.filter { case (id, _) => ids(id) })
+        .foreach { case (a, b) => union(a, b) }
+      val members = parent.keySet ++ parent.values
+      val comp = members.map(m => m -> find(m)).toMap
+      comp.groupBy(_._2).values.flatMap { m =>
+        val ordered = m.keys.toSeq.sortBy(id => (-quality(id), id))
+        ordered.tail.map(id => id -> ((comp(id), ordered.head)))
+      }.toMap
+    }
+    val all = c.keySet
+    val full = purgeOf(all)
+    val standing = purgeOf(all.filter(sources(_) != Dedup.NewSource))
+    // Purge membership is monotone under merge (a non-keeper stays a
+    // non-keeper when its cluster grows) — the premise behind reading
+    // the delta as "batch-arrived dups + demoted standing keepers".
+    assert(standing.keySet.subsetOf(full.keySet))
+    val expected = full.filter { case (id, _) => !standing.contains(id) }
+    assert(expected.nonEmpty, "the merge must newly purge at least one doc")
+
+    val out = Warehouse.mergePurgeDelta(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (cid, kept) = expected(id)
+      assert(r.getString(1) == sources(id), s"doc $id source")
+      assert(r.getLong(2) == cid, s"doc $id cluster_id")
+      assert(r.getLong(3) == kept, s"doc $id kept_doc")
+      assert(r.getBoolean(4) == (sources(id) == Dedup.NewSource), s"doc $id flag")
+      // No delta row was purged pre-merge.
+      assert(!standing.contains(id), s"doc $id was already purged pre-merge")
+    }
+  }
 }

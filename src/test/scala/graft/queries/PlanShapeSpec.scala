@@ -50,7 +50,10 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q123_purge_by_quality", // 1-row doc-count denominator (q117 idiom)
     "q125_vocab_drift",    // sources × broadcast top-20 terms dense completion
     "q128_ivf_int8",       // broadcast centroids/probe side (q46/q106 shape)
-    "q137_retrieval_eval") // broadcast |Q| query vectors + 1-row stats legs
+    "q137_retrieval_eval", // broadcast |Q| query vectors + 1-row stats legs
+    "q142_ann_serve",      // 1-row stored query vector broadcast (q46 shape)
+    "q144_bm25_serve",     // 1-row stats + 1-row df broadcasts (q112 idiom)
+    "q146_hybrid_serve")   // both serving legs' 1-row broadcasts (q118 shape)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -67,6 +70,47 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
           plans(n) should include("graft-warehouse")
         }
       }
+  }
+
+  test("ANN serving reads ONLY the stored index — zero corpus scans") {
+    // q142: query vector, probe centroids, and candidates all come
+    // from warehouse parquet; a serving tier holds the index, not the
+    // corpus. Either raw-table scan creeping in would reintroduce a
+    // corpus-sized read per search.
+    plans("q142_ann_serve") should include("graft-warehouse")
+    plans("q142_ann_serve") should not include "embeddings.parquet"
+    plans("q142_ann_serve") should not include "documents.parquet"
+  }
+
+  test("BM25 serving reads pruned stored postings — zero corpus scans") {
+    // q144: the plan scans the retrieval store's postings with a
+    // LITERAL term_bucket IN predicate — static partition pruning at
+    // plan time (the executed form of the partitioned-index posture) —
+    // plus the one-row corpus_stats; the raw corpus never appears.
+    plans("q144_bm25_serve") should include("graft-retr-wh")
+    plans("q144_bm25_serve") should not include "documents.parquet"
+    plans("q144_bm25_serve") should include("PartitionFilters")
+    plans("q144_bm25_serve") should include("term_bucket")
+  }
+
+  test("hybrid serving fuses two stored indexes — zero corpus scans") {
+    // q146: the sparse leg reads pruned stored postings, the dense leg
+    // reads stored cells/centroids; NEITHER raw table appears — the
+    // production RAG read path never touches the corpus.
+    plans("q146_hybrid_serve") should include("graft-retr-wh")
+    plans("q146_hybrid_serve") should include("graft-warehouse")
+    plans("q146_hybrid_serve") should not include "documents.parquet"
+    plans("q146_hybrid_serve") should not include "embeddings.parquet"
+    plans("q146_hybrid_serve") should include("PartitionFilters")
+  }
+
+  test("the merge-diff audit reads two snapshot versions, never the corpus") {
+    // q143: both purge versions + doc_stats come from the merged
+    // fixture warehouse via the retention window — time travel is a
+    // parquet read, not a recompute.
+    plans("q143_purge_delta") should include("graft-merge-wh")
+    plans("q143_purge_delta") should not include "documents.parquet"
+    plans("q143_purge_delta") should not include "embeddings.parquet"
   }
 
   test("the curation summary is served from the run's committed store") {

@@ -1,0 +1,239 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The materialized retrieval index (q144/q145): the oracle proves the
+  * serve path reproduces q112's full corpus scan; this spec pins the
+  * pieces the oracle can't see — the scoring against a pure-Scala BM25
+  * sharing nothing with the Spark plan, the partition pruning actually
+  * EXECUTED (selected-partition count), the merge's hard-link append
+  * (standing files re-referenced by name), and serve-after-merge
+  * parity with a rebuilt index.
+  */
+class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
+
+  private val terms = TextOps.Bm25Terms
+  private val (k1, b) = (1.2, 0.75)
+
+  /** (doc_id, tokens) of the fixture corpus, plain Scala from here on. */
+  private lazy val docs: Seq[(Long, Array[String])] =
+    graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .toSeq
+
+  /** Pure-Scala Okapi BM25 (rational idf) top-k over the corpus. */
+  private lazy val expectedTopK: Seq[(Long, Long, Seq[Long], Double)] = {
+    val n = docs.size.toLong
+    val dls = docs.map { case (id, w) => id -> w.length.toLong }.toMap
+    val tfs = docs.map { case (id, w) =>
+      id -> terms.map(t => w.count(_ == t).toLong)
+    }.toMap
+    val dfs = terms.indices.map(i => docs.count(d => tfs(d._1)(i) > 0).toLong)
+    val avgdl = dls.values.sum.toDouble / n
+    docs.map { case (id, _) =>
+      val dl = dls(id)
+      val score = terms.indices.map { i =>
+        val tf = tfs(id)(i).toDouble
+        val idf = (n - dfs(i) + 0.5) / (dfs(i) + 0.5)
+        idf * (tf * (k1 + 1)) /
+          (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+      }.reduceLeft(_ + _)
+      (id, dl, tfs(id), score)
+    }.sortBy { case (id, _, _, s) => (-s, id) }
+      .take(TextOps.Bm25K)
+  }
+
+  test("q144 stored-postings serve matches a pure-Scala corpus BM25") {
+    val out = RetrievalIndex.bm25Serve(spark, sfDir).collect()
+    assert(out.length == TextOps.Bm25K)
+    out.zip(expectedTopK).foreach { case (r, (id, dl, tfv, s)) =>
+      assert(r.getLong(0) == id, s"rank: got ${r.getLong(0)}, want $id")
+      assert(r.getLong(1) == dl, s"doc $id dl")
+      terms.indices.foreach(i =>
+        assert(r.getLong(2 + i) == tfv(i), s"doc $id tf_${terms(i)}"))
+      assert(math.abs(r.getDouble(2 + terms.size) - s) < 1e-6,
+        s"doc $id score")
+    }
+  }
+
+  test("q144's postings scan prunes to the query terms' partitions") {
+    // AQE wraps the physical plan; descend into the adaptive subtree.
+    def postingsScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        postingsScans(a.executedPlan)
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("postings")) => Seq(f)
+    }.flatten
+    val scans = postingsScans(
+      RetrievalIndex.bm25Serve(spark, sfDir).queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no postings scan in the q144 plan")
+    val queryBuckets = terms.map(RetrievalIndex.bucketOf).distinct.size
+    val totalBuckets = {
+      val wh = RetrievalIndex.ensure(spark, sfDir)
+      val v = Warehouse.version(wh)
+      Option(new java.io.File(s"$wh/v=$v/postings").listFiles())
+        .getOrElse(Array()).count(_.getName.startsWith("term_bucket="))
+    }
+    scans.foreach { f =>
+      val selected = f.selectedPartitions.partitionCount
+      assert(selected <= queryBuckets,
+        s"scan read $selected partitions for $queryBuckets query buckets")
+      assert(selected < totalBuckets,
+        s"no pruning: read all $totalBuckets partitions")
+    }
+  }
+
+  test("q145 merge certificate is all-ok and matches plain-Scala counts") {
+    val out = RetrievalIndex.mergeCertify(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    out.foreach { case (m, (_, ok)) => assert(ok, s"$m not ok") }
+    val nPostings = docs.map { case (_, w) => w.distinct.length.toLong }.sum
+    assert(out("postings_rows")._1 == nPostings)
+    assert(out("postings_minus_rebuild")._1 == 0L)
+    assert(out("rebuild_minus_postings")._1 == 0L)
+    assert(out("stats_n_docs")._1 == docs.size.toLong)
+    assert(out("stats_sum_dl")._1 == docs.map(_._2.length.toLong).sum)
+  }
+
+  test("a merged index serves the same ranking a rebuilt one does") {
+    val merged = RetrievalIndex
+      .bm25ServeFrom(spark, RetrievalIndex.ensureMerged(spark, sfDir))
+      .collect()
+    val rebuilt = RetrievalIndex.bm25Serve(spark, sfDir).collect()
+    assert(merged.length == rebuilt.length)
+    merged.zip(rebuilt).foreach { case (m, r) =>
+      assert(m.toSeq == r.toSeq, s"merged vs rebuilt row: $m vs $r")
+    }
+  }
+
+  test("q146 stored-index hybrid fusion matches a brute-force RRF") {
+    // Sparse leg ranks: the pure-Scala BM25 top-20 above.
+    val sparseRanks = expectedTopK.zipWithIndex
+      .map { case ((id, _, _, _), i) => id -> (i + 1).toLong }.toMap
+    // Dense leg ranks: pure-Scala probe + rerank (the q142 contract).
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (denom == 0.0) -2.0 else dot(a, b) / denom
+    }
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cents = vecs.filter(_._1 < Similarity.CentroidK)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cId, cv) => (cosine(v, cv), cId) }.max._2
+    }.toMap
+    val qv = vecs.toMap.apply(Similarity.AnnQueryId)
+    val probes = cents.map { case (cId, cv) => (cosine(qv, cv), cId) }
+      .sortBy { case (c, id) => (-c, -id) }
+      .take(Similarity.AnnProbeN).map(_._2).toSet
+    val denseRanks = vecs
+      .filter { case (id, _) => id != Similarity.AnnQueryId && probes(cellOf(id)) }
+      .map { case (id, v) => (id, cosine(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(Similarity.AnnServeK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // Fusion: 1/(60 + rank) per present leg, absent = rank 0.
+    val expected = (sparseRanks.keySet ++ denseRanks.keySet).toSeq
+      .map { id =>
+        val (rs, rd) = (sparseRanks.getOrElse(id, 0L), denseRanks.getOrElse(id, 0L))
+        def term(r: Long) = if (r == 0L) 0.0 else 1.0 / (60 + r)
+        (id, rs, rd, term(rs) + term(rd))
+      }
+      .sortBy { case (id, _, _, f) => (-f, id) }
+
+    val out = RetrievalIndex.hybridServe(spark, sfDir).collect()
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (id, rs, rd, f)) =>
+      assert(r.getLong(0) == id, s"rank order: got ${r.getLong(0)}, want $id")
+      assert(r.getLong(1) == rs, s"doc $id rank_sparse")
+      assert(r.getLong(2) == rd, s"doc $id rank_dense")
+      assert(math.abs(r.getDouble(3) - f) < 1e-6, s"doc $id rrf")
+    }
+  }
+
+  /** Data files under `base`, as base-relative path strings. */
+  private def dataFiles(base: Path): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    scala.util.Using.resource(Files.walk(base)) { st =>
+      st.forEach { p =>
+        val n = p.getFileName.toString
+        if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith("."))
+          out += base.relativize(p).toString
+      }
+    }
+    out.toSet
+  }
+
+  test("the merge hard-links the standing postings tree by name") {
+    val wh = RetrievalIndex.ensureMerged(spark, sfDir)
+    assert(Warehouse.version(wh) == 2L)
+    val standing = dataFiles(Paths.get(wh, "v=1", "postings"))
+    val mergedFs = dataFiles(Paths.get(wh, "v=2", "postings"))
+    assert(standing.nonEmpty)
+    // Every standing file is re-referenced at the same relative path,
+    // and the merge ADDED batch files rather than rewriting.
+    assert(standing.subsetOf(mergedFs),
+      s"standing files not carried forward: ${(standing -- mergedFs).take(3)}")
+    assert(mergedFs.size > standing.size, "merge appended no batch files")
+  }
+
+  test("compaction rewrites only fragmented buckets and preserves content") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft-retr-compact").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    // Build + two merges: buckets touched by both merges fragment.
+    RetrievalIndex.buildOf(spark, docs.filter(col("doc_id") % 3 === 0), wh)
+    RetrievalIndex.mergeBatchOf(spark, wh, docs.filter(col("doc_id") % 3 === 1))
+    RetrievalIndex.mergeBatchOf(spark, wh, docs.filter(col("doc_id") % 3 === 2))
+    val vPre = Warehouse.version(wh)
+    val pre = Paths.get(wh, s"v=$vPre", "postings")
+    def bucketFiles(base: Path): Map[String, Set[String]] =
+      dataFiles(base).groupBy(_.split('/').head)
+    val preBuckets = bucketFiles(pre)
+    assert(preBuckets.values.exists(_.size > 1), "fixture did not fragment")
+    val preRows = Warehouse.read(spark, wh, "postings")
+      .select("term", "doc_id", "tf", "dl", "term_bucket").collect()
+      .map(_.toSeq).sorted(math.Ordering.by((s: Seq[Any]) => s.toString))
+    val preStats = Warehouse.read(spark, wh, "corpus_stats").collect()(0)
+    val preServe = RetrievalIndex.bm25ServeFrom(spark, wh).collect().map(_.toSeq)
+
+    val vPost = RetrievalIndex.compact(spark, wh)
+    assert(vPost == vPre + 1 && Warehouse.version(wh) == vPost)
+    val post = Paths.get(wh, s"v=$vPost", "postings")
+    val postBuckets = bucketFiles(post)
+    preBuckets.foreach { case (bucket, files) =>
+      if (files.size <= 1)
+        // Unfragmented: hard-linked forward at the SAME relative paths.
+        assert(postBuckets(bucket) == files, s"$bucket not linked forward")
+      else
+        assert(postBuckets(bucket).size == 1,
+          s"$bucket still fragmented: ${postBuckets(bucket).size} files")
+    }
+    // The one-row stats table links forward by name.
+    assert(dataFiles(Paths.get(wh, s"v=$vPost", "corpus_stats")) ==
+      dataFiles(Paths.get(wh, s"v=$vPre", "corpus_stats")))
+    // Content identity + serve parity across the compaction.
+    val postRows = Warehouse.read(spark, wh, "postings")
+      .select("term", "doc_id", "tf", "dl", "term_bucket").collect()
+      .map(_.toSeq).sorted(math.Ordering.by((s: Seq[Any]) => s.toString))
+    assert(postRows.length == preRows.length)
+    assert(postRows.sameElements(preRows))
+    assert(Warehouse.read(spark, wh, "corpus_stats").collect()(0).toSeq
+      == preStats.toSeq)
+    val postServe = RetrievalIndex.bm25ServeFrom(spark, wh).collect().map(_.toSeq)
+    assert(postServe.toSeq == preServe.toSeq)
+  }
+}

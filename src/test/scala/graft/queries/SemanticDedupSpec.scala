@@ -116,6 +116,43 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q142 stored-index ANN serve matches a brute-force probe + rerank") {
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cents = vecs.filter(_._1 < Similarity.CentroidK)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cId, cv) => (cosine(v, cv), cId) }.max._2
+    }.toMap
+    val byId = vecs.toMap
+    val (queryId, nprobe, k) = (42L, 2, 10)
+    val qv = byId(queryId)
+    // Probe cells: the nprobe best centroids by cosine, ties to the
+    // larger c_id (the query's orderBy contract).
+    val probes = cents.map { case (cId, cv) => (cosine(qv, cv), cId) }
+      .sortBy { case (c, id) => (-c, -id) }.take(nprobe).map(_._2).toSet
+    val expected = vecs
+      .filter { case (id, _) => id != queryId && probes(cellOf(id)) }
+      .map { case (id, v) => (id, cellOf(id), cosine(qv, v)) }
+      .sortBy { case (id, _, c) => (-c, id) }
+      .take(k)
+
+    val out = Similarity.annServe(spark, sfDir).collect()
+    assert(out.length == k)
+    out.zip(expected).foreach { case (r, (id, cell, cos)) =>
+      assert(r.getLong(0) == id, s"rank mismatch: got ${r.getLong(0)}, want $id")
+      assert(r.getLong(1) == cell, s"vec $id cell")
+      assert(math.abs(r.getDouble(2) - cos) < 1e-6, s"vec $id cosine")
+    }
+    // The serve path really pruned: candidates outside the probed
+    // cells never appear, and at least one cell was NOT probed.
+    assert(out.map(_.getLong(1)).toSet.subsetOf(probes))
+    assert(probes.size < cellOf.values.toSet.size ||
+      cellOf.values.toSet.size <= nprobe)
+  }
+
   test("q116 centroid-drift matrix matches an exact integer brute force") {
     val rows = graft.core.Tables.embeddings(spark, sfDir)
       .selectExpr("label", "transform(embedding, x -> cast(x as double)) AS v")
