@@ -617,7 +617,8 @@ object Bench {
         bloom: StageRow, bloomBytes: Long,
         probe: StageRow, probeRows: Long, probeFlagged: Long,
         buildFullStages: Seq[StageRow], mergeFullStages: Seq[StageRow],
-        curationStages: Seq[StageRow])
+        curationStages: Seq[StageRow],
+        retrStages: Seq[StageRow], retrPostings: Long)
     val corpusScales: Either[String, Seq[Long]] =
       scala.util.Try(sys.env.getOrElse(
           "SPARK_GRAFT_CORPUS_DOCS", "120000,1200000")
@@ -720,6 +721,29 @@ object Bench {
         val mergeRows = new scala.collection.mutable.ArrayBuffer[StageRow]
         graft.queries.Warehouse.mergeBatch(spark, wh, fixedBatch, None,
           (name, work) => { mergeRows += stageRow(name)(work()) })
+        // RETRIEVAL index (q144/q145's store) at corpus scale: standing
+        // build (corpus minus src19), then the SAME fixed 6,000-doc
+        // batch merged at every index size — the merge is a hard-link
+        // append, so its wall AND shuffle must stay ~flat across the
+        // 10× sweep (the O(batch) claim executed) — then one stored-
+        // postings BM25 serve: the serve reads |query terms| of the 64
+        // term buckets, so its wall tracks the query's posting lists
+        // (which grow with the corpus), never the corpus scan q112 pays.
+        val retrWh = java.nio.file.Files
+          .createTempDirectory("graft-bench-retr").toString
+        val retrRows = new scala.collection.mutable.ArrayBuffer[StageRow]
+        retrRows += stageRow("retr_build") {
+          graft.queries.RetrievalIndex.buildOf(spark,
+            docs.filter(col("source") =!= "src19"), retrWh); ()
+        }
+        retrRows += stageRow("retr_merge") {
+          graft.queries.RetrievalIndex.mergeBatchOf(spark, retrWh, fixedBatch); ()
+        }
+        retrRows += stageRow("retr_serve") {
+          graft.queries.RetrievalIndex.bm25ServeFrom(spark, retrWh).collect(); ()
+        }
+        val retrPostings = graft.queries.Warehouse
+          .read(spark, retrWh, "postings").count()
         // FULL 12-table STANDING build → all-grain spliced merge of
         // src19 + its embedding slice → the one-call curation run
         // against the MERGED warehouse (r13 verdict #4/#6), largest
@@ -765,7 +789,8 @@ object Bench {
           purgeRows, clusterRows, rows.toSeq, incrRow, incrRows, incrDups,
           incrFixedRow, incrFixedRows, incrFixedDups, mergeRows.toSeq,
           bloomRow, bloomBits.length.toLong, probeRow, n, probeFlagged,
-          buildFullRows, mergeFullRows, curationRows)
+          buildFullRows, mergeFullRows, curationRows,
+          retrRows.toSeq, retrPostings)
       })
       catch { case e: Throwable =>
         System.err.println(s"[bench] corpus dedup section FAILED: ${e.getMessage}")
@@ -877,6 +902,8 @@ object Bench {
         s""""build_full_stages":${stagesJson(r.buildFullStages)},""" +
         s""""merge_full_stages":${stagesJson(r.mergeFullStages)},""" +
         s""""curation_stages":${stagesJson(r.curationStages)},""" +
+        s""""retr_stages":${stagesJson(r.retrStages)},""" +
+        s""""retr_postings":${r.retrPostings},""" +
         s""""stages":${stagesJson(r.stages)}}"""
       }.mkString("[", ",", "]")
     }

@@ -58,4 +58,24 @@ object StreamIndexMaintainer {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(sink(s, whDir, embOf) _)
       .start()
+
+  /** The RETRIEVAL store's sink body (r14): the same exactly-once
+    * pointer-mark discipline over `RetrievalIndex.mergeBatchOf` —
+    * postings are per-doc deterministic, so each micro-batch is a
+    * hard-link append plus O(batch) new rows, one snapshot version. */
+  def retrievalSink(s: SparkSession, whDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.queries.RetrievalIndex.mergeBatchOf(s, whDir, batch,
+      streamBatchId = Some(batchId))
+    ()
+  }
+
+  /** Attach the retrieval maintainer to a streaming `docs` frame. */
+  def runRetrieval(s: SparkSession, whDir: String, docs: DataFrame,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(retrievalSink(s, whDir) _)
+      .start()
 }
