@@ -826,6 +826,17 @@ object Bench {
           jsonEsc(String.valueOf(e.getMessage).take(200)) + "\"}"
       }
 
+    // Stored-index serve latency (r14): q142/q144/q146 as repeated
+    // requests against the memoized index stores — same knob.
+    val indexServeDetail: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SERVINGBENCH", "1") == "0") "null"
+      else try graft.tools.ServingLatencyBench.indexSection(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] index serve section FAILED: ${e.getMessage}")
+        "{\"error\":\"" +
+          jsonEsc(String.valueOf(e.getMessage).take(200)) + "\"}"
+      }
+
     val hashes = names.map(n => n -> planHash(n)).toMap
     val results = names.map(n => (n, times(n).min, okAll(n)))
     // Locale-independent number formatting: the default-locale f
@@ -921,7 +932,7 @@ object Bench {
     val total = results.collect { case (_, t, true) => t }.sum
     val coreTotal = results.collect { case (n, t, true) if coreTier(n) => t }.sum
     val detail =
-      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"rawlog":$rawlogDetail,"corpus_dedup":$corpusDedupDetail,"streaming":$streamingDetail,"serving":$servingDetail,"core20":{"n":${coreTier.size},"value":${num("%.4f", coreTotal)},"reps":$coreReps,"tail_reps":$tailReps},"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"rawlog":$rawlogDetail,"corpus_dedup":$corpusDedupDetail,"streaming":$streamingDetail,"serving":$servingDetail,"index_serve":$indexServeDetail,"core20":{"n":${coreTier.size},"value":${num("%.4f", coreTotal)},"reps":$coreReps,"tail_reps":$tailReps},"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not

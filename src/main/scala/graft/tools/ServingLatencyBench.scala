@@ -34,6 +34,47 @@ object ServingLatencyBench {
   private def pctl(sorted: IndexedSeq[Double], p: Double): Double =
     sorted((math.ceil(p * sorted.size).toInt - 1).max(0).min(sorted.size - 1))
 
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  /** The shared percentile battery: warm passes, then `reps` timed
+    * end-to-end executions per query (plan + execute + collect —
+    * what a fresh request pays). Returns (per-query JSON, p95) pairs. */
+  private def perQueryJson(queries: Seq[(String, () => DataFrame)],
+      reps: Int, warm: Int): Seq[(String, Double)] =
+    queries.map { case (name, mk) =>
+      (1 to warm).foreach(_ => mk().collect())
+      var rows = 0
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        rows = mk().collect().length
+        (System.nanoTime() - t0) / 1e6
+      }.sorted.toIndexedSeq
+      val json = s""""$name":{"p50_ms":${num(pctl(times, 0.50))},""" +
+        s""""p95_ms":${num(pctl(times, 0.95))},"max_ms":${num(times.last)},""" +
+        s""""rows":$rows}"""
+      (json, pctl(times, 0.95))
+    }
+
+  /** Stored-INDEX serve latency (r14): the q142 (ANN), q144 (BM25) and
+    * q146 (hybrid RRF) read paths as REPEATED requests — each rep
+    * re-plans and re-executes against the memoized index stores, the
+    * retrieval-tier analogue of the dashboard poll below, against the
+    * same 1 s budget. */
+  def indexSection(spark: SparkSession, sfDir: String,
+      reps: Int = 30, warm: Int = 5): String = {
+    import graft.queries.{RetrievalIndex, Similarity}
+    val queries: Seq[(String, () => DataFrame)] = Seq(
+      "q142_ann" -> (() => Similarity.annServe(spark, sfDir)),
+      "q144_bm25" -> (() => RetrievalIndex.bm25Serve(spark, sfDir)),
+      "q146_hybrid" -> (() => RetrievalIndex.hybridServe(spark, sfDir)))
+    val perQuery = perQueryJson(queries, reps, warm)
+    val budgetMs = 1000.0
+    s"""{"reps":$reps,"warm":$warm,"poll_budget_ms":${num(budgetMs)},""" +
+      s""""queries":{${perQuery.map(_._1).mkString(",")}},""" +
+      s""""within_budget":${perQuery.forall(_._2 < budgetMs)}}"""
+  }
+
   /** Runs the section; returns a JSON object string for BENCH_DETAIL.
     * The temp store (a full copy of the events table) is deleted on
     * the way out — every bench/spec run otherwise strands one in /tmp
@@ -74,21 +115,7 @@ object ServingLatencyBench {
         .orderBy(col("ts_ms").desc, col("event_id").desc).limit(200)))
 
     val storeRows = snap.count()
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val perQuery = queries.map { case (name, mk) =>
-      (1 to warm).foreach(_ => mk().collect())
-      var rows = 0
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        rows = mk().collect().length
-        (System.nanoTime() - t0) / 1e6
-      }.sorted.toIndexedSeq
-      val json = s""""$name":{"p50_ms":${num(pctl(times, 0.50))},""" +
-        s""""p95_ms":${num(pctl(times, 0.95))},"max_ms":${num(times.last)},""" +
-        s""""rows":$rows}"""
-      (json, pctl(times, 0.95))
-    }
+    val perQuery = perQueryJson(queries, reps, warm)
     val budgetMs = 1000.0
     s"""{"store_rows":$storeRows,"reps":$reps,"warm":$warm,""" +
       s""""poll_budget_ms":${num(budgetMs)},""" +
