@@ -143,6 +143,7 @@ object RetrievalIndex {
     val base = Warehouse.freshVersionDir(whDir, next)
     linkTree(Paths.get(whDir, s"v=$cur", "postings"),
       Paths.get(base, "postings"))
+    linkTombstones(whDir, cur, base)
     postingsOf(batch).write.mode("append")
       .partitionBy("term_bucket").parquet(s"$base/postings")
     val merged = Warehouse.read(s, whDir, "corpus_stats")
@@ -150,6 +151,74 @@ object RetrievalIndex {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     merged.write.mode("overwrite").parquet(s"$base/corpus_stats")
     Warehouse.commitSnapshot(whDir, cur, next, streamBatchId)
+    next
+  }
+
+  private def tombstoneDir(whDir: String, ver: Long): Path =
+    Paths.get(whDir, s"v=$ver", "tombstones")
+
+  /** Carry the tombstone table forward into a new version (no-op if
+    * the snapshot has none). Every non-delete writer calls this —
+    * tombstoned rows may survive in hard-linked buckets, so the
+    * suppression list must outlive any number of merges/compactions. */
+  private def linkTombstones(whDir: String, cur: Long, base: String): Unit =
+    if (Files.isDirectory(tombstoneDir(whDir, cur)))
+      linkTree(tombstoneDir(whDir, cur), Paths.get(base, "tombstones"))
+
+  /** The current snapshot's tombstoned doc_ids, if any. */
+  private def tombstonesOf(s: SparkSession, whDir: String): Option[DataFrame] =
+    if (Files.isDirectory(tombstoneDir(whDir, Warehouse.version(whDir))))
+      Some(Warehouse.read(s, whDir, "tombstones"))
+    else None
+
+  /** DELETE documents from the retrieval index WITHOUT touching the
+    * postings files — the deletion-vector discipline (what Lucene's
+    * delete bitmaps and lakehouse deletion vectors do): the postings
+    * tree hard-links forward untouched, a tiny `tombstones` table
+    * (doc_id, dl — O(total deletes), rewritten whole each time because
+    * it is broadcast-sized by contract) records the suppressed docs,
+    * and `corpus_stats` subtracts the newly-dead docs so the Okapi
+    * weights immediately reflect the remaining population. The serve
+    * path anti-joins the broadcast tombstones before scoring, so a
+    * served ranking equals a rebuild over the remaining corpus EXACTLY
+    * (q147 certifies it) — at O(deletes) write cost instead of the
+    * O(index) rewrite a physical delete would pay (a purged doc's
+    * postings are scattered across every bucket its terms hash to).
+    *
+    * `docs` must carry (doc_id, text) of INDEXED documents — the
+    * curation caller owns both (it computed the purge list from them);
+    * `dl` is re-derived from the text so the stats subtraction matches
+    * what the build added. Idempotent: already-tombstoned doc_ids are
+    * ignored (stats subtract once). Doc ids are immutable identities —
+    * re-ingesting a deleted id is not supported (merge does not clear
+    * tombstones). Compaction drops dead rows from any bucket it
+    * rewrites anyway; the tombstone table itself persists (linked
+    * buckets may still hold dead rows). */
+  def deleteDocs(s: SparkSession, whDir: String, docs: DataFrame): Long = {
+    import s.implicits._
+    val cur = Warehouse.version(whDir)
+    require(cur > 0, s"deleteDocs needs a standing retrieval index in $whDir")
+    val next = cur + 1
+    val base = Warehouse.freshVersionDir(whDir, next)
+    linkTree(Paths.get(whDir, s"v=$cur", "postings"),
+      Paths.get(base, "postings"))
+    val prior = tombstonesOf(s, whDir)
+    val asTs = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .dropDuplicates("doc_id")
+    val fresh = prior.fold(asTs)(p =>
+      asTs.join(p.select("doc_id"), Seq("doc_id"), "left_anti")).cache()
+    prior.fold(fresh)(p => p.unionByName(fresh))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
+    val delta = fresh
+      .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sd"))
+      .collect()(0)
+    fresh.unpersist()
+    val st = Warehouse.read(s, whDir, "corpus_stats").collect()(0)
+    Seq((st.getLong(0) - delta.getLong(0), st.getLong(1) - delta.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$base/corpus_stats")
+    Warehouse.commitSnapshot(whDir, cur, next)
     next
   }
 
@@ -173,6 +242,11 @@ object RetrievalIndex {
     val base = Warehouse.freshVersionDir(whDir, next)
     linkTree(Paths.get(whDir, s"v=$cur", "corpus_stats"),
       Paths.get(base, "corpus_stats"))
+    linkTombstones(whDir, cur, base)
+    // Dead rows ride out of any bucket being rewritten anyway — free
+    // while the bytes are in hand; linked buckets keep theirs (the
+    // tombstone table stays authoritative either way).
+    val dead = tombstonesOf(s, whDir).map(_.select("doc_id"))
     val src = Paths.get(whDir, s"v=$cur", "postings")
     val dst = Paths.get(base, "postings")
     Files.createDirectories(dst)
@@ -183,8 +257,13 @@ object RetrievalIndex {
           val nFiles = Option(bucket.toFile.listFiles()).getOrElse(Array())
             .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
           if (nFiles <= targetFiles) linkTree(bucket, dst.resolve(name))
-          else s.read.parquet(bucket.toString).coalesce(targetFiles)
-            .write.mode("overwrite").parquet(dst.resolve(name).toString)
+          else {
+            val rows = s.read.parquet(bucket.toString)
+            dead.fold(rows)(d =>
+                rows.join(broadcast(d), Seq("doc_id"), "left_anti"))
+              .coalesce(targetFiles)
+              .write.mode("overwrite").parquet(dst.resolve(name).toString)
+          }
         }
       }
     }
@@ -217,6 +296,23 @@ object RetrievalIndex {
       val docs = Tables.documents(s, corpusDir)
       buildOf(s, docs.filter(col("source") =!= lit(Dedup.NewSource)), wh)
       mergeBatchOf(s, wh, docs.filter(col("source") === lit(Dedup.NewSource)))
+      wh
+    })
+
+  private val purgedRetr =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized PURGED fixture: full-corpus index, then the q92
+    * dedup purge list tombstoned out — the curation flow's "apply the
+    * purge to the serving index" step, executed through the real
+    * [[deleteDocs]]. */
+  private[queries] def ensurePurged(s: SparkSession, corpusDir: String): String =
+    purgedRetr.computeIfAbsent(corpusDir, _ => {
+      val wh = Files.createTempDirectory("graft-retr-purged").toString
+      val docs = Tables.documents(s, corpusDir)
+      buildOf(s, docs, wh)
+      deleteDocs(s, wh, Dedup.dedupPurge(s, corpusDir).select("doc_id")
+        .join(docs.select("doc_id", "text"), Seq("doc_id")))
       wh
     })
 
@@ -259,9 +355,15 @@ object RetrievalIndex {
   private[queries] def bm25ServeScoredFrom(s: SparkSession, wh: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val terms = TextOps.Bm25Terms
-    val p = Warehouse.read(s, wh, "postings")
+    val p0 = Warehouse.read(s, wh, "postings")
       .filter(col("term_bucket").isin(terms.map(bucketOf): _*) &&
         col("term").isin(terms: _*))
+    // Tombstoned docs never score: anti-join the broadcast-sized
+    // deletion list before df/tf aggregation, so every weight input
+    // (df, n_docs, avgdl via the delete-adjusted stats) reflects the
+    // remaining population exactly.
+    val p = tombstonesOf(s, wh).fold(p0)(t =>
+      p0.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     val dfCols = terms.map(t =>
       sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"df_$t"))
     val dfs = p.groupBy().agg(dfCols.head, dfCols.tail: _*)
@@ -325,6 +427,46 @@ object RetrievalIndex {
       .toDF("metric", "value", "ok")
       .orderBy("metric")
   }
+
+  // ---- q147: serving after the dedup purge (tombstone deletes) -------
+
+  /** q147 — the dedup purge list APPLIED to the serving index: q92's
+    * purge tombstoned out of the full-corpus postings store through
+    * [[deleteDocs]] (O(deletes) write — postings hard-link forward
+    * untouched, the deletion-vector discipline), then q144's serve.
+    * The certificate is the strongest one available: the served
+    * ranking must equal a from-scratch BM25 over the corpus MINUS the
+    * purge — df, n_docs, and avgdl all reflecting the remaining
+    * population — with the oracle recomputing the ENTIRE chain
+    * (bands → components → quality-ranked purge → BM25 over the
+    * complement) from raw text in one statement. This is the missing
+    * curation-loop edge: dedup decides, the serving index forgets,
+    * and nobody rewrites an index-sized file set to make it so. */
+  def purgeServe(s: SparkSession, dir: String): DataFrame =
+    bm25ServeFrom(s, ensurePurged(s, dir))
+
+  /** Oracle: the q92 purge rule texts + the prefix-parameterized BM25
+    * rule text over the complement population (`bm25CteSqlFor("x", …)`
+    * — prefixed clear of the purge chain's `t`/`sc`). Restricted to
+    * CANDIDATES (≥ 1 query term): a zero-overlap doc is not a
+    * retrieval result, and on the purged fixture the remaining
+    * population is small enough (500-doc corpus, 481 purged at
+    * sf0.01) that candidates < k — exactly where "pad with
+    * zero-score rows" and "return the retrieved set" diverge. The
+    * serve returns the retrieved set; the oracle says the same. */
+  val purgeServeSql: String =
+    s"""WITH RECURSIVE ${Dedup.bandsCteSql},
+       |${Dedup.ccCompCteSql},
+       |${Dedup.qualityScCteSql},
+       |${Dedup.purgeRankCteSql("comp")},
+       |${TextOps.bm25CteSqlFor("x",
+            " WHERE doc_id NOT IN (SELECT doc_id FROM pg)")}
+       |SELECT doc_id, dl, ${TextOps.Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |  round(s, 6) AS bm25
+       |FROM xsc
+       |WHERE ${TextOps.Bm25Terms.map(t => s"tf_$t > 0").mkString(" OR ")}
+       |ORDER BY s DESC, doc_id ASC
+       |LIMIT ${TextOps.Bm25K}""".stripMargin
 
   // ---- q146: hybrid RRF retrieval SERVED from the stored indexes -----
 

@@ -655,10 +655,14 @@ object TextOps {
           round(col("s"), 6).as("bm25")): _*)
 
   /** Oracle mirror of [[bm25Scored]] — the CTE chain ending in
-    * `sc(doc_id, dl, tf_*, s)`, shared by the q112 and q118 oracles
-    * (CTE names d/t/st/sc are disjoint from the cosine chain's
-    * e/q/scored so the q118 fusion can splice both). */
-  private[queries] val bm25CteSql: String = {
+    * `<prefix>sc(doc_id, dl, tf_*, s)`, shared by the q112/q118/q146
+    * oracles (CTE names d/t/st/sc are disjoint from the cosine chain's
+    * e/q/scored so the q118 fusion can splice both). `prefix` and
+    * `where` parameterize the population (the [[Dedup.bandsCteSqlFor]]
+    * discipline) — q147 scores the corpus MINUS the purge list with
+    * the SAME rule text, prefixed clear of the purge chain's t/sc. */
+  private[queries] def bm25CteSqlFor(prefix: String = "",
+      where: String = ""): String = {
     val (k1, b) = (1.2, 0.75)
     val tfCols = Bm25Terms.map(t =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n|    ")
@@ -670,22 +674,24 @@ object TextOps {
          | / (CAST(tf_$t AS DOUBLE) + $k1 * (1.0 - $b + $b * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
         .stripMargin.replaceAll("\n", "")
     }.mkString(" + ")
-    s"""d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |t AS (
+    s"""${prefix}d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents$where),
+       |${prefix}t AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
        |    $tfCols
-       |  FROM d),
-       |st AS (
+       |  FROM ${prefix}d),
+       |${prefix}st AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) AS BIGINT) AS sum_dl,
        |    $dfCols
-       |  FROM t),
-       |sc AS (
+       |  FROM ${prefix}t),
+       |${prefix}sc AS (
        |  SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
        |    $score AS s
-       |  FROM t, st)""".stripMargin
+       |  FROM ${prefix}t, ${prefix}st)""".stripMargin
   }
+
+  private[queries] val bm25CteSql: String = bm25CteSqlFor()
 
   val bm25TopKSql: String =
     s"""WITH $bm25CteSql

@@ -53,7 +53,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q137_retrieval_eval", // broadcast |Q| query vectors + 1-row stats legs
     "q142_ann_serve",      // 1-row stored query vector broadcast (q46 shape)
     "q144_bm25_serve",     // 1-row stats + 1-row df broadcasts (q112 idiom)
-    "q146_hybrid_serve")   // both serving legs' 1-row broadcasts (q118 shape)
+    "q146_hybrid_serve",   // both serving legs' 1-row broadcasts (q118 shape)
+    "q147_purge_serve")    // q144's broadcasts over the purged store
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -91,6 +92,15 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q144_bm25_serve") should not include "documents.parquet"
     plans("q144_bm25_serve") should include("PartitionFilters")
     plans("q144_bm25_serve") should include("term_bucket")
+  }
+
+  test("purge-aware serving reads the tombstoned store — zero corpus scans") {
+    // q147: the purge was APPLIED at fixture time through deleteDocs;
+    // the serve plan reads pruned postings + the broadcast tombstone
+    // table and never recomputes the purge or rescans the corpus.
+    plans("q147_purge_serve") should include("graft-retr-purged")
+    plans("q147_purge_serve") should not include "documents.parquet"
+    plans("q147_purge_serve") should include("PartitionFilters")
   }
 
   test("hybrid serving fuses two stored indexes — zero corpus scans") {

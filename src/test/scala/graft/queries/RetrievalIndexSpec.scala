@@ -190,6 +190,59 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
     assert(mergedFs.size > standing.size, "merge appended no batch files")
   }
 
+  test("tombstone deletes serve exactly a rebuild over the remaining corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val dead = docs.filter(col("doc_id") % 5 === 2)
+    val wh = Files.createTempDirectory("graft-retr-del").toString
+    RetrievalIndex.buildOf(spark, docs, wh)
+    val vDel = RetrievalIndex.deleteDocs(spark, wh, dead)
+    assert(vDel == 2L)
+    // Postings files are untouched — the delete wrote no bucket data.
+    assert(dataFiles(Paths.get(wh, "v=1", "postings"))
+      .subsetOf(dataFiles(Paths.get(wh, "v=2", "postings"))))
+
+    val whRebuild = Files.createTempDirectory("graft-retr-del-rb").toString
+    RetrievalIndex.buildOf(spark,
+      docs.filter(col("doc_id") % 5 =!= 2), whRebuild)
+    val served = RetrievalIndex.bm25ServeFrom(spark, wh).collect().map(_.toSeq)
+    val rebuilt = RetrievalIndex.bm25ServeFrom(spark, whRebuild)
+      .collect().map(_.toSeq)
+    assert(served.toSeq == rebuilt.toSeq, "served-after-delete != rebuild")
+    assert(Warehouse.read(spark, wh, "corpus_stats").collect()(0).toSeq ==
+      Warehouse.read(spark, whRebuild, "corpus_stats").collect()(0).toSeq)
+
+    // Idempotent: re-deleting the same docs bumps the version but
+    // changes neither stats nor the served ranking.
+    RetrievalIndex.deleteDocs(spark, wh, dead)
+    assert(Warehouse.read(spark, wh, "corpus_stats").collect()(0).toSeq ==
+      Warehouse.read(spark, whRebuild, "corpus_stats").collect()(0).toSeq)
+    assert(RetrievalIndex.bm25ServeFrom(spark, wh).collect().map(_.toSeq).toSeq
+      == rebuilt.toSeq)
+
+    // A merge after the delete carries the suppression: the batch
+    // lands, the dead stay dead, stats reflect (remaining + batch).
+    val batch = spark.range(5).selectExpr("id + 1000000 AS doc_id",
+      "'vector stream window vector' AS text")
+    RetrievalIndex.mergeBatchOf(spark, wh, batch)
+    val whRebuild2 = Files.createTempDirectory("graft-retr-del-rb2").toString
+    RetrievalIndex.buildOf(spark,
+      docs.filter(col("doc_id") % 5 =!= 2).unionByName(batch), whRebuild2)
+    assert(RetrievalIndex.bm25ServeFrom(spark, wh).collect().map(_.toSeq).toSeq
+      == RetrievalIndex.bm25ServeFrom(spark, whRebuild2)
+        .collect().map(_.toSeq).toSeq)
+    assert(Warehouse.read(spark, wh, "corpus_stats").collect()(0).toSeq ==
+      Warehouse.read(spark, whRebuild2, "corpus_stats").collect()(0).toSeq)
+
+    // Compaction drops dead rows from buckets it rewrites; the served
+    // ranking is unchanged and no dead doc reappears.
+    RetrievalIndex.compact(spark, wh)
+    assert(RetrievalIndex.bm25ServeFrom(spark, wh).collect().map(_.toSeq).toSeq
+      == RetrievalIndex.bm25ServeFrom(spark, whRebuild2)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("compaction rewrites only fragmented buckets and preserves content") {
     import org.apache.spark.sql.functions.col
     val wh = Files.createTempDirectory("graft-retr-compact").toString
