@@ -1372,15 +1372,12 @@ object Similarity {
       .limit(AnnServeK)
       .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
 
-  /** Oracle rule text of the q142 probe chain (sig → qp → qc → cand);
-    * splice [[cellAssignCteSql]] before it. Shared by q142 and the
-    * q146 hybrid fusion so the serving path and the fused leg cannot
-    * drift. */
-  private[queries] val annProbeCteSql: String =
-    s"""sig AS (
-       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
-       |  FROM a WHERE rn = 1),
-       |qp AS (SELECT v AS quv, norm AS qn FROM sig WHERE vec_id = $AnnQueryId),
+  /** The qp → qc → cand TAIL of the q142 probe chain — expects `sig`
+    * (cell assignment with build-time norms) already in scope. Split
+    * from [[annProbeCteSql]] so the q148 oracle can splice it after
+    * [[semPairCteSql]], which defines the SAME `sig` rule text. */
+  private[queries] val annProbeTailCteSql: String =
+    s"""qp AS (SELECT v AS quv, norm AS qn FROM sig WHERE vec_id = $AnnQueryId),
        |qc AS (
        |  SELECT c_id AS probe_cell FROM c, qp
        |  ORDER BY ${cosineSqlFor("c.qv", "qp.quv")} DESC, c_id DESC
@@ -1393,6 +1390,16 @@ object Similarity {
        |  FROM sig JOIN qc ON sig.cell = qc.probe_cell, qp
        |  WHERE sig.vec_id <> $AnnQueryId)""".stripMargin
 
+  /** Oracle rule text of the q142 probe chain (sig → qp → qc → cand);
+    * splice [[cellAssignCteSql]] before it. Shared by q142 and the
+    * q146 hybrid fusion so the serving path and the fused leg cannot
+    * drift. */
+  private[queries] val annProbeCteSql: String =
+    s"""sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |$annProbeTailCteSql""".stripMargin
+
   /** Oracle: DuckDB re-derives the whole index from raw embeddings
     * (the shared [[cellAssignCteSql]] chain — what the warehouse
     * build persisted) and then runs the same probe + exact-rerank. */
@@ -1401,6 +1408,42 @@ object Similarity {
        |$annProbeCteSql
        |SELECT vec_id, cell, round(cos, 6) AS cosine
        |FROM cand
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT $AnnServeK""".stripMargin
+
+  // ---- q148: sem-purge-aware ANN serving -----------------------------
+
+  /** q148 — the dense leg's q147: SemDeDup's purge decision APPLIED to
+    * ANN serving. The warehouse already materializes `sem_purge` (q109's
+    * keep-first-index rule, build-certified by q134), so the serve is
+    * q142's stored-index probe with one broadcast anti-join on the
+    * purged vec_ids before the rerank — purged near-duplicates never
+    * surface as neighbours, and nothing recomputes or rewrites: the
+    * purge table IS the deletion vector of the dense index (the
+    * tombstone discipline q147 gives the lexical leg, served here from
+    * a table the index already keeps). Same plan shape as q142 (the
+    * anti-join side is O(purged-in-index), broadcast); zero corpus
+    * scans, PlanShapeSpec-pinned. The oracle re-derives the index, the
+    * within-cell purge rule AND the probe from raw embeddings in one
+    * statement (cellAssign + semPair + the probe tail — one `sig` rule
+    * text shared by purge and probe, which is the point: the serve and
+    * the decision it honors cannot drift). */
+  def annServePurged(s: SparkSession, dir: String): DataFrame =
+    annServeScored(s, dir)
+      .join(broadcast(graft.queries.Warehouse.stored(s, dir, "sem_purge")
+        .select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(AnnServeK)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
+
+  val annServePurgedSql: String =
+    s"""WITH $cellAssignCteSql,
+       |$semPairCteSql,
+       |$annProbeTailCteSql,
+       |spg AS (SELECT DISTINCT j AS vec_id FROM p WHERE cos >= $SemDedupTau)
+       |SELECT vec_id, cell, round(cos, 6) AS cosine
+       |FROM cand
+       |WHERE vec_id NOT IN (SELECT vec_id FROM spg)
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $AnnServeK""".stripMargin
 

@@ -54,7 +54,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q142_ann_serve",      // 1-row stored query vector broadcast (q46 shape)
     "q144_bm25_serve",     // 1-row stats + 1-row df broadcasts (q112 idiom)
     "q146_hybrid_serve",   // both serving legs' 1-row broadcasts (q118 shape)
-    "q147_purge_serve")    // q144's broadcasts over the purged store
+    "q147_purge_serve",    // q144's broadcasts over the purged store
+    "q148_ann_serve_purged") // q142's broadcasts + sem_purge anti side
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -92,6 +93,14 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q144_bm25_serve") should not include "documents.parquet"
     plans("q144_bm25_serve") should include("PartitionFilters")
     plans("q144_bm25_serve") should include("term_bucket")
+  }
+
+  test("sem-purge-aware ANN serving reads only stored tables") {
+    // q148: the probe AND the purge decision both come from the
+    // materialized warehouse (cells/centroids/sem_purge).
+    plans("q148_ann_serve_purged") should include("graft-warehouse")
+    plans("q148_ann_serve_purged") should not include "embeddings.parquet"
+    plans("q148_ann_serve_purged") should not include "documents.parquet"
   }
 
   test("purge-aware serving reads the tombstoned store — zero corpus scans") {

@@ -153,6 +153,46 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
       cellOf.values.toSet.size <= nprobe)
   }
 
+  test("q148 sem-purge-aware serve is the q142 ranking minus purged vectors") {
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cents = vecs.filter(_._1 < Similarity.CentroidK)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.map { case (cId, cv) => (cosine(v, cv), cId) }.max._2
+    }.toMap
+    val byId = vecs.toMap
+    // The q109 keep-first-index rule: j is purged iff some earlier
+    // same-cell vector covers it at tau.
+    val purged = vecs.collect { case (j, vj)
+        if vecs.exists { case (i, vi) =>
+          i < j && cellOf(i) == cellOf(j) &&
+            cosine(vi, vj) >= Similarity.SemDedupTau } => j
+      }.toSet
+    assert(purged.nonEmpty, "fixture has no purged vectors — vacuous test")
+    val qv = byId(Similarity.AnnQueryId)
+    val probes = cents.map { case (cId, cv) => (cosine(qv, cv), cId) }
+      .sortBy { case (c, id) => (-c, -id) }
+      .take(Similarity.AnnProbeN).map(_._2).toSet
+    val expected = vecs
+      .filter { case (id, _) =>
+        id != Similarity.AnnQueryId && probes(cellOf(id)) && !purged(id) }
+      .map { case (id, v) => (id, cellOf(id), cosine(qv, v)) }
+      .sortBy { case (id, _, c) => (-c, id) }
+      .take(Similarity.AnnServeK)
+
+    val out = Similarity.annServePurged(spark, sfDir).collect()
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (id, cell, cos)) =>
+      assert(r.getLong(0) == id, s"rank: got ${r.getLong(0)}, want $id")
+      assert(r.getLong(1) == cell, s"vec $id cell")
+      assert(math.abs(r.getDouble(2) - cos) < 1e-6, s"vec $id cosine")
+    }
+    assert(out.map(_.getLong(0)).toSet.intersect(purged).isEmpty)
+  }
+
   test("q116 centroid-drift matrix matches an exact integer brute force") {
     val rows = graft.core.Tables.embeddings(spark, sfDir)
       .selectExpr("label", "transform(embedding, x -> cast(x as double)) AS v")
