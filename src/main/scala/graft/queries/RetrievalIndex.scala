@@ -53,7 +53,7 @@ object RetrievalIndex {
     * unchanged by the constant. */
   val NBuckets = 64
 
-  private def bucketCol(term: Column): Column =
+  private[queries] def bucketCol(term: Column): Column =
     pmod(PipelineOps.hash60(term), lit(NBuckets.toLong)).cast("int")
 
   /** Driver-side replica of [[bucketCol]] for PINNED literal terms, so

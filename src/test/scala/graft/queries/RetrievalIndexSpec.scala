@@ -50,6 +50,27 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
       .take(TextOps.Bm25K)
   }
 
+  test("the driver-side bucket replica agrees with the Spark-side bucket column") {
+    // bucketOf (driver, literal IN pruning) and the build's bucketCol
+    // (Spark, partition layout) MUST agree on every term, or the serve
+    // silently reads the wrong partitions and misses postings. Checked
+    // over the fixture's real vocabulary plus adversarial strings.
+    import spark.implicits._
+    val vocab = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .distinct().limit(2000).as[String].collect().toSeq
+    val adversarial = Seq("", " ", "é", "\u0000x", "a" * 300, "naïve日本語")
+    val terms = (vocab ++ adversarial).distinct
+    val sparkSide = terms.toDF("term")
+      .withColumn("b",
+        RetrievalIndex.bucketCol(org.apache.spark.sql.functions.col("term")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(RetrievalIndex.bucketOf(t) == sparkSide(t),
+        s"bucket mismatch for term '$t'")
+    }
+  }
+
   test("q144 stored-postings serve matches a pure-Scala corpus BM25") {
     val out = RetrievalIndex.bm25Serve(spark, sfDir).collect()
     assert(out.length == TextOps.Bm25K)
