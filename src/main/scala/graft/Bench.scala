@@ -781,7 +781,7 @@ object Bench {
             val curOut = java.nio.file.Files
               .createTempDirectory("graft-bench-cur").toString
             graft.queries.CurationPipeline.run(spark, fx.dir, curOut,
-              t => graft.queries.Warehouse.read(spark, whFull, t),
+              Some(t => graft.queries.Warehouse.read(spark, whFull, t)),
               (name, work) => { cr += stageRow(name)(work()) })
             (bf.toSeq, mf.toSeq, cr.toSeq)
           } else (Seq.empty[StageRow], Seq.empty[StageRow], Seq.empty[StageRow])

@@ -239,10 +239,13 @@ case class TokenHashes(child: Expression, p: Long)
     copy(child = newChild)
 }
 
-/** `graft_inter_size(a, b)`: |A ∩ B| of two long-array SETS — the
-  * Jaccard numerator of every dedup confirmation (q26/q113/q120),
-  * equal by contract to `size(array_intersect(a, b))` when both
-  * inputs are distinct (the `tokenHashSetOf` guarantee) and null-free.
+/** `graft_inter_size(a, b)`: |A ∩ B| — the number of DISTINCT common
+  * elements of two long arrays, equal to `size(array_intersect(a, b))`
+  * for ANY null-free inputs (ADVICE r14: the kernel is registered as a
+  * public SQL function, so it must be exact for arbitrary arrays, not
+  * just the distinct sets the dedup call sites pass — the build side
+  * dedupes in its hash table and each matched slot counts once). It is
+  * the Jaccard numerator of every dedup confirmation (q26/q113/q120).
   * Why native: `array_intersect` MATERIALIZES the intersection array
   * (per-row allocation of up to min(|A|,|B|) elements plus its
   * internal set) only for `size` to throw it away; at the increment's
@@ -294,6 +297,10 @@ case class InterSize(left: Expression, right: Expression)
       if (!used(h)) { used(h) = true; table(h) = v }
       i += 1
     }
+    // A matched slot counts ONCE: duplicate probe-side elements must
+    // not inflate the count past |distinct(A) ∩ distinct(B)| (the
+    // build side already dedupes via the `!used` insert guard).
+    val counted = new Array[Boolean](cap)
     var cnt = 0L
     var j = 0
     while (j < bn) {
@@ -301,7 +308,7 @@ case class InterSize(left: Expression, right: Expression)
       val v = bg.getLong(j)
       var h = scramble(v) & mask
       while (used(h) && table(h) != v) h = (h + 1) & mask
-      if (used(h)) cnt += 1
+      if (used(h) && !counted(h)) { counted(h) = true; cnt += 1 }
       j += 1
     }
     java.lang.Long.valueOf(cnt)

@@ -149,9 +149,9 @@ object CurationPipeline {
     * the per-stage attribution hook (the `buildOf` contract). Returns
     * the new version. */
   def run(s: SparkSession, corpusDir: String, outDir: String,
-      table: String => DataFrame = null,
+      table: Option[String => DataFrame] = None,
       measure: (String, () => Unit) => Unit = (_, f) => f()): Long = {
-    val tbl = Option(table).getOrElse(Warehouse.stored(s, corpusDir, _))
+    val tbl = table.getOrElse(Warehouse.stored(s, corpusDir, _))
     Files.createDirectories(java.nio.file.Paths.get(outDir))
     val cur = Warehouse.version(outDir)
     val next = cur + 1

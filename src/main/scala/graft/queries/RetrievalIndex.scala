@@ -132,13 +132,15 @@ object RetrievalIndex {
     * mergeBatchOf(batch) ≡ buildOf(standing ∪ batch), content
     * (not just counts) certified. */
   def mergeBatchOf(s: SparkSession, whDir: String, batch: DataFrame,
-      streamBatchId: Option[Long] = None): Long = {
+      streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): Long = {
     val cur = Warehouse.version(whDir)
     require(cur > 0, s"mergeBatchOf needs a standing retrieval index in $whDir")
     // Exactly-once over at-least-once delivery (the q140 discipline):
     // a re-delivered stream batch at/below the pointer's high-water
-    // mark is a no-op.
-    if (streamBatchId.exists(_ <= Warehouse.lastMergedBatch(whDir))) return cur
+    // mark FROM THE RECORDING STREAM is a no-op; a foreign stream's
+    // delivery refuses loudly (Warehouse.isReplay, ADVICE r14).
+    if (Warehouse.isReplay(whDir, streamBatchId, streamId)) return cur
     val next = cur + 1
     val base = Warehouse.freshVersionDir(whDir, next)
     linkTree(Paths.get(whDir, s"v=$cur", "postings"),
@@ -150,7 +152,7 @@ object RetrievalIndex {
       .unionByName(statsOf(batch))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     merged.write.mode("overwrite").parquet(s"$base/corpus_stats")
-    Warehouse.commitSnapshot(whDir, cur, next, streamBatchId)
+    Warehouse.commitSnapshot(whDir, cur, next, streamBatchId, streamId)
     next
   }
 
@@ -164,6 +166,14 @@ object RetrievalIndex {
   private def linkTombstones(whDir: String, cur: Long, base: String): Unit =
     if (Files.isDirectory(tombstoneDir(whDir, cur)))
       linkTree(tombstoneDir(whDir, cur), Paths.get(base, "tombstones"))
+
+  /** The tombstone table must stay BROADCAST-SIZED — every serve
+    * anti-joins it before scoring, so its rows ship to every executor
+    * on every request. 1M (doc_id, dl) rows ≈ 16 MB broadcast — the
+    * ceiling [[deleteDocs]] enforces (ADVICE r14: the contract
+    * existed, nothing enforced it; a purge wave tombstoning a large
+    * index fraction would silently degrade every serve). */
+  val DefaultMaxTombstones = 1000000L
 
   /** The current snapshot's tombstoned doc_ids, if any. */
   private def tombstonesOf(s: SparkSession, whDir: String): Option[DataFrame] =
@@ -185,30 +195,60 @@ object RetrievalIndex {
     * O(index) rewrite a physical delete would pay (a purged doc's
     * postings are scattered across every bucket its terms hash to).
     *
-    * `docs` must carry (doc_id, text) of INDEXED documents — the
-    * curation caller owns both (it computed the purge list from them);
-    * `dl` is re-derived from the text so the stats subtraction matches
-    * what the build added. Idempotent: already-tombstoned doc_ids are
+    * `docs` carries the doc_ids to delete (extra columns ignored);
+    * `dl` is derived from the STORED postings — the denormalized
+    * per-doc constant the build wrote — so the stats subtraction
+    * matches what the build added by construction, trusting no
+    * caller-supplied text (ADVICE r14). An input id with NO stored
+    * postings refuses loudly (subtracting an unindexed doc would
+    * permanently bias every served idf/avgdl); the lookup semi-joins
+    * the broadcast delete list against the postings scan — O(index)
+    * READ per purge wave (column-pruned to doc_id/dl), O(deletes)
+    * everything else. Idempotent: already-tombstoned doc_ids are
     * ignored (stats subtract once). Doc ids are immutable identities —
     * re-ingesting a deleted id is not supported (merge does not clear
-    * tombstones). Compaction drops dead rows from any bucket it
-    * rewrites anyway; the tombstone table itself persists (linked
-    * buckets may still hold dead rows). */
-  def deleteDocs(s: SparkSession, whDir: String, docs: DataFrame): Long = {
+    * tombstones). Refuses when the post-delete tombstone total would
+    * exceed `maxTombstones` ([[DefaultMaxTombstones]]) — the operator
+    * escape hatches are `compact(purgeTombstones = true)` or a
+    * rebuild over the remaining corpus. */
+  def deleteDocs(s: SparkSession, whDir: String, docs: DataFrame,
+      maxTombstones: Long = DefaultMaxTombstones): Long = {
     import s.implicits._
     val cur = Warehouse.version(whDir)
     require(cur > 0, s"deleteDocs needs a standing retrieval index in $whDir")
+    val prior = tombstonesOf(s, whDir)
+    val ids = docs.select("doc_id").dropDuplicates("doc_id")
+    val freshIds = prior.fold(ids)(p =>
+      ids.join(p.select("doc_id"), Seq("doc_id"), "left_anti"))
+    // dl from the stored postings: denormalized per-doc constant, so
+    // any per-doc aggregate of it IS the value the build added.
+    val fresh = Warehouse.read(s, whDir, "postings")
+      .join(broadcast(freshIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .cache()
+    val nFresh = fresh.count()
+    val nIn = freshIds.count()
+    if (nFresh != nIn) {
+      val missing = freshIds.join(fresh.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .limit(5).collect().map(_.getLong(0))
+      throw new IllegalArgumentException(
+        s"deleteDocs: ${nIn - nFresh} doc_id(s) have no stored postings " +
+          s"in $whDir (e.g. ${missing.mkString(", ")}) — deleting an " +
+          "unindexed doc would permanently bias corpus_stats; refusing")
+    }
+    val nPrior = prior.fold(0L)(_.count())
+    require(nPrior + nFresh <= maxTombstones,
+      s"deleteDocs: ${nPrior + nFresh} total tombstones would exceed the " +
+        s"broadcast-safe bound $maxTombstones — run compact(" +
+        "purgeTombstones = true) (O(index) rewrite, clears the list) or " +
+        "rebuild over the remaining corpus")
     val next = cur + 1
     val base = Warehouse.freshVersionDir(whDir, next)
     linkTree(Paths.get(whDir, s"v=$cur", "postings"),
       Paths.get(base, "postings"))
-    val prior = tombstonesOf(s, whDir)
-    val asTs = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-      .dropDuplicates("doc_id")
-    val fresh = prior.fold(asTs)(p =>
-      asTs.join(p.select("doc_id"), Seq("doc_id"), "left_anti")).cache()
-    prior.fold(fresh)(p => p.unionByName(fresh))
+    prior.fold(fresh.select("doc_id", "dl"))(p =>
+        p.unionByName(fresh.select("doc_id", "dl")))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
     val delta = fresh
       .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sd"))
@@ -233,8 +273,18 @@ object RetrievalIndex {
     * lives in the dir name, not the files), so the layout — and the
     * q144 serve plan's static pruning — is unchanged. Same atomic
     * pointer swap; readers see the old or the new snapshot, never a
-    * half-compacted one. */
-  def compact(s: SparkSession, whDir: String, targetFiles: Int = 1): Long = {
+    * half-compacted one.
+    *
+    * `purgeTombstones = true` is the FULL compaction the tombstone
+    * bound's refusal message names: EVERY bucket is rewritten (dead
+    * rows could hide in any linked one), the dead rows drop out, and
+    * the tombstone table is NOT carried forward — O(index) I/O, the
+    * physical-delete cost deferred from every [[deleteDocs]] wave to
+    * the one maintenance pass that resets the deletion-vector size to
+    * zero. corpus_stats is already delete-adjusted, so it links
+    * forward unchanged either way. */
+  def compact(s: SparkSession, whDir: String, targetFiles: Int = 1,
+      purgeTombstones: Boolean = false): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val cur = Warehouse.version(whDir)
     require(cur > 0, s"compact needs a committed snapshot in $whDir")
@@ -242,10 +292,11 @@ object RetrievalIndex {
     val base = Warehouse.freshVersionDir(whDir, next)
     linkTree(Paths.get(whDir, s"v=$cur", "corpus_stats"),
       Paths.get(base, "corpus_stats"))
-    linkTombstones(whDir, cur, base)
+    if (!purgeTombstones) linkTombstones(whDir, cur, base)
     // Dead rows ride out of any bucket being rewritten anyway — free
     // while the bytes are in hand; linked buckets keep theirs (the
-    // tombstone table stays authoritative either way).
+    // tombstone table stays authoritative either way — unless this is
+    // the purge pass, which rewrites every bucket and clears it).
     val dead = tombstonesOf(s, whDir).map(_.select("doc_id"))
     val src = Paths.get(whDir, s"v=$cur", "postings")
     val dst = Paths.get(base, "postings")
@@ -256,7 +307,8 @@ object RetrievalIndex {
         if (Files.isDirectory(bucket)) {
           val nFiles = Option(bucket.toFile.listFiles()).getOrElse(Array())
             .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          if (nFiles <= targetFiles) linkTree(bucket, dst.resolve(name))
+          if (nFiles <= targetFiles && !(purgeTombstones && dead.nonEmpty))
+            linkTree(bucket, dst.resolve(name))
           else {
             val rows = s.read.parquet(bucket.toString)
             dead.fold(rows)(d =>
@@ -309,10 +361,8 @@ object RetrievalIndex {
   private[queries] def ensurePurged(s: SparkSession, corpusDir: String): String =
     purgedRetr.computeIfAbsent(corpusDir, _ => {
       val wh = Files.createTempDirectory("graft-retr-purged").toString
-      val docs = Tables.documents(s, corpusDir)
-      buildOf(s, docs, wh)
-      deleteDocs(s, wh, Dedup.dedupPurge(s, corpusDir).select("doc_id")
-        .join(docs.select("doc_id", "text"), Seq("doc_id")))
+      buildOf(s, Tables.documents(s, corpusDir), wh)
+      deleteDocs(s, wh, Dedup.dedupPurge(s, corpusDir).select("doc_id"))
       wh
     })
 

@@ -80,12 +80,16 @@ object Warehouse {
 
   private def pointerPath(whDir: String): Path = Paths.get(whDir, "_CURRENT")
 
-  /** Pointer fields: `version` or `version,streamBatchId` — the
-    * second field is the exactly-once high-water mark a streaming
-    * maintainer's [[mergeBatch]] records (the `ServingStore.upsert`
-    * pointer discipline lifted to the warehouse). One atomic file
-    * carries both, so the mark can never refer to a version other
-    * than the one it was committed with. */
+  /** Pointer fields: `version`, `version,streamBatchId` or
+    * `version,streamBatchId,streamId` — the second field is the
+    * exactly-once high-water mark a streaming maintainer's
+    * [[mergeBatch]] records (the `ServingStore.upsert` pointer
+    * discipline lifted to the warehouse); the third (ADVICE r14) is
+    * the IDENTITY of the stream that recorded it (the Structured
+    * Streaming query id, stable across restarts of one checkpoint,
+    * fresh when a checkpoint is recreated). One atomic file carries
+    * all three, so the mark can never refer to a version — or a
+    * stream — other than the one it was committed with. */
   private def pointerFields(whDir: String): Array[String] = {
     val p = pointerPath(whDir)
     if (!Files.exists(p)) Array("0") else Files.readString(p).trim.split(",")
@@ -105,6 +109,48 @@ object Warehouse {
     if (f.length > 1) f(1).toLong else -1L
   }
 
+  /** Identity of the stream that recorded the high-water mark; None
+    * for a never-streamed store or a mark recorded by an unidentified
+    * (pre-r15 / direct-sink) caller. */
+  def streamIdOf(whDir: String): Option[String] = {
+    val f = pointerFields(whDir)
+    if (f.length > 2 && f(2).nonEmpty) Some(f(2)) else None
+  }
+
+  /** The ONE replay rule (ADVICE r14), shared by [[mergeBatch]] and
+    * `RetrievalIndex.mergeBatchOf`: `batchId <= mark` is a certified
+    * replay ONLY when the delivering stream is the one that recorded
+    * the mark. Batch ids are monotone PER CHECKPOINT — a recreated
+    * checkpoint restarts them at 0, so treating a foreign stream's
+    * low batch id as a replay would silently DROP new data (and
+    * merging it could double-apply what the recorded stream already
+    * merged). When both identities are known and differ, nothing is
+    * safe: refuse loudly and make the operator decide (rebuild, or
+    * resume the original checkpoint). When either side is
+    * unidentified, the documented one-stream-one-checkpoint-per-store
+    * invariant applies and the mark alone decides (the pre-r15
+    * behavior, kept for direct sink calls and certificates).
+    * Returns true = skip this delivery (already merged). */
+  private[queries] def isReplay(whDir: String, streamBatchId: Option[Long],
+      streamId: Option[String]): Boolean =
+    streamBatchId match {
+      case None => false
+      case Some(b) =>
+        val mark = lastMergedBatch(whDir)
+        if (mark < 0) false
+        else {
+          val recorded = streamIdOf(whDir)
+          if (recorded.nonEmpty && streamId.nonEmpty && recorded != streamId)
+            throw new IllegalStateException(
+              s"stream ${streamId.get} delivered batch $b to $whDir, but " +
+                s"its high-water mark $mark was recorded by stream " +
+                s"${recorded.get} — a recreated checkpoint or second " +
+                "maintainer; refusing (replay status is undecidable: " +
+                "skipping could drop data, merging could double-apply)")
+          b <= mark
+        }
+    }
+
   /** Read one table of the CURRENT committed snapshot. */
   def read(s: SparkSession, whDir: String, table: String): DataFrame = {
     val v = version(whDir)
@@ -113,9 +159,10 @@ object Warehouse {
   }
 
   /** The snapshot versions still on disk, ascending. The commit
-    * protocol retains the last two (current + superseded-before-last,
-    * kept for in-flight readers until the next commit), so this is
-    * {v-1, v} in steady state — the time-travel window. */
+    * protocol retains the last [[retention]] (default two: current +
+    * superseded-before-last, kept for in-flight readers until the
+    * next commit), so this is {v-1, v} in steady state — the
+    * time-travel window, widenable per store via [[setRetention]]. */
   def versions(whDir: String): Seq[Long] =
     Option(new java.io.File(whDir).listFiles()).getOrElse(Array())
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
@@ -293,14 +340,16 @@ object Warehouse {
   def mergeBatch(s: SparkSession, whDir: String, batch: DataFrame,
       batchEmb: Option[DataFrame] = None,
       measure: (String, () => Unit) => Unit = (_, f) => f(),
-      streamBatchId: Option[Long] = None): Long = {
+      streamBatchId: Option[Long] = None,
+      streamId: Option[String] = None): Long = {
     val cur = version(whDir)
     require(cur > 0, s"mergeBatch needs a standing index in $whDir")
     // Exactly-once over at-least-once delivery: a foreachBatch
     // re-delivery at or below the snapshot's recorded high-water mark
-    // is a committed-already batch — return the standing version
-    // untouched (the `ServingStore.upsert` replay guard).
-    if (streamBatchId.exists(_ <= lastMergedBatch(whDir))) return cur
+    // FROM THE RECORDING STREAM is a committed-already batch — return
+    // the standing version untouched (the `ServingStore.upsert` replay
+    // guard); a foreign stream's delivery refuses loudly ([[isReplay]]).
+    if (isReplay(whDir, streamBatchId, streamId)) return cur
     val present = TableNames.filter(t =>
       Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
     val chunkGrain = present.contains("chunk_digests")
@@ -444,7 +493,7 @@ object Warehouse {
         .select(spCols.map(col): _*))
     })
 
-    commit(whDir, cur, next, streamBatchId.getOrElse(-1L))
+    commit(whDir, cur, next, streamBatchId.getOrElse(-1L), streamId)
     next
   }
 
@@ -635,12 +684,14 @@ object Warehouse {
   private[queries] def commitSnapshot(whDir: String, curVer: Long,
       newVer: Long): Unit = commit(whDir, curVer, newVer)
 
-  /** [[commitSnapshot]] carrying a streaming high-water mark — the
-    * seam the retrieval store's exactly-once stream maintenance uses
-    * (same pointer-file discipline as [[mergeBatch]]'s). */
+  /** [[commitSnapshot]] carrying a streaming high-water mark and the
+    * recording stream's identity — the seam the retrieval store's
+    * exactly-once stream maintenance uses (same pointer-file
+    * discipline as [[mergeBatch]]'s). */
   private[queries] def commitSnapshot(whDir: String, curVer: Long,
-      newVer: Long, streamBatchId: Option[Long]): Unit =
-    commit(whDir, curVer, newVer, streamBatchId.getOrElse(-1L))
+      newVer: Long, streamBatchId: Option[Long],
+      streamId: Option[String] = None): Unit =
+    commit(whDir, curVer, newVer, streamBatchId.getOrElse(-1L), streamId)
 
   /** Recursively delete a directory tree (best-effort), closing the
     * walk stream (ADVICE r13: a leaked `Files.walk` stream holds a
@@ -668,22 +719,48 @@ object Warehouse {
     base.toString
   }
 
+  /** Snapshot versions each commit retains (current + the superseded
+    * ones in-flight readers may still hold — the time-travel window).
+    * Default 2 = {v−1, v}, the pre-r15 behavior. */
+  val DefaultRetention = 2
+
+  /** Set the store's retention to the last `nVersions` snapshots
+    * (r14 verdict #7): a durable per-store `_RETENTION` file every
+    * subsequent commit honors, so q143-style `readAt` audit diffs can
+    * span more than one merge. ≥ 2 — the committing writer's previous
+    * version must survive its own commit for in-flight readers. */
+  def setRetention(whDir: String, nVersions: Int): Unit = {
+    require(nVersions >= 2, s"retention must be >= 2, got $nVersions")
+    Files.createDirectories(Paths.get(whDir))
+    Files.writeString(Paths.get(whDir, "_RETENTION"), nVersions.toString)
+  }
+
+  /** The store's retention window ([[DefaultRetention]] when unset). */
+  def retention(whDir: String): Int = {
+    val p = Paths.get(whDir, "_RETENTION")
+    if (Files.exists(p)) Files.readString(p).trim.toInt else DefaultRetention
+  }
+
   /** Atomic pointer swap (write-temp + ATOMIC_MOVE), then reap
-    * snapshots older than the one just superseded — the ServingStore
+    * snapshots outside the retention window — the ServingStore
     * commit discipline. Also sweeps stale `_CURRENT.tmp.*` files a
     * crash between write and move could leave (ADVICE r13).
     * `streamBatch` < 0 CARRIES FORWARD the existing high-water mark
-    * (so a compact or rebuild between streaming merges cannot reopen
-    * the replay window); a streaming merge passes its batch id. */
+    * and its recorded stream identity (so a compact or rebuild
+    * between streaming merges cannot reopen the replay window); a
+    * streaming merge passes its batch id and identity. */
   private def commit(whDir: String, curVer: Long, newVer: Long,
-      streamBatch: Long = -1L): Unit = {
-    val mark = if (streamBatch >= 0) streamBatch else lastMergedBatch(whDir)
+      streamBatch: Long = -1L, streamId: Option[String] = None): Unit = {
+    val (mark, id) =
+      if (streamBatch >= 0) (streamBatch, streamId)
+      else (lastMergedBatch(whDir), streamIdOf(whDir))
     val tmp = Paths.get(whDir, s"_CURRENT.tmp.$newVer")
     Files.writeString(tmp,
-      if (mark >= 0) s"$newVer,$mark" else newVer.toString)
+      if (mark >= 0) s"$newVer,$mark${id.fold("")("," + _)}"
+      else newVer.toString)
     Files.move(tmp, pointerPath(whDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    (1L until curVer).foreach { old =>
+    (1L to newVer - retention(whDir)).foreach { old =>
       deleteTree(Paths.get(whDir, s"v=$old"))
     }
     scala.util.Try {

@@ -35,38 +35,63 @@ import graft.queries.Warehouse
   */
 object StreamIndexMaintainer {
 
+  /** The delivering stream's IDENTITY (ADVICE r14): the Structured
+    * Streaming query id from the checkpoint's `metadata` file — minted
+    * once when a checkpoint is created, stable across restarts of that
+    * checkpoint, FRESH when the checkpoint is lost and recreated.
+    * Exactly the identity the replay guard needs: batch ids are
+    * monotone per checkpoint, so a recreated checkpoint (ids restart
+    * at 0) shows up as a NEW identity and `Warehouse.isReplay` refuses
+    * loudly instead of silently dropping its batches as replays. Read
+    * lazily per batch (the file exists from stream start, before the
+    * first foreachBatch call); None when absent (direct sink calls in
+    * certificates — the documented one-stream-per-store invariant). */
+  private[streaming] def checkpointQueryId(
+      checkpointDir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(checkpointDir, "metadata")
+    if (!java.nio.file.Files.exists(p)) None
+    else """"id"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p)).map(_.group(1))
+  }
+
   /** The foreachBatch sink body, exposed for replay-path tests and
     * the q140 certificate (the q99 idiom: certify through the REAL
-    * sink function, not a copy). */
+    * sink function, not a copy). `streamId` supplies the delivering
+    * stream's identity per batch ([[checkpointQueryId]] when wired by
+    * [[run]]; () => None for direct certificate calls). */
   def sink(s: SparkSession, whDir: String,
-      embOf: (DataFrame, Long) => Option[DataFrame])(
+      embOf: (DataFrame, Long) => Option[DataFrame],
+      streamId: () => Option[String] = () => None)(
       batch: DataFrame, batchId: Long): Unit = {
     Warehouse.mergeBatch(s, whDir, batch, embOf(batch, batchId),
-      streamBatchId = Some(batchId))
+      streamBatchId = Some(batchId), streamId = streamId())
     ()
   }
 
   /** Attach the maintainer to a streaming `docs` frame (doc_id,
     * source, text — the `documents` schema). The checkpoint makes
-    * batch ids monotone across restarts; the pointer mark makes
-    * replays no-ops. */
+    * batch ids monotone across restarts; the pointer mark (keyed to
+    * this checkpoint's query id) makes replays no-ops and foreign
+    * streams loud failures. */
   def run(s: SparkSession, whDir: String, docs: DataFrame,
       embOf: (DataFrame, Long) => Option[DataFrame],
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(sink(s, whDir, embOf) _)
+      .foreachBatch(sink(s, whDir, embOf,
+        () => checkpointQueryId(checkpointDir)) _)
       .start()
 
   /** The RETRIEVAL store's sink body (r14): the same exactly-once
     * pointer-mark discipline over `RetrievalIndex.mergeBatchOf` —
     * postings are per-doc deterministic, so each micro-batch is a
     * hard-link append plus O(batch) new rows, one snapshot version. */
-  def retrievalSink(s: SparkSession, whDir: String)(
+  def retrievalSink(s: SparkSession, whDir: String,
+      streamId: () => Option[String] = () => None)(
       batch: DataFrame, batchId: Long): Unit = {
     graft.queries.RetrievalIndex.mergeBatchOf(s, whDir, batch,
-      streamBatchId = Some(batchId))
+      streamBatchId = Some(batchId), streamId = streamId())
     ()
   }
 
@@ -76,6 +101,7 @@ object StreamIndexMaintainer {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(retrievalSink(s, whDir) _)
+      .foreachBatch(retrievalSink(s, whDir,
+        () => checkpointQueryId(checkpointDir)) _)
       .start()
 }

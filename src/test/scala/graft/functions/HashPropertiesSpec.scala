@@ -44,15 +44,24 @@ class HashPropertiesSpec extends AnyFunSuite with SparkFixture {
 
   test("graft_inter_size == size(array_intersect) for arbitrary long sets") {
     import spark.implicits._
-    val longSet: Gen[List[Long]] =
+    // NOT distinct-ified (ADVICE r14): the kernel is a public SQL
+    // function and must match size(array_intersect) — distinct common
+    // elements — even when either side carries duplicates. A small
+    // value range makes duplicate draws likely.
+    val longList: Gen[List[Long]] =
       Gen.choose(0, 40).flatMap(n =>
-        Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.distinct))
+        Gen.listOfN(n, Gen.choose(-25L, 25L)))
     val pairs = Seq.newBuilder[(Seq[Long], Seq[Long])]
-    forAllSeeded(Gen.zip(longSet, longSet), 120)(p => pairs += p)
+    forAllSeeded(Gen.zip(longList, longList), 120)(p => pairs += p)
     // Skewed overlap cases the uniform generator rarely hits.
     pairs += ((Seq.empty, Seq(1L, 2L)))
     pairs += ((Seq(1L, 2L, 3L), Seq.empty))
     pairs += ((Seq(5L), Seq(5L)))
+    // Duplicates on probe side, build side, and both (the r14 ADVICE
+    // overcount shape: probe-side duplicates of a matching element).
+    pairs += ((Seq(1L, 1L, 2L, 2L, 2L), Seq(2L)))
+    pairs += ((Seq(3L), Seq(3L, 3L, 3L, 4L)))
+    pairs += ((Seq(7L, 7L, 8L), Seq(8L, 8L, 7L, 7L, 9L)))
     val df = pairs.result().toDF("a", "b")
     val diff = df.select(
         call_function("graft_inter_size", col("a"), col("b")).as("n"),

@@ -264,6 +264,53 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("deleteDocs refuses unindexed ids and over-bound tombstone totals") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val wh = Files.createTempDirectory("graft-retr-guard").toString
+    RetrievalIndex.buildOf(spark, docs, wh)
+    val vBuilt = Warehouse.version(wh)
+
+    // An id with no stored postings refuses loudly and commits nothing
+    // (ADVICE r14: silently subtracting it would bias every served
+    // idf/avgdl forever).
+    val ghost = spark.range(1).selectExpr("CAST(987654321 AS BIGINT) AS doc_id")
+    val exMissing = intercept[IllegalArgumentException] {
+      RetrievalIndex.deleteDocs(spark, wh, ghost)
+    }
+    assert(exMissing.getMessage.contains("no stored postings"))
+    assert(Warehouse.version(wh) == vBuilt, "failed delete must not commit")
+
+    // A wave pushing the tombstone total past the broadcast-safe bound
+    // refuses loudly and commits nothing.
+    val exBound = intercept[IllegalArgumentException] {
+      RetrievalIndex.deleteDocs(spark, wh,
+        docs.filter(col("doc_id") % 7 === 0), maxTombstones = 3L)
+    }
+    assert(exBound.getMessage.contains("broadcast-safe bound"))
+    assert(Warehouse.version(wh) == vBuilt)
+
+    // The refusal's named escape hatch: full compaction physically
+    // drops the dead rows from EVERY bucket and clears the tombstone
+    // table, so the serve no longer pays the anti-join and the next
+    // delete wave starts from zero tombstones.
+    RetrievalIndex.deleteDocs(spark, wh, docs.filter(col("doc_id") % 5 === 2))
+    val vFull = RetrievalIndex.compact(spark, wh, purgeTombstones = true)
+    assert(!Files.isDirectory(Paths.get(wh, s"v=$vFull", "tombstones")),
+      "purge compaction must clear the tombstone table")
+    val whRebuild = Files.createTempDirectory("graft-retr-guard-rb").toString
+    RetrievalIndex.buildOf(spark, docs.filter(col("doc_id") % 5 =!= 2), whRebuild)
+    assert(RetrievalIndex.bm25ServeFrom(spark, wh).collect().map(_.toSeq).toSeq
+      == RetrievalIndex.bm25ServeFrom(spark, whRebuild)
+        .collect().map(_.toSeq).toSeq)
+    assert(Warehouse.read(spark, wh, "postings")
+      .join(docs.filter(col("doc_id") % 5 === 2), Seq("doc_id"), "left_semi")
+      .isEmpty, "dead postings must be physically gone after the purge pass")
+    assert(Warehouse.read(spark, wh, "corpus_stats").collect()(0).toSeq ==
+      Warehouse.read(spark, whRebuild, "corpus_stats").collect()(0).toSeq)
+  }
+
   test("compaction rewrites only fragmented buckets and preserves content") {
     import org.apache.spark.sql.functions.col
     val wh = Files.createTempDirectory("graft-retr-compact").toString

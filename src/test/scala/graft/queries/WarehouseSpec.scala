@@ -40,6 +40,27 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "v=3")))
   }
 
+  test("a configured retention widens the time-travel window (r14 verdict #7)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-ret").toString
+    intercept[IllegalArgumentException](Warehouse.setRetention(wh, 1))
+    Warehouse.setRetention(wh, 3)
+    Warehouse.retention(wh) shouldBe 3
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 1L
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 2L
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 3L
+    Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 4L
+    // Retention 3 keeps {2,3,4} after the v=4 commit — readAt can span
+    // TWO merges back, not just one.
+    Warehouse.versions(wh) shouldBe Seq(2L, 3L, 4L)
+    val atV2 = Warehouse.readAt(spark, wh, "bands", 2L).count()
+    atV2 should be > 0L
+    intercept[IllegalArgumentException](
+      Warehouse.readAt(spark, wh, "bands", 1L))
+    // Unset stores keep the default two-version window.
+    val whD = java.nio.file.Files.createTempDirectory("graft-wh-retd").toString
+    Warehouse.retention(whD) shouldBe Warehouse.DefaultRetention
+  }
+
   test("a crash mid-build leaves readers on the old version; the next build recovers") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh-crash").toString
     Warehouse.buildDocChain(spark, sfDir, wh) shouldBe 1L

@@ -146,4 +146,63 @@ class StreamIndexMaintainerSpec extends AnyFunSuite with Matchers
     RetrievalIndex.compact(spark, wh)
     Warehouse.lastMergedBatch(wh) should be >= 1L
   }
+
+  test("the replay mark is keyed to the recording stream's identity") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-stream-ident").toString
+    Warehouse.buildOf(spark, docsOf(0L until 30L), embOf(0L until 10L), wh)
+    val idA = Some("query-id-A")
+    val sinkA = StreamIndexMaintainer.sink(spark, wh,
+      (_, _) => Some(embOf(Seq.empty)), () => idA) _
+    sinkA(docsOf(30L until 40L), 0L)
+    sinkA(docsOf(40L until 45L), 1L)
+    Warehouse.lastMergedBatch(wh) shouldBe 1L
+    Warehouse.streamIdOf(wh) shouldBe idA
+    // Same stream re-delivers: certified replay, no-op.
+    val v = Warehouse.version(wh)
+    sinkA(docsOf(40L until 45L), 1L)
+    Warehouse.version(wh) shouldBe v
+    // A non-stream writer carries mark AND identity forward.
+    Warehouse.compact(spark, wh)
+    Warehouse.streamIdOf(wh) shouldBe idA
+    Warehouse.lastMergedBatch(wh) shouldBe 1L
+    // A DIFFERENT stream (recreated checkpoint: ids restart at 0, or a
+    // second maintainer) must refuse LOUDLY — batch 0 <= mark 1, but
+    // silently dropping it would lose data (ADVICE r14).
+    val sinkB = StreamIndexMaintainer.sink(spark, wh,
+      (_, _) => Some(embOf(Seq.empty)), () => Some("query-id-B")) _
+    val ex = intercept[IllegalStateException] {
+      sinkB(docsOf(45L until 50L), 0L)
+    }
+    ex.getMessage should include("recorded by stream")
+    Warehouse.version(wh) should be > 0L // store intact, nothing committed
+    // ...and a foreign HIGH batch id refuses too (merging it could
+    // double-apply what stream A already merged).
+    intercept[IllegalStateException] { sinkB(docsOf(45L until 50L), 7L) }
+    // The original stream continues normally after the refusals.
+    sinkA(docsOf(45L until 50L), 2L)
+    Warehouse.lastMergedBatch(wh) shouldBe 2L
+  }
+
+  test("the run() wiring records the checkpoint's real query id") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckid").toString
+    graft.queries.RetrievalIndex.buildOf(spark, docsOf(0L until 20L), wh)
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckid-ck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamIndexMaintainer.runRetrieval(spark, wh,
+      input.toDF().toDF("doc_id", "source", "text"), ck)
+    try {
+      input.addData(docsOf(20L until 30L).as[(Long, String, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // The recorded identity is the checkpoint metadata's query id —
+    // the identity that survives restarts and changes on recreation.
+    StreamIndexMaintainer.checkpointQueryId(ck) shouldBe defined
+    Warehouse.streamIdOf(wh) shouldBe StreamIndexMaintainer.checkpointQueryId(ck)
+    Warehouse.streamIdOf(wh) shouldBe Some(q.id.toString)
+  }
 }
