@@ -402,8 +402,20 @@ object RetrievalIndex {
     * so the q146 hybrid fusion ranks on the identical scores the
     * standalone serve ranks on (the q118 discipline: ranking on
     * display-rounded values could flip near-equal neighbours). */
-  private[queries] def bm25ServeScoredFrom(s: SparkSession, wh: String): DataFrame = {
+  /** The ONE Okapi BM25 per-term weight (k1 = 1.2, b = 0.75, rational
+    * idf — q112's transcendental-free portability discipline), shared
+    * by the pinned pivot serve (q144) and the parameterized request
+    * path so the two scoring algebras cannot drift. */
+  private def okapiW(tf: Column, df: Column, nDocs: Column, dl: Column,
+      avgdl: Column): Column = {
     val (k1, b) = (1.2, 0.75)
+    val tfd = tf.cast("double")
+    val idf = (nDocs - df + lit(0.5)) / (df + lit(0.5))
+    idf * (tfd * lit(k1 + 1)) /
+      (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dl / avgdl)))
+  }
+
+  private[queries] def bm25ServeScoredFrom(s: SparkSession, wh: String): DataFrame = {
     val terms = TextOps.Bm25Terms
     val p0 = Warehouse.read(s, wh, "postings")
       .filter(col("term_bucket").isin(terms.map(bucketOf): _*) &&
@@ -423,13 +435,9 @@ object RetrievalIndex {
       .agg(tfCols.head, tfCols.tail: _*)
     val stats = Warehouse.read(s, wh, "corpus_stats")
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val score = terms.map { t =>
-      val tf = col(s"tf_$t").cast("double")
-      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
-        (col(s"df_$t") + lit(0.5))
-      idf * (tf * lit(k1 + 1)) /
-        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl)))
-    }.reduceLeft(_ + _)
+    val score = terms.map(t =>
+      okapiW(col(s"tf_$t"), col(s"df_$t"), col("n_docs"), col("dl"), avgdl))
+      .reduceLeft(_ + _)
     cand.join(broadcast(stats)).join(broadcast(dfs))
       .withColumn("s", score)
   }
@@ -592,6 +600,240 @@ object RetrievalIndex {
        |      + COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_dense), 0), 6) AS rrf
        |FROM spr FULL OUTER JOIN den ON spr.doc_id = den.doc_id
        |ORDER BY rrf DESC, doc_id""".stripMargin
+
+  // ---- parameterized serving (r14 verdict #1): arbitrary requests ----
+
+  /** PARAMETERIZED BM25 serving — the product API the pinned q144
+    * fixture serve generalizes to (the reference's serving layer
+    * answers arbitrary requests, `hbase_client.py:263-307`): score an
+    * ARBITRARY term set against the stored postings and return the
+    * top-`k` candidates (docs holding ≥ 1 query term — the q147
+    * candidates-not-padding contract). Same read path as q144: the
+    * literal `term_bucket IN (...)` prunes to ≤ |terms| partitions at
+    * PLAN time, df/tf/dl all come from the pruned read, tombstones
+    * anti-join before any weight input. The request's scale contract
+    * is BETTER than the pivot form's: per-term weights are one column
+    * (`w`) summed per doc in SORTED-TERM fold order (deterministic
+    * float sum — never an arbitrary-order SUM over doubles, the house
+    * float discipline), so the plan carries ZERO per-term expression
+    * nodes and a 100-term query plans exactly like a 2-term one (the
+    * same seam the literal-centroid fix closes for ANN). */
+  def bm25Serve(s: SparkSession, wh: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    bm25ServeScoredRequest(s, wh, terms)
+      .orderBy(col("s").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("s"), 6).as("bm25"))
+  }
+
+  /** The unrounded parameterized candidate frame (doc_id, dl, s) —
+    * shared by [[bm25Serve]] and the parameterized hybrid fusion. */
+  private[queries] def bm25ServeScoredRequest(s: SparkSession, wh: String,
+      terms: Seq[String]): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "bm25Serve needs at least one query term")
+    val p0 = Warehouse.read(s, wh, "postings")
+      .filter(col("term_bucket").isin(ts.map(bucketOf): _*) &&
+        col("term").isin(ts: _*))
+    val p = tombstonesOf(s, wh).fold(p0)(t =>
+      p0.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    // df per term from the pruned read (posting-list length); |terms|
+    // rows, broadcast back with the one-row stats.
+    val dft = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = Warehouse.read(s, wh, "corpus_stats")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    p.join(broadcast(dft), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("w",
+        okapiW(col("tf"), col("df"), col("n_docs"), col("dl"), avgdl))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("tw"))
+      .withColumn("s", aggregate(col("tw"), lit(0.0),
+        (acc, x) => acc + x.getField("w")))
+      .select(col("doc_id"), col("dl"), col("s"))
+  }
+
+  /** Oracle CTE rule text for a LITERAL parameterized request (chain
+    * ending in `rqsc(doc_id, dl, tf_*, s)`) — the terms pivot in
+    * SORTED order with left-associated summation, mirroring the Spark
+    * side's sorted-term fold exactly (absent terms add an IEEE-exact
+    * +0.0). CTE names prefixed `rq` — disjoint from every other
+    * chain. Shared by the q149 standalone and q151 hybrid oracles. */
+  private[queries] def bm25RequestCteSql(terms: Seq[String]): String = {
+    val (k1, b) = (1.2, 0.75)
+    val ts = terms.distinct.sorted
+    val tfCols = ts.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val dfCols = ts.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n    ")
+    val score = ts.map { t =>
+      s"""((n_docs - df_$t + 0.5) / (df_$t + 0.5))
+         | * (CAST(tf_$t AS DOUBLE) * ${k1 + 1})
+         | / (CAST(tf_$t AS DOUBLE) + $k1 * (1.0 - $b + $b * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(" + ")
+    s"""rqd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |rqt AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM rqd),
+       |rqst AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM rqt),
+       |rqsc AS (
+       |  SELECT doc_id, dl, ${ts.map(t => s"tf_$t").mkString(", ")},
+       |    $score AS s
+       |  FROM rqt, rqst)""".stripMargin
+  }
+
+  /** Full oracle statement of the parameterized BM25 serve —
+    * candidate-restricted top-k (q147 discipline). */
+  private[queries] def bm25RequestSql(terms: Seq[String], k: Int): String = {
+    val ts = terms.distinct.sorted
+    s"""WITH ${bm25RequestCteSql(ts)}
+       |SELECT doc_id, dl, round(s, 6) AS bm25
+       |FROM rqsc
+       |WHERE ${ts.map(t => s"tf_$t > 0").mkString(" OR ")}
+       |ORDER BY s DESC, doc_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** The q149 pinned request — a DIFFERENT term set and k than the
+    * q144 fixture, so the certificate exercises the PARAMETERIZED
+    * path end to end (request → bucket pruning → sorted-term fold →
+    * candidate top-k), not the pivot constants. */
+  private[queries] val ParamTerms = Seq("merge", "spark", "filter", "sort")
+  private[queries] val ParamK = 15
+
+  /** q149 — the parameterized BM25 serve certified against a
+    * from-scratch DuckDB recompute of the same request over raw text:
+    * the product `serve(query)` API (r14 verdict #1) answering an
+    * arbitrary request from the stored index, zero corpus scans. */
+  def bm25ServeParam(s: SparkSession, dir: String): DataFrame =
+    bm25Serve(s, ensure(s, dir), ParamTerms, ParamK)
+
+  val bm25ServeParamSql: String = bm25RequestSql(ParamTerms, ParamK)
+
+  // ---- q151: parameterized hybrid serve (concurrent legs) ------------
+
+  /** Collect two ≤k-row serving legs CONCURRENTLY (r14 verdict #6:
+    * the lazy q146 plan runs them sequentially — p50 ≈ sum of legs)
+    * and fuse by reciprocal rank fusion. Value-identical to the q146
+    * fusion: collect order of an orderBy+limit IS the leg's rank
+    * order, and the fusion algebra runs as the same Spark expressions
+    * over the ≤30 fused rows. The legs are independent Spark actions
+    * on a shared session — a bounded daemon pool overlaps them. */
+  private lazy val legPool = scala.concurrent.ExecutionContext
+    .fromExecutorService(java.util.concurrent.Executors.newFixedThreadPool(
+      4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-hybrid-leg")
+        t.setDaemon(true)
+        t
+      }))
+
+  private[queries] def fuseRrf(s: SparkSession,
+      sparseIds: () => Array[Long],
+      denseIds: () => Array[Long]): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val spF = Future(sparseIds())(legPool)
+    val dnF = Future(denseIds())(legPool)
+    val sp = Await.result(spF, Duration(600, "s"))
+    val dn = Await.result(dnF, Duration(600, "s"))
+    import s.implicits._
+    val spDf = sp.toSeq.zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }.toDF("doc_id", "rank_sparse")
+    val dnDf = dn.toSeq.zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }.toDF("doc_id", "rank_dense")
+    def term(r: Column): Column =
+      when(r.isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(Similarity.RrfK) + r))
+    spDf.join(dnDf, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(term(col("rank_sparse")) + term(col("rank_dense")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** PARAMETERIZED hybrid serving: an arbitrary (terms, query vector)
+    * request, sparse leg from the stored postings, dense leg from the
+    * stored IVF cells, legs collected concurrently, RRF fusion. */
+  def hybridServe(s: SparkSession, retrWh: String, corpusDir: String,
+      terms: Seq[String], queryVec: Seq[Double],
+      nprobe: Int = Similarity.AnnProbeN,
+      kSparse: Int = TextOps.Bm25K,
+      kDense: Int = Similarity.AnnServeK): DataFrame =
+    fuseRrf(s,
+      () => bm25ServeScoredRequest(s, retrWh, terms)
+        .orderBy(col("s").desc, col("doc_id").asc).limit(kSparse)
+        .select("doc_id").collect().map(_.getLong(0)),
+      () => Similarity.annServeScoredRequest(s, corpusDir, queryVec, nprobe)
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(kDense)
+        .select("vec_id").collect().map(_.getLong(0)))
+
+  /** The q146 search through the CONCURRENT path — same legs, same
+    * fusion values, ~half the latency (benched as `hybrid_conc` in
+    * the index_serve section; a spec pins value-identity to q146). */
+  def hybridServeConcurrent(s: SparkSession, dir: String): DataFrame =
+    fuseRrf(s,
+      () => bm25ServeScoredFrom(s, ensure(s, dir))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(TextOps.Bm25K)
+        .select("doc_id").collect().map(_.getLong(0)),
+      () => Similarity.annServeScored(s, dir)
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(Similarity.AnnServeK)
+        .select("vec_id").collect().map(_.getLong(0)))
+
+  /** The q151 pinned request: different terms than q144/q149 and a
+    * different probe vector than q142 — the parameterized hybrid
+    * exercised end to end. */
+  private[queries] val HybridParamTerms = Seq("group", "order")
+  private[queries] val HybridParamVecId = 77L
+
+  /** q151 — parameterized hybrid RRF serve (concurrent legs), both
+    * legs answered from their stored indexes for an arbitrary
+    * request; oracle re-derives both index chains, both serves and
+    * the fusion from raw tables in one statement. */
+  def hybridServeParam(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(HybridParamVecId))
+      .select(graft.queries.Similarity.doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    hybridServe(s, ensure(s, dir), dir, HybridParamTerms, qv)
+  }
+
+  val hybridServeParamSql: String = {
+    val ts = HybridParamTerms.distinct.sorted
+    s"""WITH ${Similarity.cellAssignCteSql},
+       |${Similarity.annRequestProbeCteSql(HybridParamVecId,
+           Similarity.AnnProbeN)},
+       |${bm25RequestCteSql(ts)},
+       |spr AS (
+       |  SELECT doc_id, rank_sparse FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank_sparse
+       |    FROM rqsc WHERE ${ts.map(t => s"tf_$t > 0").mkString(" OR ")})
+       |  WHERE rank_sparse <= ${TextOps.Bm25K}),
+       |den AS (
+       |  SELECT doc_id, rank_dense FROM (
+       |    SELECT vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_dense
+       |    FROM aqcand) WHERE rank_dense <= ${Similarity.AnnServeK})
+       |SELECT COALESCE(spr.doc_id, den.doc_id) AS doc_id,
+       |  CAST(COALESCE(rank_sparse, 0) AS BIGINT) AS rank_sparse,
+       |  CAST(COALESCE(rank_dense, 0) AS BIGINT) AS rank_dense,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_sparse), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_dense), 0), 6) AS rrf
+       |FROM spr FULL OUTER JOIN den ON spr.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id""".stripMargin
+  }
 
   val mergeCertifySql: String =
     s"""WITH p AS (

@@ -1411,6 +1411,104 @@ object Similarity {
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $AnnServeK""".stripMargin
 
+  // ---- q150: PARAMETERIZED ANN serving (r14 verdict #1) --------------
+
+  /** PARAMETERIZED ANN serving — the product API the pinned q142
+    * fixture serve generalizes to: probe the stored IVF index with an
+    * ARBITRARY query vector at an arbitrary (nprobe, k). Same plan
+    * shape as q142 — centroids score against the one literal vector
+    * (k·dim work, broadcast back as ≤ nprobe probe-cell ids), the
+    * cells read prunes to the probed cells, the rerank is exact over
+    * the pruned candidates. The query vector is ONE literal expression
+    * regardless of dim, and per-row work carries zero per-centroid
+    * nodes — the request scales exactly like the fixture one. Unlike
+    * the pinned form there is no index identity to exclude: an
+    * external query vector matching an indexed one is a legitimate
+    * (cos = 1) neighbour. */
+  def annServe(s: SparkSession, dir: String, queryVec: Seq[Double],
+      nprobe: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    annServeScoredRequest(s, dir, queryVec, nprobe)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The unrounded parameterized candidate frame (…, cell, cos) —
+    * shared by [[annServe]] and the parameterized hybrid fusion. The
+    * driver-side query norm is the same sequential fold the kernel
+    * runs (the assignCellsWith discipline), so it is bit-identical to
+    * the oracle's sqrt(list_inner_product(qv, qv)). */
+  private[queries] def annServeScoredRequest(s: SparkSession, dir: String,
+      queryVec: Seq[Double], nprobe: Int): DataFrame = {
+    require(queryVec.nonEmpty, "annServe needs a query vector")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
+    val qv = typedLit(queryVec)
+    val qcells = graft.queries.Warehouse.stored(s, dir, "centroids")
+      .withColumn("cos_c", cosine(col("v"), qv))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+      .limit(nprobe)
+      .select(col("c_id").as("probe_cell"))
+    val denom = col("norm") * lit(qn)
+    graft.queries.Warehouse.stored(s, dir, "cells")
+      .join(broadcast(qcells), col("cell") === col("probe_cell"))
+      .withColumn("cos", when(denom === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), qv) / denom))
+  }
+
+  /** The q150 pinned request — a DIFFERENT probe vector, nprobe and k
+    * than the q142 fixture, so the certificate exercises the
+    * parameterized path, not the pinned constants. The vector is an
+    * indexed embedding read back as an arbitrary Seq[Double] request
+    * (one bounded driver collect). */
+  private[queries] val ParamQueryVecId = 123L
+  private[queries] val ParamNprobe = 3
+  private[queries] val ParamAnnK = 12
+
+  /** q150 — the parameterized ANN serve certified against a
+    * from-scratch DuckDB re-derivation of the index + the same
+    * parameterized probe from raw embeddings. */
+  def annServeParam(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(ParamQueryVecId))
+      .select(doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    annServe(s, dir, qv, ParamNprobe, ParamAnnK)
+  }
+
+  /** Oracle rule text of the PARAMETERIZED probe chain for a literal
+    * request (query vector = embedding `vecId`): `sig` (build-time
+    * norms, the q142 rule text) → `aqp` (the request vector + norm) →
+    * `aqc` (nprobe best cells) → `aqcand` (pruned exact rerank, the
+    * query row NOT excluded). CTE names `aq*` — disjoint from the
+    * bm25 request (`rq*`) chain so the q151 hybrid can splice both. */
+  private[queries] def annRequestProbeCteSql(vecId: Long,
+      nprobe: Int): String =
+    s"""sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |aqp AS (SELECT v AS quv, sqrt(list_inner_product(v, v)) AS qn
+       |        FROM e WHERE vec_id = $vecId),
+       |aqc AS (
+       |  SELECT c_id AS probe_cell FROM c, aqp
+       |  ORDER BY ${cosineSqlFor("c.qv", "aqp.quv")} DESC, c_id DESC
+       |  LIMIT $nprobe),
+       |aqcand AS (
+       |  SELECT sig.vec_id, sig.cell,
+       |    CASE WHEN sig.norm * aqp.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, aqp.quv) / (sig.norm * aqp.qn)
+       |      END AS cos
+       |  FROM sig JOIN aqc ON sig.cell = aqc.probe_cell, aqp)""".stripMargin
+
+  val annServeParamSql: String =
+    s"""WITH $cellAssignCteSql,
+       |${annRequestProbeCteSql(ParamQueryVecId, ParamNprobe)}
+       |SELECT vec_id, cell, round(cos, 6) AS cosine
+       |FROM aqcand
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT $ParamAnnK""".stripMargin
+
   // ---- q148: sem-purge-aware ANN serving -----------------------------
 
   /** q148 — the dense leg's q147: SemDeDup's purge decision APPLIED to

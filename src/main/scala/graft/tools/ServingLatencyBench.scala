@@ -67,12 +67,74 @@ object ServingLatencyBench {
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "q142_ann" -> (() => Similarity.annServe(spark, sfDir)),
       "q144_bm25" -> (() => RetrievalIndex.bm25Serve(spark, sfDir)),
-      "q146_hybrid" -> (() => RetrievalIndex.hybridServe(spark, sfDir)))
+      "q146_hybrid" -> (() => RetrievalIndex.hybridServe(spark, sfDir)),
+      // The same search with both ≤k-row legs collected CONCURRENTLY
+      // (r14 verdict #6) — value-identity to q146 is spec-pinned.
+      "hybrid_conc" -> (() => RetrievalIndex.hybridServeConcurrent(spark, sfDir)))
     val perQuery = perQueryJson(queries, reps, warm)
     val budgetMs = 1000.0
     s"""{"reps":$reps,"warm":$warm,"poll_budget_ms":${num(budgetMs)},""" +
       s""""queries":{${perQuery.map(_._1).mkString(",")}},""" +
       s""""within_budget":${perQuery.forall(_._2 < budgetMs)}}"""
+  }
+
+  /** PARAMETERIZED-request battery (r14 verdict #1 done-criterion):
+    * ≥ 100 DISTINCT requests against the product serve APIs — 50 BM25
+    * term sets drawn from the corpus's own vocabulary, 50 ANN query
+    * vectors drawn from the stored index, 25 hybrid combinations.
+    * Every request is a FRESH plan (new literals: different terms,
+    * different vector), so the percentiles measure latency over
+    * request VARIETY, not one cached plan re-executed — each request
+    * runs exactly once after a small family warm-up. Seeded draws:
+    * the battery is reproducible run to run. */
+  def paramSection(spark: SparkSession, sfDir: String,
+      nBm25: Int = 50, nAnn: Int = 50, nHybrid: Int = 25): String = {
+    import graft.queries.{RetrievalIndex, Similarity, Warehouse}
+    val wh = RetrievalIndex.ensure(spark, sfDir)
+    val vocab = Tables.documents(spark, sfDir)
+      .selectExpr("explode(split(text, ' ')) AS term").distinct()
+      .orderBy("term").collect().map(_.getString(0))
+    val rnd = new scala.util.Random(20260815L)
+    def termSet(): Seq[String] =
+      Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.length))).distinct
+    val bm25Reqs = Vector.fill(nBm25)(termSet())
+    val vecPool = Warehouse.stored(spark, sfDir, "cells")
+      .select("vec_id", "v").orderBy("vec_id")
+      .limit(math.max(nAnn, nHybrid)).collect()
+      .map(_.getSeq[Double](1))
+    val annReqs = Vector.tabulate(nAnn)(i => vecPool(i % vecPool.length))
+    val hybridReqs = Vector.tabulate(nHybrid)(i =>
+      (termSet(), vecPool((i * 7 + 3) % vecPool.length)))
+
+    def battery(name: String, reqs: Seq[() => Int]): (String, Double) = {
+      reqs.take(3).foreach(_.apply()) // family warm-up (store footers, codegen)
+      var rows = 0
+      val times = reqs.map { r =>
+        val t0 = System.nanoTime()
+        rows += r()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted.toIndexedSeq
+      val json = s""""$name":{"n_requests":${reqs.size},""" +
+        s""""p50_ms":${num(pctl(times, 0.50))},""" +
+        s""""p95_ms":${num(pctl(times, 0.95))},"max_ms":${num(times.last)},""" +
+        s""""rows_total":$rows}"""
+      (json, pctl(times, 0.95))
+    }
+    val fams = Seq(
+      battery("bm25_param", bm25Reqs.map(ts =>
+        () => RetrievalIndex.bm25Serve(spark, wh, ts, 10).collect().length)),
+      battery("ann_param", annReqs.map(v =>
+        () => Similarity.annServe(spark, sfDir, v, nprobe = 2, k = 10)
+          .collect().length)),
+      battery("hybrid_param", hybridReqs.map { case (ts, v) =>
+        () => RetrievalIndex.hybridServe(spark, wh, sfDir, ts, v)
+          .collect().length
+      }))
+    val budgetMs = 1000.0
+    s"""{"n_requests":${nBm25 + nAnn + nHybrid},""" +
+      s""""poll_budget_ms":${num(budgetMs)},""" +
+      s""""families":{${fams.map(_._1).mkString(",")}},""" +
+      s""""within_budget":${fams.forall(_._2 < budgetMs)}}"""
   }
 
   /** Runs the section; returns a JSON object string for BENCH_DETAIL.

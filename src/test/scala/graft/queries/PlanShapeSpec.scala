@@ -55,7 +55,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q144_bm25_serve",     // 1-row stats + 1-row df broadcasts (q112 idiom)
     "q146_hybrid_serve",   // both serving legs' 1-row broadcasts (q118 shape)
     "q147_purge_serve",    // q144's broadcasts over the purged store
-    "q148_ann_serve_purged") // q142's broadcasts + sem_purge anti side
+    "q148_ann_serve_purged", // q142's broadcasts + sem_purge anti side
+    "q149_bm25_serve_param") // 1-row stats broadcast (q144 idiom, request form)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -121,6 +122,24 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q146_hybrid_serve") should not include "documents.parquet"
     plans("q146_hybrid_serve") should not include "embeddings.parquet"
     plans("q146_hybrid_serve") should include("PartitionFilters")
+  }
+
+  test("parameterized serving keeps the stored-index plan shape") {
+    // q149: an arbitrary-request BM25 serve still prunes stored
+    // postings partitions and never scans the corpus; the request
+    // path additionally carries ZERO per-term expression nodes (the
+    // fold is one aggregate column), so a wide term set cannot grow
+    // the plan — pin the absence of per-term pivot aggregates.
+    plans("q149_bm25_serve_param") should include("graft-retr-wh")
+    plans("q149_bm25_serve_param") should not include "documents.parquet"
+    plans("q149_bm25_serve_param") should include("PartitionFilters")
+    plans("q149_bm25_serve_param") should include("term_bucket")
+    plans("q149_bm25_serve_param") should not include "tf_"
+    // q150: an arbitrary-vector ANN serve reads only the stored index;
+    // the query vector is a literal, not an embeddings scan.
+    plans("q150_ann_serve_param") should include("graft-warehouse")
+    plans("q150_ann_serve_param") should not include "embeddings.parquet"
+    plans("q150_ann_serve_param") should not include "documents.parquet"
   }
 
   test("the merge-diff audit reads two snapshot versions, never the corpus") {

@@ -113,6 +113,104 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the parameterized serve reproduces the pivot-form serve on the pinned request") {
+    // One scoring algebra, two plan shapes (r14 verdict #1): the
+    // sorted-term-fold request path must rank exactly like the q144
+    // pivot when asked the q144 question.
+    val wh = RetrievalIndex.ensure(spark, sfDir)
+    val param = RetrievalIndex.bm25Serve(spark, wh, terms, TextOps.Bm25K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pivot = RetrievalIndex.bm25ServeFrom(spark, wh).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2 + terms.size)))
+    assert(param.toSeq == pivot.toSeq, "param vs pivot serve diverged")
+  }
+
+  test("bucket pruning holds for ARBITRARY term sets (r14 verdict #1)") {
+    import spark.implicits._
+    def postingsScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        postingsScans(a.executedPlan)
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("postings")) => Seq(f)
+    }.flatten
+    val wh = RetrievalIndex.ensure(spark, sfDir)
+    val vocab = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("explode(split(text, ' ')) AS term")
+      .distinct().as[String].collect().sorted
+    val rnd = new scala.util.Random(42)
+    val requests = (1 to 8).map(_ =>
+      Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.length))).distinct) :+
+      Seq("zzz_not_in_vocab") :+ vocab.take(12).toSeq
+    requests.foreach { ts =>
+      val scans = postingsScans(RetrievalIndex
+        .bm25Serve(spark, wh, ts, 10).queryExecution.executedPlan)
+      assert(scans.nonEmpty, s"no postings scan for request $ts")
+      val buckets = ts.map(RetrievalIndex.bucketOf).distinct.size
+      scans.foreach { f =>
+        val selected = f.selectedPartitions.partitionCount
+        assert(selected <= buckets,
+          s"request $ts read $selected partitions for $buckets buckets")
+      }
+    }
+  }
+
+  test("the parameterized serve honors tombstones and arbitrary k") {
+    import org.apache.spark.sql.functions.col
+    val allDocs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val wh = Files.createTempDirectory("graft-retr-param-del").toString
+    RetrievalIndex.buildOf(spark, allDocs, wh)
+    RetrievalIndex.deleteDocs(spark, wh, allDocs.filter(col("doc_id") % 4 === 1))
+    val whRebuild = Files.createTempDirectory("graft-retr-param-rb").toString
+    RetrievalIndex.buildOf(spark, allDocs.filter(col("doc_id") % 4 =!= 1),
+      whRebuild)
+    val req = Seq("merge", "hash")
+    Seq(3, 11).foreach { k =>
+      val served = RetrievalIndex.bm25Serve(spark, wh, req, k)
+        .collect().map(_.toSeq)
+      val rebuilt = RetrievalIndex.bm25Serve(spark, whRebuild, req, k)
+        .collect().map(_.toSeq)
+      assert(served.length == k && served.toSeq == rebuilt.toSeq,
+        s"k=$k: tombstoned param serve != rebuild")
+    }
+  }
+
+  test("the concurrent hybrid path is value-identical to the q146 plan") {
+    val lazyRows = RetrievalIndex.hybridServe(spark, sfDir)
+      .collect().map(_.toSeq)
+    val concRows = RetrievalIndex.hybridServeConcurrent(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(concRows.toSeq == lazyRows.toSeq,
+      "concurrent hybrid diverged from the oracle-certified q146 fusion")
+  }
+
+  test("parameterized ANN at nprobe = K equals the brute-force cosine top-k") {
+    // With every cell probed the IVF serve must degrade to the exact
+    // full scan — the parameterized probe's correctness anchor.
+    def dotD(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vecs = graft.core.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val qv = vecs.toMap.apply(7L)
+    val qn = math.sqrt(dotD(qv, qv))
+    val expected = vecs
+      .map { case (id, v) =>
+        val denom = math.sqrt(dotD(v, v)) * qn
+        (id, if (denom == 0.0) -2.0 else dotD(v, qv) / denom)
+      }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(9).map(_._1).toSeq
+    val served = Similarity
+      .annServe(spark, sfDir, qv.toSeq, nprobe = Similarity.CentroidK, k = 9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served == expected, "nprobe=K param ANN != brute-force top-k")
+  }
+
   test("q145 merge certificate is all-ok and matches plain-Scala counts") {
     val out = RetrievalIndex.mergeCertify(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
