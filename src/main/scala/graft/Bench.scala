@@ -773,6 +773,17 @@ object Bench {
             graft.queries.Warehouse.buildOf(spark,
               docs.filter(!isFixedDoc), emb.filter(!isNewVec),
               whFull, (name, work) => { bf += stageRow(name)(work()) })
+            // PRODUCTION-k cell assignment (r14 verdict #2's done
+            // criterion): the same corpus's vectors assigned at
+            // k ≈ √n — far past the literal-centroid threshold, so
+            // this row measures the single-node kernel path (exactness
+            // at this k is CellArgmaxSpec's planted-cluster pin).
+            val bigK = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+            bf += stageRow(s"cell_assign_k$bigK") {
+              graft.queries.Similarity.assignCellsAtK(emb, bigK)
+                .agg(org.apache.spark.sql.functions
+                  .countDistinct(col("cell"))).first(); ()
+            }
             val mf = new scala.collection.mutable.ArrayBuffer[StageRow]
             graft.queries.Warehouse.mergeBatch(spark, whFull,
               docs.filter(isFixedDoc), Some(emb.filter(isNewVec)),

@@ -26,6 +26,8 @@ import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, Int
   *    fingerprint over token hashes;
   *  - `graft_inter_size(a, b)` — |A∩B| of two long-array sets
   *    without materializing the intersection (the Jaccard numerator);
+  *  - `graft_cell_argmax(v, centroids)` — IVF cell assignment against
+  *    a foldable centroid array as ONE plan node at any k;
   *  - `graft_tri_grams(words)` — distinct hashed word 3-grams;
   *  - `graft_bloom_contains(bits, v)` — Bloom-filter probe of a long
   *    against a foldable serialized filter (`functions.Bloom`).
@@ -65,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "usage: graft_token_hashes(tokens, p)")
         TokenHashes(args(0), longLit(args(1), "p"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cell_argmax"),
+      new ExpressionInfo(classOf[graft.functions.CellArgmax].getName,
+        "graft_cell_argmax"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_cell_argmax(v, centroids)")
+        graft.functions.CellArgmax(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_inter_size"),

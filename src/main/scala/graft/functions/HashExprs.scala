@@ -117,6 +117,133 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_cell_argmax(v, centroids)`: the IVF cell assignment —
+  * argmax over k centroids of the zero-norm-guarded cosine, ties to
+  * the LARGER centroid id — as ONE plan node regardless of k (r14
+  * verdict #2: the literal form inlines k `typedLit` vectors and k
+  * cosine expression trees per row, a megabyte-scale plan at the
+  * documented production k ≈ √n; this kernel carries the centroids as
+  * a single foldable array literal, parsed once per executor).
+  *
+  * BIT-IDENTICAL to `Similarity.assignCellsWith`'s literal argmax
+  * (`array_max(array(struct(cos, c_id)…))`): the row norm is the same
+  * sequential Σx² fold `graft_dot(v, v)` runs, each cosine divides the
+  * same sequential dot by nv·cnorm with the caller-supplied
+  * (driver-folded) cnorm, a zero denominator yields the −2.0 sentinel,
+  * and comparisons use java.lang.Double.compare — so −0.0 < 0.0 ties
+  * resolve exactly like the struct max. `centroids` must be a foldable
+  * `array<struct<c_id bigint, cnorm double, cv array<double>>>` sorted
+  * by c_id ASCENDING (ties then resolve to the later = larger id).
+  * NULL for a NULL/null-element row vector or a length mismatch with
+  * any centroid (the graft_dot contract). */
+case class CellArgmax(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(StructType(fs), _))
+        if fs.length == 3 && fs(0).dataType == LongType &&
+          fs(1).dataType == DoubleType &&
+          fs(2).dataType.isInstanceOf[ArrayType] &&
+          fs(2).dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      if (right.foldable) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a foldable centroid literal")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<double>, array<struct<bigint, double, " +
+        s"array<double>>>), got ${l.simpleString} / ${r.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cell_argmax"
+
+  /** The k literal vectors never appear in plan strings — a 1,000-
+    * centroid payload would otherwise dump k·dim doubles into every
+    * explain output and plan hash. */
+  override def toString: String = s"graft_cell_argmax($left, <centroids>)"
+  override def sql: String = s"graft_cell_argmax(${left.sql}, <centroids>)"
+
+  @transient private lazy val cents: (Array[Long], Array[Double], Array[Array[Double]]) = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val ids = new Array[Long](k)
+    val norms = new Array[Double](k)
+    val vecs = new Array[Array[Double]](k)
+    var j = 0
+    while (j < k) {
+      val row = arr.getStruct(j, 3)
+      ids(j) = row.getLong(0)
+      norms(j) = row.getDouble(1)
+      vecs(j) = row.getArray(2).toDoubleArray()
+      require(j == 0 || ids(j) > ids(j - 1),
+        s"$prettyName centroids must be sorted by c_id ascending")
+      j += 1
+    }
+    (ids, norms, vecs)
+  }
+
+  /** Boxed Long so codegen's `ev.isNull` contract can surface a
+    * broken input (null element / length mismatch) as SQL NULL. */
+  def compute(v: ArrayData): java.lang.Long = {
+    val (ids, norms, vecs) = cents
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val nv = math.sqrt(s)
+    var bestCos = Double.NegativeInfinity
+    var bestId = Long.MinValue
+    var j = 0
+    while (j < ids.length) {
+      val cv = vecs(j)
+      if (cv.length != n) return null
+      val denom = nv * norms(j)
+      var cos = -2.0
+      if (denom != 0.0) {
+        var d = 0.0
+        var i2 = 0
+        while (i2 < n) { d += v.getDouble(i2) * cv(i2); i2 += 1 }
+        cos = d / denom
+      }
+      // Ascending ids: >= 0 resolves equal cosines to the later
+      // (larger) id — the struct-max tie rule. Double.compare keeps
+      // the -0.0 < 0.0 total order the struct comparator uses.
+      if (java.lang.Double.compare(cos, bestCos) >= 0) {
+        bestCos = cos
+        bestId = ids(j)
+      }
+      j += 1
+    }
+    if (ids.isEmpty) null else java.lang.Long.valueOf(bestId)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = compute(a.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellArgmaxExpr", this, classOf[CellArgmax].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val boxed = ctx.freshName("cellBoxed")
+      s"""
+      |java.lang.Long $boxed = $ref.compute($a);
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed.longValue(); }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellArgmax =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_simhash(v, planes)`: random-hyperplane bucket of a double
   * array — plane j's hyperplane component at index i is
   * (-1)^bit_j(i); bucket bit j is set iff the signed sum is >= 0.

@@ -405,11 +405,35 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
+  /** Above this k the literal argmax switches to the native
+    * [[graft.functions.CellArgmax]] kernel (r14 verdict #2): the
+    * literal form inlines k typedLit vectors and k cosine expression
+    * TREES per row — at the documented production k ≈ √n (§9) that is
+    * a megabyte-scale plan with O(k) codegen nodes, codegen falls
+    * back, and every task ships the literals as plan text. The kernel
+    * carries the same centroids as ONE foldable literal (parsed once
+    * per executor), stays map-only / shuffle-free, and is spec-pinned
+    * bit-identical to the literal form (CellArgmaxSpec) — assignment
+    * semantics, tie rule and sentinel included. Fixture-k plans
+    * (k = 8) keep the literal form, so every committed query plan is
+    * unchanged. */
+  private[queries] val MaxLiteralCentroids = 64
+
   /** [[assignCells]] against an EXPLICIT centroid set — the form the
     * incremental path uses with the warehouse's STORED centroids, so
     * an increment assigns new vectors with exactly the cells the index
-    * build used (one contract, whichever side supplies the centroids). */
+    * build used (one contract, whichever side supplies the centroids).
+    * Dispatches on k: literal argmax below [[MaxLiteralCentroids]],
+    * the single-node native kernel above (same assignment, same
+    * `cellAssignCteSql` oracle contract). */
   private[queries] def assignCellsWith(e: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame =
+    if (cents.length <= MaxLiteralCentroids) assignCellsLiteral(e, cents)
+    else assignCellsKernel(e, cents)
+
+  /** The literal-argmax form — k inlined cosine trees; exact, and the
+    * plan every committed fixture query runs (k = 8). */
+  private[queries] def assignCellsLiteral(e: DataFrame,
       cents: Array[(Long, Seq[Double])]): DataFrame = {
     val scored = cents.map { case (id, cv) =>
       val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
@@ -421,6 +445,33 @@ object Similarity {
     }
     e.withColumn("nv", sqrt(dot(col("v"), col("v"))))
       .withColumn("cell", array_max(array(scored.toSeq: _*)).getField("c_id"))
+  }
+
+  /** The single-node kernel form — the 100× scale path (one foldable
+    * centroid payload at any k; CellArgmaxSpec pins bit-identity to
+    * the literal form). */
+  private[queries] def assignCellsKernel(e: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val packed = cents.sortBy(_._1).toSeq.map { case (id, cv) =>
+      (id, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x)), cv)
+    }
+    e.withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cell",
+        call_function("graft_cell_argmax", col("v"), typedLit(packed)))
+  }
+
+  /** Production-k cell assignment instrument (r14 verdict #2's done
+    * criterion): assign EVERY vector of a raw embeddings frame against
+    * a first-k seeding at an EXPLICIT k — the corpus bench drives this
+    * at k ≈ √n, where the single-node kernel dispatch (not the literal
+    * plan) must carry the assignment. Returns (vec_id, cell); exact-
+    * ness at this k is pinned by CellArgmaxSpec's planted clusters. */
+  def assignCellsAtK(emb: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = emb.select(col("vec_id"), doubled(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assignCellsWith(e, cents).select(col("vec_id"), col("cell"))
   }
 
   /** The cell-bucketed vector index (vec_id, cell, norm, v) — what an
