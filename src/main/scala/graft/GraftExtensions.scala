@@ -28,6 +28,8 @@ import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, Int
   *    without materializing the intersection (the Jaccard numerator);
   *  - `graft_cell_argmax(v, centroids)` — IVF cell assignment against
   *    a foldable centroid array as ONE plan node at any k;
+  *  - `graft_blockhash(payload)` — 63-bit perceptual block hash of an
+  *    opaque binary payload (media-grain near-dup digests);
   *  - `graft_tri_grams(words)` — distinct hashed word 3-grams;
   *  - `graft_bloom_contains(bits, v)` — Bloom-filter probe of a long
   *    against a foldable serialized filter (`functions.Bloom`).
@@ -67,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "usage: graft_token_hashes(tokens, p)")
         TokenHashes(args(0), longLit(args(1), "p"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_blockhash"),
+      new ExpressionInfo(classOf[graft.functions.BlockHash].getName,
+        "graft_blockhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_blockhash(payload)")
+        graft.functions.BlockHash(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cell_argmax"),

@@ -379,6 +379,138 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q153: media perceptual-hash near-dup purge ---------------------
+
+  /** Hamming radius for media near-duplicates: a content perturbation
+    * confined to one byte block flips at most 2 of the 63 dHash bits
+    * (its two adjacent comparisons — MediaPhashSpec pins it), so 8
+    * bits ≈ four perturbed regions. */
+  private[queries] val PhashMaxHamming = 8
+
+  /** Per-band bits of the 63-bit phash: 4 bands × 16 bits (band 3
+    * carries 15) — a pair within [[PhashMaxHamming]] with ≤ 3 bands
+    * perturbed collides on ≥ 1 intact band (the q31 SimHash banding
+    * argument at the media grain). */
+  private[queries] val PhashBands = 4
+
+  /** The warehouse `media_digests` table rows: one 8-byte perceptual
+    * hash per payload ([[graft.functions.BlockHash]] over the
+    * utf-8-bytes stand-in payload — `multimodal.Media.decodeStub` is
+    * the documented seam where real pixel blocks would enter).
+    * Per-doc deterministic, so the warehouse maintains it as a pure
+    * hard-link leaf append (the token_hashes discipline). */
+  private[queries] def mediaDigestsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      call_function("graft_blockhash", encode(col("text"), "UTF-8")).as("phash"))
+
+  /** q153 — MEDIA-GRAIN near-dup purge (r14 verdict #4, the mandate's
+    * thinnest leg deepened): perceptual block-hash digests from the
+    * STORED warehouse (zero payload re-reads — the q120 audit
+    * discipline), Hamming-banded candidate pairs (bands of the hash
+    * collide ⇒ candidate — never all-pairs), exact Hamming ≤
+    * [[PhashMaxHamming]] edges, connected components, keep-first
+    * purge — the q92 chain at the media grain, with min media_id as
+    * the canonical survivor (payload bytes carry no quality score).
+    *
+    * Scale: digests are 8 bytes/payload; the band self-join shuffles
+    * (band, 16-bit value, id) rows and meets candidates per bucket;
+    * Hamming is one xor+popcount per candidate; CC runs on the
+    * candidate graph (≪ corpus). Payload bytes are touched exactly
+    * once, at digest build — the purge never re-reads media. */
+  def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
+    mediaPhashDedupOf(Warehouse.stored(s, dir, "media_digests"))
+
+  /** [[mediaPhashDedup]] over an explicit digest frame — the planted-
+    * payload spec's seam. */
+  private[queries] def mediaPhashDedupOf(dig: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents.run(mediaPhashEdges(dig))
+      .select(col("id").as("media_id"), col("component").as("cluster_id"))
+      .filter(col("media_id") =!= col("cluster_id"))
+      .select(col("media_id"), col("cluster_id"),
+        col("cluster_id").as("kept_media"))
+      .orderBy("media_id")
+
+  /** The Hamming-banded candidate/edge stage of the media purge
+    * (src, dst pairs within [[PhashMaxHamming]]) — factored so the
+    * plan pin can certify it corpus-free (the CC operator downstream
+    * checkpoints its input, truncating the registered query's visible
+    * lineage). */
+  private[queries] def mediaPhashEdges(dig: DataFrame): DataFrame = {
+    val bands = (0 until PhashBands).map(b =>
+      dig.select(col("media_id"), col("phash"),
+        lit(b).as("band"),
+        shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("band_val")))
+      .reduce(_ unionByName _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("src"), col("b.media_id").as("dst"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= PhashMaxHamming)
+      .select("src", "dst")
+  }
+
+  /** Oracle CTE chain re-deriving the digests from raw text — byte
+    * values via hex() (engine-portable blob access), block of byte p
+    * = (p·64 + 63) // n (the exact integer inverse of the kernel's
+    * ⌊b·n/64⌋ boundaries — brute-verified over all n ≤ 400), 63
+    * adjacent comparisons summed as bit weights. Ends in
+    * `mph(media_id, phash)`. */
+  private[queries] val mediaPhashCteSql: String =
+    """mpb AS (
+      |  SELECT doc_id, i - 1 AS p, n,
+      |    (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS val
+      |  FROM (SELECT doc_id, hex(encode(text)) AS h,
+      |          CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |        FROM documents) md,
+      |  LATERAL (SELECT unnest(generate_series(1, CAST(n AS INT))) AS i) r),
+      |mps AS (
+      |  SELECT doc_id, CAST((p * 64 + 63) // n AS INT) AS b,
+      |    CAST(sum(val) AS BIGINT) AS s
+      |  FROM mpb GROUP BY 1, 2),
+      |mph AS (
+      |  SELECT d.doc_id AS media_id,
+      |    CAST(coalesce(sum(CASE WHEN coalesce(si.s, 0) > coalesce(sj.s, 0)
+      |      THEN (CAST(1 AS BIGINT) << g.i) ELSE 0 END), 0) AS BIGINT) AS phash
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) g
+      |  LEFT JOIN mps si ON si.doc_id = d.doc_id AND si.b = g.i
+      |  LEFT JOIN mps sj ON sj.doc_id = d.doc_id AND sj.b = g.i + 1
+      |  GROUP BY d.doc_id)""".stripMargin
+
+  val mediaPhashDedupSql: String =
+    s"""WITH RECURSIVE $mediaPhashCteSql,
+       |mbs AS (
+       |  SELECT media_id, phash, g.b AS band,
+       |    (phash >> (16 * g.b)) & 65535 AS band_val
+       |  FROM mph, (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS b) g),
+       |mpair AS (
+       |  SELECT DISTINCT a.media_id AS i, b.media_id AS j,
+       |    a.phash AS pa, b.phash AS pb
+       |  FROM mbs a JOIN mbs b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |    AND a.media_id < b.media_id),
+       |medge0 AS (
+       |  SELECT i AS src, j AS dst FROM mpair
+       |  WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming),
+       |medges AS (
+       |  SELECT src, dst FROM medge0
+       |  UNION SELECT dst AS src, src AS dst FROM medge0),
+       |mnodes AS (SELECT DISTINCT src AS id FROM medges),
+       |mreach(id, r) AS (
+       |  SELECT id, id FROM mnodes
+       |  UNION
+       |  SELECT e.dst, mreach.r FROM mreach JOIN medges e ON e.src = mreach.id),
+       |mcomp AS (SELECT id AS media_id, min(r) AS cluster_id
+       |          FROM mreach GROUP BY id)
+       |SELECT media_id, cluster_id, cluster_id AS kept_media
+       |FROM mcomp
+       |WHERE media_id <> cluster_id
+       |ORDER BY media_id""".stripMargin
+
   // ---- q54: corpus vocabulary (token frequency top-k) ----------------
 
   /** Global token-frequency top-100 — vocabulary building, the

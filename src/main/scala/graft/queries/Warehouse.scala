@@ -76,7 +76,7 @@ object Warehouse {
   val TableNames: Seq[String] = Seq(
     "doc_stats", "token_hashes", "signatures", "bands", "clusters", "purge",
     "chunk_digests", "chunk_heavy", "chunk_clusters", "chunk_purge",
-    "centroids", "cells", "sem_purge")
+    "centroids", "cells", "sem_purge", "media_digests")
 
   private def pointerPath(whDir: String): Path = Paths.get(whDir, "_CURRENT")
 
@@ -295,7 +295,7 @@ object Warehouse {
 
   /** INCREMENTAL index maintenance — the daily-job write path q113's
     * read path presumes: merge a new batch of documents (and, for a
-    * full 12-table warehouse, their embeddings) into the standing
+    * full 14-table warehouse, their embeddings) into the standing
     * index WITHOUT recomputing the standing corpus. Three cost
     * classes, each the cheapest executable form (r13 verdict #2/#3/#4):
     *
@@ -375,6 +375,12 @@ object Warehouse {
       appendTable(s, whDir, cur, next, "token_hashes", batchHs)
       appendTable(s, whDir, cur, next, "signatures", Dedup.sigsFromHs(batchHs))
       appendTable(s, whDir, cur, next, "bands", batchBands)
+      // Media digests are per-doc deterministic — a pure leaf append,
+      // nothing derived to recluster (the q153 candidate join derives
+      // its buckets per query from the digests).
+      if (present.contains("media_digests"))
+        appendTable(s, whDir, cur, next, "media_digests",
+          TextOps.mediaDigestsOf(batch))
     })
 
     // -- doc grain: incremental clustering over touched components ----
@@ -604,7 +610,7 @@ object Warehouse {
     val next = cur + 1
     freshVersionDir(whDir, next)
     // Only tables present in THIS snapshot are considered (a doc-chain
-    // warehouse has six; a full build thirteen) — and of those, only
+    // warehouse has six; a full build fourteen) — and of those, only
     // the FRAGMENTED ones are rewritten (r14): a table already at or
     // under the target file count hard-links forward, so compaction
     // I/O is O(what fragmented), not O(index). Merge-driven
@@ -674,6 +680,8 @@ object Warehouse {
     })
     measure("sem_purge", () =>
       write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells"))))
+    measure("media_digests", () =>
+      write("media_digests", TextOps.mediaDigestsOf(docs)))
 
     commit(whDir, cur, next)
     next
@@ -862,6 +870,8 @@ object Warehouse {
        |  SELECT 'purge',
        |    (SELECT CAST(count(*) AS BIGINT) FROM comp)
        |      - (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM comp)
+       |  UNION ALL
+       |  SELECT 'media_digests', n FROM nd
        |  UNION ALL
        |  SELECT 'sem_purge', CAST(count(DISTINCT j) AS BIGINT) FROM p
        |  WHERE cos >= ${Similarity.SemDedupTau}
@@ -1073,14 +1083,14 @@ object Warehouse {
     })
 
   /** q139 — the ALL-GRAIN maintenance certification (r13 verdict #4):
-    * a standing 12-table index built WITHOUT today's batches (docs AND
+    * a standing 14-table index built WITHOUT today's batches (docs AND
     * embeddings), then [[mergeBatch]]'ed with them, must equal the
     * from-scratch full build table for table — the leaf appends
     * (including batch cell assignment against the STORED centroids),
     * the touched-component doc reclustering, and the chunk/semantic
     * re-derivations all certified at once. Output: one row per stored
     * table with the merged row count (hash-checked against DuckDB
-    * recomputing all twelve counts from the raw corpus — the q134
+    * recomputing all fourteen counts from the raw corpus — the q134
     * chains) and the live `matches_full_build` flag (the pinned-flag
     * idiom: the oracle pins TRUE, so ANY divergence fails the hash
     * gate). EAGER + memoized per corpus dir. */

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.{call_function, col, encode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The media-grain perceptual-hash dedup (q153, r14 verdict #4): the
+  * oracle certifies the full chain against DuckDB; this spec pins what
+  * the oracle can't see — the kernel against a pure-Scala replica on
+  * adversarial payloads, the bounded-perturbation property that makes
+  * the Hamming radius meaningful, and planted byte-level near-dups
+  * flowing through the real purge chain.
+  */
+class MediaPhashSpec extends AnyFunSuite with SparkFixture {
+
+  /** Pure-Scala replica of the kernel contract (shares nothing with
+    * the Expression). */
+  private def refHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val sums = (0 until 64).map { b =>
+      val from = (b.toLong * n / 64).toInt
+      val to = ((b + 1).toLong * n / 64).toInt
+      (from until to).map(i => (bytes(i) & 0xff).toLong).sum
+    }
+    (0 until 63).foldLeft(0L)((h, i) =>
+      if (sums(i) > sums(i + 1)) h | (1L << i) else h)
+  }
+
+  private def synthBytes(seed: Int, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((seed * 31 + i * 17 + i * i % 251) % 256).toByte)
+
+  test("graft_blockhash matches the pure-Scala replica on adversarial payloads") {
+    import spark.implicits._
+    val payloads: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray, Array[Byte](0), Array[Byte](-1),
+        synthBytes(1, 63), synthBytes(2, 64), synthBytes(3, 65),
+        synthBytes(4, 1000), synthBytes(5, 4096),
+        Array.fill[Byte](200)(42)) ++
+        (6 to 25).map(s => synthBytes(s, 37 + s * 13))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    val out = df.select(col("id"),
+        call_function("graft_blockhash", col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(out(i.toLong) == refHash(p), s"payload $i (${p.length} bytes)")
+      assert(out(i.toLong) >= 0L, "hash must stay in 63 bits (non-negative)")
+    }
+  }
+
+  test("a perturbation confined to one block flips at most 2 bits") {
+    // The property the Hamming radius is calibrated on: one block sum
+    // changing affects only its two adjacent comparisons.
+    (0 until 20).foreach { s =>
+      val n = 640 + s * 64 // block size ≥ 10 bytes
+      val base = synthBytes(s, n)
+      val h0 = refHash(base)
+      val block = (s * 7) % 64
+      val from = (block.toLong * n / 64).toInt
+      val mutated = base.clone()
+      mutated(from) = (mutated(from) ^ 0x7f).toByte
+      val h1 = refHash(mutated)
+      val hamming = java.lang.Long.bitCount(h0 ^ h1)
+      assert(hamming <= 2, s"seed $s: one-block perturbation flipped $hamming bits")
+    }
+  }
+
+  test("planted near-dups purge through the real chain; distinct payloads survive") {
+    import spark.implicits._
+    // Three families of byte-identical or one-block-perturbed texts
+    // (ids 0-2, 10-12, 20-21) + distinct singletons (30, 31).
+    def text(family: Int, variant: Int): String = {
+      // Distinct families get distinct lengths AND distinct byte
+      // distributions (the quadratic term breaks cross-family
+      // periodicity that a cyclic pattern would alias into similar
+      // block sums).
+      val base = (0 until 400 + family * 57).map(i =>
+        ('a' + ((family * 131 + i * 7 + (i * i * family) % 97) % 26)).toChar)
+        .mkString
+      if (variant == 0) base
+      else base.updated(variant * 3, ('z' - variant).toChar) // ≤ few bytes
+    }
+    val docs = Seq(
+      (0L, text(1, 0)), (1L, text(1, 1)), (2L, text(1, 2)),
+      (10L, text(2, 0)), (11L, text(2, 1)), (12L, text(2, 2)),
+      (20L, text(3, 0)), (21L, text(3, 0)),
+      (30L, text(4, 0)), (31L, text(5, 0))).toDF("doc_id", "text")
+    val dig = TextOps.mediaDigestsOf(docs)
+    val purge = TextOps.mediaPhashDedupOf(dig).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val purged = purge.map(_._1).toSet
+    // Every non-minimal family member purges to its family's keeper.
+    assert(purge.toSet == Set(
+      (1L, 0L, 0L), (2L, 0L, 0L),
+      (11L, 10L, 10L), (12L, 10L, 10L),
+      (21L, 20L, 20L)), s"unexpected purge set: ${purge.mkString(", ")}")
+    assert(!purged.contains(30L) && !purged.contains(31L),
+      "distinct payloads must survive")
+    // Hamming sanity: within-family distance is small, cross-family large.
+    val hashes = dig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hashes(0L) ^ hashes(1L)) <=
+      TextOps.PhashMaxHamming)
+    assert(java.lang.Long.bitCount(hashes(30L) ^ hashes(31L)) >
+      TextOps.PhashMaxHamming)
+  }
+}

@@ -56,7 +56,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q146_hybrid_serve",   // both serving legs' 1-row broadcasts (q118 shape)
     "q147_purge_serve",    // q144's broadcasts over the purged store
     "q148_ann_serve_purged", // q142's broadcasts + sem_purge anti side
-    "q149_bm25_serve_param") // 1-row stats broadcast (q144 idiom, request form)
+    "q149_bm25_serve_param", // 1-row stats broadcast (q144 idiom, request form)
+    "q152_refresh_recall")   // broadcast 5 probe vectors × corpus (q106 shape), both legs
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -140,6 +141,20 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q150_ann_serve_param") should include("graft-warehouse")
     plans("q150_ann_serve_param") should not include "embeddings.parquet"
     plans("q150_ann_serve_param") should not include "documents.parquet"
+  }
+
+  test("the media purge's candidate stage reads stored digests, never payloads") {
+    // q153's registered plan ends at the CC operator's localCheckpoint
+    // (an ExistingRDD scan — lineage deliberately truncated per round),
+    // so the corpus-free property is pinned on the stage that feeds
+    // it: the band/Hamming edge frame must read the stored
+    // media_digests table and neither raw table.
+    val edges = TextOps
+      .mediaPhashEdges(Warehouse.stored(spark, sfDir, "media_digests"))
+      .queryExecution.executedPlan.toString
+    edges should include("graft-warehouse")
+    edges should not include "documents.parquet"
+    edges should not include "embeddings.parquet"
   }
 
   test("the merge-diff audit reads two snapshot versions, never the corpus") {

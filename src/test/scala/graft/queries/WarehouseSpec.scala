@@ -98,6 +98,8 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
       Similarity.cellIndex(spark, sfDir))
     sameRows(Warehouse.stored(spark, sfDir, "sem_purge"),
       Similarity.semanticDedup(spark, sfDir))
+    sameRows(Warehouse.stored(spark, sfDir, "media_digests"),
+      TextOps.mediaDigestsOf(graft.core.Tables.documents(spark, sfDir)))
   }
 
   test("q113 stored-path increment is row-identical to the recompute form") {
@@ -185,7 +187,7 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("a crashed FULL build cannot leak torn tables into a later doc-chain snapshot") {
     // ADVICE r13: the crash spec above covers a same-table-set writer;
-    // this one covers the cross-writer case — a full 12-table build
+    // this one covers the cross-writer case — a full 14-table build
     // crashes at v=2, then a DOC-CHAIN build claims v=2. The committed
     // snapshot must contain exactly the committing writer's 6 tables;
     // the crash's torn chunk/semantic leftovers must be gone, not
@@ -206,7 +208,7 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("mergeBatch refuses a full warehouse without the batch's embeddings") {
     import org.apache.spark.sql.functions.col
-    // ADVICE r13: a doc-only merge on a 12-table warehouse would commit
+    // ADVICE r13: a doc-only merge on a 14-table warehouse would commit
     // a snapshot whose semantic tables silently miss the batch (and the
     // reaper would then delete the last version that had it right).
     val wh = java.nio.file.Files.createTempDirectory("graft-wh-refuse").toString
