@@ -778,6 +778,22 @@ object RetrievalIndex {
         .orderBy(col("cos").desc, col("vec_id").asc).limit(kDense)
         .select("vec_id").collect().map(_.getLong(0)))
 
+  /** [[hybridServe]] with BOTH stores explicit (retrieval + ANN
+    * warehouse directories) — the product form for callers owning
+    * their own index builds; the corpus-dir overload resolves the
+    * memoized fixture stores. */
+  def hybridServeFrom(s: SparkSession, retrWh: String, annWh: String,
+      terms: Seq[String], queryVec: Seq[Double],
+      nprobe: Int = Similarity.AnnProbeN,
+      kSparse: Int = TextOps.Bm25K,
+      kDense: Int = Similarity.AnnServeK): DataFrame =
+    fuseRrf(s,
+      () => bm25ServeScoredRequest(s, retrWh, terms)
+        .orderBy(col("s").desc, col("doc_id").asc).limit(kSparse)
+        .select("doc_id").collect().map(_.getLong(0)),
+      () => Similarity.annServeFrom(s, annWh, queryVec, nprobe, kDense)
+        .select("vec_id").collect().map(_.getLong(0)))
+
   /** The q146 search through the CONCURRENT path — same legs, same
     * fusion values, ~half the latency (benched as `hybrid_conc` in
     * the index_serve section; a spec pins value-identity to q146). */

@@ -1485,24 +1485,45 @@ object Similarity {
       .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** [[annServe]] against an EXPLICIT warehouse directory — the
+    * product form for callers owning their own `Warehouse.build`
+    * output (the corpus-dir overload resolves the memoized fixture
+    * store; same types, so this needs its own name). */
+  def annServeFrom(s: SparkSession, whDir: String, queryVec: Seq[Double],
+      nprobe: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    annServeScoredWith(graft.queries.Warehouse.read(s, whDir, _),
+        queryVec, nprobe)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** The unrounded parameterized candidate frame (…, cell, cos) —
-    * shared by [[annServe]] and the parameterized hybrid fusion. The
+    * shared by [[annServe]] and the parameterized hybrid fusion. */
+  private[queries] def annServeScoredRequest(s: SparkSession, dir: String,
+      queryVec: Seq[Double], nprobe: Int): DataFrame =
+    annServeScoredWith(graft.queries.Warehouse.stored(s, dir, _),
+      queryVec, nprobe)
+
+  /** The ONE parameterized probe implementation, over any table
+    * reader (memoized fixture store or an explicit warehouse). The
     * driver-side query norm is the same sequential fold the kernel
     * runs (the assignCellsWith discipline), so it is bit-identical to
     * the oracle's sqrt(list_inner_product(qv, qv)). */
-  private[queries] def annServeScoredRequest(s: SparkSession, dir: String,
+  private def annServeScoredWith(table: String => DataFrame,
       queryVec: Seq[Double], nprobe: Int): DataFrame = {
     require(queryVec.nonEmpty, "annServe needs a query vector")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
     val qv = typedLit(queryVec)
-    val qcells = graft.queries.Warehouse.stored(s, dir, "centroids")
+    val qcells = table("centroids")
       .withColumn("cos_c", cosine(col("v"), qv))
       .orderBy(col("cos_c").desc, col("c_id").desc)
       .limit(nprobe)
       .select(col("c_id").as("probe_cell"))
     val denom = col("norm") * lit(qn)
-    graft.queries.Warehouse.stored(s, dir, "cells")
+    table("cells")
       .join(broadcast(qcells), col("cell") === col("probe_cell"))
       .withColumn("cos", when(denom === 0.0, lit(-2.0))
         .otherwise(dot(col("v"), qv) / denom))

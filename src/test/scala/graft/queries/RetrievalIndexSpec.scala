@@ -211,6 +211,31 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
     assert(served == expected, "nprobe=K param ANN != brute-force top-k")
   }
 
+  test("the explicit-warehouse ANN request serves like the fixture-store form") {
+    val qv = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 9L)
+      .selectExpr("transform(embedding, x -> cast(x as double)) AS v")
+      .collect()(0).getSeq[Double](0)
+    val viaDir = Similarity.annServe(spark, sfDir, qv, nprobe = 2, k = 10)
+      .collect().map(_.toSeq)
+    val viaWh = Similarity
+      .annServeFrom(spark, Warehouse.ensure(spark, sfDir), qv, nprobe = 2, k = 10)
+      .collect().map(_.toSeq)
+    assert(viaWh.toSeq == viaDir.toSeq,
+      "explicit-warehouse serve diverged from the fixture-store serve")
+    // ...and the both-stores-explicit hybrid fuses identically.
+    val req = Seq("stream", "batch")
+    val viaDirs = RetrievalIndex
+      .hybridServe(spark, RetrievalIndex.ensure(spark, sfDir), sfDir, req, qv)
+      .collect().map(_.toSeq)
+    val viaWhs = RetrievalIndex
+      .hybridServeFrom(spark, RetrievalIndex.ensure(spark, sfDir),
+        Warehouse.ensure(spark, sfDir), req, qv)
+      .collect().map(_.toSeq)
+    assert(viaWhs.toSeq == viaDirs.toSeq,
+      "explicit-stores hybrid diverged from the fixture-store hybrid")
+  }
+
   test("q145 merge certificate is all-ok and matches plain-Scala counts") {
     val out = RetrievalIndex.mergeCertify(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
