@@ -186,16 +186,26 @@ case class BlockHash(child: Expression) extends UnaryExpression {
   * a single foldable array literal, parsed once per executor).
   *
   * BIT-IDENTICAL to `Similarity.assignCellsWith`'s literal argmax
-  * (`array_max(array(struct(cos, c_id)…))`): the row norm is the same
-  * sequential Σx² fold `graft_dot(v, v)` runs, each cosine divides the
-  * same sequential dot by nv·cnorm with the caller-supplied
-  * (driver-folded) cnorm, a zero denominator yields the −2.0 sentinel,
-  * and comparisons use java.lang.Double.compare — so −0.0 < 0.0 ties
-  * resolve exactly like the struct max. `centroids` must be a foldable
-  * `array<struct<c_id bigint, cnorm double, cv array<double>>>` sorted
-  * by c_id ASCENDING (ties then resolve to the later = larger id).
-  * NULL for a NULL/null-element row vector or a length mismatch with
-  * any centroid (the graft_dot contract). */
+  * (`array_max(array(struct(cos, c_id)…))`) on WELL-FORMED input —
+  * non-null elements, row dim equal to every centroid's dim: the row
+  * norm is the same sequential Σx² fold `graft_dot(v, v)` runs, each
+  * cosine divides the same sequential dot by nv·cnorm with the
+  * caller-supplied (driver-folded) cnorm, a zero denominator yields
+  * the −2.0 sentinel, and comparisons use java.lang.Double.compare —
+  * so −0.0 < 0.0 ties resolve exactly like the struct max.
+  * `centroids` must be a foldable `array<struct<c_id bigint, cnorm
+  * double, cv array<double>>>` sorted by c_id ASCENDING (ties then
+  * resolve to the later = larger id).
+  *
+  * On MALFORMED input the two forms DELIBERATELY diverge (ADVICE
+  * r15): a NULL/null-element row vector or a length mismatch with any
+  * centroid returns SQL NULL here (the graft_dot contract — a broken
+  * vector has no honest cell), while the literal form's struct max
+  * still resolves a cell through the c_id tie-break over NULL
+  * cosines. NULL-on-malformed is the contract callers should want —
+  * a corrupt embedding surfaces as an unassigned row instead of
+  * silently landing in the largest-id cell — and CellArgmaxSpec pins
+  * both behaviors so the divergence stays a decision, not a drift. */
 case class CellArgmax(left: Expression, right: Expression)
     extends BinaryExpression {
 

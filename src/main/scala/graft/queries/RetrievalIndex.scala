@@ -218,48 +218,57 @@ object RetrievalIndex {
     require(cur > 0, s"deleteDocs needs a standing retrieval index in $whDir")
     val prior = tombstonesOf(s, whDir)
     val ids = docs.select("doc_id").dropDuplicates("doc_id")
+    // Cached for the session's duration of THIS call only (ADVICE
+    // r15: a long-lived driver runs many delete waves — leaked cached
+    // blocks accumulate): freshIds feeds three actions (the fresh
+    // lookup, the count, the refusal's diagnostic anti-join), fresh
+    // feeds three more; both unpersist on every exit path.
     val freshIds = prior.fold(ids)(p =>
-      ids.join(p.select("doc_id"), Seq("doc_id"), "left_anti"))
+      ids.join(p.select("doc_id"), Seq("doc_id"), "left_anti")).cache()
     // dl from the stored postings: denormalized per-doc constant, so
     // any per-doc aggregate of it IS the value the build added.
     val fresh = Warehouse.read(s, whDir, "postings")
       .join(broadcast(freshIds), Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(max(col("dl")).as("dl"))
       .cache()
-    val nFresh = fresh.count()
-    val nIn = freshIds.count()
-    if (nFresh != nIn) {
-      val missing = freshIds.join(fresh.select("doc_id"),
-          Seq("doc_id"), "left_anti")
-        .limit(5).collect().map(_.getLong(0))
-      throw new IllegalArgumentException(
-        s"deleteDocs: ${nIn - nFresh} doc_id(s) have no stored postings " +
-          s"in $whDir (e.g. ${missing.mkString(", ")}) — deleting an " +
-          "unindexed doc would permanently bias corpus_stats; refusing")
+    try {
+      val nFresh = fresh.count()
+      val nIn = freshIds.count()
+      if (nFresh != nIn) {
+        val missing = freshIds.join(fresh.select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .limit(5).collect().map(_.getLong(0))
+        throw new IllegalArgumentException(
+          s"deleteDocs: ${nIn - nFresh} doc_id(s) have no stored postings " +
+            s"in $whDir (e.g. ${missing.mkString(", ")}) — deleting an " +
+            "unindexed doc would permanently bias corpus_stats; refusing")
+      }
+      val nPrior = prior.fold(0L)(_.count())
+      require(nPrior + nFresh <= maxTombstones,
+        s"deleteDocs: ${nPrior + nFresh} total tombstones would exceed the " +
+          s"broadcast-safe bound $maxTombstones — run compact(" +
+          "purgeTombstones = true) (O(index) rewrite, clears the list) or " +
+          "rebuild over the remaining corpus")
+      val next = cur + 1
+      val base = Warehouse.freshVersionDir(whDir, next)
+      linkTree(Paths.get(whDir, s"v=$cur", "postings"),
+        Paths.get(base, "postings"))
+      prior.fold(fresh.select("doc_id", "dl"))(p =>
+          p.unionByName(fresh.select("doc_id", "dl")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
+      val delta = fresh
+        .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sd"))
+        .collect()(0)
+      val st = Warehouse.read(s, whDir, "corpus_stats").collect()(0)
+      Seq((st.getLong(0) - delta.getLong(0), st.getLong(1) - delta.getLong(1)))
+        .toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").parquet(s"$base/corpus_stats")
+      Warehouse.commitSnapshot(whDir, cur, next)
+      next
+    } finally {
+      fresh.unpersist()
+      freshIds.unpersist()
     }
-    val nPrior = prior.fold(0L)(_.count())
-    require(nPrior + nFresh <= maxTombstones,
-      s"deleteDocs: ${nPrior + nFresh} total tombstones would exceed the " +
-        s"broadcast-safe bound $maxTombstones — run compact(" +
-        "purgeTombstones = true) (O(index) rewrite, clears the list) or " +
-        "rebuild over the remaining corpus")
-    val next = cur + 1
-    val base = Warehouse.freshVersionDir(whDir, next)
-    linkTree(Paths.get(whDir, s"v=$cur", "postings"),
-      Paths.get(base, "postings"))
-    prior.fold(fresh.select("doc_id", "dl"))(p =>
-        p.unionByName(fresh.select("doc_id", "dl")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/tombstones")
-    val delta = fresh
-      .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sd"))
-      .collect()(0)
-    fresh.unpersist()
-    val st = Warehouse.read(s, whDir, "corpus_stats").collect()(0)
-    Seq((st.getLong(0) - delta.getLong(0), st.getLong(1) - delta.getLong(1)))
-      .toDF("n_docs", "sum_dl")
-      .write.mode("overwrite").parquet(s"$base/corpus_stats")
-    Warehouse.commitSnapshot(whDir, cur, next)
-    next
   }
 
   /** Compact the postings store — the partition-aware form of

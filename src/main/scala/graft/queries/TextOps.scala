@@ -390,7 +390,23 @@ object TextOps {
   /** Per-band bits of the 63-bit phash: 4 bands × 16 bits (band 3
     * carries 15) — a pair within [[PhashMaxHamming]] with ≤ 3 bands
     * perturbed collides on ≥ 1 intact band (the q31 SimHash banding
-    * argument at the media grain). */
+    * argument at the media grain).
+    *
+    * RECALL BOUND (ADVICE r15, deliberate): the candidate guarantee
+    * holds ONLY for pairs whose flips touch ≤ 3 of the 4 bands; a
+    * Hamming-≤8 pair whose flips spread across all 4 bands has no
+    * intact band and is missed — the standard banded-LSH recall/cost
+    * trade, pinned from both sides by MediaPhashSpec. The alternative
+    * that makes the radius airtight — 9 bands × 7 bits — is rejected
+    * for scale: 7-bit band values give only 128 buckets per band, so
+    * candidate pairs grow ~n²/128 per band (≈ 5·10^10 at the 1.2 M-
+    * payload corpus) versus n²/65536 here; dHash perturbations are
+    * block-local (adjacent-bit flips, see [[PhashMaxHamming]]), so
+    * real near-dups concentrate their flips in few bands and the
+    * missed corner is the adversarial, not the organic, case. Both
+    * the Spark path and the oracle share this banding, so the
+    * certificate certifies the banded semantics, not the ideal
+    * radius. */
   private[queries] val PhashBands = 4
 
   /** The warehouse `media_digests` table rows: one 8-byte perceptual

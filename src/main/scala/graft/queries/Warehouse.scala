@@ -127,9 +127,20 @@ object Warehouse {
     * merged). When both identities are known and differ, nothing is
     * safe: refuse loudly and make the operator decide (rebuild, or
     * resume the original checkpoint). When either side is
-    * unidentified, the documented one-stream-one-checkpoint-per-store
-    * invariant applies and the mark alone decides (the pre-r15
-    * behavior, kept for direct sink calls and certificates).
+    * unidentified, the mark alone decides ONLY in the direction that
+    * cannot lose data: an identified delivery to an unidentified mark
+    * (a pre-identity store adopted by a new maintainer — the commit
+    * records the identity going forward). The converse — an
+    * UNIDENTIFIED delivery to an identity-marked store — refuses
+    * loudly (ADVICE r15): `run`/`runRetrieval` always attach the
+    * checkpoint's query id, so a None delivery against an identified
+    * mark is a recreated checkpoint whose metadata file is gone (its
+    * restarted-at-0 batch ids would silently drop as replays — the
+    * r14 data-loss hole on its last open path) or a direct sink call
+    * mixed into a stream-maintained store (a second-maintainer
+    * misuse). Fully-unidentified stores (certificates, direct sink
+    * pipelines) keep the documented one-stream-per-store invariant
+    * and the pre-r15 mark-decides behavior.
     * Returns true = skip this delivery (already merged). */
   private[queries] def isReplay(whDir: String, streamBatchId: Option[Long],
       streamId: Option[String]): Boolean =
@@ -147,6 +158,14 @@ object Warehouse {
                 s"${recorded.get} — a recreated checkpoint or second " +
                 "maintainer; refusing (replay status is undecidable: " +
                 "skipping could drop data, merging could double-apply)")
+          if (recorded.nonEmpty && streamId.isEmpty)
+            throw new IllegalStateException(
+              s"an UNIDENTIFIED delivery of batch $b reached $whDir, but " +
+                s"its high-water mark $mark was recorded by stream " +
+                s"${recorded.get} — a recreated checkpoint with missing " +
+                "metadata, or a direct sink call against a stream-" +
+                "maintained store; refusing (treating it as a replay " +
+                "could silently drop new data, merging could double-apply)")
           b <= mark
         }
     }

@@ -132,4 +132,31 @@ class CellArgmaxSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L).isEmpty, "length mismatch must surface as NULL")
     assert(out(2L).nonEmpty, "clean row must assign")
   }
+
+  test("malformed-input divergence from the literal form is deliberate (ADVICE r15)") {
+    import spark.implicits._
+    // The bit-identity claim is scoped to WELL-FORMED input: on a row
+    // with a null element or a dim mismatch the kernel returns NULL
+    // (no honest cell for a broken vector), while the literal form's
+    // struct max resolves NULL cosines through the c_id tie-break to
+    // the LARGEST centroid id. Both behaviors pinned here so the
+    // divergence stays a decision, not a drift.
+    val cents = synth(3, 4).toArray // literal-form k
+    val bad = Seq(
+      (1L, Seq[java.lang.Double](0.1, null, 0.3, 0.4)), // null element
+      (2L, Seq[java.lang.Double](0.1, 0.2, 0.3))) // dim mismatch
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    def cellsOf(df: DataFrame): Map[Long, Option[Long]] = df
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val lit = cellsOf(Similarity.assignCellsLiteral(bad, cents))
+    val ker = cellsOf(Similarity.assignCellsKernel(bad, cents))
+    val largestId = cents.map(_._1).max
+    assert(lit(1L).contains(largestId) && lit(2L).contains(largestId),
+      "literal form resolves malformed rows via the c_id tie-break")
+    assert(ker(1L).isEmpty && ker(2L).isEmpty,
+      "kernel surfaces malformed rows as NULL")
+  }
 }

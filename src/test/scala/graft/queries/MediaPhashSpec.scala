@@ -104,4 +104,27 @@ class MediaPhashSpec extends AnyFunSuite with SparkFixture {
     assert(java.lang.Long.bitCount(hashes(30L) ^ hashes(31L)) >
       TextOps.PhashMaxHamming)
   }
+
+  test("the banded recall bound is exactly as documented (ADVICE r15)") {
+    import spark.implicits._
+    // Synthetic digest rows drive the edge stage directly: the
+    // 4×16-bit banding guarantees a candidate only when the pair's
+    // flips leave ≥ 1 band intact. Pin BOTH sides of the bound:
+    //  - ≤ 3 perturbed bands at Hamming 8 ⇒ pair FOUND;
+    //  - all 4 bands perturbed at Hamming 8 (2 flips per band, the
+    //    adversarial corner the doc concedes) ⇒ pair MISSED.
+    val base = 0x0123456789ABCDL // 63-bit
+    val threeBands = base ^ 0x00FF.toLong // 8 flips, band 0 only
+    val fourBands = base ^
+      ((3L << 0) | (3L << 16) | (3L << 32) | (3L << 48)) // 2 flips/band
+    assert(java.lang.Long.bitCount(base ^ threeBands) == 8)
+    assert(java.lang.Long.bitCount(base ^ fourBands) == 8)
+    def edgesOf(rows: Seq[(Long, Long)]): Set[(Long, Long)] =
+      TextOps.mediaPhashEdges(rows.toDF("media_id", "phash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgesOf(Seq((1L, base), (2L, threeBands))) == Set((1L, 2L)),
+      "≤3 perturbed bands within Hamming 8 must collide on an intact band")
+    assert(edgesOf(Seq((1L, base), (2L, fourBands))).isEmpty,
+      "all-4-band perturbation is the documented recall concession")
+  }
 }

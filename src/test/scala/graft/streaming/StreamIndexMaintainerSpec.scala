@@ -137,11 +137,19 @@ class StreamIndexMaintainerSpec extends AnyFunSuite with Matchers
       Warehouse.read(spark, whFull, "corpus_stats").collect()(0).toSeq
     Warehouse.lastMergedBatch(wh) should be >= 1L
 
-    // Replay guard through the REAL sink body: a re-delivered final
-    // batch is a no-op.
+    // Replay guard through the REAL sink body: the SAME stream
+    // re-delivering the final batch is a no-op...
     val v = Warehouse.version(wh)
-    StreamIndexMaintainer.retrievalSink(spark, wh)(docsOf(50L until 60L), 1L)
+    val recordedId = Warehouse.streamIdOf(wh)
+    recordedId shouldBe defined // runRetrieval recorded its query id
+    StreamIndexMaintainer.retrievalSink(spark, wh,
+      () => recordedId)(docsOf(50L until 60L), 1L)
     Warehouse.version(wh) shouldBe v
+    // ...while an UNIDENTIFIED delivery to the identified mark
+    // refuses loudly (ADVICE r15) instead of silently dropping.
+    intercept[IllegalStateException] {
+      StreamIndexMaintainer.retrievalSink(spark, wh)(docsOf(50L until 60L), 1L)
+    }
     // A compaction between merges carries the mark forward.
     RetrievalIndex.compact(spark, wh)
     Warehouse.lastMergedBatch(wh) should be >= 1L
@@ -179,6 +187,17 @@ class StreamIndexMaintainerSpec extends AnyFunSuite with Matchers
     // ...and a foreign HIGH batch id refuses too (merging it could
     // double-apply what stream A already merged).
     intercept[IllegalStateException] { sinkB(docsOf(45L until 50L), 7L) }
+    // An UNIDENTIFIED delivery (recreated checkpoint with missing
+    // metadata, or a direct sink call mixed into a stream-maintained
+    // store) refuses too (ADVICE r15): its restarted-at-0 batch ids
+    // would otherwise silently drop as replays — the last open path
+    // of the r14 data-loss hole.
+    val sinkNone = StreamIndexMaintainer.sink(spark, wh,
+      (_, _) => Some(embOf(Seq.empty))) _
+    val exNone = intercept[IllegalStateException] {
+      sinkNone(docsOf(45L until 50L), 0L)
+    }
+    exNone.getMessage should include("UNIDENTIFIED")
     // The original stream continues normally after the refusals.
     sinkA(docsOf(45L until 50L), 2L)
     Warehouse.lastMergedBatch(wh) shouldBe 2L
