@@ -848,15 +848,21 @@ object Bench {
           jsonEsc(String.valueOf(e.getMessage).take(200)) + "\"}"
       }
 
-    // Parameterized-request battery (r15): 125 DISTINCT requests over
-    // the product serve APIs — fresh plan per request — same knob.
-    val paramServeDetail: String =
-      if (sys.env.getOrElse("SPARK_GRAFT_SERVINGBENCH", "1") == "0") "null"
-      else try graft.tools.ServingLatencyBench.paramSection(spark, sfDir)
+    // Parameterized-request battery (r15) + BATCHED replay of the same
+    // 125 requests (r16): the sequential battery measures per-request
+    // latency over request variety; the batch rows measure throughput
+    // of one-job-per-family serving with the speedup computed against
+    // the sequential totals of the identical requests — same knob.
+    val (paramServeDetail, batchServeDetail): (String, String) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SERVINGBENCH", "1") == "0")
+        ("null", "null")
+      else try graft.tools.ServingLatencyBench
+        .paramAndBatchSections(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] param serve section FAILED: ${e.getMessage}")
-        "{\"error\":\"" +
+        val err = "{\"error\":\"" +
           jsonEsc(String.valueOf(e.getMessage).take(200)) + "\"}"
+        (err, err)
       }
 
     val hashes = names.map(n => n -> planHash(n)).toMap
@@ -954,7 +960,7 @@ object Bench {
     val total = results.collect { case (_, t, true) => t }.sum
     val coreTotal = results.collect { case (n, t, true) if coreTier(n) => t }.sum
     val detail =
-      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"rawlog":$rawlogDetail,"corpus_dedup":$corpusDedupDetail,"streaming":$streamingDetail,"serving":$servingDetail,"index_serve":$indexServeDetail,"index_serve_param":$paramServeDetail,"core20":{"n":${coreTier.size},"value":${num("%.4f", coreTotal)},"reps":$coreReps,"tail_reps":$tailReps},"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$repsJson,"plan_hash":$hashJson,"loadavg":$loadJson,"sentinel":$sentJson,"sentinel_calib":${darr(calib)},"sentinel_tail":${darr(tailSent.toSeq)},"steal_sec":$stealJson,"throttle_sec":$thrJson,"nr_throttled":$nThrJson,"gc_sec":$gcJson,"gc_count":$gcCntJson,"task_sec":$taskJson,"rawlog":$rawlogDetail,"corpus_dedup":$corpusDedupDetail,"streaming":$streamingDetail,"serving":$servingDetail,"index_serve":$indexServeDetail,"index_serve_param":$paramServeDetail,"index_serve_batch":$batchServeDetail,"core20":{"n":${coreTier.size},"value":${num("%.4f", coreTotal)},"reps":$coreReps,"tail_reps":$tailReps},"cpu_quota":"${cpuQuota()}","failed":${jarr(failedNames)},"n_failed":$nFailed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not

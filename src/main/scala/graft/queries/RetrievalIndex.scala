@@ -670,7 +670,6 @@ object RetrievalIndex {
     * +0.0). CTE names prefixed `rq` — disjoint from every other
     * chain. Shared by the q149 standalone and q151 hybrid oracles. */
   private[queries] def bm25RequestCteSql(terms: Seq[String]): String = {
-    val (k1, b) = (1.2, 0.75)
     val ts = terms.distinct.sorted
     val tfCols = ts.map(t =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t")
@@ -678,12 +677,7 @@ object RetrievalIndex {
     val dfCols = ts.map(t =>
       s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
       .mkString(",\n    ")
-    val score = ts.map { t =>
-      s"""((n_docs - df_$t + 0.5) / (df_$t + 0.5))
-         | * (CAST(tf_$t AS DOUBLE) * ${k1 + 1})
-         | / (CAST(tf_$t AS DOUBLE) + $k1 * (1.0 - $b + $b * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
-        .stripMargin.replaceAll("\n", "")
-    }.mkString(" + ")
+    val score = ts.map(okapiTermSql).mkString(" + ")
     s"""rqd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |rqt AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
@@ -858,6 +852,314 @@ object RetrievalIndex {
        |      + COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_dense), 0), 6) AS rrf
        |FROM spr FULL OUTER JOIN den ON spr.doc_id = den.doc_id
        |ORDER BY rrf DESC, doc_id""".stripMargin
+  }
+
+  // ---- q154/q156: BATCHED multi-request serving (r15 verdict #1) -----
+
+  /** BATCHED BM25 serving — N requests answered by ONE Spark job
+    * (r15 verdict #1: the parameterized APIs are correct but serve
+    * one request per ~200–386 ms driver-side job, a 3–5 req/s
+    * throughput ceiling; an eval replay runs thousands). The batch
+    * form keeps every per-request contract of [[bm25Serve]] —
+    * bucket-pruned postings read, tombstone anti-join before any
+    * weight input, global df from the pruned read, sorted-term fold
+    * (deterministic float sum), candidate-restricted top-k — and
+    * shares the work across requests:
+    *
+    *  - the postings scan prunes to the UNION of the batch's term
+    *    buckets (one literal `term_bucket IN` — still static partition
+    *    pruning, PlanShapeSpec-pinned) and is read ONCE for all
+    *    requests;
+    *  - df/stats/okapi weights are computed once per (doc, term) —
+    *    requests sharing a term share its weight rows;
+    *  - the request set broadcasts as a tiny (req_id, term) frame
+    *    (requests are driver-originated and small by premise), so the
+    *    fan-out to requests is a broadcast hash join, never a shuffle
+    *    of the postings;
+    *  - per-request top-k runs as the house [[graft.functions.
+    *    TopKAggregator]] — O(k) state per request, map-side partials,
+    *    so the exchange carries ≤ partitions·|requests|·k structs.
+    *
+    * Per request the result rows are IDENTICAL to the sequential
+    * [[bm25Serve]] (BatchServeSpec pins it): same candidates, same
+    * sorted-term float sum, same (s DESC, doc_id ASC) tie rule via
+    * the aggregator's (neg_s, id) ordering. Output one row per
+    * (req_id, rank ≤ k): req_id, rank, doc_id, dl, bm25. */
+  def bm25ServeBatch(s: SparkSession, wh: String,
+      requests: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Encoders
+    import graft.functions.{ScoredCand, TopKAggregator}
+    require(k > 0, s"k must be positive, got $k")
+    require(requests.nonEmpty, "bm25ServeBatch needs at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "request ids must be unique")
+    val reqPairs = requests.flatMap { case (rid, terms) =>
+      require(terms.nonEmpty, s"request $rid needs at least one term")
+      terms.distinct.map(t => (rid, t))
+    }
+    val ts = reqPairs.map(_._2).distinct.sorted
+    val p0 = Warehouse.read(s, wh, "postings")
+      .filter(col("term_bucket").isin(ts.map(bucketOf).distinct: _*) &&
+        col("term").isin(ts: _*))
+    val p = tombstonesOf(s, wh).fold(p0)(t =>
+      p0.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    // df per term = posting-list length from the pruned read — the
+    // same value the sequential serve derives (df of a term does not
+    // depend on which other terms share the batch).
+    val dft = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = Warehouse.read(s, wh, "corpus_stats")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val reqDf = reqPairs.toDF("req_id", "term")
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+    p.join(broadcast(dft), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("w",
+        okapiW(col("tf"), col("df"), col("n_docs"), col("dl"), avgdl))
+      .join(broadcast(reqDf), Seq("term"))
+      .groupBy(col("req_id"), col("doc_id"), col("dl"))
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("tw"))
+      .withColumn("sc", aggregate(col("tw"), lit(0.0),
+        (acc, x) => acc + x.getField("w")))
+      .groupBy(col("req_id"))
+      .agg(topk(-col("sc"), col("doc_id"), col("dl").cast("double")).as("top"))
+      .select(col("req_id"), posexplode(col("top.cands")).as(Seq("pos", "x")))
+      .select(col("req_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("x.id").as("doc_id"), col("x.c").cast("long").as("dl"),
+        round(-col("x.neg_cos"), 6).as("bm25"))
+      .orderBy("req_id", "rank")
+  }
+
+  /** The q154 pinned request battery: 60 distinct requests (1–4 terms
+    * each) generated arithmetically from the corpus's own vocabulary —
+    * no RNG, so the Spark battery and the generated oracle SQL agree
+    * by construction at every SF. */
+  private[queries] val BatchVocab: Vector[String] = Vector(
+    "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "value", "vector", "window")
+  private[queries] def batchBm25Requests: Seq[(Long, Seq[String])] =
+    (0L until 60L).map { i =>
+      val n = 1 + (i % 4).toInt
+      val terms = (0 until n)
+        .map(j => BatchVocab(((i * 7 + j * 11 + 3) % BatchVocab.length).toInt))
+        .distinct
+      (i, terms)
+    }
+  private[queries] val BatchBm25K = 5
+
+  /** q154 — the batched BM25 serve certified per request against a
+    * from-scratch DuckDB recompute: 60 requests, one Spark job, each
+    * request's top-k identical to its sequential serve. */
+  def bm25ServeBatchQ(s: SparkSession, dir: String): DataFrame =
+    bm25ServeBatch(s, ensure(s, dir), batchBm25Requests, BatchBm25K)
+
+  /** One Okapi BM25 term of the generated oracle score chain —
+    * references `tf_<t>`/`df_<t>`/`n_docs`/`dl`/`sum_dl` in scope;
+    * shared by the single-request ([[bm25RequestCteSql]]) and batch
+    * oracle generators so the scoring rule text cannot drift. */
+  private def okapiTermSql(t: String): String = {
+    val (k1, b) = (1.2, 0.75)
+    s"""((n_docs - df_$t + 0.5) / (df_$t + 0.5))
+       | * (CAST(tf_$t AS DOUBLE) * ${k1 + 1})
+       | / (CAST(tf_$t AS DOUBLE) + $k1 * (1.0 - $b + $b * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  /** Shared tokenization/stats CTEs of the batch oracle: tf per
+    * DISTINCT battery term (computed once, every request block reads
+    * its columns), corpus stats + df per term. CTE names `<pfx>t`,
+    * `<pfx>st`. */
+  private[queries] def batchBm25CteSql(pfx: String,
+      requests: Seq[(Long, Seq[String])]): String = {
+    val allTs = requests.flatMap(_._2).distinct.sorted
+    val tfCols = allTs.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val dfCols = allTs.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n    ")
+    s"""${pfx}d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |${pfx}t AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM ${pfx}d),
+       |${pfx}st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM ${pfx}t)""".stripMargin
+  }
+
+  /** Per-request ranked blocks (UNION ALL), each mirroring the
+    * sequential request oracle: sorted-term left-associated score
+    * chain (absent terms add IEEE-exact +0.0), candidate restriction,
+    * (s DESC, doc_id ASC) row_number ≤ k. Emits rows
+    * (req_id, rank, doc_id, dl, s). */
+  private[queries] def batchBm25RankedSql(pfx: String,
+      requests: Seq[(Long, Seq[String])], k: Int): String =
+    requests.map { case (rid, terms) =>
+      val ts = terms.distinct.sorted
+      val score = ts.map(okapiTermSql).mkString(" + ")
+      val cand = ts.map(t => s"tf_$t > 0").mkString(" OR ")
+      s"""SELECT req_id, rank, doc_id, dl, s FROM (
+         |  SELECT CAST($rid AS BIGINT) AS req_id,
+         |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank,
+         |    doc_id, dl, s
+         |  FROM (SELECT doc_id, dl, $score AS s,
+         |          ${ts.map(t => s"tf_$t").mkString(", ")}
+         |        FROM ${pfx}t, ${pfx}st)
+         |  WHERE $cand) WHERE rank <= $k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val bm25ServeBatchSql: String =
+    s"""WITH ${batchBm25CteSql("bb", batchBm25Requests)}
+       |SELECT req_id, rank, doc_id, dl, round(s, 6) AS bm25 FROM (
+       |${batchBm25RankedSql("bb", batchBm25Requests, BatchBm25K)}
+       |)
+       |ORDER BY req_id, rank""".stripMargin
+
+  /** BATCHED hybrid serving: N (terms, query-vector) requests, the
+    * sparse leg answered by ONE [[bm25ServeBatch]] job over the stored
+    * postings, the dense leg by ONE [[Similarity.annServeBatch]] job
+    * over the stored cells, fused per request by reciprocal rank
+    * fusion — one job per family (r15 verdict #1) instead of two
+    * driver jobs per request, and unlike the sequential hybrid there
+    * is no driver-side collect between the legs at all: both leg
+    * frames and the fusion compose into one lazy plan. Per request
+    * the fused ranking is identical to the sequential
+    * [[hybridServe]] (BatchServeSpec pins it); absent legs contribute
+    * rank 0, the q118 contract. */
+  def hybridServeBatch(s: SparkSession, retrWh: String, corpusDir: String,
+      requests: Seq[(Long, Seq[String], Seq[Double])],
+      nprobe: Int = Similarity.AnnProbeN,
+      kSparse: Int = TextOps.Bm25K,
+      kDense: Int = Similarity.AnnServeK): DataFrame =
+    fuseBatch(s,
+      () => bm25ServeBatch(s, retrWh, requests.map(r => (r._1, r._2)), kSparse),
+      () => Similarity.annServeBatch(s, corpusDir,
+        requests.map(r => (r._1, r._3)), nprobe, kDense))
+
+  /** [[hybridServeBatch]] with BOTH stores explicit. */
+  def hybridServeBatchFrom(s: SparkSession, retrWh: String, annWh: String,
+      requests: Seq[(Long, Seq[String], Seq[Double])],
+      nprobe: Int = Similarity.AnnProbeN,
+      kSparse: Int = TextOps.Bm25K,
+      kDense: Int = Similarity.AnnServeK): DataFrame =
+    fuseBatch(s,
+      () => bm25ServeBatch(s, retrWh, requests.map(r => (r._1, r._2)), kSparse),
+      () => Similarity.annServeBatchFrom(s, annWh,
+        requests.map(r => (r._1, r._3)), nprobe, kDense))
+
+  /** Per-request RRF fusion of the two batch legs — the q118 algebra
+    * keyed by (req_id, doc_id). The legs are independent single-job
+    * frames; collecting their ≤ (kSparse + kDense)·|requests| rank
+    * rows on the shared daemon pool OVERLAPS the two family jobs (the
+    * [[fuseRrf]] discipline at batch grain — a lazily fused plan runs
+    * the leg stages back to back), and the fusion itself is the same
+    * Spark expressions over the tiny fused frame, so values are
+    * identical to an in-plan full-outer fusion. */
+  private def fuseBatch(s: SparkSession, sparse: () => DataFrame,
+      dense: () => DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val spF = Future(sparse().select("req_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))(legPool)
+    val dnF = Future(dense().select("req_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))(legPool)
+    val sp = Await.result(spF, Duration(600, "s"))
+    val dn = Await.result(dnF, Duration(600, "s"))
+    import s.implicits._
+    val spDf = sp.toSeq.toDF("req_id", "doc_id", "rank_sparse")
+    val dnDf = dn.toSeq.toDF("req_id", "doc_id", "rank_dense")
+    def term(r: Column): Column =
+      when(r.isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(Similarity.RrfK) + r))
+    spDf.join(dnDf, Seq("req_id", "doc_id"), "full_outer")
+      .select(col("req_id"), col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(term(col("rank_sparse")) + term(col("rank_dense")), 6).as("rrf"))
+      .orderBy(col("req_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  /** The q156 pinned battery: 25 hybrid requests — term sets from the
+    * corpus vocabulary, query vectors replayed from stored embeddings
+    * (both arithmetic, RNG-free, so the oracle pins the same battery). */
+  private[queries] def batchHybridTermReqs: Seq[(Long, Seq[String])] =
+    (0L until 25L).map { i =>
+      val n = 1 + (i % 3).toInt
+      val terms = (0 until n)
+        .map(j => BatchVocab(((i * 5 + j * 13 + 1) % BatchVocab.length).toInt))
+        .distinct
+      (i, terms)
+    }
+  private[queries] val BatchHybridVecIds: Seq[Long] =
+    (0 until 25).map(i => ((i * 17 + 11) % 480).toLong)
+
+  /** q156 — the batched hybrid serve: both legs from their stored
+    * indexes in one job each, RRF fusion per request; oracle
+    * re-derives both index chains, all 25 sparse blocks, all 25
+    * dense probes and the fusion from raw tables in one statement. */
+  def hybridServeBatchQ(s: SparkSession, dir: String): DataFrame = {
+    val byId = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isin(BatchHybridVecIds: _*))
+      .select(col("vec_id"), graft.queries.Similarity.doubled(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val reqs = batchHybridTermReqs.zip(BatchHybridVecIds).map {
+      case ((rid, ts), vid) => (rid, ts, byId(vid))
+    }
+    hybridServeBatch(s, ensure(s, dir), dir, reqs)
+  }
+
+  val hybridServeBatchSql: String = {
+    val reqVals = batchHybridTermReqs.zip(BatchHybridVecIds)
+      .map { case ((rid, _), vid) => s"($rid, $vid)" }.mkString(", ")
+    s"""WITH ${Similarity.cellAssignCteSql},
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |${batchBm25CteSql("hb", batchHybridTermReqs)},
+       |hspr AS (
+       |  SELECT req_id, doc_id, rank AS rank_sparse FROM (
+       |${batchBm25RankedSql("hb", batchHybridTermReqs, TextOps.Bm25K)}
+       |)),
+       |hmap(req_id, qvid) AS (VALUES $reqVals),
+       |hq AS (
+       |  SELECT hmap.req_id, e.v AS quv,
+       |    sqrt(list_inner_product(e.v, e.v)) AS qn
+       |  FROM hmap JOIN e ON e.vec_id = hmap.qvid),
+       |hpc AS (
+       |  SELECT req_id, probe_cell, quv, qn FROM (
+       |    SELECT hq.req_id, c.c_id AS probe_cell, hq.quv, hq.qn,
+       |      row_number() OVER (PARTITION BY hq.req_id
+       |        ORDER BY ${Similarity.cosineSqlFor("c.qv", "hq.quv")} DESC, c.c_id DESC) AS rn
+       |    FROM c, hq) WHERE rn <= ${Similarity.AnnProbeN}),
+       |hcand AS (
+       |  SELECT hpc.req_id, sig.vec_id, sig.cell,
+       |    CASE WHEN sig.norm * hpc.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, hpc.quv) / (sig.norm * hpc.qn)
+       |      END AS cos
+       |  FROM sig JOIN hpc ON sig.cell = hpc.probe_cell),
+       |hden AS (
+       |  SELECT req_id, vec_id AS doc_id, rank AS rank_dense FROM (
+       |    SELECT req_id,
+       |      row_number() OVER (PARTITION BY req_id
+       |        ORDER BY cos DESC, vec_id ASC) AS rank,
+       |      vec_id
+       |    FROM hcand)
+       |  WHERE rank <= ${Similarity.AnnServeK})
+       |SELECT COALESCE(sp.req_id, dn.req_id) AS req_id,
+       |  COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+       |  CAST(COALESCE(rank_sparse, 0) AS BIGINT) AS rank_sparse,
+       |  CAST(COALESCE(rank_dense, 0) AS BIGINT) AS rank_dense,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_sparse), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_dense), 0), 6) AS rrf
+       |FROM hspr sp FULL OUTER JOIN hden dn
+       |  ON sp.req_id = dn.req_id AND sp.doc_id = dn.doc_id
+       |ORDER BY req_id, rrf DESC, doc_id""".stripMargin
   }
 
   val mergeCertifySql: String =

@@ -1581,6 +1581,140 @@ object Similarity {
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $ParamAnnK""".stripMargin
 
+  // ---- q155: BATCHED ANN serving (r15 verdict #1) --------------------
+
+  /** BATCHED ANN serving — N query vectors probed in ONE Spark job
+    * (r15 verdict #1: the parameterized serve runs one ~200 ms driver
+    * job per request). Every per-request contract of the sequential
+    * [[annServe]] holds — centroid probe at (cos DESC, c_id DESC),
+    * nprobe cell pruning, exact rerank over the pruned candidates, no
+    * identity exclusion — with the work shared across the batch:
+    *
+    *  - the request set is a tiny broadcast frame (req_id, qv, qn);
+    *    qn is the same sequential Σx² fold (`graft_dot`) the
+    *    sequential path folds on the driver, so scores are
+    *    bit-identical;
+    *  - probe-cell selection scores |requests|·k_centroid rows (both
+    *    sides small) and keeps nprobe cells per request via a window
+    *    over that tiny frame;
+    *  - the stored `cells` read prunes to the UNION of all probed
+    *    cells via ONE broadcast hash join against the (req_id,
+    *    probe_cell, qv, qn) frame — a cell probed by many requests is
+    *    read once and fanned out on the broadcast side, the corpus
+    *    side never shuffles;
+    *  - per-request top-k is the house [[graft.functions.
+    *    TopKAggregator]] (O(k) state, map-side partials).
+    *
+    * Output one row per (req_id, rank ≤ k): req_id, rank, vec_id,
+    * cell, cosine — per request identical to the sequential serve
+    * (BatchServeSpec pins it). */
+  def annServeBatch(s: SparkSession, dir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame =
+    annServeBatchWith(s, graft.queries.Warehouse.stored(s, dir, _),
+      requests, nprobe, k)
+
+  /** [[annServeBatch]] against an EXPLICIT warehouse directory — the
+    * product form for callers owning their own index builds. */
+  def annServeBatchFrom(s: SparkSession, whDir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame =
+    annServeBatchWith(s, graft.queries.Warehouse.read(s, whDir, _),
+      requests, nprobe, k)
+
+  private def annServeBatchWith(s: SparkSession, table: String => DataFrame,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(requests.nonEmpty, "annServeBatch needs at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "request ids must be unique")
+    requests.foreach { case (rid, v) =>
+      require(v.nonEmpty, s"request $rid needs a query vector") }
+    val reqDf = requests.toDF("req_id", "qv")
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val wpc = Window.partitionBy(col("req_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val probes = table("centroids").join(broadcast(reqDf))
+      .withColumn("cos_c", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wpc))
+      .filter(col("rn") <= nprobe)
+      .select(col("req_id"), col("qv"), col("qn"),
+        col("c_id").as("probe_cell"))
+    val denom = col("norm") * col("qn")
+    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+    table("cells")
+      .join(broadcast(probes), col("cell") === col("probe_cell"))
+      .withColumn("cos", when(denom === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), col("qv")) / denom))
+      .groupBy(col("req_id"))
+      .agg(topk(-col("cos"), col("vec_id"), col("cell").cast("double")).as("top"))
+      .select(col("req_id"), posexplode(col("top.cands")).as(Seq("pos", "x")))
+      .select(col("req_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("x.id").as("vec_id"), col("x.c").cast("long").as("cell"),
+        round(-col("x.neg_cos"), 6).as("cosine"))
+      .orderBy("req_id", "rank")
+  }
+
+  /** The q155 pinned battery: 60 distinct stored vectors replayed as
+    * requests (req_id = source vec_id — which also keys the oracle's
+    * request CTE), at a nprobe/k distinct from the q142/q150 pins. */
+  private[queries] val BatchAnnIds: Seq[Long] =
+    (0 until 60).map(i => ((i * 13 + 7) % 480).toLong)
+  private[queries] val BatchAnnNprobe = 2
+  private[queries] val BatchAnnK = 8
+
+  /** q155 — the batched ANN serve certified per request against a
+    * from-scratch DuckDB re-derivation of the index + all 60 probes. */
+  def annServeBatchQ(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isin(BatchAnnIds: _*))
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    annServeBatch(s, dir, vecs.toSeq, BatchAnnNprobe, BatchAnnK)
+  }
+
+  /** Oracle rule text of the BATCH probe chain for literal request
+    * ids `vecIds` (req_id = vec_id): `bq` (request vectors + norms) →
+    * `bpc` (nprobe best cells per request) → `bcand` (pruned exact
+    * rerank per request). Expects `sig` in scope; CTE names `b*` —
+    * disjoint from the single-request (`aq*`/`rq*`) chains. */
+  private[queries] def annBatchProbeCteSql(vecIds: Seq[Long],
+      nprobe: Int): String =
+    s"""bq AS (
+       |  SELECT vec_id AS req_id, v AS quv,
+       |    sqrt(list_inner_product(v, v)) AS qn
+       |  FROM e WHERE vec_id IN (${vecIds.mkString(", ")})),
+       |bpc AS (
+       |  SELECT req_id, probe_cell, quv, qn FROM (
+       |    SELECT bq.req_id, c.c_id AS probe_cell, bq.quv, bq.qn,
+       |      row_number() OVER (PARTITION BY bq.req_id
+       |        ORDER BY ${cosineSqlFor("c.qv", "bq.quv")} DESC, c.c_id DESC) AS rn
+       |    FROM c, bq) WHERE rn <= $nprobe),
+       |bcand AS (
+       |  SELECT bpc.req_id, sig.vec_id, sig.cell,
+       |    CASE WHEN sig.norm * bpc.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, bpc.quv) / (sig.norm * bpc.qn)
+       |      END AS cos
+       |  FROM sig JOIN bpc ON sig.cell = bpc.probe_cell)""".stripMargin
+
+  val annServeBatchSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |${annBatchProbeCteSql(BatchAnnIds, BatchAnnNprobe)}
+       |SELECT req_id, rank, vec_id, cell, round(cos, 6) AS cosine FROM (
+       |  SELECT req_id,
+       |    row_number() OVER (PARTITION BY req_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank,
+       |    vec_id, cell, cos
+       |  FROM bcand)
+       |WHERE rank <= $BatchAnnK
+       |ORDER BY req_id, rank""".stripMargin
+
   // ---- q152: refreshed-centroid recall LIFT certification -------------
 
   /** Lloyd steps the q152 refresh runs before re-certifying recall —

@@ -64,18 +64,25 @@ object ServingLatencyBench {
   def indexSection(spark: SparkSession, sfDir: String,
       reps: Int = 30, warm: Int = 5): String = {
     import graft.queries.{RetrievalIndex, Similarity}
+    // The hybrid row benches the CONCURRENT path (r15 verdict #3):
+    // it is the serving default — value-identical to the lazy q146
+    // plan (spec-pinned), ~half its latency, and the one a deployment
+    // would run. The lazy single-plan form stays as an informational
+    // row (its p95 ≈ sum of legs exceeds the 1 s budget by design —
+    // that is WHY the concurrent path is the default) and is excluded
+    // from the budget verdict.
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "q142_ann" -> (() => Similarity.annServe(spark, sfDir)),
       "q144_bm25" -> (() => RetrievalIndex.bm25Serve(spark, sfDir)),
-      "q146_hybrid" -> (() => RetrievalIndex.hybridServe(spark, sfDir)),
-      // The same search with both ≤k-row legs collected CONCURRENTLY
-      // (r14 verdict #6) — value-identity to q146 is spec-pinned.
-      "hybrid_conc" -> (() => RetrievalIndex.hybridServeConcurrent(spark, sfDir)))
+      "q146_hybrid" -> (() => RetrievalIndex.hybridServeConcurrent(spark, sfDir)),
+      "hybrid_lazy" -> (() => RetrievalIndex.hybridServe(spark, sfDir)))
     val perQuery = perQueryJson(queries, reps, warm)
     val budgetMs = 1000.0
+    val budgeted = queries.map(_._1).zip(perQuery)
+      .filter(_._1 != "hybrid_lazy").map(_._2)
     s"""{"reps":$reps,"warm":$warm,"poll_budget_ms":${num(budgetMs)},""" +
       s""""queries":{${perQuery.map(_._1).mkString(",")}},""" +
-      s""""within_budget":${perQuery.forall(_._2 < budgetMs)}}"""
+      s""""within_budget":${budgeted.forall(_._2 < budgetMs)}}"""
   }
 
   /** PARAMETERIZED-request battery (r14 verdict #1 done-criterion):
@@ -88,9 +95,16 @@ object ServingLatencyBench {
     * runs exactly once after a small family warm-up. Seeded draws:
     * the battery is reproducible run to run. */
   def paramSection(spark: SparkSession, sfDir: String,
-      nBm25: Int = 50, nAnn: Int = 50, nHybrid: Int = 25): String = {
-    import graft.queries.{RetrievalIndex, Similarity, Warehouse}
-    val wh = RetrievalIndex.ensure(spark, sfDir)
+      nBm25: Int = 50, nAnn: Int = 50, nHybrid: Int = 25): String =
+    paramAndBatchSections(spark, sfDir, nBm25, nAnn, nHybrid)._1
+
+  /** The seeded request populations shared by the sequential
+    * ([[paramSection]]) and batched batteries — one generation, so
+    * the speedup compares identical work. */
+  private def paramRequests(spark: SparkSession, sfDir: String,
+      nBm25: Int, nAnn: Int, nHybrid: Int): (Vector[Seq[String]],
+        Vector[Seq[Double]], Vector[(Seq[String], Seq[Double])]) = {
+    import graft.queries.Warehouse
     val vocab = Tables.documents(spark, sfDir)
       .selectExpr("explode(split(text, ' ')) AS term").distinct()
       .orderBy("term").collect().map(_.getString(0))
@@ -105,20 +119,37 @@ object ServingLatencyBench {
     val annReqs = Vector.tabulate(nAnn)(i => vecPool(i % vecPool.length))
     val hybridReqs = Vector.tabulate(nHybrid)(i =>
       (termSet(), vecPool((i * 7 + 3) % vecPool.length)))
+    (bm25Reqs, annReqs, hybridReqs)
+  }
 
-    def battery(name: String, reqs: Seq[() => Int]): (String, Double) = {
+  /** Runs the sequential parameterized battery AND the batched replay
+    * of the SAME requests (r15 verdict #1's done criterion), returning
+    * (`index_serve_param` JSON, `index_serve_batch` JSON). The batch
+    * side answers each family's whole population in ONE call —
+    * `bm25ServeBatch` / `annServeBatch` / `hybridServeBatch` — so the
+    * per-family speedup is sequential-total / batch-wall over
+    * identical requests, measured in the same session. */
+  def paramAndBatchSections(spark: SparkSession, sfDir: String,
+      nBm25: Int = 50, nAnn: Int = 50, nHybrid: Int = 25): (String, String) = {
+    import graft.queries.{RetrievalIndex, Similarity}
+    val wh = RetrievalIndex.ensure(spark, sfDir)
+    val (bm25Reqs, annReqs, hybridReqs) =
+      paramRequests(spark, sfDir, nBm25, nAnn, nHybrid)
+
+    def battery(name: String, reqs: Seq[() => Int]): (String, Double, Double) = {
       reqs.take(3).foreach(_.apply()) // family warm-up (store footers, codegen)
       var rows = 0
-      val times = reqs.map { r =>
+      val raw = reqs.map { r =>
         val t0 = System.nanoTime()
         rows += r()
         (System.nanoTime() - t0) / 1e6
-      }.sorted.toIndexedSeq
+      }
+      val times = raw.sorted.toIndexedSeq
       val json = s""""$name":{"n_requests":${reqs.size},""" +
         s""""p50_ms":${num(pctl(times, 0.50))},""" +
         s""""p95_ms":${num(pctl(times, 0.95))},"max_ms":${num(times.last)},""" +
         s""""rows_total":$rows}"""
-      (json, pctl(times, 0.95))
+      (json, pctl(times, 0.95), raw.sum)
     }
     val fams = Seq(
       battery("bm25_param", bm25Reqs.map(ts =>
@@ -131,10 +162,54 @@ object ServingLatencyBench {
           .collect().length
       }))
     val budgetMs = 1000.0
-    s"""{"n_requests":${nBm25 + nAnn + nHybrid},""" +
-      s""""poll_budget_ms":${num(budgetMs)},""" +
-      s""""families":{${fams.map(_._1).mkString(",")}},""" +
-      s""""within_budget":${fams.forall(_._2 < budgetMs)}}"""
+    val paramJson =
+      s"""{"n_requests":${nBm25 + nAnn + nHybrid},""" +
+        s""""poll_budget_ms":${num(budgetMs)},""" +
+        s""""families":{${fams.map(_._1).mkString(",")}},""" +
+        s""""within_budget":${fams.forall(_._2 < budgetMs)}}"""
+
+    // ---- batched replay: one job per family over the same requests --
+    val bm25Batch = bm25Reqs.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }
+    val annBatch = annReqs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val hyBatch = hybridReqs.zipWithIndex
+      .map { case ((ts, v), i) => (i.toLong, ts, v) }
+    def timedBatch(warmup: () => Int, run: () => Int): (Double, Int) = {
+      warmup()
+      val t0 = System.nanoTime()
+      val rows = run()
+      ((System.nanoTime() - t0) / 1e6, rows)
+    }
+    val batchFams = Seq(
+      ("bm25", bm25Batch.size, fams(0)._3, timedBatch(
+        () => RetrievalIndex.bm25ServeBatch(spark, wh, bm25Batch.take(3), 10)
+          .collect().length,
+        () => RetrievalIndex.bm25ServeBatch(spark, wh, bm25Batch, 10)
+          .collect().length)),
+      ("ann", annBatch.size, fams(1)._3, timedBatch(
+        () => Similarity.annServeBatch(spark, sfDir, annBatch.take(3),
+          nprobe = 2, k = 10).collect().length,
+        () => Similarity.annServeBatch(spark, sfDir, annBatch,
+          nprobe = 2, k = 10).collect().length)),
+      ("hybrid", hyBatch.size, fams(2)._3, timedBatch(
+        () => RetrievalIndex.hybridServeBatch(spark, wh, sfDir,
+          hyBatch.take(3)).collect().length,
+        () => RetrievalIndex.hybridServeBatch(spark, wh, sfDir, hyBatch)
+          .collect().length)))
+    val famJson = batchFams.map { case (name, n, seqMs, (batchMs, rows)) =>
+      val reqPerS = n / (batchMs / 1000.0)
+      s""""$name":{"n_requests":$n,"batch_ms":${num(batchMs)},""" +
+        s""""batch_req_per_s":${num(reqPerS)},"seq_ms":${num(seqMs)},""" +
+        s""""speedup_vs_sequential":${num(seqMs / batchMs)},""" +
+        s""""rows_total":$rows}"""
+    }
+    val minSpeedup = batchFams
+      .map { case (_, _, seqMs, (batchMs, _)) => seqMs / batchMs }.min
+    val batchJson =
+      s"""{"n_requests":${nBm25 + nAnn + nHybrid},""" +
+        s""""families":{${famJson.mkString(",")}},""" +
+        s""""min_speedup_vs_sequential":${num(minSpeedup)}}"""
+    (paramJson, batchJson)
   }
 
   /** Runs the section; returns a JSON object string for BENCH_DETAIL.

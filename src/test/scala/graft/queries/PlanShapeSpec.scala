@@ -57,7 +57,10 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q147_purge_serve",    // q144's broadcasts over the purged store
     "q148_ann_serve_purged", // q142's broadcasts + sem_purge anti side
     "q149_bm25_serve_param", // 1-row stats broadcast (q144 idiom, request form)
-    "q152_refresh_recall")   // broadcast 5 probe vectors × corpus (q106 shape), both legs
+    "q152_refresh_recall",   // broadcast 5 probe vectors × corpus (q106 shape), both legs
+    "q154_bm25_serve_batch", // 1-row stats broadcast shared by all 60 requests (q149 idiom)
+    "q155_ann_serve_batch",  // broadcast 60-request frame × k centroids (q46 probe shape)
+    "q156_hybrid_serve_batch") // both batch legs' bounded broadcasts (q154+q155 shapes)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -141,6 +144,28 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q150_ann_serve_param") should include("graft-warehouse")
     plans("q150_ann_serve_param") should not include "embeddings.parquet"
     plans("q150_ann_serve_param") should not include "documents.parquet"
+  }
+
+  test("batched serving keeps the stored-index plan shape per family") {
+    // q154: one postings scan serves all 60 requests — the literal
+    // term_bucket IN over the batch's UNION of buckets still prunes
+    // partitions statically; the request fan-out is a broadcast of the
+    // tiny (req_id, term) frame, and the corpus never appears.
+    plans("q154_bm25_serve_batch") should include("graft-retr-wh")
+    plans("q154_bm25_serve_batch") should not include "documents.parquet"
+    plans("q154_bm25_serve_batch") should include("PartitionFilters")
+    plans("q154_bm25_serve_batch") should include("term_bucket")
+    // q155: one cells scan serves all 60 probes via the broadcast
+    // (req_id, probe_cell) frame; neither raw table appears.
+    plans("q155_ann_serve_batch") should include("graft-warehouse")
+    plans("q155_ann_serve_batch") should not include "embeddings.parquet"
+    plans("q155_ann_serve_batch") should not include "documents.parquet"
+    // q156: the fused plan composes exactly those two stored reads.
+    plans("q156_hybrid_serve_batch") should include("graft-retr-wh")
+    plans("q156_hybrid_serve_batch") should include("graft-warehouse")
+    plans("q156_hybrid_serve_batch") should not include "documents.parquet"
+    plans("q156_hybrid_serve_batch") should not include "embeddings.parquet"
+    plans("q156_hybrid_serve_batch") should include("PartitionFilters")
   }
 
   test("the media purge's candidate stage reads stored digests, never payloads") {
