@@ -618,7 +618,8 @@ object Bench {
         probe: StageRow, probeRows: Long, probeFlagged: Long,
         buildFullStages: Seq[StageRow], mergeFullStages: Seq[StageRow],
         curationStages: Seq[StageRow],
-        retrStages: Seq[StageRow], retrPostings: Long)
+        retrStages: Seq[StageRow], retrPostings: Long,
+        cellsBytes: Long, cellsQ8Bytes: Long)
     val corpusScales: Either[String, Seq[Long]] =
       scala.util.Try(sys.env.getOrElse(
           "SPARK_GRAFT_CORPUS_DOCS", "120000,1200000")
@@ -752,7 +753,7 @@ object Bench {
         // (b) the curation chain is warehouse-read-dominated (its
         // stages-total vs the index build total is the ledger's
         // stated ratio).
-        val (buildFullRows, mergeFullRows, curationRows) =
+        val (buildFullRows, mergeFullRows, curationRows, cellsBytesPair) =
           if (corpusCuration && n == maxScale) {
             val whFull = java.nio.file.Files
               .createTempDirectory("graft-bench-whfull").toString
@@ -788,20 +789,40 @@ object Bench {
             graft.queries.Warehouse.mergeBatch(spark, whFull,
               docs.filter(isFixedDoc), Some(emb.filter(isNewVec)),
               (name, work) => { mf += stageRow(name)(work()) })
+            // Quantized-tier serve at corpus scale (r15 verdict #2):
+            // one probe vector through the int8-prefilter + exact-
+            // rescore read path against the just-built store.
+            val qvec = emb.filter(col("vec_id") === 123L)
+              .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE))")
+              .collect()(0).getSeq[Double](0)
+            bf += stageRow("quant_serve") {
+              graft.queries.Similarity.annServeQuantFrom(spark, whFull,
+                qvec, nprobe = 2, k = 10).collect(); ()
+            }
             val cr = new scala.collection.mutable.ArrayBuffer[StageRow]
             val curOut = java.nio.file.Files
               .createTempDirectory("graft-bench-cur").toString
             graft.queries.CurationPipeline.run(spark, fx.dir, curOut,
               Some(t => graft.queries.Warehouse.read(spark, whFull, t)),
               (name, work) => { cr += stageRow(name)(work()) })
-            (bf.toSeq, mf.toSeq, cr.toSeq)
-          } else (Seq.empty[StageRow], Seq.empty[StageRow], Seq.empty[StageRow])
+            // The verdict-#2 storage claim, measured: committed parquet
+            // bytes of the full-precision tier vs the quantized tier.
+            def dirBytes(table: String): Long = {
+              val v = graft.queries.Warehouse.version(whFull)
+              Option(new java.io.File(s"$whFull/v=$v/$table").listFiles())
+                .getOrElse(Array()).filter(_.isFile).map(_.length).sum
+            }
+            (bf.toSeq, mf.toSeq, cr.toSeq,
+              (dirBytes("cells"), dirBytes("cells_q8")))
+          } else (Seq.empty[StageRow], Seq.empty[StageRow],
+            Seq.empty[StageRow], (0L, 0L))
         CorpusResult(n, fx.textBytes, fx.parquetBytes, fx.genSec,
           purgeRows, clusterRows, rows.toSeq, incrRow, incrRows, incrDups,
           incrFixedRow, incrFixedRows, incrFixedDups, mergeRows.toSeq,
           bloomRow, bloomBits.length.toLong, probeRow, n, probeFlagged,
           buildFullRows, mergeFullRows, curationRows,
-          retrRows.toSeq, retrPostings)
+          retrRows.toSeq, retrPostings,
+          cellsBytesPair._1, cellsBytesPair._2)
       })
       catch { case e: Throwable =>
         System.err.println(s"[bench] corpus dedup section FAILED: ${e.getMessage}")
@@ -943,6 +964,9 @@ object Bench {
         s""""curation_stages":${stagesJson(r.curationStages)},""" +
         s""""retr_stages":${stagesJson(r.retrStages)},""" +
         s""""retr_postings":${r.retrPostings},""" +
+        s""""cells_bytes":${r.cellsBytes},"cells_q8_bytes":${r.cellsQ8Bytes},""" +
+        s""""cells_q8_ratio":${num("%.2f",
+          if (r.cellsQ8Bytes > 0) r.cellsBytes.toDouble / r.cellsQ8Bytes else 0.0)},""" +
         s""""stages":${stagesJson(r.stages)}}"""
       }.mkString("[", ",", "]")
     }

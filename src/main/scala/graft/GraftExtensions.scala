@@ -28,6 +28,9 @@ import graft.functions.{CmEstimate, DotProduct, Fingerprint, HashedTriGrams, Int
   *    without materializing the intersection (the Jaccard numerator);
   *  - `graft_cell_argmax(v, centroids)` — IVF cell assignment against
   *    a foldable centroid array as ONE plan node at any k;
+  *  - `graft_i8_pack(v)` / `graft_i8_dot(a, b)` — int8 max-abs
+  *    quantization codes + exact integer code dot (the quantized
+  *    dense index's storage/prefilter kernels);
   *  - `graft_blockhash(payload)` — 63-bit perceptual block hash of an
   *    opaque binary payload (media-grain near-dup digests);
   *  - `graft_tri_grams(words)` — distinct hashed word 3-grams;
@@ -85,6 +88,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "usage: graft_cell_argmax(v, centroids)")
         graft.functions.CellArgmax(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_i8_pack"),
+      new ExpressionInfo(classOf[graft.functions.I8Pack].getName,
+        "graft_i8_pack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_i8_pack(v)")
+        graft.functions.I8Pack(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_i8_dot"),
+      new ExpressionInfo(classOf[graft.functions.I8Dot].getName,
+        "graft_i8_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_i8_dot(a, b)")
+        graft.functions.I8Dot(args(0), args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_inter_size"),

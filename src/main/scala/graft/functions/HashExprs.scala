@@ -931,3 +931,139 @@ case class SubwordCount(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): SubwordCount =
     copy(child = newChild)
 }
+
+/** Shared int8 quantization arithmetic of the stored dense index's
+  * code column (`cells_q8`, r15 verdict #2): max-abs scaling,
+  * qᵢ = round(xᵢ·127/scale) ∈ [−127, 127] — the q101 rule — rounded
+  * HALF AWAY FROM ZERO (C `round`, DuckDB `round`, and Spark's
+  * `round()` on doubles agree; see the q101 portability note). The
+  * scale itself is NOT stored: cosine is scale-invariant (the q103
+  * argument), so ranking needs only the integer codes, and exact
+  * re-scoring reads the full-precision vector anyway. Exposed as
+  * static methods so the driver-side request path packs query vectors
+  * with the EXACT arithmetic the build kernel ran. */
+object I8Quant {
+
+  private def roundHalfAway(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+
+  /** Pack a double vector into its int8 code bytes (zero vector →
+    * all-zero code). */
+  def pack(v: Array[Double]): Array[Byte] = {
+    var scale = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i))
+      if (a > scale) scale = a
+      i += 1
+    }
+    val out = new Array[Byte](v.length)
+    if (scale != 0.0) {
+      i = 0
+      while (i < v.length) {
+        out(i) = roundHalfAway(v(i) * 127.0 / scale).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Exact integer dot of two signed-byte codes (|Σ| ≤ dim·127² —
+    * never near Long overflow at any real dim). */
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+}
+
+/** `graft_i8_pack(v)`: the int8 code column of the quantized dense
+  * index — [[I8Quant.pack]] as one codegen'd plan node (map-only,
+  * 8 bytes of input per output byte). NULL for a NULL vector or a
+  * vector with NULL elements (a corrupt embedding has no honest
+  * code — the graft_cell_argmax discipline). */
+case class I8Pack(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_i8_pack"
+
+  def compute(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      d(i) = v.getDouble(i)
+      i += 1
+    }
+    I8Quant.pack(d)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("i8PackExpr", this, classOf[I8Pack].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("i8code")
+      s"""
+      |byte[] $out = $ref.compute($a);
+      |if ($out == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $out; }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): I8Pack =
+    copy(child = newChild)
+}
+
+/** `graft_i8_dot(a, b)`: exact integer dot product of two int8 code
+  * blobs ([[I8Quant.dot]]) — the quantized prefilter's scoring
+  * kernel. NULL on a length mismatch (codes from different index
+  * generations must not silently score). */
+case class I8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, binary), got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_i8_dot"
+
+  def compute(a: Array[Byte], b: Array[Byte]): java.lang.Long =
+    if (a.length != b.length) null
+    else java.lang.Long.valueOf(I8Quant.dot(a, b))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("i8DotExpr", this, classOf[I8Dot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("i8dot")
+      s"""
+      |java.lang.Long $boxed = $ref.compute($a, $b);
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed.longValue(); }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): I8Dot = copy(left = newLeft, right = newRight)
+}

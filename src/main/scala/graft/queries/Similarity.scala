@@ -501,6 +501,25 @@ object Similarity {
       emb.select(col("vec_id"), doubled(col("embedding")).as("v")), cents)
       .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v"))
 
+  /** The QUANTIZED mirror of a `cells` frame — the r15-verdict-#2
+    * storage tier: (vec_id, cell, code, qnorm), where `code` is the
+    * int8 max-abs quantization of `v` packed as a BINARY blob
+    * (`graft_i8_pack`, 1 byte/dim vs 8 — the embedding-bytes
+    * reduction that dominates a 100 TB dense index) and `qnorm` is
+    * the exact-integer code norm precomputed at build (the `norm`
+    * discipline at the quantized grain). The scale is deliberately
+    * NOT stored: cosine is scale-invariant (the q103 argument), so
+    * the prefilter ranks on integer codes alone, and the exact
+    * rescore reads the full-precision row anyway. Pure per-row map of
+    * the cells frame — every writer that derives `cells` derives this
+    * beside it, so the two can never skew. */
+  private[queries] def cellsQ8Of(cells: DataFrame): DataFrame =
+    cells.select(col("vec_id"), col("cell"),
+      call_function("graft_i8_pack", col("v")).as("code"))
+      .withColumn("qnorm",
+        sqrt(call_function("graft_i8_dot", col("code"), col("code"))
+          .cast("double")))
+
   /** Centroid rows (c_id, v) for the warehouse's `centroids` table —
     * the literal centroids the build assigned cells with, persisted so
     * increments can re-create the SAME assignment without touching the
@@ -1714,6 +1733,266 @@ object Similarity {
        |  FROM bcand)
        |WHERE rank <= $BatchAnnK
        |ORDER BY req_id, rank""".stripMargin
+
+  // ---- q157: int8-prefiltered ANN serving (r15 verdict #2) -----------
+
+  /** Rescore depth of the quantized serve: the int8 prefilter keeps
+    * 4·k candidates for full-precision rescoring — deep enough that a
+    * quantization-rank perturbation inside the window cannot drop a
+    * true top-k member (q157 certifies the served top-k equals the
+    * full-precision probed top-k at the fixtures), shallow enough
+    * that the full-precision tier is touched for O(k) rows/request. */
+  private[queries] val QuantRescoreR = 40
+
+  /** PARAMETERIZED ANN serving from the QUANTIZED index: probe cells
+    * against the full-precision centroids (k·dim rows), rank the
+    * probed candidates by exact-integer int8 cosine over the stored
+    * `cells_q8` codes (1 byte/dim — the only corpus-scale read), keep
+    * the top `rescore`, then re-score those O(k) rows exactly from
+    * the full-precision `cells` tier (broadcast semi-join on the
+    * candidate ids). This is the q128-certified composition
+    * (IVF × int8) as the SERVING read path: at 100 TB the hot index
+    * a request scans is ~6–8× smaller than the full-precision tier,
+    * which is only touched for `rescore` rows per request. */
+  def annServeQuant(s: SparkSession, dir: String, queryVec: Seq[Double],
+      nprobe: Int, k: Int, rescore: Int = QuantRescoreR): DataFrame =
+    annServeQuantWith(graft.queries.Warehouse.stored(s, dir, _),
+      queryVec, nprobe, k, rescore)
+
+  /** [[annServeQuant]] against an explicit warehouse directory. */
+  def annServeQuantFrom(s: SparkSession, whDir: String,
+      queryVec: Seq[Double], nprobe: Int, k: Int,
+      rescore: Int = QuantRescoreR): DataFrame =
+    annServeQuantWith(graft.queries.Warehouse.read(s, whDir, _),
+      queryVec, nprobe, k, rescore)
+
+  private def annServeQuantWith(table: String => DataFrame,
+      queryVec: Seq[Double], nprobe: Int, k: Int, rescore: Int): DataFrame = {
+    require(queryVec.nonEmpty, "annServeQuant needs a query vector")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(k > 0, s"k must be positive, got $k")
+    require(rescore >= k, s"rescore depth $rescore must be >= k = $k")
+    // The request quantizes with the EXACT build-kernel arithmetic
+    // (shared I8Quant statics), so request codes and stored codes
+    // live in one code space.
+    val qCode = graft.functions.I8Quant.pack(queryVec.toArray)
+    val qqn = math.sqrt(
+      graft.functions.I8Quant.dot(qCode, qCode).toDouble)
+    val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
+    val qv = typedLit(queryVec)
+    val qcells = table("centroids")
+      .withColumn("cos_c", cosine(col("v"), qv))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+      .limit(nprobe)
+      .select(col("c_id").as("probe_cell"))
+    val qdenom = col("qnorm") * lit(qqn)
+    val pre = table("cells_q8")
+      .join(broadcast(qcells), col("cell") === col("probe_cell"))
+      .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
+        .otherwise(
+          call_function("graft_i8_dot", col("code"), lit(qCode))
+            .cast("double") / qdenom))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(rescore)
+      .select("vec_id")
+    val denom = col("norm") * lit(qn)
+    table("cells")
+      .join(broadcast(pre), Seq("vec_id"), "left_semi")
+      .withColumn("cos", when(denom === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), qv) / denom))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** q157 — the quantized serve CERTIFIED against the exact paths,
+    * all four legs read from STORED tables (the q142 serving-
+    * certificate discipline; queries are the q106/q128 probe battery,
+    * nprobe equal, query row excluded for comparability with q128):
+    *
+    *  - `n_probed`       probed candidates (the IVF pruning);
+    *  - `n_overlap_q8`   |int8-ranked top-k ∩ exact FULL-scan top-k| —
+    *                     what serving the codes alone would give;
+    *  - `n_overlap_rescored` the same after full-precision rescore of
+    *                     the top-[[QuantRescoreR]] prefilter window —
+    *                     what [[annServeQuant]] actually serves;
+    *  - `rescore_lossless`  the served list EQUALS the full-precision
+    *                     probed top-k, order included — the rescore
+    *                     window lost nothing vs a full-precision IVF
+    *                     serve, so the composition's recall is ≥ the
+    *                     q128 composed level BY CONSTRUCTION (an
+    *                     exact-on-probed ranking dominates a
+    *                     quantized-on-probed one).
+    *
+    * The oracle re-derives the index, the quantization, all probes
+    * and all four leg rankings from raw embeddings in one statement. */
+  def quantServeRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nprobe, k) = (AnnProbeN, AnnServeK)
+    def stored(t: String) = graft.queries.Warehouse.stored(s, dir, t)
+    val qs = stored("cells").filter(col("vec_id").between(40, 44))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val qs8 = stored("cells_q8").filter(col("vec_id").between(40, 44))
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+        col("qnorm").as("qqn"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val qc = stored("centroids").join(broadcast(qs))
+      .withColumn("cos_c", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
+    // Full-precision probed candidates (query row excluded).
+    val cand = stored("cells")
+      .join(broadcast(qc), col("cell") === col("probe_cell"))
+      .join(broadcast(qs), col("qc_query") === col("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", when(col("norm") * col("qn") === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
+      .select("query_id", "vec_id", "cos")
+    // Int8 prefilter over the same candidates, from the stored codes.
+    val pre = stored("cells_q8")
+      .join(broadcast(qc), col("cell") === col("probe_cell"))
+      .join(broadcast(qs8), col("qc_query") === col("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", when(col("qnorm") * col("qqn") === 0.0, lit(-2.0))
+        .otherwise(
+          call_function("graft_i8_dot", col("code"), col("qcode"))
+            .cast("double") / (col("qnorm") * col("qqn"))))
+      .select("query_id", "vec_id", "cos")
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    def topIds(scored: DataFrame, limit: Int): DataFrame = scored
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= limit)
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("rk"), col("vec_id")))),
+        x => x.getField("vec_id")).as("ids"))
+    // Exact FULL-scan reference (all stored vectors, query excluded).
+    val exact = stored("cells").join(broadcast(qs),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos", when(col("norm") * col("qn") === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
+      .select("query_id", "vec_id", "cos")
+    val preRk = pre.withColumn("rk", row_number().over(wr))
+    val served = cand.join(
+        preRk.filter(col("rk") <= QuantRescoreR)
+          .select(col("query_id").as("pq"), col("vec_id").as("pv")),
+        col("query_id") === col("pq") && col("vec_id") === col("pv"),
+        "left_semi")
+    val nProbed = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_probed"))
+    topIds(exact, k).select(col("query_id"), col("ids").as("exact_ids"))
+      .join(topIds(pre, k).select(col("query_id"), col("ids").as("q8_ids")),
+        Seq("query_id"))
+      .join(topIds(served, k)
+        .select(col("query_id"), col("ids").as("served_ids")), Seq("query_id"))
+      .join(topIds(cand, k)
+        .select(col("query_id"), col("ids").as("probed_ids")), Seq("query_id"))
+      .join(nProbed, Seq("query_id"))
+      .select(col("query_id"), col("n_probed"),
+        size(array_intersect(col("q8_ids"), col("exact_ids"))).cast("long")
+          .as("n_overlap_q8"),
+        size(array_intersect(col("served_ids"), col("exact_ids"))).cast("long")
+          .as("n_overlap_rescored"),
+        (col("served_ids") === col("probed_ids")).as("rescore_lossless"))
+      .orderBy("query_id")
+  }
+
+  val quantServeRecallSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |z8 AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x ->
+       |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x * 127 / scale) END) AS q
+       |  FROM (SELECT vec_id, v,
+       |          list_max(list_transform(v, x -> abs(x))) AS scale
+       |        FROM e)),
+       |z8n AS (
+       |  SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS qn8 FROM z8),
+       |cqe AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM sig
+       |  WHERE vec_id BETWEEN 40 AND 44),
+       |cq8 AS (
+       |  SELECT vec_id AS query_id, q AS qq, qn8 AS qqn FROM z8n
+       |  WHERE vec_id BETWEEN 40 AND 44),
+       |qc AS (
+       |  SELECT query_id, probe_cell FROM (
+       |    SELECT cqe.query_id, c.c_id AS probe_cell,
+       |      row_number() OVER (PARTITION BY cqe.query_id
+       |        ORDER BY ${cosineSqlFor("c.qv", "cqe.qv")} DESC, c.c_id DESC) AS rn
+       |    FROM c, cqe) WHERE rn <= $AnnProbeN),
+       |cand AS (
+       |  SELECT qc.query_id, sig.vec_id,
+       |    CASE WHEN sig.norm * cqe.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, cqe.qv) / (sig.norm * cqe.qn)
+       |      END AS cos
+       |  FROM sig
+       |  JOIN qc ON sig.cell = qc.probe_cell
+       |  JOIN cqe ON cqe.query_id = qc.query_id
+       |  WHERE sig.vec_id <> qc.query_id),
+       |p8 AS (
+       |  SELECT qc.query_id, sig.vec_id,
+       |    CASE WHEN z8n.qn8 * cq8.qqn = 0 THEN -2.0
+       |      ELSE list_inner_product(z8n.q, cq8.qq) / (z8n.qn8 * cq8.qqn)
+       |      END AS cos
+       |  FROM sig
+       |  JOIN qc ON sig.cell = qc.probe_cell
+       |  JOIN z8n ON z8n.vec_id = sig.vec_id
+       |  JOIN cq8 ON cq8.query_id = qc.query_id
+       |  WHERE sig.vec_id <> qc.query_id),
+       |p8r AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM p8),
+       |served0 AS (
+       |  SELECT cand.query_id, cand.vec_id, cand.cos
+       |  FROM cand JOIN p8r
+       |    ON p8r.query_id = cand.query_id AND p8r.vec_id = cand.vec_id
+       |  WHERE p8r.rk <= $QuantRescoreR),
+       |ex AS (
+       |  SELECT cqe.query_id, sig.vec_id,
+       |    CASE WHEN sig.norm * cqe.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, cqe.qv) / (sig.norm * cqe.qn)
+       |      END AS cos
+       |  FROM sig, cqe WHERE sig.vec_id <> cqe.query_id),
+       |le AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM ex)
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |l8 AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM p8r
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |ls AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM served0)
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |lp AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM cand)
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |np AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
+       |  FROM cand GROUP BY query_id)
+       |SELECT le.query_id, np.n_probed,
+       |  CAST(len(list_intersect(l8.ids, le.ids)) AS BIGINT) AS n_overlap_q8,
+       |  CAST(len(list_intersect(ls.ids, le.ids)) AS BIGINT) AS n_overlap_rescored,
+       |  (ls.ids = lp.ids) AS rescore_lossless
+       |FROM le
+       |JOIN l8 ON l8.query_id = le.query_id
+       |JOIN ls ON ls.query_id = le.query_id
+       |JOIN lp ON lp.query_id = le.query_id
+       |JOIN np ON np.query_id = le.query_id
+       |ORDER BY le.query_id""".stripMargin
 
   // ---- q152: refreshed-centroid recall LIFT certification -------------
 

@@ -76,7 +76,7 @@ object Warehouse {
   val TableNames: Seq[String] = Seq(
     "doc_stats", "token_hashes", "signatures", "bands", "clusters", "purge",
     "chunk_digests", "chunk_heavy", "chunk_clusters", "chunk_purge",
-    "centroids", "cells", "sem_purge", "media_digests")
+    "centroids", "cells", "cells_q8", "sem_purge", "media_digests")
 
   private def pointerPath(whDir: String): Path = Paths.get(whDir, "_CURRENT")
 
@@ -507,6 +507,8 @@ object Warehouse {
       val batchCells = Similarity.cellRowsWith(batchEmb.get, cents)
         .localCheckpoint(false)
       appendTable(s, whDir, cur, next, "cells", batchCells)
+      appendTable(s, whDir, cur, next, "cells_q8",
+        Similarity.cellsQ8Of(batchCells))
       val touchedCells = batchCells.select("cell").distinct()
       val recomputed = Similarity.semanticPurgeFromCells(
         readBack("cells")
@@ -524,7 +526,7 @@ object Warehouse {
 
   /** The semantic-grain family [[refreshSemantic]] rewrites;
     * everything else hard-links forward through a refresh. */
-  private val SemTables = Seq("centroids", "cells", "sem_purge")
+  private val SemTables = Seq("centroids", "cells", "cells_q8", "sem_purge")
 
   /** One Lloyd step of the SEMANTIC grain from STORED state only
     * (r14): new centroids = the micro-unit means of each stored
@@ -568,6 +570,7 @@ object Warehouse {
     write("cells", Similarity.assignCellsWith(
         cells.select(col("vec_id"), col("v")), cents)
       .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v")))
+    write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
     write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
     commit(whDir, cur, next)
     next
@@ -689,6 +692,11 @@ object Warehouse {
     measure("centroids", () =>
       write("centroids", Similarity.centroidFrameOf(emb)))
     measure("cells", () => write("cells", Similarity.cellIndexOf(emb)))
+    // The quantized serving tier beside the full-precision rescore
+    // tier (r15 verdict #2): a pure per-row map of the just-written
+    // cells, so the two can never skew.
+    measure("cells_q8", () =>
+      write("cells_q8", Similarity.cellsQ8Of(readBack("cells"))))
     measure("chunk_clusters", () => write("chunk_clusters",
       Dedup.chunkComponentFrameFrom(readBack("chunk_digests"))))
     measure("chunk_purge", () => {
@@ -866,6 +874,8 @@ object Warehouse {
     s"""  SELECT 'bands' AS table_name, 2 * n AS n_rows FROM nd
        |  UNION ALL
        |  SELECT 'cells', CAST(count(*) AS BIGINT) FROM embeddings
+       |  UNION ALL
+       |  SELECT 'cells_q8', CAST(count(*) AS BIGINT) FROM embeddings
        |  UNION ALL
        |  SELECT 'centroids', CAST(count(*) AS BIGINT) FROM embeddings
        |  WHERE vec_id < ${Similarity.CentroidK}
