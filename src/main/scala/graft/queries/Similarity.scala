@@ -1417,8 +1417,23 @@ object Similarity {
     * q146 hybrid fusion ranks on the identical unrounded scores
     * (ranking on display-rounded values could flip near-equal
     * neighbours — the q118 discipline). */
+  /** The vector tombstone list of the memoized fixture store for
+    * `dir` (None — fixtures are never deleted from, so committed
+    * plans are unchanged) — the fold every dense serve applies so a
+    * caller-driven [[graft.queries.Warehouse.deleteVectors]] reaches
+    * ALL of them (r15 verdict #6). */
+  private def fixtureTomb(s: SparkSession, dir: String): Option[DataFrame] =
+    graft.queries.Warehouse.vecTombstones(s,
+      graft.queries.Warehouse.ensure(s, dir))
+
+  private def minusTomb(cells: DataFrame,
+      tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(cells)(t =>
+      cells.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+
   private[queries] def annServeScored(s: SparkSession, dir: String): DataFrame = {
-    val cells = graft.queries.Warehouse.stored(s, dir, "cells")
+    val cells = minusTomb(
+      graft.queries.Warehouse.stored(s, dir, "cells"), fixtureTomb(s, dir))
     val qv = cells.filter(col("vec_id") === AnnQueryId)
       .select(col("v").as("quv"), col("norm").as("qn"))
     val qcells = graft.queries.Warehouse.stored(s, dir, "centroids")
@@ -1512,7 +1527,7 @@ object Similarity {
       nprobe: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     annServeScoredWith(graft.queries.Warehouse.read(s, whDir, _),
-        queryVec, nprobe)
+        queryVec, nprobe, graft.queries.Warehouse.vecTombstones(s, whDir))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
@@ -1523,15 +1538,18 @@ object Similarity {
   private[queries] def annServeScoredRequest(s: SparkSession, dir: String,
       queryVec: Seq[Double], nprobe: Int): DataFrame =
     annServeScoredWith(graft.queries.Warehouse.stored(s, dir, _),
-      queryVec, nprobe)
+      queryVec, nprobe, fixtureTomb(s, dir))
 
   /** The ONE parameterized probe implementation, over any table
     * reader (memoized fixture store or an explicit warehouse). The
     * driver-side query norm is the same sequential fold the kernel
     * runs (the assignCellsWith discipline), so it is bit-identical to
-    * the oracle's sqrt(list_inner_product(qv, qv)). */
+    * the oracle's sqrt(list_inner_product(qv, qv)). Tombstoned
+    * vectors (r15 verdict #6) anti-join out of the candidate read
+    * before scoring. */
   private def annServeScoredWith(table: String => DataFrame,
-      queryVec: Seq[Double], nprobe: Int): DataFrame = {
+      queryVec: Seq[Double], nprobe: Int,
+      tomb: Option[DataFrame] = None): DataFrame = {
     require(queryVec.nonEmpty, "annServe needs a query vector")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
@@ -1542,7 +1560,7 @@ object Similarity {
       .limit(nprobe)
       .select(col("c_id").as("probe_cell"))
     val denom = col("norm") * lit(qn)
-    table("cells")
+    minusTomb(table("cells"), tomb)
       .join(broadcast(qcells), col("cell") === col("probe_cell"))
       .withColumn("cos", when(denom === 0.0, lit(-2.0))
         .otherwise(dot(col("v"), qv) / denom))
@@ -1579,7 +1597,15 @@ object Similarity {
     s"""sig AS (
        |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
        |  FROM a WHERE rn = 1),
-       |aqp AS (SELECT v AS quv, sqrt(list_inner_product(v, v)) AS qn
+       |${annRequestProbeTailCteSql(vecId, nprobe)}""".stripMargin
+
+  /** The aqp → aqc → aqcand TAIL of the parameterized probe chain —
+    * expects `sig` already in scope (the q158 vector-delete oracle
+    * supplies a FILTERED sig; the standard form splices the full
+    * one). */
+  private[queries] def annRequestProbeTailCteSql(vecId: Long,
+      nprobe: Int): String =
+    s"""aqp AS (SELECT v AS quv, sqrt(list_inner_product(v, v)) AS qn
        |        FROM e WHERE vec_id = $vecId),
        |aqc AS (
        |  SELECT c_id AS probe_cell FROM c, aqp
@@ -1630,17 +1656,18 @@ object Similarity {
   def annServeBatch(s: SparkSession, dir: String,
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame =
     annServeBatchWith(s, graft.queries.Warehouse.stored(s, dir, _),
-      requests, nprobe, k)
+      requests, nprobe, k, fixtureTomb(s, dir))
 
   /** [[annServeBatch]] against an EXPLICIT warehouse directory — the
     * product form for callers owning their own index builds. */
   def annServeBatchFrom(s: SparkSession, whDir: String,
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame =
     annServeBatchWith(s, graft.queries.Warehouse.read(s, whDir, _),
-      requests, nprobe, k)
+      requests, nprobe, k, graft.queries.Warehouse.vecTombstones(s, whDir))
 
   private def annServeBatchWith(s: SparkSession, table: String => DataFrame,
-      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      tomb: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
@@ -1662,7 +1689,7 @@ object Similarity {
         col("c_id").as("probe_cell"))
     val denom = col("norm") * col("qn")
     val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
-    table("cells")
+    minusTomb(table("cells"), tomb)
       .join(broadcast(probes), col("cell") === col("probe_cell"))
       .withColumn("cos", when(denom === 0.0, lit(-2.0))
         .otherwise(dot(col("v"), col("qv")) / denom))
@@ -1757,17 +1784,19 @@ object Similarity {
   def annServeQuant(s: SparkSession, dir: String, queryVec: Seq[Double],
       nprobe: Int, k: Int, rescore: Int = QuantRescoreR): DataFrame =
     annServeQuantWith(graft.queries.Warehouse.stored(s, dir, _),
-      queryVec, nprobe, k, rescore)
+      queryVec, nprobe, k, rescore, fixtureTomb(s, dir))
 
   /** [[annServeQuant]] against an explicit warehouse directory. */
   def annServeQuantFrom(s: SparkSession, whDir: String,
       queryVec: Seq[Double], nprobe: Int, k: Int,
       rescore: Int = QuantRescoreR): DataFrame =
     annServeQuantWith(graft.queries.Warehouse.read(s, whDir, _),
-      queryVec, nprobe, k, rescore)
+      queryVec, nprobe, k, rescore,
+      graft.queries.Warehouse.vecTombstones(s, whDir))
 
   private def annServeQuantWith(table: String => DataFrame,
-      queryVec: Seq[Double], nprobe: Int, k: Int, rescore: Int): DataFrame = {
+      queryVec: Seq[Double], nprobe: Int, k: Int, rescore: Int,
+      tomb: Option[DataFrame] = None): DataFrame = {
     require(queryVec.nonEmpty, "annServeQuant needs a query vector")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(k > 0, s"k must be positive, got $k")
@@ -1786,7 +1815,9 @@ object Similarity {
       .limit(nprobe)
       .select(col("c_id").as("probe_cell"))
     val qdenom = col("qnorm") * lit(qqn)
-    val pre = table("cells_q8")
+    // The prefilter's exclusion suffices for the rescore too: the
+    // rescore semi-joins only the surviving prefilter ids.
+    val pre = minusTomb(table("cells_q8"), tomb)
       .join(broadcast(qcells), col("cell") === col("probe_cell"))
       .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
         .otherwise(
@@ -1993,6 +2024,67 @@ object Similarity {
        |JOIN lp ON lp.query_id = le.query_id
        |JOIN np ON np.query_id = le.query_id
        |ORDER BY le.query_id""".stripMargin
+
+  // ---- q158: vector-grain deletes SERVED (r15 verdict #6) ------------
+
+  /** The q158 pinned delete wave: every vec_id ≡ [[VecDeleteRem]]
+    * (mod [[VecDeleteMod]]) — includes a centroid seed (vec 4), so
+    * the certificate also pins that deletes do NOT refit centroids
+    * (build artifacts; [[refreshRecallLift]]'s refresh is the refit
+    * path). The q150 request vector (123 ≡ 6 mod 9) survives the
+    * wave. */
+  private[queries] val VecDeleteMod = 9L
+  private[queries] val VecDeleteRem = 4L
+
+  private val vecPurgedWh =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized VECTOR-PURGED fixture store: full warehouse build,
+    * then one [[graft.queries.Warehouse.deleteVectors]] wave — the
+    * dense-family analogue of `RetrievalIndex.ensurePurged`. */
+  private[queries] def ensureVecPurged(s: SparkSession,
+      dir: String): String =
+    vecPurgedWh.computeIfAbsent(dir, _ => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-vecpurged-wh").toString
+      graft.queries.Warehouse.build(s, dir, wh)
+      graft.queries.Warehouse.deleteVectors(s, wh,
+        Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(VecDeleteMod)) === lit(VecDeleteRem))
+          .select("vec_id"))
+      wh
+    })
+
+  /** q158 — caller-driven vector deletes REACHING the serve path: the
+    * q150 parameterized request answered from a store whose delete
+    * wave is only a broadcast tombstone list (cells hard-linked
+    * forward untouched, O(deletes) write). The served ranking must
+    * equal a from-scratch probe over the remaining vectors — with the
+    * centroids still the BUILD's (deletes don't refit) — which the
+    * oracle re-derives from raw embeddings by filtering the delete
+    * rule out of the candidate set only. The registered plan carries
+    * the broadcast anti-join (PlanShapeSpec pins it) and zero corpus
+    * scans on the candidate side. */
+  def vecDeleteServe(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(ParamQueryVecId))
+      .select(doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    annServeFrom(s, ensureVecPurged(s, dir), qv, ParamNprobe, ParamAnnK)
+  }
+
+  val vecDeleteServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig0 AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |sig AS (SELECT * FROM sig0
+       |        WHERE vec_id % $VecDeleteMod <> $VecDeleteRem),
+       |${annRequestProbeTailCteSql(ParamQueryVecId, ParamNprobe)}
+       |SELECT vec_id, cell, round(cos, 6) AS cosine
+       |FROM aqcand
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT $ParamAnnK""".stripMargin
 
   // ---- q152: refreshed-centroid recall LIFT certification -------------
 

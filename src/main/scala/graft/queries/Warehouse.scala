@@ -520,8 +520,105 @@ object Warehouse {
         .select(spCols.map(col): _*))
     })
 
+    linkVecTombstones(whDir, cur, next)
     commit(whDir, cur, next, streamBatchId.getOrElse(-1L), streamId)
     next
+  }
+
+  // ---- vector-grain deletes of the dense family (r15 verdict #6) ----
+
+  /** The broadcast-safe tombstone ceiling — every dense serve
+    * anti-joins the list, so it ships to every executor per request
+    * (the `RetrievalIndex.DefaultMaxTombstones` contract at the
+    * vector grain). */
+  val MaxVecTombstones = 1000000L
+
+  private def vecTombstoneDir(whDir: String, ver: Long): Path =
+    Paths.get(whDir, s"v=$ver", "vec_tombstones")
+
+  /** The current snapshot's tombstoned vec_ids, if any — what every
+    * dense serve path (param, quantized, batch; fixture or explicit
+    * store) folds into its candidate read. Absent on never-deleted
+    * stores, so committed fixture plans are unchanged. */
+  private[queries] def vecTombstones(s: SparkSession,
+      whDir: String): Option[DataFrame] =
+    if (Files.isDirectory(vecTombstoneDir(whDir, version(whDir))))
+      Some(s.read.parquet(vecTombstoneDir(whDir, version(whDir)).toString))
+    else None
+
+  /** Carry the vector tombstone table into a new version — every
+    * writer that hard-links `cells` forward calls this (tombstoned
+    * rows survive in the linked files, so the suppression list must
+    * outlive merges and compactions). The SEMANTIC REFRESH is the
+    * deliberate exception: it rewrites the whole semantic family, so
+    * it drops dead rows physically and does NOT carry the list. */
+  private def linkVecTombstones(whDir: String, cur: Long,
+      next: Long): Unit =
+    if (Files.isDirectory(vecTombstoneDir(whDir, cur)))
+      linkTableForward(whDir, cur, next, "vec_tombstones")
+
+  /** DELETE vectors from the dense index WITHOUT touching the cells
+    * files — the `RetrievalIndex.deleteDocs` deletion-vector
+    * discipline at the vector grain: cells/cells_q8 hard-link
+    * forward, a broadcast-sized `vec_tombstones` table (vec_id)
+    * records the suppressed rows, and every dense serve path
+    * anti-joins it before scoring, so a served ranking equals one
+    * over the remaining vectors exactly (q158 certifies it) at
+    * O(deletes) write cost. Centroids are deliberately NOT refit —
+    * they are build-time artifacts (deleting a seed vector does not
+    * un-seed its centroid); [[refreshSemantic]] is the refit path,
+    * and doubles as the physical purge: its semantic-family rewrite
+    * drops dead rows and clears the list. `compact(purgeVecTombstones
+    * = true)` is the purge without the refit. Refuses vec_ids with no
+    * stored cell row (nothing honest to suppress), is idempotent on
+    * already-deleted ids, and bounds the total at `maxTombstones`.
+    * The doc-grain and chunk-grain tables are untouched: a vector
+    * delete is an index decision, not a document purge (pair with
+    * `RetrievalIndex.deleteDocs` for the full-document flow). */
+  def deleteVectors(s: SparkSession, whDir: String, vecs: DataFrame,
+      maxTombstones: Long = MaxVecTombstones): Long = {
+    import s.implicits._
+    val cur = version(whDir)
+    require(cur > 0, s"deleteVectors needs a committed snapshot in $whDir")
+    require(Files.isDirectory(Paths.get(whDir, s"v=$cur", "cells")),
+      s"deleteVectors needs the semantic grain; $whDir has no cells table")
+    val prior = vecTombstones(s, whDir)
+    val ids = vecs.select("vec_id").dropDuplicates("vec_id")
+    val freshIds = prior.fold(ids)(p =>
+      ids.join(p.select("vec_id"), Seq("vec_id"), "left_anti")).cache()
+    val fresh = read(s, whDir, "cells").select("vec_id")
+      .join(broadcast(freshIds), Seq("vec_id"), "left_semi")
+      .cache()
+    try {
+      val nFresh = fresh.count()
+      val nIn = freshIds.count()
+      if (nFresh != nIn) {
+        val missing = freshIds.join(fresh, Seq("vec_id"), "left_anti")
+          .limit(5).collect().map(_.getLong(0))
+        throw new IllegalArgumentException(
+          s"deleteVectors: ${nIn - nFresh} vec_id(s) have no stored cell " +
+            s"row in $whDir (e.g. ${missing.mkString(", ")}); refusing")
+      }
+      val nPrior = prior.fold(0L)(_.count())
+      require(nPrior + nFresh <= maxTombstones,
+        s"deleteVectors: ${nPrior + nFresh} total tombstones would exceed " +
+          s"the broadcast-safe bound $maxTombstones — run compact(" +
+          "purgeVecTombstones = true) or refreshSemantic (both clear the " +
+          "list physically)")
+      val next = cur + 1
+      freshVersionDir(whDir, next)
+      val present = TableNames.filter(t =>
+        Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
+      present.foreach(t => linkTableForward(whDir, cur, next, t))
+      prior.fold(fresh.toDF("vec_id"))(p => p.unionByName(fresh))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(vecTombstoneDir(whDir, next).toString)
+      commit(whDir, cur, next)
+      next
+    } finally {
+      fresh.unpersist()
+      freshIds.unpersist()
+    }
   }
 
   /** The semantic-grain family [[refreshSemantic]] rewrites;
@@ -563,7 +660,12 @@ object Warehouse {
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$base/$name")
     def readBack(name: String): DataFrame = s.read.parquet(s"$base/$name")
-    val cells = read(s, whDir, "cells")
+    // Tombstoned vectors drop out HERE, physically: the refresh
+    // rewrites the whole semantic family anyway, so the refit both
+    // excludes dead vectors from the new means/assignment and purges
+    // their rows — the tombstone list is NOT carried forward (the
+    // deferred physical-delete the deletion-vector discipline owes).
+    val cells = liveCells(s, whDir)
     val cents = refreshedCentroids(s, whDir)
     import s.implicits._
     write("centroids", cents.toSeq.toDF("c_id", "v"))
@@ -579,9 +681,18 @@ object Warehouse {
   /** The refreshed centroid literals (c_id = cell, element =
     * mean_micro / 1e6) — k·dim rows, ALWAYS driver-small (the q72
     * contract: k grows with the corpus, k·dim stays kilobytes). */
+  /** The stored cells MINUS any tombstoned vectors — the frame every
+    * refit statistic (means, drift) and the refresh itself operate
+    * on: a deleted vector must not pull a centroid. */
+  private def liveCells(s: SparkSession, whDir: String): DataFrame = {
+    val cells0 = read(s, whDir, "cells")
+    vecTombstones(s, whDir).fold(cells0)(t =>
+      cells0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+  }
+
   private def refreshedCentroids(s: SparkSession,
       whDir: String): Array[(Long, Seq[Double])] =
-    Similarity.lloydMeansOf(read(s, whDir, "cells"))
+    Similarity.lloydMeansOf(liveCells(s, whDir))
       .collect()
       .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
       .map { case (cell, rows) =>
@@ -596,7 +707,7 @@ object Warehouse {
   def semanticDriftMicro(s: SparkSession, whDir: String): Long = {
     val storedCents = read(s, whDir, "centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
-    Similarity.lloydMeansOf(read(s, whDir, "cells")).collect()
+    Similarity.lloydMeansOf(liveCells(s, whDir)).collect()
       .foldLeft(0L) { (acc, r) =>
         val cm = storedCents.get(r.getLong(0))
           .map(v => math.floor(v(r.getInt(1)) * 1e6 + 0.5).toLong)
@@ -625,29 +736,45 @@ object Warehouse {
     * discipline lifted to the multi-table snapshot. At 100 TB the
     * same pass sizes `targetFiles` per table from bytes / target file
     * size and runs per partition range. */
-  def compact(s: SparkSession, whDir: String, targetFiles: Int = 1): Long = {
+  def compact(s: SparkSession, whDir: String, targetFiles: Int = 1,
+      purgeVecTombstones: Boolean = false): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val cur = version(whDir)
     require(cur > 0, s"compact needs a committed snapshot in $whDir")
     val next = cur + 1
     freshVersionDir(whDir, next)
     // Only tables present in THIS snapshot are considered (a doc-chain
-    // warehouse has six; a full build fourteen) — and of those, only
+    // warehouse has six; a full build fifteen) — and of those, only
     // the FRAGMENTED ones are rewritten (r14): a table already at or
     // under the target file count hard-links forward, so compaction
     // I/O is O(what fragmented), not O(index). Merge-driven
     // fragmentation concentrates in the append-leaf tables; the
     // derived tables a merge rewrites whole arrive already coalesced.
+    // `purgeVecTombstones` forces the two dense-index tables through
+    // the rewrite with the dead rows dropped (the deferred physical
+    // delete, r15 verdict #6) and clears the tombstone list.
+    val dead =
+      if (purgeVecTombstones) vecTombstones(s, whDir).map(broadcast(_))
+      else None
     val present = TableNames.filter(t =>
       Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
     present.foreach { t =>
+      val isDense = t == "cells" || t == "cells_q8"
       val dataFiles = Option(
           new java.io.File(s"$whDir/v=$cur/$t").listFiles()).getOrElse(Array())
         .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      if (dataFiles <= targetFiles) linkTableForward(whDir, cur, next, t)
-      else read(s, whDir, t).coalesce(targetFiles)
-        .write.mode("overwrite").parquet(s"$whDir/v=$next/$t")
+      if (dataFiles <= targetFiles && !(isDense && dead.nonEmpty))
+        linkTableForward(whDir, cur, next, t)
+      else {
+        val rows = read(s, whDir, t)
+        (if (isDense) dead.fold(rows)(d =>
+            rows.join(d, Seq("vec_id"), "left_anti"))
+          else rows)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(s"$whDir/v=$next/$t")
+      }
     }
+    if (dead.isEmpty) linkVecTombstones(whDir, cur, next)
     commit(whDir, cur, next)
     next
   }

@@ -60,7 +60,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q152_refresh_recall",   // broadcast 5 probe vectors × corpus (q106 shape), both legs
     "q154_bm25_serve_batch", // 1-row stats broadcast shared by all 60 requests (q149 idiom)
     "q155_ann_serve_batch",  // broadcast 60-request frame × k centroids (q46 probe shape)
-    "q156_hybrid_serve_batch") // both batch legs' bounded broadcasts (q154+q155 shapes)
+    "q156_hybrid_serve_batch", // both batch legs' bounded broadcasts (q154+q155 shapes)
+    "q157_quant_serve")      // broadcast 5-probe battery × stored index (q106 shape)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -160,12 +161,41 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q155_ann_serve_batch") should include("graft-warehouse")
     plans("q155_ann_serve_batch") should not include "embeddings.parquet"
     plans("q155_ann_serve_batch") should not include "documents.parquet"
-    // q156: the fused plan composes exactly those two stored reads.
-    plans("q156_hybrid_serve_batch") should include("graft-retr-wh")
-    plans("q156_hybrid_serve_batch") should include("graft-warehouse")
-    plans("q156_hybrid_serve_batch") should not include "documents.parquet"
-    plans("q156_hybrid_serve_batch") should not include "embeddings.parquet"
-    plans("q156_hybrid_serve_batch") should include("PartitionFilters")
+    // q156: the registered frame is the driver-side fusion of the
+    // two already-collected leg arrays (the legs overlap on the leg
+    // pool), so the corpus-free property is pinned on the LEG plans
+    // the fusion collects — the same q154/q155 batch frames.
+    val sparseLeg = RetrievalIndex.bm25ServeBatch(spark,
+      RetrievalIndex.ensure(spark, sfDir),
+      RetrievalIndex.batchHybridTermReqs, TextOps.Bm25K)
+      .queryExecution.executedPlan.toString
+    sparseLeg should include("graft-retr-wh")
+    sparseLeg should not include "documents.parquet"
+    sparseLeg should include("PartitionFilters")
+    val vecs = Warehouse.stored(spark, sfDir, "cells")
+      .filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(RetrievalIndex.BatchHybridVecIds: _*))
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val denseLeg = Similarity.annServeBatch(spark, sfDir, vecs,
+      Similarity.AnnProbeN, Similarity.AnnServeK)
+      .queryExecution.executedPlan.toString
+    denseLeg should include("graft-warehouse")
+    denseLeg should not include "embeddings.parquet"
+    denseLeg should not include "documents.parquet"
+  }
+
+  test("vector-delete serving anti-joins the broadcast tombstones, zero corpus scans") {
+    // q158: the delete wave is ONLY a broadcast tombstone list — the
+    // candidate read excludes it via a broadcast anti-join (pinned),
+    // cells hard-link forward, and neither raw table appears on the
+    // candidate side (the one embeddings read is the driver-side
+    // request-vector fetch, which happens before the returned plan).
+    plans("q158_vec_delete_serve") should include("graft-vecpurged-wh")
+    plans("q158_vec_delete_serve") should not include "documents.parquet"
+    plans("q158_vec_delete_serve") should not include "embeddings.parquet"
+    plans("q158_vec_delete_serve").toLowerCase should include("leftanti")
+    plans("q158_vec_delete_serve") should include("vec_tombstones")
   }
 
   test("the media purge's candidate stage reads stored digests, never payloads") {
