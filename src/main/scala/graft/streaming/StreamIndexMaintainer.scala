@@ -104,4 +104,36 @@ object StreamIndexMaintainer {
       .foreachBatch(retrievalSink(s, whDir,
         () => checkpointQueryId(checkpointDir)) _)
       .start()
+
+  /** The PAIR sink (r15 verdict #7): one micro-batch delivered to
+    * BOTH index stores — the dedup/ANN warehouse and the retrieval
+    * index — under one stream identity, so the hybrid read path's
+    * two legs track one corpus state. The two commits are not
+    * atomic ACROSS stores; a crash between them leaves the pair one
+    * batch apart, which `StreamConsistency.audit` refuses — and
+    * which SELF-HEALS on restart: the checkpoint re-delivers the
+    * batch, the already-committed store no-ops it as a certified
+    * replay, the other applies it, and the marks reconverge. The
+    * warehouse commits first, so the healing window is always
+    * "warehouse ahead", never "retrieval ahead then double-applied". */
+  def dualSink(s: SparkSession, whDir: String, retrDir: String,
+      embOf: (DataFrame, Long) => Option[DataFrame],
+      streamId: () => Option[String] = () => None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    sink(s, whDir, embOf, streamId)(batch, batchId)
+    retrievalSink(s, retrDir, streamId)(batch, batchId)
+  }
+
+  /** Attach the pair maintainer to a streaming `docs` frame — both
+    * stores maintained from ONE checkpoint (one identity, one batch
+    * sequence). */
+  def runDual(s: SparkSession, whDir: String, retrDir: String,
+      docs: DataFrame, embOf: (DataFrame, Long) => Option[DataFrame],
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(dualSink(s, whDir, retrDir, embOf,
+        () => checkpointQueryId(checkpointDir)) _)
+      .start()
 }
