@@ -799,6 +799,20 @@ object Bench {
               graft.queries.Similarity.annServeQuantFrom(spark, whFull,
                 qvec, nprobe = 2, k = 10).collect(); ()
             }
+            // Drift-gated refresh UNTIL CONVERGED (r15 verdict #5) at
+            // corpus scale: per-step cost is the q72 k·dim-group
+            // shuffle + a map-only re-assignment — flat in k·dim, so
+            // the row's wall divided by its step count is the per-step
+            // figure the refit budget plans on.
+            var refreshSteps = 0
+            bf += stageRow("refresh_converged") {
+              refreshSteps = graft.queries.Warehouse
+                .refreshSemanticUntilConverged(spark, whFull,
+                  thresholdMicro = graft.queries.Similarity.LloydEpsMicro,
+                  maxSteps = 4)
+            }
+            System.err.println(
+              s"[bench] refresh_converged ran $refreshSteps step(s)")
             val cr = new scala.collection.mutable.ArrayBuffer[StageRow]
             val curOut = java.nio.file.Files
               .createTempDirectory("graft-bench-cur").toString

@@ -2113,6 +2113,35 @@ object Similarity {
     cents
   }
 
+  /** Per-step max-|Δ| drift trace (micro units) of `steps` Lloyd
+    * iterations from the first-k seeding — drift of step i = the
+    * [[graft.queries.Warehouse.semanticDriftMicro]] statistic between
+    * step i's micro means and step i−1's centroids. Driver-held
+    * k·dim state, one Spark job per step (the refinedCentroids
+    * shape + the drift fold). */
+  private[graft] def lloydDriftTrace(e: DataFrame,
+      steps: Int): Seq[Long] = {
+    var cents = collectCentroids(e)
+    (1 to steps).map { _ =>
+      val prevMicro = cents.map { case (id, v) =>
+        id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      }.toMap
+      val rows = lloydMeansOf(assignCellsWith(e, cents)).collect()
+      val drift = rows.foldLeft(0L) { (acc, r) =>
+        val cm = prevMicro.get(r.getLong(0))
+          .map(_(r.getInt(1))).getOrElse(0L)
+        math.max(acc, math.abs(r.getLong(3) - cm))
+      }
+      cents = rows
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cell, rs) =>
+          (cell, rs.sortBy(_.getInt(1))
+            .map(_.getLong(3).toDouble / 1e6).toSeq)
+        }.toArray
+      drift
+    }
+  }
+
   /** One-pass (exact top-10 ∩ probed top-10) overlap per probe query
     * under an EXPLICIT centroid set — the q106 certification shape
     * with the centroid basis as a parameter (same 5 queries, same
@@ -2289,6 +2318,157 @@ object Similarity {
        |  (sum(ovr) OVER () >= sum(ovb) OVER ()) AS refresh_no_worse
        |FROM res
        |ORDER BY query_id""".stripMargin
+  }
+
+  // ---- q160: drift-gated Lloyd refresh UNTIL CONVERGED (r15 #5) ------
+
+  /** Convergence gate of the iterated refresh: stop when a step moves
+    * no centroid coordinate by ≥ [[LloydEpsMicro]] micro units (the
+    * [[graft.queries.Warehouse.semanticDriftMicro]] statistic), bound
+    * the loop at [[LloydMaxSteps]]. ε sits above the measured
+    * micro-rounded plateau (~8–30k micro at the fixtures after the
+    * first step's ~300k) — Lloyd on micro-unit means dithers around
+    * its fixed point rather than reaching drift 0, so "converged"
+    * means "inside the dither band", the statistic a production
+    * refresh job actually gates on. */
+  private[queries] val LloydMaxSteps = 4
+  private[graft] val LloydEpsMicro = 25000L
+
+  /** q160 — the ITERATED, drift-gated refresh (r15 verdict #5: q152
+    * pins a fixed 2-step refresh; a production refit runs until the
+    * gate closes). One row per EXECUTED step (the loop stops at the
+    * first converged step or at the bound):
+    *
+    *  - `drift_micro`  the step's max coordinate movement — the gate;
+    *  - `converged`    drift < ε (true exactly on the last row unless
+    *                   the bound cut the loop);
+    *  - `recall_sum`   Σ over the 5-probe battery of probed
+    *                   overlap@10 under THAT step's centroids (the
+    *                   q152 leg per step);
+    *  - `converged_no_worse_than_build`  recall at the final executed
+    *                   step ≥ the BUILD seeding's recall — the q152
+    *                   lift property certified at the CONVERGED
+    *                   point (true at every fixture SF: 25/23/21 vs
+    *                   build 19/21/20). Probed recall under a k-cell
+    *                   partition is not monotone in Lloyd steps
+    *                   (moving centroids shifts cell boundaries, and
+    *                   a step can trade one query's probed set
+    *                   against another's — the sf0.01 trace dips
+    *                   24 → 23 between steps 2 and 3), so the honest
+    *                   invariant is against the baseline the refresh
+    *                   exists to beat, not against the previous step.
+    *
+    * The oracle re-derives every step's means, drift, assignment and
+    * recall leg from raw embeddings, and applies the same stop rule
+    * (steps ≤ first-converged-or-bound), so the loop's control flow
+    * itself is certified, not just its final state. */
+  /** Probed recall_sum of the BUILD seeding (step 0) — the q152
+    * baseline the converged refresh is certified against. */
+  private[graft] def buildRecallSumOf(e: DataFrame): Long =
+    probedOverlap(e, collectCentroids(e))
+      .agg(coalesce(sum(col("n_overlap")), lit(0L))).collect()(0).getLong(0)
+
+  def lloydConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+    var cents = collectCentroids(e)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean, Long)]()
+    var step = 1
+    var done = false
+    while (step <= LloydMaxSteps && !done) {
+      val prevMicro = cents.map { case (id, v) =>
+        id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      }.toMap
+      val rows = lloydMeansOf(assignCellsWith(e, cents)).collect()
+      val drift = rows.foldLeft(0L) { (acc, r) =>
+        val cm = prevMicro.get(r.getLong(0))
+          .map(_(r.getInt(1))).getOrElse(0L)
+        math.max(acc, math.abs(r.getLong(3) - cm))
+      }
+      cents = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cell, rs) =>
+          (cell, rs.sortBy(_.getInt(1))
+            .map(_.getLong(3).toDouble / 1e6).toSeq)
+        }.toArray
+      val recallSum = probedOverlap(e, cents)
+        .agg(coalesce(sum(col("n_overlap")), lit(0L))).collect()(0).getLong(0)
+      val conv = drift < LloydEpsMicro
+      out += ((step.toLong, drift, conv, recallSum))
+      done = conv
+      step += 1
+    }
+    val recallFinal = out.last._4
+    val recallBuild = buildRecallSumOf(e)
+    out.toSeq.toDF("step", "drift_micro", "converged", "recall_sum")
+      .withColumn("converged_no_worse_than_build",
+        lit(recallFinal >= recallBuild))
+      .orderBy("step")
+  }
+
+  val lloydConvergeSql: String = {
+    val chain = (0 until LloydMaxSteps).map { i =>
+      lloydAssignCteSql(s"cent$i", s"s$i", s"a$i") + ",\n" +
+        lloydStepCteSql(s"a$i", s"x$i", s"m$i", s"cent${i + 1}")
+    }.mkString(",\n")
+    val lastAssign =
+      lloydAssignCteSql(s"cent$LloydMaxSteps", "sfin",
+        s"a$LloydMaxSteps")
+    // Step i's means live in the chain's m${i-1} CTE (the chain
+    // names its stage outputs by the SOURCE centroid index).
+    val drifts = (1 to LloydMaxSteps).map { i =>
+      s"""d$i AS (
+         |  SELECT max(abs(m.mean_micro -
+         |    CAST(floor(c.cv[m.pos + 1] * 1e6 + 0.5) AS BIGINT))) AS drift
+         |  FROM m${i - 1} m JOIN cent${i - 1} c ON c.c_id = m.cell)""".stripMargin
+    }.mkString(",\n")
+    val legs = (0 to LloydMaxSteps)
+      .map(i => recallLegCteSql(s"cent$i", s"$i")).mkString(",\n")
+    val sums = (0 to LloydMaxSteps).map { i =>
+      s"""rs$i AS (
+         |  SELECT CAST($i AS BIGINT) AS step,
+         |    CAST(sum(len(list_intersect(le.ids, li$i.ids))) AS BIGINT)
+         |      AS recall_sum
+         |  FROM le JOIN li$i ON li$i.query_id = le.query_id)""".stripMargin
+    }.mkString(",\n")
+    val driftRows = (1 to LloydMaxSteps).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, (SELECT drift FROM d$i) AS drift_micro")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $CentroidK),
+       |$chain,
+       |$lastAssign,
+       |$drifts,
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id BETWEEN 40 AND 44),
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qs.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${cosineSqlFor("e.v", "qs.qv")} DESC, e.vec_id ASC) AS rk
+       |    FROM e, qs WHERE e.vec_id <> qs.query_id) WHERE rk <= 10),
+       |le AS (SELECT query_id, list(vec_id) AS ids FROM ex GROUP BY query_id),
+       |$legs,
+       |$sums,
+       |ds AS (
+       |  $driftRows),
+       |rsall AS (${(0 to LloydMaxSteps).map(i => s"SELECT * FROM rs$i")
+           .mkString(" UNION ALL ")}),
+       |sel AS (
+       |  SELECT COALESCE((SELECT min(step) FROM ds
+       |                   WHERE drift_micro < $LloydEpsMicro),
+       |    $LloydMaxSteps) AS s_last)
+       |SELECT ds.step, ds.drift_micro,
+       |  ds.drift_micro < $LloydEpsMicro AS converged,
+       |  rsall.recall_sum,
+       |  ((SELECT recall_sum FROM rsall, sel WHERE rsall.step = sel.s_last)
+       |    >= (SELECT recall_sum FROM rsall WHERE rsall.step = 0))
+       |    AS converged_no_worse_than_build
+       |FROM ds JOIN rsall ON rsall.step = ds.step, sel
+       |WHERE ds.step <= sel.s_last
+       |ORDER BY ds.step""".stripMargin
   }
 
   // ---- q148: sem-purge-aware ANN serving -----------------------------

@@ -725,6 +725,27 @@ object Warehouse {
       Some(refreshSemantic(s, whDir))
     else None
 
+  /** Drift-gated refresh UNTIL CONVERGED (r15 verdict #5): iterate
+    * [[refreshSemanticIfDrifted]] until the drift statistic falls to
+    * `thresholdMicro` or the step bound cuts the loop — the
+    * production refit job in one call (q160 certifies the identical
+    * step/gate control flow against a from-raw re-derivation;
+    * `Similarity.LloydEpsMicro` documents the ε choice: micro-unit
+    * Lloyd dithers around its fixed point, so the gate closes at the
+    * dither band, not at zero). Each executed step is one committed
+    * snapshot version — a crash between steps leaves a valid,
+    * partially-refitted store the next run resumes gating on.
+    * Returns the number of refresh steps committed. */
+  def refreshSemanticUntilConverged(s: SparkSession, whDir: String,
+      thresholdMicro: Long, maxSteps: Int = 8): Int = {
+    require(maxSteps > 0, s"maxSteps must be positive, got $maxSteps")
+    var n = 0
+    while (n < maxSteps &&
+        refreshSemanticIfDrifted(s, whDir, thresholdMicro).nonEmpty)
+      n += 1
+    n
+  }
+
   /** Compact every table of the current snapshot to `targetFiles`
     * parquet files — the small-files maintenance pass a merge-driven
     * warehouse needs (each [[mergeBatch]] union-write inherits the

@@ -51,4 +51,26 @@ class RefreshRecallSpec extends AnyFunSuite with SparkFixture {
     assert(totalRefresh == 50L,
       s"refreshed recall not perfect on the plant: $totalRefresh/50")
   }
+
+  test("refreshSemanticUntilConverged iterates the drift gate to quiescence (r15 #5)") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-refresh-conv").toString
+    Warehouse.build(spark, sfDir, wh)
+    val v0 = Warehouse.version(wh)
+    val eps = Similarity.LloydEpsMicro
+    val steps = Warehouse.refreshSemanticUntilConverged(spark, wh,
+      thresholdMicro = eps, maxSteps = 6)
+    // The fixture's first-k seeding is far from the means: at least
+    // one step runs, each committed as its own snapshot version, and
+    // the loop ends either inside the dither band or at the bound.
+    assert(steps >= 1 && steps <= 6)
+    assert(Warehouse.version(wh) == v0 + steps)
+    if (steps < 6)
+      assert(Warehouse.semanticDriftMicro(spark, wh) <= eps,
+        "an early stop must mean the gate closed")
+    // Idempotent at quiescence: a converged store refreshes no more.
+    if (steps < 6)
+      assert(Warehouse.refreshSemanticUntilConverged(spark, wh,
+        thresholdMicro = eps, maxSteps = 6) == 0)
+  }
 }
