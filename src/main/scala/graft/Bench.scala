@@ -813,6 +813,20 @@ object Bench {
             }
             System.err.println(
               s"[bench] refresh_converged ran $refreshSteps step(s)")
+            // INCREMENTAL media dedup at corpus scale (r15 verdict
+            // #4): the daily upload slice's digests (real container +
+            // decode path) probe the stored media_digests — the
+            // standing side is a map-only band projection joined with
+            // the BROADCAST batch bands, so the stage's shuffle bytes
+            // stay flat in the index size.
+            bf += stageRow("media_increment") {
+              val isNewMedia = pmod(col("doc_id"), lit(10L)) === lit(6L)
+              graft.queries.TextOps.mediaIncrementOf(
+                graft.queries.TextOps.mediaDigestsOf(docs.filter(isNewMedia)),
+                graft.queries.Warehouse.read(spark, whFull, "media_digests")
+                  .filter(pmod(col("media_id"), lit(10L)) =!= lit(6L)))
+                .count(); ()
+            }
             val cr = new scala.collection.mutable.ArrayBuffer[StageRow]
             val curOut = java.nio.file.Files
               .createTempDirectory("graft-bench-cur").toString

@@ -105,6 +105,56 @@ class MediaPhashSpec extends AnyFunSuite with SparkFixture {
       TextOps.PhashMaxHamming)
   }
 
+  test("the PGM container codec round-trips and refuses malformed payloads (r15 #4)") {
+    import graft.multimodal.Media
+    // encode ∘ decode = identity on the plane — the property that
+    // lets the oracle model decoded bytes as content bytes.
+    Seq(Array.emptyByteArray, Array[Byte](0), Array[Byte](-128, 127, 0, 42),
+        ("P5 5 1 255\n" + "x" * 9).getBytes("US-ASCII") // payload containing a header-lookalike
+    ).foreach { plane =>
+      val img = Media.decodePgm(Media.pgmPayload(plane))
+      assert(img.width == plane.length && img.height == 1)
+      assert(img.pixels.toSeq == plane.toSeq)
+    }
+    // A real multi-row raster with multi-whitespace header parses too.
+    val raster = Media.decodePgm(
+      "P5\n 3\t2  255\n".getBytes("US-ASCII") ++ Array.tabulate(6)(_.toByte))
+    assert(raster.width == 3 && raster.height == 2 &&
+      raster.pixels.length == 6)
+    // Malformed containers refuse loudly instead of digesting garbage.
+    def refuses(bytes: Array[Byte], why: String): Unit = {
+      val ex = intercept[IllegalArgumentException](Media.decodePgm(bytes))
+      assert(ex.getMessage.contains(why), s"$why: got ${ex.getMessage}")
+    }
+    refuses("P6 1 1 255\nx".getBytes, "magic")
+    refuses("P5 1 1".getBytes, "truncated header")
+    refuses("P5 a 1 255\nx".getBytes, "non-numeric")
+    refuses("P5 1 1 70000\nx".getBytes, "maxval")
+    refuses("P5 4 1 255\nxy".getBytes, "truncated pixel plane")
+  }
+
+  test("the incremental probe finds planted cross-boundary near-dups only") {
+    import spark.implicits._
+    // Standing digests + a batch whose first payload is a near-dup of
+    // a standing one, second is distinct, third near-dups ANOTHER
+    // BATCH member only (must NOT pair — within-batch is out of scope).
+    def text(family: Int, variant: Int): String = {
+      val base = (0 until 400).map(i =>
+        ('a' + ((family * 131 + i * 7 + (i * i * family) % 97) % 26)).toChar)
+        .mkString
+      if (variant == 0) base else base.updated(variant * 3, 'Z')
+    }
+    val standing = TextOps.mediaDigestsOf(
+      Seq((1L, text(1, 0)), (2L, text(2, 0))).toDF("doc_id", "text"))
+    val batch = TextOps.mediaDigestsOf(
+      Seq((101L, text(1, 1)), (102L, text(3, 0)), (103L, text(3, 1)))
+        .toDF("doc_id", "text"))
+    val out = TextOps.mediaIncrementOf(batch, standing).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((101L, 1L)),
+      s"expected only the planted cross pair, got ${out.mkString(", ")}")
+  }
+
   test("the banded recall bound is exactly as documented (ADVICE r15)") {
     import spark.implicits._
     // Synthetic digest rows drive the edge stage directly: the
