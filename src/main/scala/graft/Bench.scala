@@ -626,7 +626,7 @@ object Bench {
         .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong).filter(_ > 0))
         .toEither.left.map(e => s"bad SPARK_GRAFT_CORPUS_DOCS: ${e.getMessage}")
     val corpusRoot = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_corpus")
-    // The curation run + full 14-table build execute at the LARGEST
+    // The curation run + full 15-table build execute at the LARGEST
     // scale only (they dominate the section's wall); "0" disables.
     val corpusCuration = sys.env.getOrElse("SPARK_GRAFT_CORPUS_CURATION", "1") != "0"
     val corpusResults: Either[String, Seq[CorpusResult]] =
@@ -745,7 +745,7 @@ object Bench {
         }
         val retrPostings = graft.queries.Warehouse
           .read(spark, retrWh, "postings").count()
-        // FULL 14-table STANDING build → all-grain spliced merge of
+        // FULL 15-table STANDING build → all-grain spliced merge of
         // src19 + its embedding slice → the one-call curation run
         // against the MERGED warehouse (r13 verdict #4/#6), largest
         // scale only: per-stage rows prove (a) daily all-grain

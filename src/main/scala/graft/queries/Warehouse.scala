@@ -314,7 +314,7 @@ object Warehouse {
 
   /** INCREMENTAL index maintenance — the daily-job write path q113's
     * read path presumes: merge a new batch of documents (and, for a
-    * full 14-table warehouse, their embeddings) into the standing
+    * full 15-table warehouse, their embeddings) into the standing
     * index WITHOUT recomputing the standing corpus. Three cost
     * classes, each the cheapest executable form (r13 verdict #2/#3/#4):
     *
@@ -1260,14 +1260,14 @@ object Warehouse {
     })
 
   /** q139 — the ALL-GRAIN maintenance certification (r13 verdict #4):
-    * a standing 14-table index built WITHOUT today's batches (docs AND
+    * a standing 15-table index built WITHOUT today's batches (docs AND
     * embeddings), then [[mergeBatch]]'ed with them, must equal the
     * from-scratch full build table for table — the leaf appends
     * (including batch cell assignment against the STORED centroids),
     * the touched-component doc reclustering, and the chunk/semantic
     * re-derivations all certified at once. Output: one row per stored
     * table with the merged row count (hash-checked against DuckDB
-    * recomputing all fourteen counts from the raw corpus — the q134
+    * recomputing all fifteen counts from the raw corpus — the q134
     * chains) and the live `matches_full_build` flag (the pinned-flag
     * idiom: the oracle pins TRUE, so ANY divergence fails the hash
     * gate). EAGER + memoized per corpus dir. */

@@ -47,7 +47,11 @@ class ContractSpec extends AnyFunSuite {
     // excluded by the no-open-paren lookahead.
     // Possessive `*+` so the name can't backtrack a character to
     // sneak past the function-call lookahead (read_csv → "read_cs").
-    val ident = "(?i)(?:from|join)\\s+([a-z_][a-z0-9_]*+)(?!\\s*\\()".r
+    // Lookbehind: the keyword must not be the TAIL of an identifier —
+    // the q154 battery's corpus vocabulary contains the literal word
+    // "join", so generated columns like `tf_join AS ...` would
+    // otherwise scan as `join AS`.
+    val ident = "(?i)(?<![a-z0-9_])(?:from|join)\\s+([a-z_][a-z0-9_]*+)(?!\\s*\\()".r
     SparkEntry.oracleSql.foreach { case (name, rawSql) =>
       // Blank out string literals first: log-pattern literals contain
       // SQL-looking prose ("... from neededReplications ...").
