@@ -1932,20 +1932,30 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Oracle mirror of the `graft_i8_pack` quantization over the `e`
+    * CTE: `z8` is the max-abs int8 code as integer-valued doubles
+    * (DuckDB `round` is half-away-from-zero — the kernel's
+    * `roundHalfAway`, QuantIndexSpec-pinned on exact halves), `z8n`
+    * adds the exact code norm. ONE rule text shared by the q157
+    * recall certificate and the q162 batched quant serve, so the two
+    * oracles can never drift on the code space. */
+  private[queries] val i8QuantCteSql: String =
+    """z8 AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x ->
+      |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x * 127 / scale) END) AS q
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) AS scale
+      |        FROM e)),
+      |z8n AS (
+      |  SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS qn8 FROM z8)""".stripMargin
+
   val quantServeRecallSql: String =
     s"""WITH $cellAssignCteSql,
        |sig AS (
        |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
        |  FROM a WHERE rn = 1),
-       |z8 AS (
-       |  SELECT vec_id,
-       |    list_transform(v, x ->
-       |      CASE WHEN scale = 0 THEN 0.0 ELSE round(x * 127 / scale) END) AS q
-       |  FROM (SELECT vec_id, v,
-       |          list_max(list_transform(v, x -> abs(x))) AS scale
-       |        FROM e)),
-       |z8n AS (
-       |  SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS qn8 FROM z8),
+       |$i8QuantCteSql,
        |cqe AS (
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM sig
        |  WHERE vec_id BETWEEN 40 AND 44),
@@ -2024,6 +2034,184 @@ object Similarity {
        |JOIN lp ON lp.query_id = le.query_id
        |JOIN np ON np.query_id = le.query_id
        |ORDER BY le.query_id""".stripMargin
+
+  // ---- q162: BATCHED quantized ANN serving (q155 × q157) -------------
+
+  /** The q162 pinned battery: 60 distinct stored vectors replayed as
+    * quantized-serve requests (req_id = source vec_id, keying the
+    * oracle's request CTE), disjoint stride from the q155 battery so
+    * the two batch certificates don't share a request population. */
+  private[queries] val QuantBatchIds: Seq[Long] =
+    (0 until 60).map(i => ((i * 11 + 3) % 480).toLong)
+  private[queries] val QuantBatchNprobe = 2
+  private[queries] val QuantBatchK = 8
+
+  /** BATCHED quantized ANN serving — the production read path at
+    * 100 TB: N requests answered in ONE job whose only corpus-scale
+    * read is the 1-byte/dim `cells_q8` tier, composing the q155 batch
+    * discipline with the q157 quantize-prefilter-rescore chain.
+    * Per request the rows are IDENTICAL to the sequential
+    * [[annServeQuant]] (BatchServeSpec pins it):
+    *
+    *  - requests broadcast as (req_id, qv, qn, qcode, qqn); the code
+    *    is packed driver-side with the build kernel's EXACT
+    *    arithmetic ([[graft.functions.I8Quant.pack]]) and the code
+    *    norm is the exact-integer driver fold — one code space with
+    *    the stored tier;
+    *  - probe cells per request against the full-precision centroids
+    *    (k·dim rows, window over the tiny request×centroid frame);
+    *  - int8 prefilter: ONE pruned `cells_q8` read fanned out via a
+    *    broadcast (req_id, probe_cell) join, per-request
+    *    top-`rescore` through the house [[graft.functions.
+    *    TopKAggregator]] (O(rescore) state, map-side partials; its
+    *    (neg_cos, id) order IS the sequential path's
+    *    qcos DESC, vec_id ASC tie rule);
+    *  - exact rescore: the ≤ |requests|·rescore surviving ids
+    *    broadcast back into the full-precision `cells` tier (the
+    *    corpus side never shuffles), per-request top-k over the
+    *    rescored frame.
+    *
+    * Tombstones ([[minusTomb]]) exclude at the prefilter — the only
+    * gate candidates pass through, exactly the sequential serve's
+    * exclusion point. Output one row per (req_id, rank ≤ k): req_id,
+    * rank, vec_id, cell, cosine. */
+  def annServeQuantBatch(s: SparkSession, dir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      rescore: Int = QuantRescoreR): DataFrame =
+    annServeQuantBatchWith(s, graft.queries.Warehouse.stored(s, dir, _),
+      requests, nprobe, k, rescore, fixtureTomb(s, dir))
+
+  /** [[annServeQuantBatch]] against an EXPLICIT warehouse directory —
+    * the product form for callers owning their own index builds. */
+  def annServeQuantBatchFrom(s: SparkSession, whDir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      rescore: Int = QuantRescoreR): DataFrame =
+    annServeQuantBatchWith(s, graft.queries.Warehouse.read(s, whDir, _),
+      requests, nprobe, k, rescore,
+      graft.queries.Warehouse.vecTombstones(s, whDir))
+
+  private def annServeQuantBatchWith(s: SparkSession,
+      table: String => DataFrame, requests: Seq[(Long, Seq[Double])],
+      nprobe: Int, k: Int, rescore: Int,
+      tomb: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(rescore >= k, s"rescore depth $rescore must be >= k = $k")
+    require(requests.nonEmpty, "annServeQuantBatch needs at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "request ids must be unique")
+    requests.foreach { case (rid, v) =>
+      require(v.nonEmpty, s"request $rid needs a query vector") }
+    // Request codes/norms packed with the build-kernel arithmetic on
+    // the driver — the sequential annServeQuant's exact fold, so the
+    // batch scores live in the same code space bit for bit.
+    val reqDf = requests.map { case (rid, v) =>
+      val code = graft.functions.I8Quant.pack(v.toArray)
+      (rid, v,
+        math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)),
+        code,
+        math.sqrt(graft.functions.I8Quant.dot(code, code).toDouble))
+    }.toDF("req_id", "qv", "qn", "qcode", "qqn")
+    val wpc = Window.partitionBy(col("req_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val probes = table("centroids").join(broadcast(reqDf))
+      .withColumn("cos_c", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wpc))
+      .filter(col("rn") <= nprobe)
+      .select(col("req_id"), col("qcode"), col("qqn"),
+        col("c_id").as("probe_cell"))
+    val qdenom = col("qnorm") * col("qqn")
+    val topr = udaf(new TopKAggregator(rescore), Encoders.product[ScoredCand])
+    val pre = minusTomb(table("cells_q8"), tomb)
+      .join(broadcast(probes), col("cell") === col("probe_cell"))
+      .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
+        .otherwise(
+          call_function("graft_i8_dot", col("code"), col("qcode"))
+            .cast("double") / qdenom))
+      .groupBy(col("req_id"))
+      .agg(topr(-col("qcos"), col("vec_id"), lit(0.0)).as("top"))
+      .select(col("req_id").as("p_req"), explode(col("top.cands")).as("x"))
+      .select(col("p_req"), col("x.id").as("p_vec"))
+      .join(reqDf.select(col("req_id").as("r_req"), col("qv"), col("qn")),
+        col("p_req") === col("r_req"))
+      .select(col("p_req"), col("p_vec"), col("qv"), col("qn"))
+    val denom = col("norm") * col("qn")
+    val wr = Window.partitionBy(col("p_req"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    table("cells")
+      .join(broadcast(pre), col("vec_id") === col("p_vec"))
+      .withColumn("cos", when(denom === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), col("qv")) / denom))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("p_req").as("req_id"), col("rank"), col("vec_id"),
+        col("cell"), round(col("cos"), 6).as("cosine"))
+      .orderBy("req_id", "rank")
+  }
+
+  /** q162 — the batched quantized serve certified per request against
+    * a from-scratch DuckDB re-derivation of the index, BOTH tiers'
+    * codes, all 60 probes, prefilters and rescores. */
+  def quantServeBatchQ(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isin(QuantBatchIds: _*))
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    annServeQuantBatch(s, dir, vecs.toSeq, QuantBatchNprobe, QuantBatchK)
+  }
+
+  val quantServeBatchSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |$i8QuantCteSql,
+       |sig8 AS (
+       |  SELECT z8n.vec_id, sig.cell, z8n.q, z8n.qn8
+       |  FROM z8n JOIN sig ON sig.vec_id = z8n.vec_id),
+       |bq AS (
+       |  SELECT vec_id AS req_id, v AS quv,
+       |    sqrt(list_inner_product(v, v)) AS qn
+       |  FROM e WHERE vec_id IN (${QuantBatchIds.mkString(", ")})),
+       |bq8 AS (
+       |  SELECT vec_id AS req_id, q AS qq, qn8 AS qqn FROM z8n
+       |  WHERE vec_id IN (${QuantBatchIds.mkString(", ")})),
+       |bpc AS (
+       |  SELECT req_id, probe_cell FROM (
+       |    SELECT bq.req_id, c.c_id AS probe_cell,
+       |      row_number() OVER (PARTITION BY bq.req_id
+       |        ORDER BY ${cosineSqlFor("c.qv", "bq.quv")} DESC, c.c_id DESC) AS rn
+       |    FROM c, bq) WHERE rn <= $QuantBatchNprobe),
+       |bpre AS (
+       |  SELECT req_id, vec_id FROM (
+       |    SELECT bpc.req_id, sig8.vec_id,
+       |      row_number() OVER (PARTITION BY bpc.req_id
+       |        ORDER BY CASE WHEN sig8.qn8 * bq8.qqn = 0 THEN -2.0
+       |          ELSE list_inner_product(sig8.q, bq8.qq) / (sig8.qn8 * bq8.qqn)
+       |          END DESC, sig8.vec_id ASC) AS rn
+       |    FROM sig8
+       |    JOIN bpc ON sig8.cell = bpc.probe_cell
+       |    JOIN bq8 ON bq8.req_id = bpc.req_id) WHERE rn <= $QuantRescoreR),
+       |bres AS (
+       |  SELECT bpre.req_id, sig.vec_id, sig.cell,
+       |    CASE WHEN sig.norm * bq.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, bq.quv) / (sig.norm * bq.qn)
+       |      END AS cos
+       |  FROM bpre
+       |  JOIN sig ON sig.vec_id = bpre.vec_id
+       |  JOIN bq ON bq.req_id = bpre.req_id)
+       |SELECT req_id, rank, vec_id, cell, round(cos, 6) AS cosine FROM (
+       |  SELECT req_id,
+       |    row_number() OVER (PARTITION BY req_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank,
+       |    vec_id, cell, cos
+       |  FROM bres)
+       |WHERE rank <= $QuantBatchK
+       |ORDER BY req_id, rank""".stripMargin
 
   // ---- q158: vector-grain deletes SERVED (r15 verdict #6) ------------
 

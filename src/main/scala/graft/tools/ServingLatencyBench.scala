@@ -160,10 +160,13 @@ object ServingLatencyBench {
       battery("hybrid_param", hybridReqs.map { case (ts, v) =>
         () => RetrievalIndex.hybridServe(spark, wh, sfDir, ts, v)
           .collect().length
-      }))
+      }),
+      battery("quant_param", annReqs.map(v =>
+        () => Similarity.annServeQuant(spark, sfDir, v, nprobe = 2, k = 10)
+          .collect().length)))
     val budgetMs = 1000.0
     val paramJson =
-      s"""{"n_requests":${nBm25 + nAnn + nHybrid},""" +
+      s"""{"n_requests":${nBm25 + 2 * nAnn + nHybrid},""" +
         s""""poll_budget_ms":${num(budgetMs)},""" +
         s""""families":{${fams.map(_._1).mkString(",")}},""" +
         s""""within_budget":${fams.forall(_._2 < budgetMs)}}"""
@@ -195,7 +198,12 @@ object ServingLatencyBench {
         () => RetrievalIndex.hybridServeBatch(spark, wh, sfDir,
           hyBatch.take(3)).collect().length,
         () => RetrievalIndex.hybridServeBatch(spark, wh, sfDir, hyBatch)
-          .collect().length)))
+          .collect().length)),
+      ("quant", annBatch.size, fams(3)._3, timedBatch(
+        () => Similarity.annServeQuantBatch(spark, sfDir, annBatch.take(3),
+          nprobe = 2, k = 10).collect().length,
+        () => Similarity.annServeQuantBatch(spark, sfDir, annBatch,
+          nprobe = 2, k = 10).collect().length)))
     val famJson = batchFams.map { case (name, n, seqMs, (batchMs, rows)) =>
       val reqPerS = n / (batchMs / 1000.0)
       s""""$name":{"n_requests":$n,"batch_ms":${num(batchMs)},""" +
@@ -206,7 +214,7 @@ object ServingLatencyBench {
     val minSpeedup = batchFams
       .map { case (_, _, seqMs, (batchMs, _)) => seqMs / batchMs }.min
     val batchJson =
-      s"""{"n_requests":${nBm25 + nAnn + nHybrid},""" +
+      s"""{"n_requests":${nBm25 + 2 * nAnn + nHybrid},""" +
         s""""families":{${famJson.mkString(",")}},""" +
         s""""min_speedup_vs_sequential":${num(minSpeedup)}}"""
     (paramJson, batchJson)

@@ -60,6 +60,28 @@ class BatchServeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("batched QUANTIZED ANN slices are row-identical to the sequential quant serve") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(Similarity.QuantBatchIds: _*))
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val (np, k) = (Similarity.QuantBatchNprobe, Similarity.QuantBatchK)
+    val batch = Similarity.annServeQuantBatch(spark, sfDir, vecs.toSeq, np, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .groupBy(_._1)
+    vecs.zipWithIndex.filter(_._2 % 12 == 0).map(_._1).foreach { case (rid, v) =>
+      val seq = Similarity.annServeQuant(spark, sfDir, v, np, k).collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          (rid, i + 1L, r.getLong(0), r.getLong(1), r.getDouble(2)) }
+      assert(batch(rid).sortBy(_._2).toSeq == seq.toSeq,
+        s"request $rid: quant batch != sequential quant")
+    }
+  }
+
   test("batched hybrid slices carry the sequential fusion's exact values") {
     val wh = RetrievalIndex.ensure(spark, sfDir)
     val byId = Tables.embeddings(spark, sfDir)

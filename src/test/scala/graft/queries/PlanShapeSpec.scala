@@ -61,7 +61,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q154_bm25_serve_batch", // 1-row stats broadcast shared by all 60 requests (q149 idiom)
     "q155_ann_serve_batch",  // broadcast 60-request frame × k centroids (q46 probe shape)
     "q156_hybrid_serve_batch", // both batch legs' bounded broadcasts (q154+q155 shapes)
-    "q157_quant_serve")      // broadcast 5-probe battery × stored index (q106 shape)
+    "q157_quant_serve",      // broadcast 5-probe battery × stored index (q106 shape)
+    "q162_quant_serve_batch") // broadcast 60-request frame × k centroids (q155 shape)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -161,6 +162,15 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q155_ann_serve_batch") should include("graft-warehouse")
     plans("q155_ann_serve_batch") should not include "embeddings.parquet"
     plans("q155_ann_serve_batch") should not include "documents.parquet"
+    // q162: the quantized batch serve's only corpus-scale read is the
+    // 1-byte/dim cells_q8 tier (pruned by the broadcast probe frame);
+    // the full-precision tier is touched only through the broadcast
+    // rescore-id join, and neither raw table appears (the request
+    // vectors are driver-side literals fetched before the plan).
+    plans("q162_quant_serve_batch") should include("graft-warehouse")
+    plans("q162_quant_serve_batch") should include("cells_q8")
+    plans("q162_quant_serve_batch") should not include "embeddings.parquet"
+    plans("q162_quant_serve_batch") should not include "documents.parquet"
     // q156: the registered frame is the driver-side fusion of the
     // two already-collected leg arrays (the legs overlap on the leg
     // pool), so the corpus-free property is pinned on the LEG plans

@@ -72,6 +72,11 @@ class VecDeleteSpec extends AnyFunSuite with SparkFixture {
       Seq((0L, qv)), nprobe = 3, k = 12).collect().map(_.getLong(2))
     assert(batch.intersect(kill).isEmpty, "batch serve must exclude")
     assert(batch.toSeq == after.toSeq, "batch slice == param serve post-delete")
+    val qbatch = Similarity.annServeQuantBatchFrom(spark, wh,
+      Seq((0L, qv)), nprobe = 3, k = 12).collect().map(_.getLong(2))
+    assert(qbatch.intersect(kill).isEmpty, "quant batch serve must exclude")
+    assert(qbatch.toSeq == after.toSeq,
+      "quant batch slice == param serve post-delete")
   }
 
   test("compact(purgeVecTombstones) drops dead rows physically and clears the list") {
