@@ -2274,6 +2274,161 @@ object Similarity {
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $ParamAnnK""".stripMargin
 
+  // ---- q163/q164: hot-cell SPLIT — IVF list balancing -----------------
+
+  /** The q163/q164 pinned split bound — tight enough that the
+    * well-balanced fixture index (max cell ≈ 1.12–1.17× uniform)
+    * still exercises real splits at every SF (two hot cells at
+    * sf0.01 and sf0.1); production calls default to
+    * [[graft.queries.Warehouse.DefaultHotCellRatio]]. */
+  private[queries] val SplitRatio = 1.06
+
+  private val splitWh =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized SPLIT fixture store: full warehouse build, then one
+    * [[graft.queries.Warehouse.splitHotCells]] wave at
+    * [[SplitRatio]] — shared by q163 (balance) and q164 (serve). */
+  private[queries] def ensureSplit(s: SparkSession, dir: String): String =
+    splitWh.computeIfAbsent(dir, _ => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-split-wh").toString
+      graft.queries.Warehouse.build(s, dir, wh)
+      val v = graft.queries.Warehouse.splitHotCells(s, wh, SplitRatio)
+      require(v.nonEmpty,
+        s"split fixture: no hot cells at ratio $SplitRatio over $dir")
+      wh
+    })
+
+  /** q163 — the split BALANCE certificate: per-cell member counts of
+    * the stored dense index BEFORE (the build snapshot, a time-travel
+    * read) and AFTER the hot-cell split, one row per (stage, cell).
+    * The oracle re-derives the build assignment, the hot rule
+    * (n > ratio·total/k), the min/max-vec_id seed pick, the two-seed
+    * reassignment and the final membership from raw embeddings — so a
+    * committed split that moved one wrong member hash-mismatches.
+    * The balance CLAIM (max fraction strictly drops, sub-cells
+    * partition their parent) is asserted in CellSplitSpec. */
+  def cellSplitBalance(s: SparkSession, dir: String): DataFrame = {
+    val wh = ensureSplit(s, dir)
+    val ver = graft.queries.Warehouse.version(wh)
+    val before = graft.queries.Warehouse.readAt(s, wh, "cells", ver - 1)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .withColumn("stage", lit("before"))
+    val after = graft.queries.Warehouse.read(s, wh, "cells")
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .withColumn("stage", lit("after"))
+    before.unionByName(after).select("stage", "cell", "n_members")
+      .orderBy("stage", "cell")
+  }
+
+  /** Oracle rule text of the split chain (expects the
+    * [[cellAssignCteSql]] chain in scope): `cnt` per-cell counts,
+    * `hot` the ratio rule, `hotmap` the deterministic new-id
+    * assignment (max c_id + rank of hot cell), `sv` the min/max
+    * vec_id seed vectors, `re` the two-seed reassignment (ties to the
+    * NEW id — the larger, the house c_id DESC rule), `a2` the final
+    * membership (vec_id, v, cell). Shared by q163 and q164. */
+  private[queries] val splitChainCteSql: String =
+    s"""t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM a WHERE rn = 1),
+       |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
+       |cnt AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM a WHERE rn = 1 GROUP BY cell),
+       |hot AS (
+       |  SELECT cell FROM cnt, t, kk WHERE n > $SplitRatio * total / k),
+       |maxc AS (SELECT max(c_id) AS mc FROM c),
+       |hotmap AS (
+       |  SELECT cell, mc + (row_number() OVER (ORDER BY cell)) AS new_id
+       |  FROM hot, maxc),
+       |seeds AS (
+       |  SELECT a.cell, min(a.vec_id) AS a_id, max(a.vec_id) AS b_id
+       |  FROM a JOIN hot ON a.cell = hot.cell
+       |  WHERE a.rn = 1 GROUP BY a.cell),
+       |sv AS (
+       |  SELECT seeds.cell, ea.v AS av, eb.v AS bv, hotmap.new_id
+       |  FROM seeds
+       |  JOIN hotmap ON hotmap.cell = seeds.cell
+       |  JOIN e ea ON ea.vec_id = seeds.a_id
+       |  JOIN e eb ON eb.vec_id = seeds.b_id),
+       |re AS (
+       |  SELECT m.vec_id, m.v,
+       |    CASE WHEN ${cosineSqlFor("m.v", "sv.bv")} >=
+       |              ${cosineSqlFor("m.v", "sv.av")}
+       |      THEN sv.new_id ELSE m.cell END AS cell
+       |  FROM (SELECT vec_id, v, cell FROM a WHERE rn = 1) m
+       |  JOIN sv ON sv.cell = m.cell),
+       |a2 AS (
+       |  SELECT vec_id, v, cell FROM re
+       |  UNION ALL
+       |  SELECT vec_id, v, cell FROM a
+       |  WHERE rn = 1 AND cell NOT IN (SELECT cell FROM hot))""".stripMargin
+
+  val cellSplitBalanceSql: String =
+    s"""WITH $cellAssignCteSql,
+       |$splitChainCteSql
+       |SELECT stage, cell, n_members FROM (
+       |  SELECT 'before' AS stage, cell,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM a WHERE rn = 1 GROUP BY cell
+       |  UNION ALL
+       |  SELECT 'after' AS stage, cell,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM a2 GROUP BY cell)
+       |ORDER BY stage, cell""".stripMargin
+
+  /** q164 — serving FROM the split store: the q150-style
+    * parameterized request answered over the split index must equal a
+    * from-raw re-derivation of the ENTIRE split — build assignment,
+    * hot rule, seed reassignment, micro-unit sub-centroid means (the
+    * q72 arithmetic, so untouched cells keep their stored centroids
+    * bit for bit), probe over the union centroid set, pruned exact
+    * rerank. One certificate covering membership AND the refitted
+    * centroids at the serve site. */
+  def splitServe(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(ParamQueryVecId))
+      .select(doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    annServeFrom(s, ensureSplit(s, dir), qv, ParamNprobe, ParamAnnK)
+  }
+
+  val splitServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |$splitChainCteSql,
+       |x2 AS (
+       |  SELECT cell, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
+       |  FROM re, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) r),
+       |m2 AS (
+       |  SELECT cell, pos,
+       |    CAST(floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) + 0.5) AS BIGINT) AS mean_micro
+       |  FROM x2 GROUP BY cell, pos),
+       |c2 AS (
+       |  SELECT c_id, qv FROM c WHERE c_id NOT IN (SELECT cell FROM hot)
+       |  UNION ALL
+       |  SELECT cell AS c_id, list(mean_micro / 1e6 ORDER BY pos) AS qv
+       |  FROM m2 GROUP BY cell),
+       |sig2 AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a2),
+       |aqp AS (SELECT v AS quv, sqrt(list_inner_product(v, v)) AS qn
+       |        FROM e WHERE vec_id = $ParamQueryVecId),
+       |aqc AS (
+       |  SELECT c_id AS probe_cell FROM c2, aqp
+       |  ORDER BY ${cosineSqlFor("c2.qv", "aqp.quv")} DESC, c_id DESC
+       |  LIMIT $ParamNprobe),
+       |aqcand AS (
+       |  SELECT sig2.vec_id, sig2.cell,
+       |    CASE WHEN sig2.norm * aqp.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig2.v, aqp.quv) / (sig2.norm * aqp.qn)
+       |      END AS cos
+       |  FROM sig2 JOIN aqc ON sig2.cell = aqc.probe_cell, aqp)
+       |SELECT vec_id, cell, round(cos, 6) AS cosine
+       |FROM aqcand
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT $ParamAnnK""".stripMargin
+
   // ---- q152: refreshed-centroid recall LIFT certification -------------
 
   /** Lloyd steps the q152 refresh runs before re-certifying recall —

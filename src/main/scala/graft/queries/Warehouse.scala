@@ -746,6 +746,106 @@ object Warehouse {
     n
   }
 
+  /** Production split bound: a cell holding more than `ratio` × the
+    * uniform share (total / k) is HOT. */
+  val DefaultHotCellRatio = 1.5
+
+  /** Split every HOT cell of the stored dense index into two
+    * sub-cells — IVF list balancing. At 100 TB the per-probe serve
+    * cost is bounded by the LARGEST probed cell: a skewed cell makes
+    * every request that probes it scan a corpus-fraction candidate
+    * list (latency tail + executor memory), and Lloyd refreshes
+    * re-center but do not re-partition a dense region that simply
+    * outgrew its list. The split is deterministic and
+    * oracle-derivable end to end:
+    *
+    *  - a cell is hot when its LIVE member count exceeds
+    *    `ratio · total / k` (k = stored centroid count);
+    *  - each hot cell splits against two member seeds — its min and
+    *    max vec_id vectors — every member joining the better-cosine
+    *    seed (the house −2.0 zero-norm convention; ties to the NEW
+    *    sub-cell, whose id is larger — the cos DESC, c_id DESC rule);
+    *  - the min-seed group keeps the original cell id; the max-seed
+    *    group gets `max(c_id) + 1 + rank(hot cell)` — collision-free
+    *    and reproducible from the store alone;
+    *  - both sub-cells get micro-unit MEAN centroids (the exact q72
+    *    arithmetic), so the split is a LOCAL refit: untouched cells
+    *    keep their stored centroids bit for bit.
+    *
+    * Work: one count aggregate (k groups), one broadcast 2-seed
+    * assignment over the hot members only, one k·dim-group mean —
+    * index-sized, no corpus read. Rewrites the semantic family under
+    * the snapshot protocol (the [[refreshSemantic]] discipline:
+    * tombstoned rows drop physically, the list is not carried).
+    * Returns Some(new version) after a committed split, None when no
+    * cell exceeds the bound — no version churn on balanced stores. */
+  def splitHotCells(s: SparkSession, whDir: String,
+      ratio: Double = DefaultHotCellRatio): Option[Long] = {
+    require(ratio > 1.0, s"split ratio must exceed 1, got $ratio")
+    val cur = version(whDir)
+    require(cur > 0, s"splitHotCells needs a committed snapshot in $whDir")
+    val present = TableNames.filter(t =>
+      Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
+    require(SemTables.forall(present.contains),
+      s"splitHotCells needs the semantic tables; snapshot has $present")
+    val cells = liveCells(s, whDir)
+    val storedCents = read(s, whDir, "centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val k = storedCents.length
+    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val bound = ratio * total / k
+    val hot = counts.filter(_._2 > bound).map(_._1).sorted.toSeq
+    if (hot.isEmpty) None
+    else {
+      val maxCid = storedCents.map(_._1).max
+      val hotMembers = cells.filter(col("cell").isin(hot: _*))
+      val seedIds = hotMembers.groupBy("cell")
+        .agg(min("vec_id").as("a_id"), max("vec_id").as("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val seedVecIds = seedIds.flatMap(t => Seq(t._2, t._3)).distinct.toSeq
+      val seedVecs = cells.filter(col("vec_id").isin(seedVecIds: _*))
+        .select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      import s.implicits._
+      val seedFrame = seedIds.map { case (cell, aId, bId) =>
+        (cell, seedVecs(aId),
+          maxCid + 1 + hot.indexOf(cell).toLong, seedVecs(bId))
+      }.toSeq.toDF("cell", "av", "b_id", "bv")
+      val re = hotMembers.join(broadcast(seedFrame), Seq("cell"))
+        .withColumn("cos_a", Similarity.cosine(col("v"), col("av")))
+        .withColumn("cos_b", Similarity.cosine(col("v"), col("bv")))
+        .select(col("vec_id"),
+          when(col("cos_b") >= col("cos_a"), col("b_id"))
+            .otherwise(col("cell")).as("cell"),
+          col("norm"), col("v"))
+      val splitCents = Similarity.lloydMeansOf(re.select("cell", "v"))
+        .collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1))
+            .map(_.getLong(3).toDouble / 1e6).toSeq)
+        }
+      val cents = (storedCents.filterNot(c => hot.contains(c._1)) ++
+        splitCents).sortBy(_._1)
+      val next = cur + 1
+      val base = freshVersionDir(whDir, next)
+      present.filterNot(SemTables.contains)
+        .foreach(t => linkTableForward(whDir, cur, next, t))
+      def write(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$base/$name")
+      def readBack(name: String): DataFrame = s.read.parquet(s"$base/$name")
+      write("centroids", cents.toSeq.toDF("c_id", "v"))
+      write("cells", cells.filter(!col("cell").isin(hot: _*))
+        .select("vec_id", "cell", "norm", "v").unionByName(re))
+      write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
+      write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
+      commit(whDir, cur, next)
+      Some(next)
+    }
+  }
+
   /** Compact every table of the current snapshot to `targetFiles`
     * parquet files — the small-files maintenance pass a merge-driven
     * warehouse needs (each [[mergeBatch]] union-write inherits the

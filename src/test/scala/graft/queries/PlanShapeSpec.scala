@@ -195,6 +195,20 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     denseLeg should not include "documents.parquet"
   }
 
+  test("split-store queries read the SPLIT store — zero corpus scans") {
+    // q163/q164: both the balance certificate and the post-split serve
+    // read the split warehouse only (the q164 request vector is a
+    // driver-side literal fetched before the plan); the split itself
+    // already happened at store-build time, so neither raw table can
+    // appear in a registered plan.
+    plans("q163_cell_split") should include("graft-split-wh")
+    plans("q163_cell_split") should not include "embeddings.parquet"
+    plans("q163_cell_split") should not include "documents.parquet"
+    plans("q164_split_serve") should include("graft-split-wh")
+    plans("q164_split_serve") should not include "embeddings.parquet"
+    plans("q164_split_serve") should not include "documents.parquet"
+  }
+
   test("vector-delete serving anti-joins the broadcast tombstones, zero corpus scans") {
     // q158: the delete wave is ONLY a broadcast tombstone list — the
     // candidate read excludes it via a broadcast anti-join (pinned),
