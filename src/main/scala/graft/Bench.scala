@@ -799,6 +799,22 @@ object Bench {
               graft.queries.Similarity.annServeQuantFrom(spark, whFull,
                 qvec, nprobe = 2, k = 10).collect(); ()
             }
+            // BATCHED quantized serve at corpus scale (q162): a
+            // 60-request population answered in ONE job whose only
+            // corpus-scale read is the int8 tier — the row's wall is
+            // the whole population (compare: quant_serve is ONE
+            // request), and its shuffle bytes are the per-request
+            // top-rescore partials, not candidates.
+            val quantBatchReqs = emb
+              .filter(pmod(col("vec_id"), lit(19L)) === lit(7L))
+              .selectExpr("vec_id",
+                "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+              .orderBy("vec_id").limit(60).collect()
+              .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+            bf += stageRow(s"quant_serve_batch_n${quantBatchReqs.size}") {
+              graft.queries.Similarity.annServeQuantBatchFrom(spark, whFull,
+                quantBatchReqs, nprobe = 2, k = 10).collect(); ()
+            }
             // Drift-gated refresh UNTIL CONVERGED (r15 verdict #5) at
             // corpus scale: per-step cost is the q72 k·dim-group
             // shuffle + a map-only re-assignment — flat in k·dim, so
@@ -840,8 +856,29 @@ object Bench {
               Option(new java.io.File(s"$whFull/v=$v/$table").listFiles())
                 .getOrElse(Array()).filter(_.isFile).map(_.length).sum
             }
-            (bf.toSeq, mf.toSeq, cr.toSeq,
-              (dirBytes("cells"), dirBytes("cells_q8")))
+            val bytesPair = (dirBytes("cells"), dirBytes("cells_q8"))
+            // HOT-CELL SPLIT at corpus scale (q163/q164): rebalance
+            // the refresh-converged store at a tight ratio so the row
+            // measures a REAL split (count aggregate + broadcast
+            // 2-seed assignment over the hot members + one
+            // k·dim-group mean — index-sized, no corpus read). Runs
+            // after the tier-byte measurement so the committed byte
+            // claim stays on the converged store. The balance effect
+            // goes to stderr (max cell size before/after).
+            def maxCell(): Long = graft.queries.Warehouse
+              .read(spark, whFull, "cells")
+              .groupBy("cell").count()
+              .agg(org.apache.spark.sql.functions.max("count"))
+              .first().getLong(0)
+            val maxBefore = maxCell()
+            var splitV: Option[Long] = None
+            bf += stageRow("split_hot") {
+              splitV = graft.queries.Warehouse
+                .splitHotCells(spark, whFull, ratio = 1.02)
+            }
+            System.err.println(s"[bench] split_hot committed=" +
+              s"${splitV.nonEmpty} max_cell $maxBefore -> ${maxCell()}")
+            (bf.toSeq, mf.toSeq, cr.toSeq, bytesPair)
           } else (Seq.empty[StageRow], Seq.empty[StageRow],
             Seq.empty[StageRow], (0L, 0L))
         CorpusResult(n, fx.textBytes, fx.parquetBytes, fx.genSec,
