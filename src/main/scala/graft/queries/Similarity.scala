@@ -2429,6 +2429,136 @@ object Similarity {
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $ParamAnnK""".stripMargin
 
+  // ---- q165/q166: cold-cell MERGE — the split's dual -------------------
+
+  /** The q165/q166 pinned merge bound — wide enough that the
+    * well-balanced fixture index (min cell ≈ 0.77–0.88× uniform)
+    * still exercises real merges at every SF (two cold cells at
+    * sf0.01 and sf0.1); production calls default to
+    * [[graft.queries.Warehouse.DefaultColdCellRatio]]. */
+  private[queries] val ColdRatio = 0.9
+
+  private val mergeWh =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized MERGED fixture store: full warehouse build, then one
+    * [[graft.queries.Warehouse.mergeColdCells]] wave at
+    * [[ColdRatio]] — shared by q165 (balance) and q166 (serve). */
+  private[queries] def ensureMerged(s: SparkSession, dir: String): String =
+    mergeWh.computeIfAbsent(dir, _ => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-merge-wh").toString
+      graft.queries.Warehouse.build(s, dir, wh)
+      val v = graft.queries.Warehouse.mergeColdCells(s, wh, ColdRatio)
+      require(v.nonEmpty,
+        s"merge fixture: no cold cells at ratio $ColdRatio over $dir")
+      wh
+    })
+
+  /** Oracle rule text of the merge chain (expects the
+    * [[cellAssignCteSql]] chain in scope): `cnt` per-cell counts,
+    * `cold` the ratio rule over EVERY stored centroid (a memberless
+    * centroid counts 0), `surv` the survivors, `rs` the cold members'
+    * argmax re-home over the survivors only (the house cos DESC,
+    * c_id DESC rule — a member whose winner survives cannot move),
+    * `a2` the final membership. Shared by q165 and q166. */
+  private[queries] val coldChainCteSql: String =
+    s"""t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM a WHERE rn = 1),
+       |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
+       |cnt AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM a WHERE rn = 1 GROUP BY cell),
+       |cold AS (
+       |  SELECT c.c_id AS cell FROM c
+       |  LEFT JOIN cnt ON cnt.cell = c.c_id, t, kk
+       |  WHERE coalesce(cnt.n, 0) < $ColdRatio * total / k),
+       |surv AS (
+       |  SELECT c_id, qv FROM c
+       |  WHERE c_id NOT IN (SELECT cell FROM cold)),
+       |rs AS (
+       |  SELECT vec_id, v, c_id AS cell FROM (
+       |    SELECT m.vec_id, m.v, surv.c_id,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY ${cosineSqlFor("m.v", "surv.qv")} DESC,
+       |                 surv.c_id DESC) AS rn2
+       |    FROM (SELECT vec_id, v, cell FROM a WHERE rn = 1) m
+       |    JOIN cold ON m.cell = cold.cell, surv)
+       |  WHERE rn2 = 1),
+       |a2 AS (
+       |  SELECT vec_id, v, cell FROM rs
+       |  UNION ALL
+       |  SELECT vec_id, v, cell FROM a
+       |  WHERE rn = 1 AND cell NOT IN (SELECT cell FROM cold))""".stripMargin
+
+  /** q165 — the merge BALANCE certificate: per-cell member counts of
+    * the stored dense index before and after the cold-cell merge, one
+    * row per (stage, cell). The oracle re-derives the cold rule and
+    * the argmax re-home from raw embeddings; the balance claims (cold
+    * cells vanish, survivors only absorb, centroids bit-identical)
+    * are asserted in CellSplitSpec. */
+  def coldMergeBalance(s: SparkSession, dir: String): DataFrame = {
+    val wh = ensureMerged(s, dir)
+    val ver = graft.queries.Warehouse.version(wh)
+    val before = graft.queries.Warehouse.readAt(s, wh, "cells", ver - 1)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .withColumn("stage", lit("before"))
+    val after = graft.queries.Warehouse.read(s, wh, "cells")
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .withColumn("stage", lit("after"))
+    before.unionByName(after).select("stage", "cell", "n_members")
+      .orderBy("stage", "cell")
+  }
+
+  val coldMergeBalanceSql: String =
+    s"""WITH $cellAssignCteSql,
+       |$coldChainCteSql
+       |SELECT stage, cell, n_members FROM (
+       |  SELECT 'before' AS stage, cell,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM a WHERE rn = 1 GROUP BY cell
+       |  UNION ALL
+       |  SELECT 'after' AS stage, cell,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM a2 GROUP BY cell)
+       |ORDER BY stage, cell""".stripMargin
+
+  /** q166 — serving FROM the merged store: the q150-style
+    * parameterized request over the merged index must equal a
+    * from-raw re-derivation of the merge (cold rule, argmax re-home,
+    * survivor centroids bit-identical) probed and reranked — the
+    * serve-site proof that absorbing cold members changed candidate
+    * ROUTING but no score. */
+  def mergeServe(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(ParamQueryVecId))
+      .select(doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    annServeFrom(s, ensureMerged(s, dir), qv, ParamNprobe, ParamAnnK)
+  }
+
+  val mergeServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |$coldChainCteSql,
+       |sig2 AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a2),
+       |aqp AS (SELECT v AS quv, sqrt(list_inner_product(v, v)) AS qn
+       |        FROM e WHERE vec_id = $ParamQueryVecId),
+       |aqc AS (
+       |  SELECT c_id AS probe_cell FROM surv, aqp
+       |  ORDER BY ${cosineSqlFor("surv.qv", "aqp.quv")} DESC, c_id DESC
+       |  LIMIT $ParamNprobe),
+       |aqcand AS (
+       |  SELECT sig2.vec_id, sig2.cell,
+       |    CASE WHEN sig2.norm * aqp.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig2.v, aqp.quv) / (sig2.norm * aqp.qn)
+       |      END AS cos
+       |  FROM sig2 JOIN aqc ON sig2.cell = aqc.probe_cell, aqp)
+       |SELECT vec_id, cell, round(cos, 6) AS cosine
+       |FROM aqcand
+       |ORDER BY cos DESC, vec_id ASC
+       |LIMIT $ParamAnnK""".stripMargin
+
   // ---- q152: refreshed-centroid recall LIFT certification -------------
 
   /** Lloyd steps the q152 refresh runs before re-certifying recall —

@@ -846,6 +846,82 @@ object Warehouse {
     }
   }
 
+  /** Production merge bound: a cell holding less than `ratio` × the
+    * uniform share (total / k) is COLD. */
+  val DefaultColdCellRatio = 0.5
+
+  /** Merge every COLD cell of the stored dense index into the
+    * surviving cells — the dual of [[splitHotCells]]. Fragmented tiny
+    * cells (heavy deletes, a drifted corpus, over-eager splits) push
+    * the centroid count past the √n the probe budget was sized for:
+    * every request scores every centroid, so dead-weight cells buy
+    * recall on almost no candidates while inflating the one
+    * per-request k-row scan. The merge is deterministic and
+    * oracle-derivable:
+    *
+    *  - a cell is cold when its LIVE member count (0 for a memberless
+    *    centroid) is strictly below `ratio · total / k`;
+    *  - cold members re-home via the house argmax over the SURVIVING
+    *    centroids only ([[Similarity.assignCellsWith]] — the exact
+    *    assignment rule every build/merge uses, cos DESC, c_id DESC
+    *    ties), so a member whose winner survives cannot move;
+    *  - survivors keep their stored centroids bit for bit (absorbed
+    *    members shift a centroid only at the next Lloyd refresh —
+    *    deliberately, so a merge is never a hidden refit).
+    *
+    * Work: one count aggregate + a map-only argmax over the cold
+    * members — index-sized, no corpus read. Rewrites the semantic
+    * family under the snapshot protocol (the [[refreshSemantic]]
+    * tombstone purge-and-drop discipline). Returns Some(new version)
+    * after a committed merge, None when no cell is cold. */
+  def mergeColdCells(s: SparkSession, whDir: String,
+      ratio: Double = DefaultColdCellRatio): Option[Long] = {
+    require(ratio > 0.0 && ratio < 1.0,
+      s"merge ratio must be in (0, 1), got $ratio")
+    val cur = version(whDir)
+    require(cur > 0, s"mergeColdCells needs a committed snapshot in $whDir")
+    val present = TableNames.filter(t =>
+      Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
+    require(SemTables.forall(present.contains),
+      s"mergeColdCells needs the semantic tables; snapshot has $present")
+    val cells = liveCells(s, whDir)
+    val storedCents = read(s, whDir, "centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val k = storedCents.length
+    val counts = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = counts.values.sum
+    val bound = ratio * total / k
+    val cold = storedCents.map(_._1)
+      .filter(cid => counts.getOrElse(cid, 0L) < bound).sorted.toSeq
+    if (cold.isEmpty) None
+    else {
+      val survivors = storedCents.filterNot(c => cold.contains(c._1))
+      require(survivors.nonEmpty,
+        s"mergeColdCells: every cell is cold at ratio $ratio — rebuild " +
+          "or refresh instead of merging")
+      val re = Similarity.assignCellsWith(
+          cells.filter(col("cell").isin(cold: _*)).select("vec_id", "v"),
+          survivors)
+        .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v"))
+      val next = cur + 1
+      val base = freshVersionDir(whDir, next)
+      present.filterNot(SemTables.contains)
+        .foreach(t => linkTableForward(whDir, cur, next, t))
+      def write(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$base/$name")
+      def readBack(name: String): DataFrame = s.read.parquet(s"$base/$name")
+      import s.implicits._
+      write("centroids", survivors.toSeq.toDF("c_id", "v"))
+      write("cells", cells.filter(!col("cell").isin(cold: _*))
+        .select("vec_id", "cell", "norm", "v").unionByName(re))
+      write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
+      write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
+      commit(whDir, cur, next)
+      Some(next)
+    }
+  }
+
   /** Compact every table of the current snapshot to `targetFiles`
     * parquet files — the small-files maintenance pass a merge-driven
     * warehouse needs (each [[mergeBatch]] union-write inherits the

@@ -102,6 +102,74 @@ class CellSplitSpec extends AnyFunSuite with SparkFixture {
       "exhaustive probe must be partition-independent")
   }
 
+  test("merge drops cold cells; survivors only absorb; survivor centroids bit-identical") {
+    val wh = freshWh()
+    val before = membership(wh)
+    val centsBefore = Warehouse.read(spark, wh, "centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(Warehouse.mergeColdCells(spark, wh, Similarity.ColdRatio).nonEmpty,
+      "fixture must have cold cells at the pinned ratio")
+    val after = membership(wh)
+    val centsAfter = Warehouse.read(spark, wh, "centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(after.keySet == before.keySet, "merge must not add or drop vectors")
+    val cold = centsBefore.keySet.filter { cid =>
+      before.count(_._2 == cid) <
+        Similarity.ColdRatio * before.size / centsBefore.size }
+    assert(cold.nonEmpty)
+    assert(centsAfter.keySet == centsBefore.keySet -- cold,
+      "exactly the cold centroids vanish")
+    centsAfter.foreach { case (cid, v) =>
+      assert(centsBefore(cid) == v, s"survivor centroid $cid changed") }
+    before.foreach { case (vid, cell) =>
+      if (cold.contains(cell))
+        assert(!cold.contains(after(vid)), s"vec $vid re-homed to a cold cell")
+      else assert(after(vid) == cell, s"vec $vid moved from a surviving cell")
+    }
+  }
+
+  test("merge gates to None when nothing is cold; ratio bounds refused") {
+    val wh = freshWh()
+    val v0 = Warehouse.version(wh)
+    assert(Warehouse.mergeColdCells(spark, wh, ratio = 0.05).isEmpty,
+      "no fixture cell is below 0.05x uniform")
+    assert(Warehouse.version(wh) == v0, "a gated merge must not commit")
+    intercept[IllegalArgumentException] {
+      Warehouse.mergeColdCells(spark, wh, ratio = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.mergeColdCells(spark, wh, ratio = 0.0)
+    }
+  }
+
+  test("exhaustive-probe serving is invariant under the merge; memberless centroids drop") {
+    import spark.implicits._
+    val wh = freshWh()
+    val qv = qvOf(123L)
+    val before = Similarity.annServeFrom(spark, wh, qv, nprobe = 16, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // Empty one whole cell via vector deletes: its centroid must fall
+    // to the merge (count 0 < any bound) and its id never serve again.
+    val victim = membership(wh).groupBy(_._2).view.mapValues(_.size)
+      .toSeq.minBy(_._2)._1
+    val victimIds = membership(wh).filter(_._2 == victim).keys.toSeq
+    Warehouse.deleteVectors(spark, wh, victimIds.toDF("vec_id"))
+    assert(Warehouse.mergeColdCells(spark, wh, Similarity.ColdRatio).nonEmpty)
+    assert(!Warehouse.read(spark, wh, "centroids")
+      .collect().map(_.getLong(0)).contains(victim),
+      "a memberless centroid must not survive the merge")
+    assert(Warehouse.vecTombstones(spark, wh).isEmpty,
+      "the tombstone list must not carry past a full dense rewrite")
+    val after = Similarity.annServeFrom(spark, wh, qv, nprobe = 16, k = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val deadSet = victimIds.toSet
+    val surviving = before.filterNot(r => deadSet.contains(r._1)).toSeq
+    assert(after.toSeq.startsWith(surviving),
+      "exhaustive probe after merge must equal before minus the deleted " +
+        "vectors (the tail refills from survivors)")
+    assert(after.length == 15, "ranking refills to k")
+  }
+
   test("split purges tombstoned rows physically and drops the list (refresh discipline)") {
     import spark.implicits._
     val wh = freshWh()

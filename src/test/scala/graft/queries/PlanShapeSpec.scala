@@ -207,6 +207,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q164_split_serve") should include("graft-split-wh")
     plans("q164_split_serve") should not include "embeddings.parquet"
     plans("q164_split_serve") should not include "documents.parquet"
+    // q165/q166: same contract for the cold-merge pair.
+    plans("q165_cold_merge") should include("graft-merge-wh")
+    plans("q165_cold_merge") should not include "embeddings.parquet"
+    plans("q165_cold_merge") should not include "documents.parquet"
+    plans("q166_merge_serve") should include("graft-merge-wh")
+    plans("q166_merge_serve") should not include "embeddings.parquet"
+    plans("q166_merge_serve") should not include "documents.parquet"
   }
 
   test("vector-delete serving anti-joins the broadcast tombstones, zero corpus scans") {
