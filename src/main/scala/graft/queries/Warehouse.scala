@@ -922,6 +922,46 @@ object Warehouse {
     }
   }
 
+  /** Rebalance the dense index UNTIL QUIET: alternate
+    * [[splitHotCells]] and [[mergeColdCells]] waves until neither
+    * finds work or the wave bound cuts the loop — the one-call
+    * maintenance job (the [[refreshSemanticUntilConverged]]
+    * discipline applied to balance). The two bounds move with k (the
+    * uniform share total/k shrinks as splits add cells), so a NARROW
+    * quiet band thrashes: a split's slivers go cold, the merge
+    * re-fattens a survivor past hot, and the pair oscillates.
+    * Requiring `hotRatio ≥ 2 · coldRatio` keeps the band wide enough
+    * that an even split of a just-hot cell lands INSIDE it — the
+    * same-k fixed point exists — and `maxWaves` bounds the k-drift
+    * tail honestly (every committed wave is a consistent, servable
+    * snapshot, so stopping on the bound is safe, not torn). Returns
+    * the number of committed waves; `< maxWaves` means quiet. */
+  def rebalance(s: SparkSession, whDir: String,
+      hotRatio: Double = DefaultHotCellRatio,
+      coldRatio: Double = DefaultColdCellRatio,
+      maxWaves: Int = 8): Int = {
+    require(maxWaves > 0, s"maxWaves must be positive, got $maxWaves")
+    require(hotRatio > 1.0 && coldRatio < 1.0 && coldRatio > 0.0,
+      s"need coldRatio in (0,1) < 1 < hotRatio; got $coldRatio / $hotRatio")
+    require(hotRatio >= 2 * coldRatio,
+      s"quiet band too narrow (thrash risk): need hotRatio >= " +
+        s"2 * coldRatio, got $hotRatio < ${2 * coldRatio}")
+    var waves = 0
+    var worked = true
+    while (waves < maxWaves && worked) {
+      worked = false
+      if (waves < maxWaves &&
+          splitHotCells(s, whDir, hotRatio).nonEmpty) {
+        waves += 1; worked = true
+      }
+      if (waves < maxWaves &&
+          mergeColdCells(s, whDir, coldRatio).nonEmpty) {
+        waves += 1; worked = true
+      }
+    }
+    waves
+  }
+
   /** Compact every table of the current snapshot to `targetFiles`
     * parquet files — the small-files maintenance pass a merge-driven
     * warehouse needs (each [[mergeBatch]] union-write inherits the

@@ -170,6 +170,69 @@ class CellSplitSpec extends AnyFunSuite with SparkFixture {
     assert(after.length == 15, "ranking refills to k")
   }
 
+  test("rebalance quiesces at production ratios; narrow bands refused; serving invariant") {
+    import spark.implicits._
+    // A narrow quiet band thrashes (the uniform share moves with k, so
+    // at 1.06x some cell is above the moving bound essentially
+    // forever) — the API refuses it up front.
+    intercept[IllegalArgumentException] {
+      Warehouse.rebalance(spark, freshWh(),
+        hotRatio = Similarity.SplitRatio, coldRatio = Similarity.ColdRatio)
+    }
+    // The natural fixture is already balanced at production ratios.
+    val natural = freshWh()
+    assert(Warehouse.rebalance(spark, natural) == 0,
+      "a balanced store must commit zero waves")
+    // Synthetic skewed index: 8 one-hot seed directions; cells 0–6
+    // get 23 jittered members each, cell 7 two 96-member blobs
+    // (around e7+0.3·e0 and e7+0.3·e1) — ~4.3× the uniform share,
+    // hot at the production 1.5 ratio; the min/max-vec_id split
+    // seeds (the pure e7 seed vs a B-blob member) separate them.
+    def unit(i: Int): Array[Double] =
+      Array.tabulate(8)(j => if (j == i) 1.0 else 0.0)
+    def plus(a: Array[Double], b: Array[Double], s: Double): Array[Double] =
+      a.zip(b).map { case (x, y) => x + s * y }
+    val rows = Seq.tabulate(8)(i => (i.toLong, unit(i).toSeq)) ++
+      (for { i <- 0 until 7; m <- 0 until 23 } yield
+        ((10 + i * 30 + m).toLong,
+          plus(unit(i), unit((i + 1) % 8), 0.01 + 0.001 * m).toSeq)) ++
+      (for (m <- 0 until 96) yield ((300 + m).toLong,
+        plus(plus(unit(7), unit(0), 0.3), unit(2), 0.001 * m).toSeq)) ++
+      (for (m <- 0 until 96) yield ((500 + m).toLong,
+        plus(plus(unit(7), unit(1), 0.3), unit(3), 0.001 * m).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val docs = (0L until 20L).map(i => (i, "src", s"alpha beta w$i gamma"))
+      .toDF("doc_id", "source", "text")
+    def buildSkewed(): String = {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-rebal-spec").toString
+      Warehouse.buildOf(spark, docs, emb, wh)
+      wh
+    }
+    val wh = buildSkewed()
+    val waves = Warehouse.rebalance(spark, wh)
+    assert(waves > 0 && waves < 8,
+      s"expected a quiescing rebalance on the skewed store, got $waves")
+    val vQuiet = Warehouse.version(wh)
+    // Quiet means quiet: neither operation finds work at the default
+    // ratios, and a second rebalance commits nothing.
+    assert(Warehouse.splitHotCells(spark, wh,
+      Warehouse.DefaultHotCellRatio).isEmpty)
+    assert(Warehouse.mergeColdCells(spark, wh,
+      Warehouse.DefaultColdCellRatio).isEmpty)
+    assert(Warehouse.rebalance(spark, wh) == 0)
+    assert(Warehouse.version(wh) == vQuiet)
+    // The rebalanced store still serves: exhaustive probe over the
+    // final cell set is the exact ranking regardless of partitioning.
+    val qv = plus(unit(7), unit(0), 0.3).toSeq
+    val served = Similarity.annServeFrom(spark, wh, qv,
+      nprobe = 32, k = 10).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val pristine = Similarity.annServeFrom(spark, buildSkewed(), qv,
+      nprobe = 32, k = 10).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(served.toSeq == pristine.toSeq,
+      "rebalanced exhaustive probe == pristine exhaustive probe")
+  }
+
   test("split purges tombstoned rows physically and drops the list (refresh discipline)") {
     import spark.implicits._
     val wh = freshWh()
