@@ -2559,6 +2559,100 @@ object Similarity {
        |ORDER BY cos DESC, vec_id ASC
        |LIMIT $ParamAnnK""".stripMargin
 
+  // ---- q167: FILTERED ANN serving (metadata pre-filter) ---------------
+
+  /** The q167 pinned filter battery: three sources ≈ 15% of the
+    * corpus (the fixture's 20 sources are uniform). */
+  private[queries] val FilterSources = Seq("src3", "src7", "src11")
+
+  /** FILTERED ANN serving — the top-k restricted to vectors whose
+    * document carries an allowed source: the "filtered vector
+    * search" every retrieval product ends up needing (serve only
+    * license-clean sources, only one tenant, only post-cutoff
+    * crawls). Pre-filter composition: the IVF probe prunes cells as
+    * usual, and the pruned candidates semi-join the ALLOWED id set
+    * derived from the stored `doc_stats` table (embeddings and
+    * documents share the id space, the q137 self-retrieval fixture
+    * contract) — both sides are INDEX tables, so the plan touches no
+    * corpus file and the join is index-sized at any corpus scale
+    * (the filter side is NOT broadcast: at 100 TB an allowed set can
+    * be half the index; Spark picks the hash join). Scores are
+    * untouched by the filter — filtering before or after scoring is
+    * the same set, which is how the oracle states it. A probe that
+    * leaves fewer than k allowed candidates returns what it has
+    * (raise nprobe for selective filters — documented, mirrored by
+    * the oracle at equal nprobe). */
+  def annServeFiltered(s: SparkSession, dir: String,
+      queryVec: Seq[Double], nprobe: Int, k: Int,
+      sources: Seq[String]): DataFrame =
+    annServeFilteredWith(graft.queries.Warehouse.stored(s, dir, _),
+      queryVec, nprobe, k, sources, fixtureTomb(s, dir))
+
+  /** [[annServeFiltered]] against an EXPLICIT warehouse directory. */
+  def annServeFilteredFrom(s: SparkSession, whDir: String,
+      queryVec: Seq[Double], nprobe: Int, k: Int,
+      sources: Seq[String]): DataFrame =
+    annServeFilteredWith(graft.queries.Warehouse.read(s, whDir, _),
+      queryVec, nprobe, k, sources,
+      graft.queries.Warehouse.vecTombstones(s, whDir))
+
+  private def annServeFilteredWith(table: String => DataFrame,
+      queryVec: Seq[Double], nprobe: Int, k: Int, sources: Seq[String],
+      tomb: Option[DataFrame] = None): DataFrame = {
+    require(queryVec.nonEmpty, "annServeFiltered needs a query vector")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(k > 0, s"k must be positive, got $k")
+    require(sources.nonEmpty,
+      "annServeFiltered needs at least one allowed source — an empty " +
+        "filter serves nothing by definition; use annServe for unfiltered")
+    val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
+    val qv = typedLit(queryVec)
+    val qcells = table("centroids")
+      .withColumn("cos_c", cosine(col("v"), qv))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+      .limit(nprobe)
+      .select(col("c_id").as("probe_cell"))
+    val allowed = table("doc_stats")
+      .filter(col("source").isin(sources: _*))
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val denom = col("norm") * lit(qn)
+    minusTomb(table("cells"), tomb)
+      .join(broadcast(qcells), col("cell") === col("probe_cell"))
+      .join(allowed, Seq("vec_id"))
+      .withColumn("cos", when(denom === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), qv) / denom))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), col("source"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** q167 — the filtered serve certified against a from-raw
+    * re-derivation: index, probe, candidate scores AND the source
+    * filter all recomputed from the raw tables in one statement. */
+  def filteredServe(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(ParamQueryVecId))
+      .select(doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    annServeFiltered(s, dir, qv, ParamNprobe, ParamAnnK, FilterSources)
+  }
+
+  val filteredServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |${annRequestProbeTailCteSql(ParamQueryVecId, ParamNprobe)},
+       |src AS (
+       |  SELECT doc_id AS vec_id, source FROM documents
+       |  WHERE source IN (${FilterSources.map(s => s"'$s'").mkString(", ")}))
+       |SELECT aqcand.vec_id, aqcand.cell, src.source,
+       |  round(cos, 6) AS cosine
+       |FROM aqcand JOIN src ON src.vec_id = aqcand.vec_id
+       |ORDER BY cos DESC, aqcand.vec_id ASC
+       |LIMIT $ParamAnnK""".stripMargin
+
   // ---- q152: refreshed-centroid recall LIFT certification -------------
 
   /** Lloyd steps the q152 refresh runs before re-certifying recall —

@@ -214,6 +214,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q166_merge_serve") should include("graft-merge-wh")
     plans("q166_merge_serve") should not include "embeddings.parquet"
     plans("q166_merge_serve") should not include "documents.parquet"
+    // q167: the filter side is the STORED doc_stats table, never the
+    // corpus — a filtered serve that re-read documents.parquet would
+    // reintroduce a corpus-sized scan per request.
+    plans("q167_filtered_serve") should include("graft-warehouse")
+    plans("q167_filtered_serve") should include("doc_stats")
+    plans("q167_filtered_serve") should not include "embeddings.parquet"
+    plans("q167_filtered_serve") should not include "documents.parquet"
   }
 
   test("vector-delete serving anti-joins the broadcast tombstones, zero corpus scans") {
