@@ -854,6 +854,138 @@ object RetrievalIndex {
        |ORDER BY rrf DESC, doc_id""".stripMargin
   }
 
+  // ---- q168/q169: FILTERED retrieval (metadata pre-filter) -----------
+
+  /** FILTERED BM25 serving — the sparse twin of the q167 filtered ANN
+    * serve: the top-k restricted to documents whose source is allowed,
+    * with the SCORES untouched (global df / corpus stats — a filter
+    * must not re-weight terms, it narrows the candidate set). The
+    * filter side is the stored `doc_stats` table of the corpus
+    * warehouse (index-sized, deliberately not broadcast), the
+    * candidate side the bucket-pruned postings serve — the plan
+    * touches no corpus file. */
+  def bm25ServeFiltered(s: SparkSession, retrWh: String, corpusDir: String,
+      terms: Seq[String], k: Int, sources: Seq[String]): DataFrame =
+    bm25ServeFilteredWith(s, retrWh,
+      Warehouse.stored(s, corpusDir, "doc_stats"), terms, k, sources)
+
+  /** [[bm25ServeFiltered]] with BOTH stores explicit. */
+  def bm25ServeFilteredFrom(s: SparkSession, retrWh: String,
+      corpusWh: String, terms: Seq[String], k: Int,
+      sources: Seq[String]): DataFrame =
+    bm25ServeFilteredWith(s, retrWh,
+      Warehouse.read(s, corpusWh, "doc_stats"), terms, k, sources)
+
+  private def bm25ServeFilteredWith(s: SparkSession, retrWh: String,
+      docStats: DataFrame, terms: Seq[String], k: Int,
+      sources: Seq[String]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(sources.nonEmpty,
+      "bm25ServeFiltered needs at least one allowed source — an empty " +
+        "filter serves nothing by definition; use bm25Serve for unfiltered")
+    val allowed = docStats
+      .filter(col("source").isin(sources: _*))
+      .select(col("doc_id"), col("source"))
+    bm25ServeScoredRequest(s, retrWh, terms)
+      .join(allowed, Seq("doc_id"))
+      .orderBy(col("s").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("source"),
+        round(col("s"), 6).as("bm25"))
+  }
+
+  /** q168 — the filtered BM25 serve certified against a from-raw
+    * recompute of the request AND the source filter. */
+  def filteredBm25Serve(s: SparkSession, dir: String): DataFrame =
+    bm25ServeFiltered(s, ensure(s, dir), dir, ParamTerms, ParamK,
+      Similarity.FilterSources)
+
+  val filteredBm25ServeSql: String = {
+    val ts = ParamTerms.distinct.sorted
+    s"""WITH ${bm25RequestCteSql(ts)},
+       |fsrc AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE source IN (${Similarity.FilterSources
+            .map(x => s"'$x'").mkString(", ")}))
+       |SELECT rqsc.doc_id, rqsc.dl, fsrc.source, round(s, 6) AS bm25
+       |FROM rqsc JOIN fsrc ON fsrc.doc_id = rqsc.doc_id
+       |WHERE ${ts.map(t => s"tf_$t > 0").mkString(" OR ")}
+       |ORDER BY s DESC, rqsc.doc_id ASC
+       |LIMIT $ParamK""".stripMargin
+  }
+
+  /** FILTERED hybrid serving — RRF fusion of the two FILTERED legs
+    * (q167's dense filter + q168's sparse filter), concurrent on the
+    * leg pool. Leg ranks are computed WITHIN the allowed population
+    * (the rank a filtered deployment would serve), so fusion rewards
+    * agreement among allowed documents rather than positions in a
+    * ranking the caller is not allowed to see. */
+  def hybridServeFiltered(s: SparkSession, retrWh: String,
+      corpusDir: String, terms: Seq[String], queryVec: Seq[Double],
+      sources: Seq[String],
+      nprobe: Int = Similarity.AnnProbeN,
+      kSparse: Int = TextOps.Bm25K,
+      kDense: Int = Similarity.AnnServeK): DataFrame = {
+    require(sources.nonEmpty,
+      "hybridServeFiltered needs at least one allowed source")
+    def allowed() = Warehouse.stored(s, corpusDir, "doc_stats")
+      .filter(col("source").isin(sources: _*))
+      .select("doc_id")
+    fuseRrf(s,
+      () => bm25ServeScoredRequest(s, retrWh, terms)
+        .join(allowed(), Seq("doc_id"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(kSparse)
+        .select("doc_id").collect().map(_.getLong(0)),
+      () => Similarity.annServeScoredRequest(s, corpusDir, queryVec, nprobe)
+        .join(allowed().select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(kDense)
+        .select("vec_id").collect().map(_.getLong(0)))
+  }
+
+  /** q169 — the filtered hybrid fusion certified against a from-raw
+    * recompute of both legs, both filters, both within-filter ranks
+    * and the fusion algebra in one statement. */
+  def filteredHybridServe(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(HybridParamVecId))
+      .select(graft.queries.Similarity.doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    hybridServeFiltered(s, ensure(s, dir), dir, HybridParamTerms, qv,
+      Similarity.FilterSources)
+  }
+
+  val filteredHybridServeSql: String = {
+    val ts = HybridParamTerms.distinct.sorted
+    s"""WITH ${Similarity.cellAssignCteSql},
+       |${Similarity.annRequestProbeCteSql(HybridParamVecId,
+           Similarity.AnnProbeN)},
+       |${bm25RequestCteSql(ts)},
+       |fsrc AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE source IN (${Similarity.FilterSources
+            .map(x => s"'$x'").mkString(", ")})),
+       |spr AS (
+       |  SELECT doc_id, rank_sparse FROM (
+       |    SELECT rqsc.doc_id,
+       |      row_number() OVER (ORDER BY s DESC, rqsc.doc_id ASC) AS rank_sparse
+       |    FROM rqsc JOIN fsrc ON fsrc.doc_id = rqsc.doc_id
+       |    WHERE ${ts.map(t => s"tf_$t > 0").mkString(" OR ")})
+       |  WHERE rank_sparse <= ${TextOps.Bm25K}),
+       |den AS (
+       |  SELECT doc_id, rank_dense FROM (
+       |    SELECT aqcand.vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, aqcand.vec_id ASC) AS rank_dense
+       |    FROM aqcand JOIN fsrc ON fsrc.doc_id = aqcand.vec_id)
+       |  WHERE rank_dense <= ${Similarity.AnnServeK})
+       |SELECT COALESCE(spr.doc_id, den.doc_id) AS doc_id,
+       |  CAST(COALESCE(rank_sparse, 0) AS BIGINT) AS rank_sparse,
+       |  CAST(COALESCE(rank_dense, 0) AS BIGINT) AS rank_dense,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_sparse), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / (${Similarity.RrfK} + rank_dense), 0), 6) AS rrf
+       |FROM spr FULL OUTER JOIN den ON spr.doc_id = den.doc_id
+       |ORDER BY rrf DESC, doc_id""".stripMargin
+  }
+
   // ---- q154/q156: BATCHED multi-request serving (r15 verdict #1) -----
 
   /** BATCHED BM25 serving — N requests answered by ONE Spark job

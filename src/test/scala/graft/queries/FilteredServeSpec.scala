@@ -51,6 +51,55 @@ class FilteredServeSpec extends AnyFunSuite with SparkFixture {
       Seq("nosuchsource")).collect().isEmpty)
   }
 
+  test("filtered BM25 == unfiltered BM25 post-filtered; scores untouched") {
+    val wh = RetrievalIndex.ensure(spark, sfDir)
+    val sources = Similarity.FilterSources
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val terms = RetrievalIndex.ParamTerms
+    // k = corpus size: the unfiltered serve carries every candidate.
+    val unfiltered = RetrievalIndex.bm25Serve(spark, wh, terms, srcOf.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = unfiltered
+      .filter(r => sources.contains(srcOf(r._1)))
+      .take(RetrievalIndex.ParamK)
+      .map(r => (r._1, r._2, srcOf(r._1), r._3))
+    val got = RetrievalIndex.bm25ServeFiltered(spark, wh, sfDir, terms,
+        RetrievalIndex.ParamK, sources).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq,
+      "the filter must not change BM25 scores or order")
+    assert(got.nonEmpty && got.forall(r => sources.contains(r._3)))
+    intercept[IllegalArgumentException] {
+      RetrievalIndex.bm25ServeFiltered(spark, wh, sfDir, terms, 10, Seq.empty)
+    }
+  }
+
+  test("filtered hybrid fuses within-filter leg ranks over allowed docs only") {
+    val wh = RetrievalIndex.ensure(spark, sfDir)
+    val sources = Similarity.FilterSources
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qv = qvOf(RetrievalIndex.HybridParamVecId)
+    val fused = RetrievalIndex.hybridServeFiltered(spark, wh, sfDir,
+        RetrievalIndex.HybridParamTerms, qv, sources).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fused.nonEmpty &&
+      fused.forall(r => sources.contains(srcOf(r._1))),
+      "every fused doc must be allowed")
+    // The sparse leg's ranks are the within-filter ranks: rank r in
+    // the fusion == position r of the post-filtered sparse serve.
+    val sparseAll = RetrievalIndex.bm25Serve(spark, wh,
+        RetrievalIndex.HybridParamTerms, srcOf.size)
+      .collect().map(_.getLong(0))
+      .filter(id => sources.contains(srcOf(id)))
+      .take(graft.queries.TextOps.Bm25K)
+    fused.filter(_._2 > 0).foreach { case (id, rs, _, _) =>
+      assert(sparseAll((rs - 1).toInt) == id,
+        s"sparse rank $rs of doc $id must match the post-filtered serve")
+    }
+  }
+
   test("tombstones compose with the filter") {
     import spark.implicits._
     val wh = java.nio.file.Files

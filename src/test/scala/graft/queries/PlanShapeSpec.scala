@@ -62,7 +62,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q155_ann_serve_batch",  // broadcast 60-request frame × k centroids (q46 probe shape)
     "q156_hybrid_serve_batch", // both batch legs' bounded broadcasts (q154+q155 shapes)
     "q157_quant_serve",      // broadcast 5-probe battery × stored index (q106 shape)
-    "q162_quant_serve_batch") // broadcast 60-request frame × k centroids (q155 shape)
+    "q162_quant_serve_batch", // broadcast 60-request frame × k centroids (q155 shape)
+    "q168_filtered_bm25")    // 1-row stats broadcast (q149 idiom, filter form)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -221,6 +222,22 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q167_filtered_serve") should include("doc_stats")
     plans("q167_filtered_serve") should not include "embeddings.parquet"
     plans("q167_filtered_serve") should not include "documents.parquet"
+    // q168: the sparse twin — bucket-pruned postings candidate side,
+    // stored-doc_stats filter side, no corpus file.
+    plans("q168_filtered_bm25") should include("graft-retr-wh")
+    plans("q168_filtered_bm25") should include("PartitionFilters")
+    plans("q168_filtered_bm25") should include("doc_stats")
+    plans("q168_filtered_bm25") should not include "documents.parquet"
+    // q169: driver-side fusion of the two filtered legs (the q156
+    // registered-frame shape); the corpus-free property is pinned on
+    // the LEG plans the fusion collects.
+    val filtSparse = RetrievalIndex.bm25ServeFiltered(spark,
+      RetrievalIndex.ensure(spark, sfDir), sfDir,
+      RetrievalIndex.HybridParamTerms, 10, Similarity.FilterSources)
+      .queryExecution.executedPlan.toString
+    filtSparse should include("graft-retr-wh")
+    filtSparse should include("doc_stats")
+    filtSparse should not include "documents.parquet"
   }
 
   test("vector-delete serving anti-joins the broadcast tombstones, zero corpus scans") {
