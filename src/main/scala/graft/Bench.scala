@@ -605,9 +605,14 @@ object Bench {
     // Detail-file only (the stdout line keeps its 2 KB tail contract).
     // Knobs: SPARK_GRAFT_CORPUS_DOCS (comma doc counts, "" disables),
     // SPARK_GRAFT_CORPUS_DIR.
+    // `n` is an optional per-stage cardinality (e.g. a serve batch's
+    // request count); < 0 means "not applicable" and the field is
+    // omitted from the JSON. Kept OUT of the stage name so round-over-
+    // round BENCH_DETAIL comparisons align on a fixed key even when
+    // the corpus size moves the count (ADVICE r16).
     final case class StageRow(name: String, wall: Double, sent: Double,
         stealS: Double, gcS: Double, taskS: Double,
-        shufWriteMb: Double, shufReadMb: Double)
+        shufWriteMb: Double, shufReadMb: Double, n: Long = -1L)
     final case class CorpusResult(nDocs: Long, textBytes: Long,
         parquetBytes: Long, genSec: Double, purgeRows: Long,
         clusterRows: Long, stages: Seq[StageRow],
@@ -811,10 +816,10 @@ object Bench {
                 "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
               .orderBy("vec_id").limit(60).collect()
               .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-            bf += stageRow(s"quant_serve_batch_n${quantBatchReqs.size}") {
+            bf += stageRow("quant_serve_batch") {
               graft.queries.Similarity.annServeQuantBatchFrom(spark, whFull,
                 quantBatchReqs, nprobe = 2, k = 10).collect(); ()
-            }
+            }.copy(n = quantBatchReqs.size.toLong)
             // Drift-gated refresh UNTIL CONVERGED (r15 verdict #5) at
             // corpus scale: per-step cost is the q72 k·dim-group
             // shuffle + a map-only re-assignment — flat in k·dim, so
@@ -1004,7 +1009,8 @@ object Bench {
           s""""sentinel":${num("%.4f", st.sent)},"steal_sec":${num("%.2f", st.stealS)},""" +
           s""""gc_sec":${num("%.3f", st.gcS)},"task_sec":${num("%.2f", st.taskS)},""" +
           s""""shuffle_write_mb":${num("%.2f", st.shufWriteMb)},""" +
-          s""""shuffle_read_mb":${num("%.2f", st.shufReadMb)}}"""
+          s""""shuffle_read_mb":${num("%.2f", st.shufReadMb)}""" +
+          (if (st.n >= 0) s""","n":${st.n}}""" else "}")
         def stagesJson(sts: Seq[StageRow]): String =
           sts.map(stageJson).mkString("[", ",", "]")
         def incJson(inc: StageRow, rows: Long, dups: Long): String =

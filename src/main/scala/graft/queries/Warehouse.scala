@@ -934,8 +934,12 @@ object Warehouse {
     * that an even split of a just-hot cell lands INSIDE it — the
     * same-k fixed point exists — and `maxWaves` bounds the k-drift
     * tail honestly (every committed wave is a consistent, servable
-    * snapshot, so stopping on the bound is safe, not torn). Returns
-    * the number of committed waves; `< maxWaves` means quiet. */
+    * snapshot, so stopping on the bound is safe, not torn). A wave is
+    * one FULL split+merge iteration — both legs always run before the
+    * counter moves, so the bound can never skip the merge half of an
+    * iteration and a hot-then-cold oscillation costs one wave, not
+    * two. Returns the number of committed waves; `< maxWaves` means
+    * quiet (the last iteration found no work on either leg). */
   def rebalance(s: SparkSession, whDir: String,
       hotRatio: Double = DefaultHotCellRatio,
       coldRatio: Double = DefaultColdCellRatio,
@@ -949,15 +953,10 @@ object Warehouse {
     var waves = 0
     var worked = true
     while (waves < maxWaves && worked) {
-      worked = false
-      if (waves < maxWaves &&
-          splitHotCells(s, whDir, hotRatio).nonEmpty) {
-        waves += 1; worked = true
-      }
-      if (waves < maxWaves &&
-          mergeColdCells(s, whDir, coldRatio).nonEmpty) {
-        waves += 1; worked = true
-      }
+      val split = splitHotCells(s, whDir, hotRatio).nonEmpty
+      val merged = mergeColdCells(s, whDir, coldRatio).nonEmpty
+      worked = split || merged
+      if (worked) waves += 1
     }
     waves
   }

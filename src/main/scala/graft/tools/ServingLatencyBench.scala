@@ -151,19 +151,24 @@ object ServingLatencyBench {
         s""""rows_total":$rows}"""
       (json, pctl(times, 0.95), raw.sum)
     }
-    val fams = Seq(
-      battery("bm25_param", bm25Reqs.map(ts =>
+    // Keyed by family name: the batch section looks its sequential
+    // baseline up by name, so inserting or reordering a battery can
+    // never misattribute seq_ms / speedup_vs_sequential (ADVICE r16).
+    val namedFams: Seq[(String, (String, Double, Double))] = Seq(
+      "bm25" -> battery("bm25_param", bm25Reqs.map(ts =>
         () => RetrievalIndex.bm25Serve(spark, wh, ts, 10).collect().length)),
-      battery("ann_param", annReqs.map(v =>
+      "ann" -> battery("ann_param", annReqs.map(v =>
         () => Similarity.annServe(spark, sfDir, v, nprobe = 2, k = 10)
           .collect().length)),
-      battery("hybrid_param", hybridReqs.map { case (ts, v) =>
+      "hybrid" -> battery("hybrid_param", hybridReqs.map { case (ts, v) =>
         () => RetrievalIndex.hybridServe(spark, wh, sfDir, ts, v)
           .collect().length
       }),
-      battery("quant_param", annReqs.map(v =>
+      "quant" -> battery("quant_param", annReqs.map(v =>
         () => Similarity.annServeQuant(spark, sfDir, v, nprobe = 2, k = 10)
           .collect().length)))
+    val fams = namedFams.map(_._2)
+    def seqTotalOf(name: String): Double = namedFams.toMap.apply(name)._3
     val budgetMs = 1000.0
     val paramJson =
       s"""{"n_requests":${nBm25 + 2 * nAnn + nHybrid},""" +
@@ -184,22 +189,22 @@ object ServingLatencyBench {
       ((System.nanoTime() - t0) / 1e6, rows)
     }
     val batchFams = Seq(
-      ("bm25", bm25Batch.size, fams(0)._3, timedBatch(
+      ("bm25", bm25Batch.size, seqTotalOf("bm25"), timedBatch(
         () => RetrievalIndex.bm25ServeBatch(spark, wh, bm25Batch.take(3), 10)
           .collect().length,
         () => RetrievalIndex.bm25ServeBatch(spark, wh, bm25Batch, 10)
           .collect().length)),
-      ("ann", annBatch.size, fams(1)._3, timedBatch(
+      ("ann", annBatch.size, seqTotalOf("ann"), timedBatch(
         () => Similarity.annServeBatch(spark, sfDir, annBatch.take(3),
           nprobe = 2, k = 10).collect().length,
         () => Similarity.annServeBatch(spark, sfDir, annBatch,
           nprobe = 2, k = 10).collect().length)),
-      ("hybrid", hyBatch.size, fams(2)._3, timedBatch(
+      ("hybrid", hyBatch.size, seqTotalOf("hybrid"), timedBatch(
         () => RetrievalIndex.hybridServeBatch(spark, wh, sfDir,
           hyBatch.take(3)).collect().length,
         () => RetrievalIndex.hybridServeBatch(spark, wh, sfDir, hyBatch)
           .collect().length)),
-      ("quant", annBatch.size, fams(3)._3, timedBatch(
+      ("quant", annBatch.size, seqTotalOf("quant"), timedBatch(
         () => Similarity.annServeQuantBatch(spark, sfDir, annBatch.take(3),
           nprobe = 2, k = 10).collect().length,
         () => Similarity.annServeQuantBatch(spark, sfDir, annBatch,
