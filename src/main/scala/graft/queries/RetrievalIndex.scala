@@ -1163,26 +1163,42 @@ object RetrievalIndex {
     * the fused ranking is identical to the sequential
     * [[hybridServe]] (BatchServeSpec pins it); absent legs contribute
     * rank 0, the q118 contract. */
+  /** Request count above which [[hybridServeBatch]] fuses IN-PLAN
+    * (r16 verdict item: the driver fusion's collect is bounded by
+    * (kSparse + kDense)·|requests| rank rows — fine for the 25–60
+    * request SERVING populations where overlapping the two family
+    * jobs wins, but an offline eval-scale population (10⁵ requests ⇒
+    * ~5 M driver rows) must fuse without touching the driver). */
+  private[queries] val InPlanFusionThreshold = 100
+
   def hybridServeBatch(s: SparkSession, retrWh: String, corpusDir: String,
       requests: Seq[(Long, Seq[String], Seq[Double])],
       nprobe: Int = Similarity.AnnProbeN,
       kSparse: Int = TextOps.Bm25K,
-      kDense: Int = Similarity.AnnServeK): DataFrame =
-    fuseBatch(s,
-      () => bm25ServeBatch(s, retrWh, requests.map(r => (r._1, r._2)), kSparse),
-      () => Similarity.annServeBatch(s, corpusDir,
-        requests.map(r => (r._1, r._3)), nprobe, kDense))
+      kDense: Int = Similarity.AnnServeK): DataFrame = {
+    def sparse() = bm25ServeBatch(s, retrWh,
+      requests.map(r => (r._1, r._2)), kSparse)
+    def dense() = Similarity.annServeBatch(s, corpusDir,
+      requests.map(r => (r._1, r._3)), nprobe, kDense)
+    if (requests.size > InPlanFusionThreshold)
+      fuseBatchInPlan(sparse(), dense())
+    else fuseBatch(s, () => sparse(), () => dense())
+  }
 
   /** [[hybridServeBatch]] with BOTH stores explicit. */
   def hybridServeBatchFrom(s: SparkSession, retrWh: String, annWh: String,
       requests: Seq[(Long, Seq[String], Seq[Double])],
       nprobe: Int = Similarity.AnnProbeN,
       kSparse: Int = TextOps.Bm25K,
-      kDense: Int = Similarity.AnnServeK): DataFrame =
-    fuseBatch(s,
-      () => bm25ServeBatch(s, retrWh, requests.map(r => (r._1, r._2)), kSparse),
-      () => Similarity.annServeBatchFrom(s, annWh,
-        requests.map(r => (r._1, r._3)), nprobe, kDense))
+      kDense: Int = Similarity.AnnServeK): DataFrame = {
+    def sparse() = bm25ServeBatch(s, retrWh,
+      requests.map(r => (r._1, r._2)), kSparse)
+    def dense() = Similarity.annServeBatchFrom(s, annWh,
+      requests.map(r => (r._1, r._3)), nprobe, kDense)
+    if (requests.size > InPlanFusionThreshold)
+      fuseBatchInPlan(sparse(), dense())
+    else fuseBatch(s, () => sparse(), () => dense())
+  }
 
   /** Per-request RRF fusion of the two batch legs — the q118 algebra
     * keyed by (req_id, doc_id). The legs are independent single-job
@@ -1208,6 +1224,32 @@ object RetrievalIndex {
     def term(r: Column): Column =
       when(r.isNull, lit(0.0))
         .otherwise(lit(1.0) / (lit(Similarity.RrfK) + r))
+    spDf.join(dnDf, Seq("req_id", "doc_id"), "full_outer")
+      .select(col("req_id"), col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(term(col("rank_sparse")) + term(col("rank_dense")), 6).as("rrf"))
+      .orderBy(col("req_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  /** IN-PLAN fusion of the two batch legs — the q118 RRF algebra as
+    * one lazy plan, zero driver-side rank collection: the leg frames
+    * (each ≤ k rows per request, already per-request-top-k'd on the
+    * executors) full-outer join on (req_id, doc_id) and the fusion
+    * expressions are IDENTICAL to [[fuseBatch]]'s, so the two forms
+    * are row-identical on any population (HybridFusionSpec pins the
+    * overlap). Selected above [[InPlanFusionThreshold]], where the
+    * fused frame outgrows what a driver should hold; below it the
+    * collected form wins by overlapping the two family jobs. */
+  private[queries] def fuseBatchInPlan(sparse: DataFrame,
+      dense: DataFrame): DataFrame = {
+    def term(r: Column): Column =
+      when(r.isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(Similarity.RrfK) + r))
+    val spDf = sparse.select(col("req_id"), col("doc_id"),
+      col("rank").as("rank_sparse"))
+    val dnDf = dense.select(col("req_id"), col("vec_id").as("doc_id"),
+      col("rank").as("rank_dense"))
     spDf.join(dnDf, Seq("req_id", "doc_id"), "full_outer")
       .select(col("req_id"), col("doc_id"),
         coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
@@ -1246,17 +1288,21 @@ object RetrievalIndex {
     hybridServeBatch(s, ensure(s, dir), dir, reqs)
   }
 
-  val hybridServeBatchSql: String = {
-    val reqVals = batchHybridTermReqs.zip(BatchHybridVecIds)
+  /** ONE oracle rule text for ANY hybrid batch battery — the q156
+    * pinned battery and the q173 in-plan battery instantiate it, so
+    * the two certificates can never drift on the fusion algebra. */
+  private def hybridBatchSqlFor(termReqs: Seq[(Long, Seq[String])],
+      vecIds: Seq[Long]): String = {
+    val reqVals = termReqs.zip(vecIds)
       .map { case ((rid, _), vid) => s"($rid, $vid)" }.mkString(", ")
     s"""WITH ${Similarity.cellAssignCteSql},
        |sig AS (
        |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
        |  FROM a WHERE rn = 1),
-       |${batchBm25CteSql("hb", batchHybridTermReqs)},
+       |${batchBm25CteSql("hb", termReqs)},
        |hspr AS (
        |  SELECT req_id, doc_id, rank AS rank_sparse FROM (
-       |${batchBm25RankedSql("hb", batchHybridTermReqs, TextOps.Bm25K)}
+       |${batchBm25RankedSql("hb", termReqs, TextOps.Bm25K)}
        |)),
        |hmap(req_id, qvid) AS (VALUES $reqVals),
        |hq AS (
@@ -1293,6 +1339,52 @@ object RetrievalIndex {
        |  ON sp.req_id = dn.req_id AND sp.doc_id = dn.doc_id
        |ORDER BY req_id, rrf DESC, doc_id""".stripMargin
   }
+
+  val hybridServeBatchSql: String =
+    hybridBatchSqlFor(batchHybridTermReqs, BatchHybridVecIds)
+
+  // ---- q173: IN-PLAN batch-hybrid fusion (r16 verdict #2) -------------
+
+  /** The q173 pinned battery: 30 hybrid requests, term stride and
+    * vector stride disjoint from the q156 battery. */
+  private[queries] def inPlanHybridTermReqs: Seq[(Long, Seq[String])] =
+    (0L until 30L).map { i =>
+      val n = 1 + (i % 3).toInt
+      val terms = (0 until n)
+        .map(j => BatchVocab(((i * 7 + j * 11 + 2) % BatchVocab.length).toInt))
+        .distinct
+      (i, terms)
+    }
+  private[queries] val InPlanHybridVecIds: Seq[Long] =
+    (0 until 30).map(i => ((i * 23 + 9) % 480).toLong)
+
+  /** q173 — the IN-PLAN batch-hybrid fusion certified: the pinned
+    * battery forced through [[fuseBatchInPlan]] (the ≥ threshold
+    * path — zero driver-side rank collection; both legs and the RRF
+    * algebra compose into ONE lazy plan) against the same from-raw
+    * re-derivation idiom as q156. Values are leg-rank algebra, so
+    * in-plan ≡ collected fusion by construction (HybridFusionSpec
+    * additionally pins row-identity of the two forms). */
+  def hybridServeBatchInPlanQ(s: SparkSession, dir: String): DataFrame = {
+    val byId = Tables.embeddings(s, dir)
+      .filter(col("vec_id").isin(InPlanHybridVecIds: _*))
+      .select(col("vec_id"),
+        graft.queries.Similarity.doubled(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val reqs = inPlanHybridTermReqs.zip(InPlanHybridVecIds).map {
+      case ((rid, ts), vid) => (rid, ts, byId(vid))
+    }
+    fuseBatchInPlan(
+      bm25ServeBatch(s, ensure(s, dir),
+        reqs.map(r => (r._1, r._2)), TextOps.Bm25K),
+      Similarity.annServeBatch(s, dir,
+        reqs.map(r => (r._1, r._3)), Similarity.AnnProbeN,
+        Similarity.AnnServeK))
+  }
+
+  val hybridServeBatchInPlanSql: String =
+    hybridBatchSqlFor(inPlanHybridTermReqs, InPlanHybridVecIds)
 
   val mergeCertifySql: String =
     s"""WITH p AS (

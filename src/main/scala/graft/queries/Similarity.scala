@@ -1511,27 +1511,18 @@ object Similarity {
     * external query vector matching an indexed one is a legitimate
     * (cos = 1) neighbour. */
   def annServe(s: SparkSession, dir: String, queryVec: Seq[Double],
-      nprobe: Int, k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    annServeScoredRequest(s, dir, queryVec, nprobe)
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
-      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
-  }
+      nprobe: Int, k: Int): DataFrame =
+    singleServe(serve(s, dir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k)), filtered = false)
 
   /** [[annServe]] against an EXPLICIT warehouse directory — the
     * product form for callers owning their own `Warehouse.build`
     * output (the corpus-dir overload resolves the memoized fixture
     * store; same types, so this needs its own name). */
   def annServeFrom(s: SparkSession, whDir: String, queryVec: Seq[Double],
-      nprobe: Int, k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    annServeScoredWith(graft.queries.Warehouse.read(s, whDir, _),
-        queryVec, nprobe, graft.queries.Warehouse.vecTombstones(s, whDir))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
-      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
-  }
+      nprobe: Int, k: Int): DataFrame =
+    singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k)), filtered = false)
 
   /** The unrounded parameterized candidate frame (…, cell, cos) —
     * shared by [[annServe]] and the parameterized hybrid fusion. */
@@ -1655,52 +1646,13 @@ object Similarity {
     * (BatchServeSpec pins it). */
   def annServeBatch(s: SparkSession, dir: String,
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame =
-    annServeBatchWith(s, graft.queries.Warehouse.stored(s, dir, _),
-      requests, nprobe, k, fixtureTomb(s, dir))
+    serve(s, dir, requests, AnnServeOpts(nprobe, k))
 
   /** [[annServeBatch]] against an EXPLICIT warehouse directory — the
     * product form for callers owning their own index builds. */
   def annServeBatchFrom(s: SparkSession, whDir: String,
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame =
-    annServeBatchWith(s, graft.queries.Warehouse.read(s, whDir, _),
-      requests, nprobe, k, graft.queries.Warehouse.vecTombstones(s, whDir))
-
-  private def annServeBatchWith(s: SparkSession, table: String => DataFrame,
-      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
-      tomb: Option[DataFrame] = None): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    require(k > 0, s"k must be positive, got $k")
-    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    require(requests.nonEmpty, "annServeBatch needs at least one request")
-    require(requests.map(_._1).distinct.size == requests.size,
-      "request ids must be unique")
-    requests.foreach { case (rid, v) =>
-      require(v.nonEmpty, s"request $rid needs a query vector") }
-    val reqDf = requests.toDF("req_id", "qv")
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val wpc = Window.partitionBy(col("req_id"))
-      .orderBy(col("cos_c").desc, col("c_id").desc)
-    val probes = table("centroids").join(broadcast(reqDf))
-      .withColumn("cos_c", cosine(col("v"), col("qv")))
-      .withColumn("rn", row_number().over(wpc))
-      .filter(col("rn") <= nprobe)
-      .select(col("req_id"), col("qv"), col("qn"),
-        col("c_id").as("probe_cell"))
-    val denom = col("norm") * col("qn")
-    val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
-    minusTomb(table("cells"), tomb)
-      .join(broadcast(probes), col("cell") === col("probe_cell"))
-      .withColumn("cos", when(denom === 0.0, lit(-2.0))
-        .otherwise(dot(col("v"), col("qv")) / denom))
-      .groupBy(col("req_id"))
-      .agg(topk(-col("cos"), col("vec_id"), col("cell").cast("double")).as("top"))
-      .select(col("req_id"), posexplode(col("top.cands")).as(Seq("pos", "x")))
-      .select(col("req_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("x.id").as("vec_id"), col("x.c").cast("long").as("cell"),
-        round(-col("x.neg_cos"), 6).as("cosine"))
-      .orderBy("req_id", "rank")
-  }
+    serveFrom(s, whDir, requests, AnnServeOpts(nprobe, k))
 
   /** The q155 pinned battery: 60 distinct stored vectors replayed as
     * requests (req_id = source vec_id — which also keys the oracle's
@@ -1783,58 +1735,17 @@ object Similarity {
     * which is only touched for `rescore` rows per request. */
   def annServeQuant(s: SparkSession, dir: String, queryVec: Seq[Double],
       nprobe: Int, k: Int, rescore: Int = QuantRescoreR): DataFrame =
-    annServeQuantWith(graft.queries.Warehouse.stored(s, dir, _),
-      queryVec, nprobe, k, rescore, fixtureTomb(s, dir))
+    singleServe(serve(s, dir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore)),
+      filtered = false)
 
   /** [[annServeQuant]] against an explicit warehouse directory. */
   def annServeQuantFrom(s: SparkSession, whDir: String,
       queryVec: Seq[Double], nprobe: Int, k: Int,
       rescore: Int = QuantRescoreR): DataFrame =
-    annServeQuantWith(graft.queries.Warehouse.read(s, whDir, _),
-      queryVec, nprobe, k, rescore,
-      graft.queries.Warehouse.vecTombstones(s, whDir))
-
-  private def annServeQuantWith(table: String => DataFrame,
-      queryVec: Seq[Double], nprobe: Int, k: Int, rescore: Int,
-      tomb: Option[DataFrame] = None): DataFrame = {
-    require(queryVec.nonEmpty, "annServeQuant needs a query vector")
-    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    require(k > 0, s"k must be positive, got $k")
-    require(rescore >= k, s"rescore depth $rescore must be >= k = $k")
-    // The request quantizes with the EXACT build-kernel arithmetic
-    // (shared I8Quant statics), so request codes and stored codes
-    // live in one code space.
-    val qCode = graft.functions.I8Quant.pack(queryVec.toArray)
-    val qqn = math.sqrt(
-      graft.functions.I8Quant.dot(qCode, qCode).toDouble)
-    val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
-    val qv = typedLit(queryVec)
-    val qcells = table("centroids")
-      .withColumn("cos_c", cosine(col("v"), qv))
-      .orderBy(col("cos_c").desc, col("c_id").desc)
-      .limit(nprobe)
-      .select(col("c_id").as("probe_cell"))
-    val qdenom = col("qnorm") * lit(qqn)
-    // The prefilter's exclusion suffices for the rescore too: the
-    // rescore semi-joins only the surviving prefilter ids.
-    val pre = minusTomb(table("cells_q8"), tomb)
-      .join(broadcast(qcells), col("cell") === col("probe_cell"))
-      .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
-        .otherwise(
-          call_function("graft_i8_dot", col("code"), lit(qCode))
-            .cast("double") / qdenom))
-      .orderBy(col("qcos").desc, col("vec_id").asc)
-      .limit(rescore)
-      .select("vec_id")
-    val denom = col("norm") * lit(qn)
-    table("cells")
-      .join(broadcast(pre), Seq("vec_id"), "left_semi")
-      .withColumn("cos", when(denom === 0.0, lit(-2.0))
-        .otherwise(dot(col("v"), qv) / denom))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
-      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cosine"))
-  }
+    singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore)),
+      filtered = false)
 
   /** q157 — the quantized serve CERTIFIED against the exact paths,
     * all four legs read from STORED tables (the q142 serving-
@@ -2078,78 +1989,16 @@ object Similarity {
   def annServeQuantBatch(s: SparkSession, dir: String,
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
       rescore: Int = QuantRescoreR): DataFrame =
-    annServeQuantBatchWith(s, graft.queries.Warehouse.stored(s, dir, _),
-      requests, nprobe, k, rescore, fixtureTomb(s, dir))
+    serve(s, dir, requests,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore))
 
   /** [[annServeQuantBatch]] against an EXPLICIT warehouse directory —
     * the product form for callers owning their own index builds. */
   def annServeQuantBatchFrom(s: SparkSession, whDir: String,
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
       rescore: Int = QuantRescoreR): DataFrame =
-    annServeQuantBatchWith(s, graft.queries.Warehouse.read(s, whDir, _),
-      requests, nprobe, k, rescore,
-      graft.queries.Warehouse.vecTombstones(s, whDir))
-
-  private def annServeQuantBatchWith(s: SparkSession,
-      table: String => DataFrame, requests: Seq[(Long, Seq[Double])],
-      nprobe: Int, k: Int, rescore: Int,
-      tomb: Option[DataFrame] = None): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    require(k > 0, s"k must be positive, got $k")
-    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    require(rescore >= k, s"rescore depth $rescore must be >= k = $k")
-    require(requests.nonEmpty, "annServeQuantBatch needs at least one request")
-    require(requests.map(_._1).distinct.size == requests.size,
-      "request ids must be unique")
-    requests.foreach { case (rid, v) =>
-      require(v.nonEmpty, s"request $rid needs a query vector") }
-    // Request codes/norms packed with the build-kernel arithmetic on
-    // the driver — the sequential annServeQuant's exact fold, so the
-    // batch scores live in the same code space bit for bit.
-    val reqDf = requests.map { case (rid, v) =>
-      val code = graft.functions.I8Quant.pack(v.toArray)
-      (rid, v,
-        math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)),
-        code,
-        math.sqrt(graft.functions.I8Quant.dot(code, code).toDouble))
-    }.toDF("req_id", "qv", "qn", "qcode", "qqn")
-    val wpc = Window.partitionBy(col("req_id"))
-      .orderBy(col("cos_c").desc, col("c_id").desc)
-    val probes = table("centroids").join(broadcast(reqDf))
-      .withColumn("cos_c", cosine(col("v"), col("qv")))
-      .withColumn("rn", row_number().over(wpc))
-      .filter(col("rn") <= nprobe)
-      .select(col("req_id"), col("qcode"), col("qqn"),
-        col("c_id").as("probe_cell"))
-    val qdenom = col("qnorm") * col("qqn")
-    val topr = udaf(new TopKAggregator(rescore), Encoders.product[ScoredCand])
-    val pre = minusTomb(table("cells_q8"), tomb)
-      .join(broadcast(probes), col("cell") === col("probe_cell"))
-      .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
-        .otherwise(
-          call_function("graft_i8_dot", col("code"), col("qcode"))
-            .cast("double") / qdenom))
-      .groupBy(col("req_id"))
-      .agg(topr(-col("qcos"), col("vec_id"), lit(0.0)).as("top"))
-      .select(col("req_id").as("p_req"), explode(col("top.cands")).as("x"))
-      .select(col("p_req"), col("x.id").as("p_vec"))
-      .join(reqDf.select(col("req_id").as("r_req"), col("qv"), col("qn")),
-        col("p_req") === col("r_req"))
-      .select(col("p_req"), col("p_vec"), col("qv"), col("qn"))
-    val denom = col("norm") * col("qn")
-    val wr = Window.partitionBy(col("p_req"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    table("cells")
-      .join(broadcast(pre), col("vec_id") === col("p_vec"))
-      .withColumn("cos", when(denom === 0.0, lit(-2.0))
-        .otherwise(dot(col("v"), col("qv")) / denom))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("p_req").as("req_id"), col("rank"), col("vec_id"),
-        col("cell"), round(col("cos"), 6).as("cosine"))
-      .orderBy("req_id", "rank")
-  }
+    serveFrom(s, whDir, requests,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore))
 
   /** q162 — the batched quantized serve certified per request against
     * a from-scratch DuckDB re-derivation of the index, BOTH tiers'
@@ -2212,6 +2061,184 @@ object Similarity {
        |  FROM bres)
        |WHERE rank <= $QuantBatchK
        |ORDER BY req_id, rank""".stripMargin
+
+  // ---- UNIFIED dense-serve kernel (r16 verdict #1) -------------------
+
+  /** Options of the ONE dense-serve pipeline: every cell of the
+    * param/batch × full/quant × filtered/unfiltered matrix is this
+    * kernel under a different option vector — probe → candidate
+    * source (`cells` | `cells_q8`) → tombstone gate → metadata
+    * filter → (exact rescore when quantized) → per-request top-k.
+    * The hand-written variant methods ([[annServe]],
+    * [[annServeBatch]], [[annServeQuant]], [[annServeQuantBatch]],
+    * [[annServeFiltered]] and the round-17 filled cells) are thin
+    * wrappers, so a new axis composes instead of doubling the
+    * hand-written surface.
+    *
+    *  - `quantized = true` ranks the probed candidates by
+    *    exact-integer int8 cosine over the 1-byte/dim `cells_q8`
+    *    tier (the only corpus-scale read), keeps the top `rescore`
+    *    per request and re-scores those O(k) rows exactly from the
+    *    full-precision tier;
+    *  - `sources = Some(allow)` restricts candidates to vectors
+    *    whose document carries an allowed source (stored `doc_stats`
+    *    table; embeddings and documents share the id space). The
+    *    gate applies BEFORE top-k/rescore selection — the rescore
+    *    window fills with allowed candidates, the production-correct
+    *    composition — and never touches scores (filtered ≡
+    *    post-filtered at full depth, FilteredServeSpec). The filter
+    *    side is index-sized and deliberately NOT broadcast: at
+    *    100 TB an allowed set can be half the index. */
+  final case class AnnServeOpts(
+      nprobe: Int,
+      k: Int,
+      quantized: Boolean = false,
+      rescore: Int = QuantRescoreR,
+      sources: Option[Seq[String]] = None)
+
+  /** The unified serve over the memoized fixture store. Output one
+    * row per (req_id, rank ≤ k): req_id, rank, vec_id, cell,
+    * [source,] cosine — per request identical to every legacy
+    * variant (UnifiedServeSpec pins each wrapper). */
+  def serve(s: SparkSession, dir: String,
+      requests: Seq[(Long, Seq[Double])], opts: AnnServeOpts): DataFrame =
+    annServeUnified(s, graft.queries.Warehouse.stored(s, dir, _),
+      requests, opts, fixtureTomb(s, dir))
+
+  /** [[serve]] against an EXPLICIT warehouse directory — the product
+    * form for callers owning their own `Warehouse.build` output. */
+  def serveFrom(s: SparkSession, whDir: String,
+      requests: Seq[(Long, Seq[Double])], opts: AnnServeOpts): DataFrame =
+    annServeUnified(s, graft.queries.Warehouse.read(s, whDir, _),
+      requests, opts, graft.queries.Warehouse.vecTombstones(s, whDir))
+
+  /** The ONE dense-serve implementation (see [[AnnServeOpts]]).
+    * Stage contracts, each the certified form of the variant that
+    * pioneered it:
+    *
+    *  - requests broadcast as (req_id, qv, qn[, qcode, qqn]); norms
+    *    and codes fold on the driver with the build kernel's exact
+    *    arithmetic ([[graft.functions.I8Quant]] statics, the
+    *    sequential Σx² fold), so every form shares one score/code
+    *    space bit for bit;
+    *  - probe cells per request against the full-precision
+    *    centroids (k·dim rows; window at cos DESC, c_id DESC — the
+    *    q142 tie rule);
+    *  - ONE pruned candidate read fanned out via a broadcast
+    *    (req_id, probe_cell) join — a cell probed by many requests
+    *    is read once, the corpus side never shuffles;
+    *  - tombstones ([[minusTomb]]) exclude at the candidate read,
+    *    the only gate rows pass through (q158 discipline);
+    *  - the metadata gate semi-joins the pruned candidates against
+    *    the allowed id set AFTER cell pruning (both sides index
+    *    tables; the filter side deliberately not broadcast);
+    *  - selection is the house [[graft.functions.TopKAggregator]]
+    *    (O(k) state, map-side partials; (neg_cos, id) order IS the
+    *    cos DESC, vec_id ASC tie rule), quantized selection keeps
+    *    `rescore` candidates and re-scores them exactly from the
+    *    full-precision tier (≤ |requests|·rescore broadcast ids —
+    *    the corpus side never shuffles);
+    *  - `source` re-attaches to the ≤ |requests|·k served rows by a
+    *    join against the same allowed frame (doc_stats is unique
+    *    per doc_id, so the join is 1:1). */
+  private def annServeUnified(s: SparkSession, table: String => DataFrame,
+      requests: Seq[(Long, Seq[Double])], opts: AnnServeOpts,
+      tomb: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val AnnServeOpts(nprobe, k, quantized, rescore, sources) = opts
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(k > 0, s"k must be positive, got $k")
+    if (quantized)
+      require(rescore >= k, s"rescore depth $rescore must be >= k = $k")
+    require(requests.nonEmpty, "serve needs at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "request ids must be unique")
+    requests.foreach { case (rid, v) =>
+      require(v.nonEmpty, s"request $rid needs a query vector") }
+    sources.foreach(ss => require(ss.nonEmpty,
+      "serve needs at least one allowed source — an empty filter " +
+        "serves nothing by definition; drop the filter for unfiltered"))
+    val reqDf = requests.map { case (rid, v) =>
+      val code =
+        if (quantized) graft.functions.I8Quant.pack(v.toArray)
+        else Array.empty[Byte]
+      (rid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)), code,
+        if (quantized)
+          math.sqrt(graft.functions.I8Quant.dot(code, code).toDouble)
+        else 0.0)
+    }.toDF("req_id", "qv", "qn", "qcode", "qqn")
+    val wpc = Window.partitionBy(col("req_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val probes = table("centroids").join(broadcast(reqDf))
+      .withColumn("cos_c", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wpc))
+      .filter(col("rn") <= nprobe)
+      .select(col("req_id"), col("qv"), col("qn"), col("qcode"),
+        col("qqn"), col("c_id").as("probe_cell"))
+    val allowed = sources.map(ss => table("doc_stats")
+      .filter(col("source").isin(ss: _*))
+      .select(col("doc_id").as("vec_id"), col("source")))
+    def gate(cand: DataFrame): DataFrame =
+      allowed.fold(cand)(a =>
+        cand.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    val ranked =
+      if (!quantized) {
+        val denom = col("norm") * col("qn")
+        val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
+        gate(minusTomb(table("cells"), tomb)
+            .join(broadcast(probes), col("cell") === col("probe_cell")))
+          .withColumn("cos", when(denom === 0.0, lit(-2.0))
+            .otherwise(dot(col("v"), col("qv")) / denom))
+          .groupBy(col("req_id"))
+          .agg(topk(-col("cos"), col("vec_id"),
+            col("cell").cast("double")).as("top"))
+          .select(col("req_id"), posexplode(col("top.cands")).as(Seq("pos", "x")))
+          .select(col("req_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("x.id").as("vec_id"), col("x.c").cast("long").as("cell"),
+            round(-col("x.neg_cos"), 6).as("cosine"))
+      } else {
+        val qdenom = col("qnorm") * col("qqn")
+        val topr =
+          udaf(new TopKAggregator(rescore), Encoders.product[ScoredCand])
+        val pre = gate(minusTomb(table("cells_q8"), tomb)
+            .join(broadcast(probes), col("cell") === col("probe_cell")))
+          .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
+            .otherwise(
+              call_function("graft_i8_dot", col("code"), col("qcode"))
+                .cast("double") / qdenom))
+          .groupBy(col("req_id"))
+          .agg(topr(-col("qcos"), col("vec_id"), lit(0.0)).as("top"))
+          .select(col("req_id").as("p_req"), explode(col("top.cands")).as("x"))
+          .select(col("p_req"), col("x.id").as("p_vec"))
+          .join(reqDf.select(col("req_id").as("r_req"), col("qv"), col("qn")),
+            col("p_req") === col("r_req"))
+          .select(col("p_req"), col("p_vec"), col("qv"), col("qn"))
+        val denom = col("norm") * col("qn")
+        val wr = Window.partitionBy(col("p_req"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        table("cells")
+          .join(broadcast(pre), col("vec_id") === col("p_vec"))
+          .withColumn("cos", when(denom === 0.0, lit(-2.0))
+            .otherwise(dot(col("v"), col("qv")) / denom))
+          .withColumn("rank", row_number().over(wr).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("p_req").as("req_id"), col("rank"), col("vec_id"),
+            col("cell"), round(col("cos"), 6).as("cosine"))
+      }
+    allowed.fold(ranked)(a => ranked.join(a, Seq("vec_id"))
+        .select(col("req_id"), col("rank"), col("vec_id"), col("cell"),
+          col("source"), col("cosine")))
+      .orderBy("req_id", "rank")
+  }
+
+  /** Projection of a SINGLE-request unified serve to the sequential
+    * output shape: rank order IS (cos DESC, vec_id ASC), so dropping
+    * (req_id, rank) reproduces the legacy param forms exactly. */
+  private def singleServe(df: DataFrame, filtered: Boolean): DataFrame =
+    if (filtered)
+      df.select(col("vec_id"), col("cell"), col("source"), col("cosine"))
+    else df.select(col("vec_id"), col("cell"), col("cosine"))
 
   // ---- q158: vector-grain deletes SERVED (r15 verdict #6) ------------
 
@@ -2585,47 +2612,70 @@ object Similarity {
   def annServeFiltered(s: SparkSession, dir: String,
       queryVec: Seq[Double], nprobe: Int, k: Int,
       sources: Seq[String]): DataFrame =
-    annServeFilteredWith(graft.queries.Warehouse.stored(s, dir, _),
-      queryVec, nprobe, k, sources, fixtureTomb(s, dir))
+    singleServe(serve(s, dir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, sources = Some(sources))), filtered = true)
 
   /** [[annServeFiltered]] against an EXPLICIT warehouse directory. */
   def annServeFilteredFrom(s: SparkSession, whDir: String,
       queryVec: Seq[Double], nprobe: Int, k: Int,
       sources: Seq[String]): DataFrame =
-    annServeFilteredWith(graft.queries.Warehouse.read(s, whDir, _),
-      queryVec, nprobe, k, sources,
-      graft.queries.Warehouse.vecTombstones(s, whDir))
+    singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, sources = Some(sources))), filtered = true)
 
-  private def annServeFilteredWith(table: String => DataFrame,
+  // ---- q170–q172: the FILLED serve-matrix cells (r16 verdict #1) -----
+
+  /** FILTERED × BATCH serving — a whole request population answered
+    * in one job, each request's top-k restricted to allowed sources
+    * (the q155 batch discipline × the q167 filter contract). */
+  def annServeFilteredBatch(s: SparkSession, dir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      sources: Seq[String]): DataFrame =
+    serve(s, dir, requests,
+      AnnServeOpts(nprobe, k, sources = Some(sources)))
+
+  /** [[annServeFilteredBatch]] against an explicit warehouse. */
+  def annServeFilteredBatchFrom(s: SparkSession, whDir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      sources: Seq[String]): DataFrame =
+    serveFrom(s, whDir, requests,
+      AnnServeOpts(nprobe, k, sources = Some(sources)))
+
+  /** FILTERED × QUANTIZED serving — THE production configuration
+    * (license-filtered tenant queries over the int8 tier): the
+    * filter gates the `cells_q8` candidates BEFORE the prefilter
+    * window, so the rescore depth fills with allowed candidates and
+    * the serve is the quantized serve of the allowed sub-index. */
+  def annServeQuantFiltered(s: SparkSession, dir: String,
       queryVec: Seq[Double], nprobe: Int, k: Int, sources: Seq[String],
-      tomb: Option[DataFrame] = None): DataFrame = {
-    require(queryVec.nonEmpty, "annServeFiltered needs a query vector")
-    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    require(k > 0, s"k must be positive, got $k")
-    require(sources.nonEmpty,
-      "annServeFiltered needs at least one allowed source — an empty " +
-        "filter serves nothing by definition; use annServe for unfiltered")
-    val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
-    val qv = typedLit(queryVec)
-    val qcells = table("centroids")
-      .withColumn("cos_c", cosine(col("v"), qv))
-      .orderBy(col("cos_c").desc, col("c_id").desc)
-      .limit(nprobe)
-      .select(col("c_id").as("probe_cell"))
-    val allowed = table("doc_stats")
-      .filter(col("source").isin(sources: _*))
-      .select(col("doc_id").as("vec_id"), col("source"))
-    val denom = col("norm") * lit(qn)
-    minusTomb(table("cells"), tomb)
-      .join(broadcast(qcells), col("cell") === col("probe_cell"))
-      .join(allowed, Seq("vec_id"))
-      .withColumn("cos", when(denom === 0.0, lit(-2.0))
-        .otherwise(dot(col("v"), qv) / denom))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
-      .select(col("vec_id"), col("cell"), col("source"),
-        round(col("cos"), 6).as("cosine"))
-  }
+      rescore: Int = QuantRescoreR): DataFrame =
+    singleServe(serve(s, dir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+        sources = Some(sources))), filtered = true)
+
+  /** [[annServeQuantFiltered]] against an explicit warehouse. */
+  def annServeQuantFilteredFrom(s: SparkSession, whDir: String,
+      queryVec: Seq[Double], nprobe: Int, k: Int, sources: Seq[String],
+      rescore: Int = QuantRescoreR): DataFrame =
+    singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+        sources = Some(sources))), filtered = true)
+
+  /** FILTERED × QUANTIZED × BATCH — the full option vector: one job,
+    * int8 candidate tier, per-request metadata filter. */
+  def annServeQuantFilteredBatch(s: SparkSession, dir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      sources: Seq[String], rescore: Int = QuantRescoreR): DataFrame =
+    serve(s, dir, requests,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+        sources = Some(sources)))
+
+  /** [[annServeQuantFilteredBatch]] against an explicit warehouse. */
+  def annServeQuantFilteredBatchFrom(s: SparkSession, whDir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      sources: Seq[String], rescore: Int = QuantRescoreR): DataFrame =
+    serveFrom(s, whDir, requests,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+        sources = Some(sources)))
 
   /** q167 — the filtered serve certified against a from-raw
     * re-derivation: index, probe, candidate scores AND the source
@@ -2652,6 +2702,180 @@ object Similarity {
        |FROM aqcand JOIN src ON src.vec_id = aqcand.vec_id
        |ORDER BY cos DESC, aqcand.vec_id ASC
        |LIMIT $ParamAnnK""".stripMargin
+
+  /** Oracle rule text of the allowed-source set ([[FilterSources]])
+    * from the raw documents table — ONE text for every filtered-cell
+    * oracle so the filter definition cannot drift between them. */
+  private[queries] val filterSrcCteSql: String =
+    s"""src AS (
+       |  SELECT doc_id AS vec_id, source FROM documents
+       |  WHERE source IN (${FilterSources.map(s => s"'$s'").mkString(", ")}))""".stripMargin
+
+  // ---- q170: FILTERED × BATCH ANN serving ------------------------------
+
+  /** The q170 pinned battery: 40 stored vectors replayed as filtered
+    * batch requests, stride disjoint from the q155 (13·i+7) and q162
+    * (11·i+3) batteries so no two batch certificates share a request
+    * population. */
+  private[queries] val FilterBatchIds: Seq[Long] =
+    (0 until 40).map(i => ((i * 17 + 5) % 480).toLong)
+  private[queries] val FilterBatchNprobe = 2
+  private[queries] val FilterBatchK = 8
+
+  private def batchVecsOf(s: SparkSession, dir: String,
+      ids: Seq[Long]): Seq[(Long, Seq[Double])] =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), doubled(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** q170 — the filtered batch serve certified per request against a
+    * from-raw re-derivation: index, probes, scores and the source
+    * filter recomputed from the raw tables in one statement. A
+    * request whose probed cells hold fewer than k allowed candidates
+    * serves what it has (mirrored by the oracle at equal nprobe). */
+  def filteredBatchServe(s: SparkSession, dir: String): DataFrame =
+    annServeFilteredBatch(s, dir, batchVecsOf(s, dir, FilterBatchIds),
+      FilterBatchNprobe, FilterBatchK, FilterSources)
+
+  val filteredBatchServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |${annBatchProbeCteSql(FilterBatchIds, FilterBatchNprobe)},
+       |$filterSrcCteSql
+       |SELECT req_id, rank, vec_id, cell, source, round(cos, 6) AS cosine
+       |FROM (
+       |  SELECT bcand.req_id,
+       |    row_number() OVER (PARTITION BY bcand.req_id
+       |      ORDER BY bcand.cos DESC, bcand.vec_id ASC) AS rank,
+       |    bcand.vec_id, bcand.cell, src.source, bcand.cos
+       |  FROM bcand JOIN src ON src.vec_id = bcand.vec_id)
+       |WHERE rank <= $FilterBatchK
+       |ORDER BY req_id, rank""".stripMargin
+
+  // ---- q171: FILTERED × QUANTIZED ANN serving --------------------------
+
+  /** q171 — the filtered quantized serve (the production cell:
+    * license-filtered queries over the int8 tier) certified against
+    * a from-raw re-derivation of the index, BOTH code tiers, the
+    * probe, the filtered prefilter window and the exact rescore. */
+  def filteredQuantServe(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === lit(ParamQueryVecId))
+      .select(doubled(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    annServeQuantFiltered(s, dir, qv, ParamNprobe, ParamAnnK, FilterSources)
+  }
+
+  /** The filtered-prefilter rule: the int8 window ranks ONLY allowed
+    * candidates (filter before rescore selection — [[AnnServeOpts]]),
+    * then the survivors rescore exactly. `aqcand` (full-precision
+    * scores of all probed candidates) supplies the exact scores, so
+    * the rescore leg reuses the q150 rule text verbatim. */
+  val filteredQuantServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |$i8QuantCteSql,
+       |sig8 AS (
+       |  SELECT z8n.vec_id, sig.cell, z8n.q, z8n.qn8
+       |  FROM z8n JOIN sig ON sig.vec_id = z8n.vec_id),
+       |${annRequestProbeTailCteSql(ParamQueryVecId, ParamNprobe)},
+       |aq8 AS (SELECT q AS qq, qn8 AS qqn FROM z8n
+       |        WHERE vec_id = $ParamQueryVecId),
+       |$filterSrcCteSql,
+       |fpre AS (
+       |  SELECT vec_id FROM (
+       |    SELECT sig8.vec_id,
+       |      row_number() OVER (ORDER BY
+       |        CASE WHEN sig8.qn8 * aq8.qqn = 0 THEN -2.0
+       |          ELSE list_inner_product(sig8.q, aq8.qq) / (sig8.qn8 * aq8.qqn)
+       |          END DESC, sig8.vec_id ASC) AS rn
+       |    FROM sig8
+       |    JOIN aqc ON sig8.cell = aqc.probe_cell
+       |    JOIN src ON src.vec_id = sig8.vec_id, aq8)
+       |  WHERE rn <= $QuantRescoreR)
+       |SELECT aqcand.vec_id, aqcand.cell, src.source,
+       |  round(aqcand.cos, 6) AS cosine
+       |FROM aqcand
+       |JOIN fpre ON fpre.vec_id = aqcand.vec_id
+       |JOIN src ON src.vec_id = aqcand.vec_id
+       |ORDER BY aqcand.cos DESC, aqcand.vec_id ASC
+       |LIMIT $ParamAnnK""".stripMargin
+
+  // ---- q172: FILTERED × QUANTIZED × BATCH ANN serving -------------------
+
+  /** The q172 pinned battery: 50 stored vectors, stride disjoint from
+    * every other batch battery (7·i+1 vs 13·i+7 / 11·i+3 / 17·i+5). */
+  private[queries] val QuantFilterBatchIds: Seq[Long] =
+    (0 until 50).map(i => ((i * 7 + 1) % 480).toLong)
+  private[queries] val QuantFilterBatchNprobe = 2
+  private[queries] val QuantFilterBatchK = 8
+
+  /** q172 — the FULL option vector (one job, int8 candidate tier,
+    * per-request metadata filter) certified per request against a
+    * from-raw re-derivation of everything it composes. */
+  def filteredQuantBatchServe(s: SparkSession, dir: String): DataFrame =
+    annServeQuantFilteredBatch(s, dir,
+      batchVecsOf(s, dir, QuantFilterBatchIds),
+      QuantFilterBatchNprobe, QuantFilterBatchK, FilterSources)
+
+  val filteredQuantBatchServeSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |$i8QuantCteSql,
+       |sig8 AS (
+       |  SELECT z8n.vec_id, sig.cell, z8n.q, z8n.qn8
+       |  FROM z8n JOIN sig ON sig.vec_id = z8n.vec_id),
+       |$filterSrcCteSql,
+       |bq AS (
+       |  SELECT vec_id AS req_id, v AS quv,
+       |    sqrt(list_inner_product(v, v)) AS qn
+       |  FROM e WHERE vec_id IN (${QuantFilterBatchIds.mkString(", ")})),
+       |bq8 AS (
+       |  SELECT vec_id AS req_id, q AS qq, qn8 AS qqn FROM z8n
+       |  WHERE vec_id IN (${QuantFilterBatchIds.mkString(", ")})),
+       |bpc AS (
+       |  SELECT req_id, probe_cell FROM (
+       |    SELECT bq.req_id, c.c_id AS probe_cell,
+       |      row_number() OVER (PARTITION BY bq.req_id
+       |        ORDER BY ${cosineSqlFor("c.qv", "bq.quv")} DESC, c.c_id DESC) AS rn
+       |    FROM c, bq) WHERE rn <= $QuantFilterBatchNprobe),
+       |bpre AS (
+       |  SELECT req_id, vec_id FROM (
+       |    SELECT bpc.req_id, sig8.vec_id,
+       |      row_number() OVER (PARTITION BY bpc.req_id
+       |        ORDER BY CASE WHEN sig8.qn8 * bq8.qqn = 0 THEN -2.0
+       |          ELSE list_inner_product(sig8.q, bq8.qq) / (sig8.qn8 * bq8.qqn)
+       |          END DESC, sig8.vec_id ASC) AS rn
+       |    FROM sig8
+       |    JOIN src ON src.vec_id = sig8.vec_id
+       |    JOIN bpc ON sig8.cell = bpc.probe_cell
+       |    JOIN bq8 ON bq8.req_id = bpc.req_id) WHERE rn <= $QuantRescoreR),
+       |bres AS (
+       |  SELECT bpre.req_id, sig.vec_id, sig.cell,
+       |    CASE WHEN sig.norm * bq.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, bq.quv) / (sig.norm * bq.qn)
+       |      END AS cos
+       |  FROM bpre
+       |  JOIN sig ON sig.vec_id = bpre.vec_id
+       |  JOIN bq ON bq.req_id = bpre.req_id)
+       |SELECT req_id, rank, vec_id, cell, source, round(cos, 6) AS cosine
+       |FROM (
+       |  SELECT bres.req_id,
+       |    row_number() OVER (PARTITION BY bres.req_id
+       |      ORDER BY bres.cos DESC, bres.vec_id ASC) AS rank,
+       |    bres.vec_id, bres.cell, src.source, bres.cos
+       |  FROM bres JOIN src ON src.vec_id = bres.vec_id)
+       |WHERE rank <= $QuantFilterBatchK
+       |ORDER BY req_id, rank""".stripMargin
 
   // ---- q152: refreshed-centroid recall LIFT certification -------------
 
@@ -2713,7 +2937,7 @@ object Similarity {
     * under an EXPLICIT centroid set — the q106 certification shape
     * with the centroid basis as a parameter (same 5 queries, same
     * nprobe = 2, same sentinel-padded single aggregation). */
-  private def probedOverlap(e: DataFrame,
+  private[queries] def probedOverlap(e: DataFrame,
       cents: Array[(Long, Seq[Double])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = e.sparkSession
@@ -2748,13 +2972,15 @@ object Similarity {
         topk(-col("cos_f"), col("vec_id"), col("cos_f")).as("te"),
         topk(when(col("in_probe"), -col("cos_f")).otherwise(lit(3.0)),
           when(col("in_probe"), col("vec_id")).otherwise(lit(-1L)),
-          col("cos_f")).as("ti"))
+          col("cos_f")).as("ti"),
+        sum(when(col("in_probe"), 1L).otherwise(0L)).as("n_probed"))
       .select(col("query_id"),
         size(array_intersect(
           transform(col("te.cands"), x => x.getField("id")),
           filter(transform(col("ti.cands"), x => x.getField("id")),
             id => id =!= lit(-1L)))).cast("long")
-          .as("n_overlap"))
+          .as("n_overlap"),
+        col("n_probed"))
   }
 
   /** q152 — DOES THE REFRESH PAY? q141 certified the refresh

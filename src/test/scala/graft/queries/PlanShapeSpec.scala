@@ -63,7 +63,19 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q156_hybrid_serve_batch", // both batch legs' bounded broadcasts (q154+q155 shapes)
     "q157_quant_serve",      // broadcast 5-probe battery × stored index (q106 shape)
     "q162_quant_serve_batch", // broadcast 60-request frame × k centroids (q155 shape)
-    "q168_filtered_bm25")    // 1-row stats broadcast (q149 idiom, filter form)
+    "q168_filtered_bm25",    // 1-row stats broadcast (q149 idiom, filter form)
+    // The r17 unified serve kernel scores centroids against the
+    // broadcast request frame (|requests| × k_centroid rows, both
+    // sides bounded) — every serve form shares the q155 probe shape:
+    "q150_ann_serve_param",  // 1-request frame × k centroids
+    "q158_vec_delete_serve", // 1-request frame × k centroids (purged store)
+    "q164_split_serve",      // 1-request frame × split-store centroids
+    "q166_merge_serve",      // 1-request frame × merge-store centroids
+    "q167_filtered_serve",   // 1-request frame × k centroids (filter leg joins hash)
+    "q170_filtered_batch_serve", // 40-request frame × k centroids
+    "q171_filtered_quant_serve", // 1-request frame × k centroids (int8 tier)
+    "q172_filtered_quant_batch", // 50-request frame × k centroids (int8 tier)
+    "q173_hybrid_inplan")    // both batch legs' bounded broadcasts (q156 shapes)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -172,6 +184,14 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q162_quant_serve_batch") should include("cells_q8")
     plans("q162_quant_serve_batch") should not include "embeddings.parquet"
     plans("q162_quant_serve_batch") should not include "documents.parquet"
+    // q173: the IN-PLAN fused frame carries BOTH stored-index legs in
+    // one lazy plan — zero driver-side rank collection (a collected
+    // fusion would leave only a LocalTableScan) and zero corpus scans.
+    plans("q173_hybrid_inplan") should include("graft-retr-wh")
+    plans("q173_hybrid_inplan") should include("graft-warehouse")
+    plans("q173_hybrid_inplan") should include("PartitionFilters")
+    plans("q173_hybrid_inplan") should not include "documents.parquet"
+    plans("q173_hybrid_inplan") should not include "embeddings.parquet"
     // q156: the registered frame is the driver-side fusion of the
     // two already-collected leg arrays (the legs overlap on the leg
     // pool), so the corpus-free property is pinned on the LEG plans
@@ -228,6 +248,20 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q168_filtered_bm25") should include("PartitionFilters")
     plans("q168_filtered_bm25") should include("doc_stats")
     plans("q168_filtered_bm25") should not include "documents.parquet"
+    // q170–q172: the filled serve-matrix cells keep every pin of the
+    // variants they compose — stored index only, doc_stats filter
+    // side, and (for the quantized cells) the 1-byte/dim cells_q8
+    // tier as the only corpus-scale read.
+    Seq("q170_filtered_batch_serve", "q171_filtered_quant_serve",
+        "q172_filtered_quant_batch").foreach { n =>
+      plans(n) should include("graft-warehouse")
+      plans(n) should include("doc_stats")
+      plans(n) should not include "embeddings.parquet"
+      plans(n) should not include "documents.parquet"
+    }
+    Seq("q171_filtered_quant_serve", "q172_filtered_quant_batch").foreach { n =>
+      plans(n) should include("cells_q8")
+    }
     // q169: driver-side fusion of the two filtered legs (the q156
     // registered-frame shape); the corpus-free property is pinned on
     // the LEG plans the fusion collects.
