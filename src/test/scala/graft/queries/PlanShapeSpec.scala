@@ -75,7 +75,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q170_filtered_batch_serve", // 40-request frame × k centroids
     "q171_filtered_quant_serve", // 1-request frame × k centroids (int8 tier)
     "q172_filtered_quant_batch", // 50-request frame × k centroids (int8 tier)
-    "q173_hybrid_inplan")    // both batch legs' bounded broadcasts (q156 shapes)
+    "q173_hybrid_inplan",    // both batch legs' bounded broadcasts (q156 shapes)
+    "q174_seed_compare")     // broadcast 5 probe vectors × corpus, both legs (q152 shape)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
