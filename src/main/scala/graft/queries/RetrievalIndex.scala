@@ -668,8 +668,15 @@ object RetrievalIndex {
     * SORTED order with left-associated summation, mirroring the Spark
     * side's sorted-term fold exactly (absent terms add an IEEE-exact
     * +0.0). CTE names prefixed `rq` — disjoint from every other
-    * chain. Shared by the q149 standalone and q151 hybrid oracles. */
-  private[queries] def bm25RequestCteSql(terms: Seq[String]): String = {
+    * chain. Shared by the q149 standalone and q151 hybrid oracles;
+    * `docWhere` (e.g. a NOT IN delete predicate) restricts the corpus
+    * the whole chain derives from — stats, df and candidates all
+    * recompute over the surviving population, which is exactly what
+    * [[deleteDocs]]'s stats subtraction + tombstone anti-join serve
+    * (the q147-certified equivalence), so the q175 cross-delete
+    * oracle reuses this text verbatim over the survivors. */
+  private[queries] def bm25RequestCteSql(terms: Seq[String],
+      docWhere: String = ""): String = {
     val ts = terms.distinct.sorted
     val tfCols = ts.map(t =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t")
@@ -678,7 +685,7 @@ object RetrievalIndex {
       s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
       .mkString(",\n    ")
     val score = ts.map(okapiTermSql).mkString(" + ")
-    s"""rqd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""rqd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents$docWhere),
        |rqt AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
        |    $tfCols

@@ -621,6 +621,40 @@ object Warehouse {
     }
   }
 
+  /** DELETE media digests for the given media_ids — the PHYSICAL
+    * form, deliberately unlike the postings/cells deletion vectors:
+    * `media_digests` is the smallest index family (one 8-byte hash +
+    * id per payload), so rewriting it minus the dead rows costs less
+    * than a tombstone list's carry-forward/anti-join machinery would,
+    * and every media read path (q153 purge, q161 increment probe)
+    * excludes deleted rows automatically because they are GONE —
+    * zero probe-path changes, plans byte-identical. All other tables
+    * hard-link forward (vector tombstones included), one atomic
+    * version. No tombstone memory means no idempotence ledger:
+    * re-deleting an already-absent media_id is a silent no-op by
+    * construction (the anti-join removes nothing), and unknown ids
+    * are tolerated — a doc without media rows is the common case in
+    * a mixed corpus. Returns the new version. */
+  def deleteMedia(s: SparkSession, whDir: String, media: DataFrame): Long = {
+    val cur = version(whDir)
+    require(cur > 0, s"deleteMedia needs a committed snapshot in $whDir")
+    require(Files.isDirectory(Paths.get(whDir, s"v=$cur", "media_digests")),
+      s"deleteMedia needs the media grain; $whDir has no media_digests table")
+    val ids = media.select("media_id").dropDuplicates("media_id")
+    val next = cur + 1
+    val base = freshVersionDir(whDir, next)
+    val present = TableNames.filter(t =>
+      Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
+    present.filterNot(_ == "media_digests")
+      .foreach(t => linkTableForward(whDir, cur, next, t))
+    linkVecTombstones(whDir, cur, next)
+    read(s, whDir, "media_digests")
+      .join(broadcast(ids), Seq("media_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/media_digests")
+    commit(whDir, cur, next)
+    next
+  }
+
   /** The semantic-grain family [[refreshSemantic]] rewrites;
     * everything else hard-links forward through a refresh. */
   private val SemTables = Seq("centroids", "cells", "cells_q8", "sem_purge")

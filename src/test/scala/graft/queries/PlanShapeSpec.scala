@@ -76,7 +76,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q171_filtered_quant_serve", // 1-request frame × k centroids (int8 tier)
     "q172_filtered_quant_batch", // 50-request frame × k centroids (int8 tier)
     "q173_hybrid_inplan",    // both batch legs' bounded broadcasts (q156 shapes)
-    "q174_seed_compare")     // broadcast 5 probe vectors × corpus, both legs (q152 shape)
+    "q174_seed_compare",     // broadcast 5 probe vectors × corpus, both legs (q152 shape)
+    "q175_cross_delete")     // 1-request frame × k centroids + 1-row stats (q150+q149 shapes)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -273,6 +274,19 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     filtSparse should include("graft-retr-wh")
     filtSparse should include("doc_stats")
     filtSparse should not include "documents.parquet"
+  }
+
+  test("the cross-store delete certificate reads only the deleted stores") {
+    // q175: all three family legs read their own deleted stores (the
+    // request vector is a driver-side literal fetched before the
+    // plan); no corpus file appears, the dense leg carries the
+    // tombstone anti-join.
+    plans("q175_cross_delete") should include("graft-crossdel-wh")
+    plans("q175_cross_delete") should include("graft-crossdel-retr")
+    plans("q175_cross_delete") should include("vec_tombstones")
+    plans("q175_cross_delete") should include("media_digests")
+    plans("q175_cross_delete") should not include "documents.parquet"
+    plans("q175_cross_delete") should not include "embeddings.parquet"
   }
 
   test("vector-delete serving anti-joins the broadcast tombstones, zero corpus scans") {
