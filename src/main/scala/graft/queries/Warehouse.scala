@@ -1608,6 +1608,33 @@ object Warehouse {
        |$tableCountsBodySql)
        |ORDER BY table_name""".stripMargin
 
+  // ---- q176: STREAMED media maintenance certification (r16 #7) --------
+
+  /** q176 — the q140 idiom at MEDIA grain, content level: the
+    * streamed-maintenance fixture (standing build + three exactly-once
+    * micro-batches through the REAL foreachBatch sink body + one
+    * re-delivered batch) must leave a `media_digests` table whose
+    * EVERY ROW equals the from-raw digest derivation over the full
+    * corpus — q161's standing side is stream-fed, and this certifies
+    * the feed row-for-row (q140's per-table flag says "equal to the
+    * batch rebuild"; this one hash-checks the digests themselves
+    * against DuckDB's independent decode-and-blockhash chain). The
+    * two live flags carry q140's media verdict and the replay no-op. */
+  def streamMediaCertify(s: SparkSession, dir: String): DataFrame = {
+    val (wh, verdicts, replayNoop) = ensureStreamMaintained(s, dir)
+    read(s, wh, "media_digests")
+      .select(col("media_id"), col("phash"),
+        lit(verdicts("media_digests")).as("matches_full_build"),
+        lit(replayNoop).as("replay_noop"))
+      .orderBy("media_id")
+  }
+  val streamMediaCertifySql: String =
+    s"""WITH ${TextOps.mediaPhashCteSql}
+       |SELECT media_id, phash, TRUE AS matches_full_build,
+       |  TRUE AS replay_noop
+       |FROM mph
+       |ORDER BY media_id""".stripMargin
+
   // ---- q141: stored-path semantic refresh certification ---------------
 
   private val semRefreshFixtures = new java.util.concurrent.ConcurrentHashMap[
