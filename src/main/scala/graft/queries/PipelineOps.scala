@@ -579,21 +579,26 @@ object PipelineOps {
       |GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
-  /** The pinned subword vocabulary for q104 — a deterministic,
-    * literal-table stand-in for a trained BPE merge list (common
-    * English suffixes and character bigrams, the shapes early BPE
-    * merges actually produce). Greedy longest-match over this table is
-    * the real tokenizer ALGORITHM (what BPE inference does, piece
-    * table aside), so budget numbers computed with it scale the same
-    * way a production tokenizer's would — while staying exactly
-    * reproducible in both engines with zero model artifacts. */
-  private[graft] val SubwordVocab: Seq[String] = Seq(
-    "tion", "ment", "ness", "able", "ance", "ence", "ight", "ould",
-    "ing", "ion", "ent", "ter", "est", "ers", "ive", "and", "the", "for",
-    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
-    "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to", "nt",
-    "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de",
-    "hi", "ri", "ro", "ic")
+  /** The q104 piece table — a TRAINED BPE merge list (r16 verdict
+    * #6), committed as `src/main/resources/graft/bpe_pieces.txt` in
+    * the vocab.txt convention (one piece per line, rank order, `#`
+    * comments) by `graft.tools.TrainBpe`: standard most-frequent-pair
+    * merges over the corpus's lowercase whitespace words,
+    * lexicographic tie-break, piece length capped at the
+    * `graft_subwords` kernel's 4-char longest-match window. Loaded
+    * once at class init; the Spark kernel AND the generated oracle
+    * SQL both read THIS Seq, so the two engines share one artifact
+    * and a retrain re-certifies q104/q177 automatically. Greedy
+    * longest-match over the table is the real tokenizer ALGORITHM
+    * (what BPE inference does), now over a real trained table. */
+  private[graft] val SubwordVocab: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_pieces.txt")
+    require(in != null, "bpe_pieces.txt piece-table artifact missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+    finally src.close()
+  }
   private val V4 = SubwordVocab.filter(_.length == 4)
   private val V3 = SubwordVocab.filter(_.length == 3)
   private val V2 = SubwordVocab.filter(_.length == 2)
@@ -666,10 +671,14 @@ object PipelineOps {
         round(col("n_subwords") / col("n_ws_tokens"), 6))
       .orderBy("source", "split")
 
-  val subwordBudgetSql: String = {
+  /** Oracle rule text of the per-doc subword count — the recursive
+    * greedy longest-match chain over the TRAINED piece table, ending
+    * in `per_doc(doc_id, n_sub)`. ONE text shared by q104 and the
+    * q177 subword mixture planner so the tokenizer rule cannot
+    * drift between them. */
+  private[queries] val subwordPerDocCteSql: String = {
     def inList(vs: Seq[String]) = vs.map("'" + _ + "'").mkString(", ")
-    s"""WITH RECURSIVE $splitCteSql,
-      |w AS (
+    s"""w AS (
       |  SELECT doc_id, i, lower(wl[i]) AS wrd
       |  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
       |    LATERAL (SELECT unnest(generate_series(1, len(wl))) AS i) g
@@ -687,7 +696,12 @@ object PipelineOps {
       |per_word AS (SELECT doc_id, i, cnt FROM r WHERE pos > length(wrd)),
       |per_doc AS (
       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_sub
-      |  FROM per_word GROUP BY doc_id)
+      |  FROM per_word GROUP BY doc_id)""".stripMargin
+  }
+
+  val subwordBudgetSql: String =
+    s"""WITH RECURSIVE $splitCteSql,
+      |$subwordPerDocCteSql
       |SELECT sp.source, sp.split,
       |  count(*) AS n_docs,
       |  CAST(sum(sp.ntok) AS BIGINT) AS n_ws_tokens,
@@ -697,7 +711,6 @@ object PipelineOps {
       |FROM sp LEFT JOIN per_doc pd ON pd.doc_id = sp.doc_id
       |GROUP BY sp.source, sp.split
       |ORDER BY sp.source, sp.split""".stripMargin
-  }
 
   /** Chunking contract (q100): fixed window of `ChunkSize` chars,
     * stride `ChunkStride` (so adjacent chunks overlap by
@@ -910,6 +923,68 @@ object PipelineOps {
         (col("b") === col("b_star")).as("binding"))
       .orderBy("source")
   }
+
+  // ---- q177: mixture planner at SUBWORD grain (r16 verdict #6) -------
+
+  /** q177 — [[mixturePlanner]] with availability at SUBWORD grain:
+    * what a model consumes is subwords, so planning a mixture on
+    * whitespace availability misprices morphology-heavy / code-like
+    * sources exactly the way q104 quantifies. Same exact int64
+    * planning arithmetic as q127 (binding-constraint B*, takes,
+    * ppm rates), availᵢ = Σ `graft_subwords` over the TRAINED piece
+    * table — the native kernel in the corpus scan, one
+    * map-side-combined aggregation to |sources| rows, the planning
+    * windows on that constant frame. The oracle recomputes the
+    * tokenizer (the shared [[subwordPerDocCteSql]] rule text) AND
+    * the plan from raw text. */
+  def subwordMixturePlanner(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    Tables.documents(s, dir)
+      .select(col("source"),
+        call_function("graft_subwords", lower(col("text")),
+          lit(SubwordVocab.mkString(","))).as("toks"))
+      .groupBy("source")
+      .agg(sum(col("toks")).as("avail_subwords"))
+      .withColumn("w", srcWeightCol)
+      .withColumn("den", sum(col("w")).over(wAll))
+      .withColumn("b", expr("(avail_subwords * den) div w"))
+      .withColumn("b_star", min(col("b")).over(wAll))
+      .select(
+        col("source"), col("w"), col("avail_subwords"),
+        expr("(b_star * w) div den").as("take_subwords"),
+        expr("(((b_star * w) div den) * 1000000) div avail_subwords")
+          .as("rate_ppm"),
+        (col("b") === col("b_star")).as("binding"))
+      .orderBy("source")
+  }
+
+  val subwordMixturePlannerSql: String =
+    s"""WITH RECURSIVE $subwordPerDocCteSql,
+      |t AS (
+      |  SELECT d.source,
+      |    CAST(sum(COALESCE(pd.n_sub, 0)) AS BIGINT) AS avail_subwords
+      |  FROM documents d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+      |  GROUP BY d.source),
+      |ww AS (
+      |  SELECT source, avail_subwords,
+      |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
+      |  FROM t),
+      |m AS (
+      |  SELECT source, avail_subwords, w,
+      |    CAST(sum(w) OVER () AS BIGINT) AS den,
+      |    (avail_subwords * CAST(sum(w) OVER () AS BIGINT)) // w AS b
+      |  FROM ww),
+      |f AS (
+      |  SELECT source, w, avail_subwords, den, b,
+      |    CAST(min(b) OVER () AS BIGINT) AS b_star
+      |  FROM m)
+      |SELECT source, w, avail_subwords,
+      |  (b_star * w) // den AS take_subwords,
+      |  (((b_star * w) // den) * 1000000) // avail_subwords AS rate_ppm,
+      |  (b = b_star) AS binding
+      |FROM f
+      |ORDER BY source""".stripMargin
 
   val mixturePlannerSql: String =
     """WITH t AS (
