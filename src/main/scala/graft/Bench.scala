@@ -820,6 +820,47 @@ object Bench {
               graft.queries.Similarity.annServeQuantBatchFrom(spark, whFull,
                 quantBatchReqs, nprobe = 2, k = 10).collect(); ()
             }.copy(n = quantBatchReqs.size.toLong)
+            // FILTERED × QUANTIZED × BATCH at corpus scale (q172, the
+            // r17 unified kernel's production cell): same request
+            // population through the int8 tier with the stored
+            // doc_stats metadata gate — wall and shuffle must track
+            // the quant_serve_batch row (the filter side is
+            // index-sized, never broadcast, never a corpus read).
+            bf += stageRow("filtered_quant_serve_batch") {
+              graft.queries.Similarity.annServeQuantFilteredBatchFrom(
+                spark, whFull, quantBatchReqs, nprobe = 2, k = 10,
+                sources = Seq("src3", "src7", "src11")).collect(); ()
+            }.copy(n = quantBatchReqs.size.toLong)
+            // IN-PLAN batch-hybrid fusion at corpus scale (q173, r16
+            // verdict #2's done criterion): a ≥500-request eval-scale
+            // population fused with ZERO driver-side rank collection —
+            // both legs and the RRF algebra one lazy plan over the
+            // stored postings + cells.
+            val hybridTerms = graft.queries.Warehouse
+              .read(spark, retrWh, "postings")
+              .groupBy(col("term")).count()
+              .orderBy(col("count").desc, col("term"))
+              .limit(8).collect().map(_.getString(0)).toSeq
+            val hybridVecs = emb
+              .filter(pmod(col("vec_id"), lit(23L)) === lit(11L))
+              .selectExpr("vec_id",
+                "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+              .orderBy("vec_id").limit(520).collect()
+              .map(r => r.getSeq[Double](1)).toSeq
+            // 520 requests regardless of pool size (vectors cycle) —
+            // always ABOVE InPlanFusionThreshold, so the row measures
+            // the zero-collect in-plan path at every max scale.
+            val hybridReqs = (0 until 520).map { i =>
+              (i.toLong,
+                Seq(hybridTerms(i % hybridTerms.size),
+                  hybridTerms((i / hybridTerms.size + 1) % hybridTerms.size))
+                  .distinct,
+                hybridVecs(i % hybridVecs.size))
+            }
+            bf += stageRow("hybrid_batch_inplan") {
+              graft.queries.RetrievalIndex.hybridServeBatchFrom(spark,
+                retrWh, whFull, hybridReqs, nprobe = 2).collect(); ()
+            }.copy(n = hybridReqs.size.toLong)
             // Drift-gated refresh UNTIL CONVERGED (r15 verdict #5) at
             // corpus scale: per-step cost is the q72 k·dim-group
             // shuffle + a map-only re-assignment — flat in k·dim, so
