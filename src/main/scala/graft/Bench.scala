@@ -829,7 +829,7 @@ object Bench {
             bf += stageRow("filtered_quant_serve_batch") {
               graft.queries.Similarity.annServeQuantFilteredBatchFrom(
                 spark, whFull, quantBatchReqs, nprobe = 2, k = 10,
-                sources = Seq("src3", "src7", "src11")).collect(); ()
+                sources = graft.queries.Similarity.FilterSources).collect(); ()
             }.copy(n = quantBatchReqs.size.toLong)
             // IN-PLAN batch-hybrid fusion at corpus scale (q173, r16
             // verdict #2's done criterion): a ≥500-request eval-scale
@@ -849,18 +849,23 @@ object Bench {
               .map(r => r.getSeq[Double](1)).toSeq
             // 520 requests regardless of pool size (vectors cycle) —
             // always ABOVE InPlanFusionThreshold, so the row measures
-            // the zero-collect in-plan path at every max scale.
-            val hybridReqs = (0 until 520).map { i =>
-              (i.toLong,
-                Seq(hybridTerms(i % hybridTerms.size),
-                  hybridTerms((i / hybridTerms.size + 1) % hybridTerms.size))
-                  .distinct,
-                hybridVecs(i % hybridVecs.size))
-            }
-            bf += stageRow("hybrid_batch_inplan") {
-              graft.queries.RetrievalIndex.hybridServeBatchFrom(spark,
-                retrWh, whFull, hybridReqs, nprobe = 2).collect(); ()
-            }.copy(n = hybridReqs.size.toLong)
+            // the zero-collect in-plan path at every max scale. A
+            // micro fixture whose strided pools come up empty skips
+            // the stage instead of crashing the battery.
+            if (hybridTerms.nonEmpty && hybridVecs.nonEmpty) {
+              val hybridReqs = (0 until 520).map { i =>
+                (i.toLong,
+                  Seq(hybridTerms(i % hybridTerms.size),
+                    hybridTerms((i / hybridTerms.size + 1) % hybridTerms.size))
+                    .distinct,
+                  hybridVecs(i % hybridVecs.size))
+              }
+              bf += stageRow("hybrid_batch_inplan") {
+                graft.queries.RetrievalIndex.hybridServeBatchFrom(spark,
+                  retrWh, whFull, hybridReqs, nprobe = 2).collect(); ()
+              }.copy(n = hybridReqs.size.toLong)
+            } else System.err.println(
+              "[bench] hybrid_batch_inplan skipped: empty term/vector pool")
             // Drift-gated refresh UNTIL CONVERGED (r15 verdict #5) at
             // corpus scale: per-step cost is the q72 k·dim-group
             // shuffle + a map-only re-assignment — flat in k·dim, so

@@ -595,9 +595,26 @@ object PipelineOps {
     val in = getClass.getResourceAsStream("/graft/bpe_pieces.txt")
     require(in != null, "bpe_pieces.txt piece-table artifact missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.getLines().map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
-    finally src.close()
+    val pieces =
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      finally src.close()
+    // Validate the artifact AT LOAD, not at first divergence: the
+    // kernel receives the table as one comma-joined literal and the
+    // oracle as quoted IN-lists per length class, so a piece with a
+    // comma/quote would silently desync the engines and an empty
+    // length class would generate invalid oracle SQL (`IN ()`).
+    require(pieces.nonEmpty, "bpe_pieces.txt holds no pieces")
+    require(pieces.distinct.size == pieces.size,
+      "bpe_pieces.txt holds duplicate pieces")
+    pieces.foreach(p => require(
+      p.length >= 2 && p.length <= 4 && !p.exists(",'\" \t".contains(_)),
+      s"piece '$p' violates the table contract (2-4 chars, no " +
+        "comma/quote/whitespace)"))
+    Seq(2, 3, 4).foreach(n => require(pieces.exists(_.length == n),
+      s"bpe_pieces.txt has no $n-char pieces — the oracle's " +
+        "per-length IN lists need every class populated"))
+    pieces
   }
   private val V4 = SubwordVocab.filter(_.length == 4)
   private val V3 = SubwordVocab.filter(_.length == 3)

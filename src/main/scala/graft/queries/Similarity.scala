@@ -2590,7 +2590,7 @@ object Similarity {
 
   /** The q167 pinned filter battery: three sources ≈ 15% of the
     * corpus (the fixture's 20 sources are uniform). */
-  private[queries] val FilterSources = Seq("src3", "src7", "src11")
+  private[graft] val FilterSources = Seq("src3", "src7", "src11")
 
   /** FILTERED ANN serving — the top-k restricted to vectors whose
     * document carries an allowed source: the "filtered vector

@@ -48,8 +48,12 @@ object TrainBpe {
       }
       if (pairCounts.isEmpty) done = true
       else {
+        // Tie key includes the LEFT symbol: two distinct pairs can
+        // share both the count and the concatenation ((a, bc) vs
+        // (ab, c)), and HashMap iteration order must never decide a
+        // committed artifact.
         val ((a, b), cnt) = pairCounts.toSeq
-          .minBy { case ((x, y), c) => (-c, x + y) }
+          .minBy { case ((x, y), c) => (-c, x + y, x) }
         if (cnt < minCount) done = true
         else {
           pieces += (a + b)
