@@ -820,6 +820,16 @@ object Bench {
               graft.queries.Similarity.annServeQuantBatchFrom(spark, whFull,
                 quantBatchReqs, nprobe = 2, k = 10).collect(); ()
             }.copy(n = quantBatchReqs.size.toLong)
+            // The PQ tier at corpus scale (q179, r17): the same
+            // request population through the 8-BYTE codes — the scan
+            // reads 8 bytes/vector vs the int8 row's 64, so wall and
+            // shuffle here are the bandwidth story the tier exists
+            // for (exact rescore bounds the full-precision reads at
+            // requests × rescore rows).
+            bf += stageRow("pq_serve_batch") {
+              graft.queries.Similarity.annServePqBatchFrom(spark, whFull,
+                quantBatchReqs, nprobe = 2, k = 10).collect(); ()
+            }.copy(n = quantBatchReqs.size.toLong)
             // FILTERED × QUANTIZED × BATCH at corpus scale (q172, the
             // r17 unified kernel's production cell): same request
             // population through the int8 tier with the stored

@@ -106,6 +106,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.I8Dot(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pq_pack"),
+      new ExpressionInfo(classOf[graft.functions.PqPack].getName,
+        "graft_pq_pack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_pq_pack(codes)")
+        graft.functions.PqPack(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[graft.functions.PqCodes].getName,
+        "graft_pq_codes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_pq_codes(code)")
+        graft.functions.PqCodes(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[graft.functions.PqAdc].getName,
+        "graft_pq_adc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: graft_pq_adc(code, lut)")
+        graft.functions.PqAdc(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_inter_size"),
       new ExpressionInfo(classOf[InterSize].getName, "graft_inter_size"),
       (args: Seq[Expression]) => {

@@ -1067,3 +1067,225 @@ case class I8Dot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): I8Dot = copy(left = newLeft, right = newRight)
 }
+
+/** Product-quantization statics — the driver-side arithmetic of the
+  * PQ dense-index tier (`pq_books` / `cells_pq`), exposed so the
+  * request path builds its ADC lookup tables with the EXACT fold the
+  * certificates pin (the [[I8Quant]] discipline: one arithmetic, both
+  * sides of the serve).
+  *
+  * Layout contract (shared by every consumer): a codebook with `m`
+  * subspaces of `ksub` entries flattens to index `sub * ksub + c`;
+  * a code blob stores one unsigned byte per subspace, `code(j)` the
+  * chosen entry of subspace `j`; an ADC table flattens the same way,
+  * `lut(j * ksub + c)` = dot(book(j)(c), querySubvector(j)). */
+object PqOps {
+
+  /** Per-request ADC lookup table: `books` flattened `sub*ksub + c`,
+    * each entry a `dsub`-dim codebook vector; `q` the full query
+    * vector (`m * dsub` doubles). Every dot is the sequential
+    * left-to-right fold (index ascending) — the portability contract
+    * with DuckDB's `list_inner_product`. */
+  def lut(books: Array[Array[Double]], ksub: Int,
+      q: Array[Double]): Array[Double] = {
+    val m = books.length / ksub
+    val dsub = q.length / m
+    val out = new Array[Double](books.length)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val bv = books(j * ksub + c)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) { s += bv(i) * q(j * dsub + i); i += 1 }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance dot: Σ_j lut(j*ksub + code(j)), j ascending
+    * (the deterministic addition order the oracle mirrors with an
+    * explicit left-to-right sum). Null when the table does not tile
+    * the code (`lut.length % code.length != 0`) or a code byte
+    * indexes past it — codes and tables from different index
+    * generations must not silently score (the [[I8Dot]] contract). */
+  def adc(code: Array[Byte], lutArr: Array[Double]): java.lang.Double = {
+    if (code.length == 0 || lutArr.length % code.length != 0) return null
+    val ksub = lutArr.length / code.length
+    var s = 0.0
+    var j = 0
+    while (j < code.length) {
+      val c = code(j) & 0xff
+      if (c >= ksub) return null
+      s += lutArr(j * ksub + c)
+      j += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Pack per-subspace entry indices into the one-byte-per-subspace
+    * code blob; null on an index outside [0, 255] (not an honest
+    * unsigned byte). */
+  def pack(codes: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      val c = codes(i)
+      if (c < 0 || c > 255) return null
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Unpack a code blob back to entry indices (unsigned). */
+  def codes(b: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i) & 0xff; i += 1 }
+    out
+  }
+}
+
+/** `graft_pq_pack(codes)`: per-subspace entry indices → the PQ code
+  * blob (one unsigned byte per subspace) — the storage step of the
+  * `cells_pq` tier. NULL for a NULL array, NULL elements, or an index
+  * outside [0, 255] (a malformed assignment has no honest code). */
+case class PqPack(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<int> or array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_pack"
+
+  private lazy val fromLong = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  def compute(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val c = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (fromLong) v.getLong(i) else v.getInt(i).toLong
+      if (x < 0L || x > 255L) return null
+      c(i) = x.toInt
+      i += 1
+    }
+    PqOps.pack(c)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqPackExpr", this, classOf[PqPack].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("pqcode")
+      s"""
+      |byte[] $out = $ref.compute($a);
+      |if ($out == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $out; }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqPack =
+    copy(child = newChild)
+}
+
+/** `graft_pq_codes(code)`: the PQ code blob unpacked to its unsigned
+  * per-subspace entry indices — the audit-side inverse of
+  * [[PqPack]] (certificates group members per (sub, entry)). */
+case class PqCodes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs binary, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_codes"
+
+  def compute(b: Array[Byte]): ArrayData =
+    new GenericArrayData(PqOps.codes(b))
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodesExpr", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** `graft_pq_adc(code, lut)`: the PQ prefilter's scoring kernel —
+  * [[PqOps.adc]] as one codegen'd plan node: m table lookups and m
+  * adds per candidate instead of a dim-wide multiply-accumulate (the
+  * bandwidth story of the PQ tier: the scan reads m code bytes per
+  * vector, not the vector). NULL when the table does not tile the
+  * code or a code byte indexes past it. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (binary, array<double>), got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  def compute(code: Array[Byte], lut: ArrayData): java.lang.Double = {
+    val n = lut.numElements()
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (lut.isNullAt(i)) return null
+      arr(i) = lut.getDouble(i)
+      i += 1
+    }
+    PqOps.adc(code, arr)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcExpr", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("pqadc")
+      s"""
+      |java.lang.Double $boxed = $ref.compute($a, $b);
+      |if ($boxed == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $boxed.doubleValue(); }
+      |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+}

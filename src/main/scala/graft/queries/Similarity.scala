@@ -2094,7 +2094,8 @@ object Similarity {
       k: Int,
       quantized: Boolean = false,
       rescore: Int = QuantRescoreR,
-      sources: Option[Seq[String]] = None)
+      sources: Option[Seq[String]] = None,
+      pq: Boolean = false)
 
   /** The unified serve over the memoized fixture store. Output one
     * row per (req_id, rank ≤ k): req_id, rank, vec_id, cell,
@@ -2146,10 +2147,12 @@ object Similarity {
       tomb: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val AnnServeOpts(nprobe, k, quantized, rescore, sources) = opts
+    val AnnServeOpts(nprobe, k, quantized, rescore, sources, pq) = opts
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(k > 0, s"k must be positive, got $k")
-    if (quantized)
+    require(!(quantized && pq),
+      "quantized (int8) and pq are alternative prefilter tiers — pick one")
+    if (quantized || pq)
       require(rescore >= k, s"rescore depth $rescore must be >= k = $k")
     require(requests.nonEmpty, "serve needs at least one request")
     require(requests.map(_._1).distinct.size == requests.size,
@@ -2159,6 +2162,12 @@ object Similarity {
     sources.foreach(ss => require(ss.nonEmpty,
       "serve needs at least one allowed source — an empty filter " +
         "serves nothing by definition; drop the filter for unfiltered"))
+    val books = if (pq) collectPqBooks(table("pq_books")) else Array.empty[(Int, Long, Seq[Double])]
+    val pqm = if (pq) books.map(_._1).distinct.length else 0
+    if (pq) require(books.nonEmpty && books.length % pqm == 0,
+      s"pq serve needs a well-formed pq_books table (got ${books.length} entries)")
+    val bookVecs = books.map(_._3.toArray)
+    val ksub = if (pq) books.length / pqm else 0
     val reqDf = requests.map { case (rid, v) =>
       val code =
         if (quantized) graft.functions.I8Quant.pack(v.toArray)
@@ -2166,8 +2175,10 @@ object Similarity {
       (rid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)), code,
         if (quantized)
           math.sqrt(graft.functions.I8Quant.dot(code, code).toDouble)
-        else 0.0)
-    }.toDF("req_id", "qv", "qn", "qcode", "qqn")
+        else 0.0,
+        if (pq) graft.functions.PqOps.lut(bookVecs, ksub, v.toArray).toSeq
+        else Seq.empty[Double])
+    }.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut")
     val wpc = Window.partitionBy(col("req_id"))
       .orderBy(col("cos_c").desc, col("c_id").desc)
     val probes = table("centroids").join(broadcast(reqDf))
@@ -2175,7 +2186,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wpc))
       .filter(col("rn") <= nprobe)
       .select(col("req_id"), col("qv"), col("qn"), col("qcode"),
-        col("qqn"), col("c_id").as("probe_cell"))
+        col("qqn"), col("lut"), col("c_id").as("probe_cell"))
     val allowed = sources.map(ss => table("doc_stats")
       .filter(col("source").isin(ss: _*))
       .select(col("doc_id").as("vec_id"), col("source")))
@@ -2183,7 +2194,7 @@ object Similarity {
       allowed.fold(cand)(a =>
         cand.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
     val ranked =
-      if (!quantized) {
+      if (!quantized && !pq) {
         val denom = col("norm") * col("qn")
         val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
         gate(minusTomb(table("cells"), tomb)
@@ -2198,15 +2209,31 @@ object Similarity {
             col("x.id").as("vec_id"), col("x.c").cast("long").as("cell"),
             round(-col("x.neg_cos"), 6).as("cosine"))
       } else {
-        val qdenom = col("qnorm") * col("qqn")
         val topr =
           udaf(new TopKAggregator(rescore), Encoders.product[ScoredCand])
-        val pre = gate(minusTomb(table("cells_q8"), tomb)
-            .join(broadcast(probes), col("cell") === col("probe_cell")))
-          .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
-            .otherwise(
-              call_function("graft_i8_dot", col("code"), col("qcode"))
-                .cast("double") / qdenom))
+        // Prefilter tier: int8 codes scored by the exact-integer dot,
+        // or PQ codes scored by the per-request ADC table — one
+        // candidate read either way, the only difference is which
+        // code column the pruned scan decodes.
+        val preScored =
+          if (pq) {
+            val pdenom = col("norm") * col("qn")
+            gate(minusTomb(table("cells_pq"), tomb)
+                .join(broadcast(probes), col("cell") === col("probe_cell")))
+              .withColumn("qcos", when(pdenom === 0.0, lit(-2.0))
+                .otherwise(
+                  call_function("graft_pq_adc", col("code"), col("lut"))
+                    / pdenom))
+          } else {
+            val qdenom = col("qnorm") * col("qqn")
+            gate(minusTomb(table("cells_q8"), tomb)
+                .join(broadcast(probes), col("cell") === col("probe_cell")))
+              .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
+                .otherwise(
+                  call_function("graft_i8_dot", col("code"), col("qcode"))
+                    .cast("double") / qdenom))
+          }
+        val pre = preScored
           .groupBy(col("req_id"))
           .agg(topr(-col("qcos"), col("vec_id"), lit(0.0)).as("top"))
           .select(col("req_id").as("p_req"), explode(col("top.cands")).as("x"))
@@ -3458,4 +3485,620 @@ object Similarity {
        |FROM r
        |WHERE rk = 1
        |ORDER BY new_vec""".stripMargin
+
+  // ---- PRODUCT-QUANTIZED dense-index tier (r17) -----------------------
+
+  /** PQ geometry: [[PqM]] contiguous subspaces per vector, [[PqK]]
+    * codebook entries per subspace — a code is PqM unsigned bytes
+    * (8 bytes/vector at the fixture dim 64 vs the 64-byte int8 tier:
+    * the next bandwidth rung down for the corpus-scale prefilter
+    * read). Entry ids are ALWAYS in [0, PqK): the build seeds entry
+    * c of every subspace from vector vec_id = c (the first-k
+    * discipline centroids use — build artifacts are pure seeds, so
+    * merge ≡ rebuild holds by construction; [[graft.queries.Warehouse.refreshPq]]
+    * is the refit path, exactly as [[graft.queries.Warehouse.refreshSemantic]]
+    * is for the IVF centroids). */
+  private[queries] val PqM = 8
+  private[queries] val PqK = 8
+
+  /** Exact-rescore window of the PQ serve — deeper than the int8
+    * tier's [[QuantRescoreR]] because an 8-byte code ranks far more
+    * coarsely than a 64-byte one; the certificate (q179) REPORTS the
+    * overlap rather than assuming it. */
+  private[queries] val PqRescoreR = 120
+
+  /** The q179 probe battery: stored vectors 50–54 replayed as PQ
+    * serve requests — disjoint from the q157 battery (40–44) so the
+    * two quantized-tier certificates don't share a population. */
+  private[queries] val PqQueryLo = 50L
+  private[queries] val PqQueryHi = 54L
+
+  /** Vector width of a (…, v) frame — one bounded driver read (the
+    * 1-row stats-collect idiom); PQ needs it to slice subspaces at
+    * plan time. */
+  private def vecDimOf(e: DataFrame): Int =
+    e.select(size(col("v"))).head.getInt(0)
+
+  /** Map-only fan-out of an (vec_id, v) frame into its PqM contiguous
+    * subvectors (vec_id, sub, sv) — the training/audit-side view;
+    * the ENCODE path never materializes it (per-subspace argmax
+    * kernels over plan-time slices). */
+  /** Subspace count for a vector width: [[PqM]] when it divides the
+    * width, else the largest divisor that does (a 4-dim test corpus
+    * gets 4 one-dim subspaces; the fixture dim 64 gets the full 8).
+    * Always ≥ 1 — the width divides itself. */
+  private[queries] def pqMFor(dim: Int): Int =
+    (PqM to 1 by -1).find(m => dim % m == 0).get
+
+  private[queries] def pqSubVectors(e: DataFrame, dim: Int): DataFrame = {
+    val m = pqMFor(dim)
+    val dsub = dim / m
+    val slices = (0 until m).map(j => slice(col("v"), j * dsub + 1, dsub))
+    e.select(col("vec_id"),
+      posexplode(array(slices: _*)).as(Seq("sub", "sv")))
+  }
+
+  /** BUILD codebooks: entry (sub, c) = subvector `sub` of vector
+    * vec_id = c, for c < PqK — pure seeds (k·dsub driver rows), the
+    * exact analogue of [[collectCentroids]] one tier down. Sorted by
+    * (sub, c_id): the flattened index `sub * PqK + c` is the layout
+    * contract every ADC consumer shares ([[graft.functions.PqOps]]). */
+  private[queries] def pqSeedBooks(e: DataFrame,
+      dim: Int): Array[(Int, Long, Seq[Double])] = {
+    val out = pqSubVectors(e.filter(col("vec_id") < PqK), dim)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    // Entry ids double as CODE BYTES and ADC-table positions — the
+    // layout contract needs them contiguous from 0 (a corpus shorter
+    // than PqK vectors gets a smaller codebook). Refuse a corpus
+    // whose leading vec_ids have gaps rather than emit codes that
+    // silently misindex every lookup table.
+    val ids = out.map(_._2).distinct.sorted
+    require(ids.nonEmpty && ids.sameElements(0L until ids.length.toLong),
+      s"pq seeding needs a contiguous vec_id prefix; got ${ids.toSeq}")
+    out
+  }
+
+  /** [[pqSeedBooks]] over a raw (vec_id, embedding) frame — the
+    * build path's entry point. */
+  private[queries] def pqSeedBooksOf(emb: DataFrame): Array[(Int, Long, Seq[Double])] = {
+    val e = emb.select(col("vec_id"), doubled(col("embedding")).as("v"))
+    pqSeedBooks(e, vecDimOf(e))
+  }
+
+  /** Codebooks as a writable frame (sub, c_id, bv) — the `pq_books`
+    * warehouse table. */
+  private[queries] def pqBookFrameOf(s: SparkSession,
+      books: Array[(Int, Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    books.toSeq.toDF("sub", "c_id", "bv")
+  }
+
+  /** The stored codebooks collected back to the driver — m·PqK rows
+    * (kilobytes at any corpus scale: codebook size grows with PqM·PqK,
+    * never with the corpus). */
+  private[queries] def collectPqBooks(df: DataFrame): Array[(Int, Long, Seq[Double])] =
+    df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+
+  /** ENCODE a cells frame (vec_id, cell, norm, v) against explicit
+    * codebooks → the `cells_pq` tier (vec_id, cell, code, norm):
+    * per subspace one [[graft.functions.CellArgmax]] kernel over the
+    * plan-time slice (cosine argmax, ties to the larger entry — the
+    * cell-assignment tie rule), the PqM entry ids packed to one
+    * binary blob ([[graft.functions.PqPack]]). Map-only and
+    * codegen'd: zero shuffle at any corpus scale, and every writer
+    * that derives `cells` derives this beside it (the [[cellsQ8Of]]
+    * discipline). `norm` is the FULL-PRECISION vector norm — the ADC
+    * cosine's denominator (the approximation lives in the dot, not
+    * the norms). */
+  private[queries] def cellsPqOf(cells: DataFrame,
+      books: Array[(Int, Long, Seq[Double])]): DataFrame = {
+    require(books.nonEmpty, "cellsPqOf needs a non-empty codebook")
+    val dsub = books.head._3.length
+    val m = books.map(_._1).max + 1
+    val codeCols = (0 until m).map { j =>
+      val packed = books.filter(_._1 == j).sortBy(_._2).toSeq.map {
+        case (_, id, bv) =>
+          (id, math.sqrt(bv.foldLeft(0.0)((a, x) => a + x * x)), bv)
+      }
+      call_function("graft_cell_argmax",
+        slice(col("v"), j * dsub + 1, dsub), typedLit(packed)).cast("int")
+    }
+    cells.select(col("vec_id"), col("cell"),
+      call_function("graft_pq_pack", array(codeCols: _*)).as("code"),
+      col("norm"))
+  }
+
+  /** One Lloyd refit step of the codebooks from STORED state only
+    * (the [[graft.queries.Warehouse.refreshSemantic]] arithmetic one
+    * tier down): new entry (sub, c) = the micro-unit mean of the
+    * subvectors the STORED codes assigned to it (the stored
+    * assignment IS the Lloyd assignment — no re-assignment job),
+    * entries with no members carry forward unchanged (a codebook is
+    * a fixed-shape artifact; an unused entry keeps its seed). Reads
+    * the index tables only — the corpus is never re-read. */
+  private[queries] def pqRefitBooks(cells: DataFrame, cellsPq: DataFrame,
+      books: Array[(Int, Long, Seq[Double])]): Array[(Int, Long, Seq[Double])] = {
+    val dsub = books.head._3.length
+    val assigned = cellsPq
+      .select(col("vec_id"),
+        posexplode(call_function("graft_pq_codes", col("code")))
+          .as(Seq("sub", "c")))
+      .join(cells.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("sv", slice(col("v"), col("sub") * lit(dsub) + 1, lit(dsub)))
+    val means = assigned
+      .select(col("sub"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("c"), col("pos"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("sq"))
+      .select(col("sub"), col("c"), col("pos"),
+        floor(col("sq").cast("double") / col("n_members") + 0.5).cast("long")
+          .as("mean_micro"))
+      .collect()
+    val refit = means.groupBy(r => (r.getInt(0), r.getInt(1).toLong))
+      .map { case ((sub, c), rows) =>
+        ((sub, c),
+          rows.sortBy(_.getInt(2)).map(_.getLong(3).toDouble / 1e6).toSeq)
+      }
+    books.map { case (sub, c, bv) =>
+      (sub, c, refit.getOrElse((sub, c), bv))
+    }
+  }
+
+  /** Fixture embedding width — an ORACLE literal only (the generated
+    * SQL needs plan-time slice bounds); the engine paths derive the
+    * width from data ([[vecDimOf]]). */
+  private val PqFixtureDim = 64
+
+  /** Oracle subvector fan-out of the `e` CTE — one literal-sliced
+    * branch per subspace (the [[pqSubVectors]] mirror). */
+  private def pqSubCteSql(name: String, src: String, vcol: String,
+      idCol: String, dim: Int): String = {
+    val dsub = dim / PqM
+    (0 until PqM).map { j =>
+      s"  SELECT $idCol, $j AS sub, $vcol[${j * dsub + 1}:${(j + 1) * dsub}] AS sv FROM $src"
+    }.mkString(s"$name AS (\n", "\n  UNION ALL\n", ")")
+  }
+
+  /** Oracle mirror of the PQ BUILD + ENCODE over the `e` CTE: `psv`
+    * the subvector fan-out, `pb` the seed codebooks (entry c of
+    * subspace j = subvector j of vector c — [[pqSeedBooks]]), `pcode`
+    * the per-(vec, sub) entry assignment (cosine argmax, ties to the
+    * larger entry — the cell-assignment rule text one tier down).
+    * ONE rule text shared by q178/q179 so the build and serve
+    * certificates can never drift on the code space. */
+  private[queries] def pqEncodeCteSql(dim: Int): String =
+    s"""${pqSubCteSql("psv", "e", "v", "vec_id", dim)},
+       |pb AS (
+       |  SELECT sub, CAST(vec_id AS BIGINT) AS c_id, sv AS bv
+       |  FROM psv WHERE vec_id < $PqK),
+       |${pqEncodeAgainstCteSql("pb", "")}""".stripMargin
+
+  /** Oracle encode of every `psv` subvector against codebook CTE
+    * `bookCte` → `pcode$suffix` — second half of [[pqEncodeCteSql]],
+    * factored so the refresh certificate re-encodes against the refit
+    * books with the SAME rule text. */
+  private def pqEncodeAgainstCteSql(bookCte: String, suffix: String): String =
+    s"""ps1$suffix AS (
+       |  SELECT t.vec_id, t.sub, b.c_id,
+       |    ${cosineSqlFor("t.sv", "b.bv")} AS cos
+       |  FROM psv t JOIN $bookCte b ON b.sub = t.sub),
+       |pa1$suffix AS (
+       |  SELECT vec_id, sub, c_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY cos DESC, c_id DESC) AS rn
+       |  FROM ps1$suffix),
+       |pcode$suffix AS (
+       |  SELECT vec_id, sub, c_id AS c, cos FROM pa1$suffix WHERE rn = 1)""".stripMargin
+
+  /** q178 — the PQ tier BUILD certified: one row per codebook entry
+    * (sub, c_id) with its member count under the STORED codes, the
+    * micro-unit mean reconstruction cosine of those members, and an
+    * integer checksum of the stored entry itself — all three from
+    * the stored `pq_books`/`cells_pq`/`cells` tables, hash-checked
+    * against DuckDB re-deriving seeds, codes and cosines from raw
+    * embeddings. A build that mis-sliced a subspace, mis-assigned one
+    * code (kernel vs window-argmax drift) or wrote a stale codebook
+    * diverges here. Scale: the audit reads index tables only; the
+    * heavy leg is one map-side slice+dot per (vector, subspace). */
+  def pqIndexCertify(s: SparkSession, dir: String): DataFrame = {
+    def stored(t: String) = graft.queries.Warehouse.stored(s, dir, t)
+    val books = stored("pq_books")
+    books
+      .select(col("sub"), col("c_id"),
+        aggregate(transform(col("bv"), x => abs(floor(x * 1e6 + 0.5))),
+          lit(0.0), (a, x) => a + x).cast("long").as("book_l1_micro"))
+      .join(pqMemberStats(books, stored("cells_pq"), stored("cells")),
+        Seq("sub", "c_id"), "left")
+      .select(col("sub"), col("c_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("recon_cos_ppm"), col("book_l1_micro"))
+      .orderBy("sub", "c_id")
+  }
+
+  /** Per codebook entry (sub, c_id): member count under the STORED
+    * codes and the micro-unit mean reconstruction cosine of those
+    * members — the shared body of the q178/q180 certificates (one
+    * rule text, seed and refreshed stores). */
+  private def pqMemberStats(books: DataFrame, cellsPq: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val dsub = books.select(size(col("bv"))).head.getInt(0)
+    val codes = cellsPq.select(col("vec_id"),
+      posexplode(call_function("graft_pq_codes", col("code")))
+        .as(Seq("sub", "c")))
+    codes
+      .join(cells.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("sv", slice(col("v"), col("sub") * lit(dsub) + 1, lit(dsub)))
+      .join(broadcast(books.select(col("sub"),
+        col("c_id").cast("int").as("c"), col("bv"))), Seq("sub", "c"))
+      .withColumn("svn", sqrt(dot(col("sv"), col("sv"))))
+      .withColumn("bn", sqrt(dot(col("bv"), col("bv"))))
+      .withColumn("cos", when(col("svn") * col("bn") === 0.0, lit(-2.0))
+        .otherwise(dot(col("sv"), col("bv")) / (col("svn") * col("bn"))))
+      .groupBy(col("sub"), col("c"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        floor(sum(floor(col("cos") * 1e6 + 0.5).cast("long")).cast("double")
+          / count(lit(1)) + 0.5).cast("long").as("recon_cos_ppm"))
+      .select(col("sub"), col("c").cast("long").as("c_id"),
+        col("n_members"), col("recon_cos_ppm"))
+  }
+
+  val pqIndexCertifySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${pqEncodeCteSql(PqFixtureDim)},
+       |pg AS (
+       |  SELECT sub, c, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(floor(CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) + 0.5) AS BIGINT) AS recon_cos_ppm
+       |  FROM pcode GROUP BY sub, c)
+       |SELECT pb.sub, pb.c_id,
+       |  COALESCE(pg.n_members, 0) AS n_members,
+       |  pg.recon_cos_ppm,
+       |  CAST(list_sum(list_transform(pb.bv, x -> abs(floor(x * 1e6 + 0.5))))
+       |    AS BIGINT) AS book_l1_micro
+       |FROM pb LEFT JOIN pg ON pg.sub = pb.sub AND pg.c = pb.c_id
+       |ORDER BY pb.sub, pb.c_id""".stripMargin
+
+  /** q179 — the PQ serve CERTIFIED against the exact paths (the q157
+    * certificate shape one bandwidth rung down; disjoint probe
+    * battery [[PqQueryLo]]–[[PqQueryHi]]): per query
+    *
+    *  - `n_probed`           probed candidates (the IVF pruning);
+    *  - `n_overlap_pq`       |ADC-ranked top-k ∩ exact FULL-scan
+    *                         top-k| — what serving the 8-byte codes
+    *                         alone would give;
+    *  - `n_overlap_rescored` the same after full-precision rescore of
+    *                         the top-[[PqRescoreR]] ADC window — what
+    *                         the PQ serve actually returns;
+    *  - `rescore_lossless`   served list == full-precision probed
+    *                         top-k, order included (REPORTED, not
+    *                         assumed: an 8-byte code ranks coarsely;
+    *                         the rescore window is the recovery knob
+    *                         and this column is its measurement).
+    *
+    * The oracle re-derives the IVF index, the seed codebooks, every
+    * code, all probes, the two-level ADC sum (per-subspace partials
+    * in subspace order — the kernel's exact addition order) and all
+    * four leg rankings from raw embeddings in one statement. */
+  def pqServeRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val (nprobe, k) = (AnnProbeN, AnnServeK)
+    def stored(t: String) = graft.queries.Warehouse.stored(s, dir, t)
+    val books = collectPqBooks(stored("pq_books"))
+    val ksub = books.length / books.map(_._1).distinct.length
+    val bookVecs = books.map(_._3.toArray)
+    val qs = stored("cells")
+      .filter(col("vec_id").between(PqQueryLo, PqQueryHi))
+      .select(col("vec_id"), col("v"), col("norm"))
+      .collect().sortBy(_.getLong(0)).toSeq
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0), v, r.getDouble(2),
+          graft.functions.PqOps.lut(bookVecs, ksub, v.toArray).toSeq)
+      }.toDF("query_id", "qv", "qn", "lut")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    val qc = stored("centroids").join(broadcast(qs))
+      .withColumn("cos_c", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id").as("qc_query"), col("c_id").as("probe_cell"))
+    // Full-precision probed candidates (query row excluded).
+    val cand = stored("cells")
+      .join(broadcast(qc), col("cell") === col("probe_cell"))
+      .join(broadcast(qs), col("qc_query") === col("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", when(col("norm") * col("qn") === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
+      .select("query_id", "vec_id", "cos")
+    // ADC prefilter over the same candidates, from the stored codes.
+    val pre = stored("cells_pq")
+      .join(broadcast(qc), col("cell") === col("probe_cell"))
+      .join(broadcast(qs), col("qc_query") === col("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", when(col("norm") * col("qn") === 0.0, lit(-2.0))
+        .otherwise(call_function("graft_pq_adc", col("code"), col("lut"))
+          / (col("norm") * col("qn"))))
+      .select("query_id", "vec_id", "cos")
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    def topIds(scored: DataFrame, limit: Int): DataFrame = scored
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= limit)
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("rk"), col("vec_id")))),
+        x => x.getField("vec_id")).as("ids"))
+    // Exact FULL-scan reference (all stored vectors, query excluded).
+    val exact = stored("cells").join(broadcast(qs),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos", when(col("norm") * col("qn") === 0.0, lit(-2.0))
+        .otherwise(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
+      .select("query_id", "vec_id", "cos")
+    val preRk = pre.withColumn("rk", row_number().over(wr))
+    val served = cand.join(
+        preRk.filter(col("rk") <= PqRescoreR)
+          .select(col("query_id").as("pq"), col("vec_id").as("pv")),
+        col("query_id") === col("pq") && col("vec_id") === col("pv"),
+        "left_semi")
+    val nProbed = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_probed"))
+    topIds(exact, k).select(col("query_id"), col("ids").as("exact_ids"))
+      .join(topIds(pre, k).select(col("query_id"), col("ids").as("pq_ids")),
+        Seq("query_id"))
+      .join(topIds(served, k)
+        .select(col("query_id"), col("ids").as("served_ids")), Seq("query_id"))
+      .join(topIds(cand, k)
+        .select(col("query_id"), col("ids").as("probed_ids")), Seq("query_id"))
+      .join(nProbed, Seq("query_id"))
+      .select(col("query_id"), col("n_probed"),
+        size(array_intersect(col("pq_ids"), col("exact_ids"))).cast("long")
+          .as("n_overlap_pq"),
+        size(array_intersect(col("served_ids"), col("exact_ids"))).cast("long")
+          .as("n_overlap_rescored"),
+        (col("served_ids") === col("probed_ids")).as("rescore_lossless"))
+      .orderBy("query_id")
+  }
+
+  /** The explicit left-to-right per-subspace ADC sum — the oracle's
+    * mirror of [[graft.functions.PqOps.adc]]'s addition order (a
+    * plain SUM() would aggregate in arbitrary order; doubles are not
+    * associative). */
+  private def pqAdcPivotSql: String =
+    (0 until PqM).map(j => s"max(CASE WHEN sub = $j THEN lj END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+
+  val pqServeRecallSql: String =
+    s"""WITH $cellAssignCteSql,
+       |sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM a WHERE rn = 1),
+       |${pqEncodeCteSql(PqFixtureDim)},
+       |cqe AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM sig
+       |  WHERE vec_id BETWEEN $PqQueryLo AND $PqQueryHi),
+       |${pqSubCteSql("qsv", "cqe", "qv", "query_id", PqFixtureDim)},
+       |qc AS (
+       |  SELECT query_id, probe_cell FROM (
+       |    SELECT cqe.query_id, c.c_id AS probe_cell,
+       |      row_number() OVER (PARTITION BY cqe.query_id
+       |        ORDER BY ${cosineSqlFor("c.qv", "cqe.qv")} DESC, c.c_id DESC) AS rn
+       |    FROM c, cqe) WHERE rn <= $AnnProbeN),
+       |cand AS (
+       |  SELECT qc.query_id, sig.vec_id,
+       |    CASE WHEN sig.norm * cqe.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, cqe.qv) / (sig.norm * cqe.qn)
+       |      END AS cos
+       |  FROM sig
+       |  JOIN qc ON sig.cell = qc.probe_cell
+       |  JOIN cqe ON cqe.query_id = qc.query_id
+       |  WHERE sig.vec_id <> qc.query_id),
+       |lp AS (
+       |  SELECT qc.query_id, sig.vec_id, pcode.sub,
+       |    list_inner_product(pb.bv, qsv.sv) AS lj
+       |  FROM sig
+       |  JOIN qc ON sig.cell = qc.probe_cell
+       |  JOIN pcode ON pcode.vec_id = sig.vec_id
+       |  JOIN pb ON pb.sub = pcode.sub AND pb.c_id = pcode.c
+       |  JOIN qsv ON qsv.query_id = qc.query_id AND qsv.sub = pcode.sub
+       |  WHERE sig.vec_id <> qc.query_id),
+       |adc AS (
+       |  SELECT query_id, vec_id, $pqAdcPivotSql AS dotpq
+       |  FROM lp GROUP BY query_id, vec_id),
+       |p8 AS (
+       |  SELECT a2.query_id, a2.vec_id,
+       |    CASE WHEN s2.norm * cqe.qn = 0 THEN -2.0
+       |      ELSE a2.dotpq / (s2.norm * cqe.qn) END AS cos
+       |  FROM adc a2
+       |  JOIN sig s2 ON s2.vec_id = a2.vec_id
+       |  JOIN cqe ON cqe.query_id = a2.query_id),
+       |p8r AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM p8),
+       |served0 AS (
+       |  SELECT cand.query_id, cand.vec_id, cand.cos
+       |  FROM cand JOIN p8r
+       |    ON p8r.query_id = cand.query_id AND p8r.vec_id = cand.vec_id
+       |  WHERE p8r.rk <= $PqRescoreR),
+       |ex AS (
+       |  SELECT cqe.query_id, sig.vec_id,
+       |    CASE WHEN sig.norm * cqe.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, cqe.qv) / (sig.norm * cqe.qn)
+       |      END AS cos
+       |  FROM sig, cqe WHERE sig.vec_id <> cqe.query_id),
+       |le AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM ex)
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |l8 AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM p8r
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |ls AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM served0)
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |lpp AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM cand)
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |np AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
+       |  FROM cand GROUP BY query_id)
+       |SELECT le.query_id, np.n_probed,
+       |  CAST(len(list_intersect(l8.ids, le.ids)) AS BIGINT) AS n_overlap_pq,
+       |  CAST(len(list_intersect(ls.ids, le.ids)) AS BIGINT) AS n_overlap_rescored,
+       |  (ls.ids = lpp.ids) AS rescore_lossless
+       |FROM le
+       |JOIN l8 ON l8.query_id = le.query_id
+       |JOIN ls ON ls.query_id = le.query_id
+       |JOIN lpp ON lpp.query_id = le.query_id
+       |JOIN np ON np.query_id = le.query_id
+       |ORDER BY le.query_id""".stripMargin
+
+  /** Sequential PQ serve — the unified kernel with the 8-byte tier
+    * ([[AnnServeOpts]] pq = true): ADC prefilter over `cells_pq`,
+    * exact rescore of the top-[[PqRescoreR]] survivors. Filtered /
+    * batch / tombstoned forms compose through [[serve]] like every
+    * other cell of the matrix. */
+  def annServePq(s: SparkSession, dir: String, queryVec: Seq[Double],
+      nprobe: Int, k: Int, rescore: Int = PqRescoreR): DataFrame =
+    singleServe(serve(s, dir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, rescore = rescore, pq = true)),
+      filtered = false)
+
+  /** [[annServePq]] against an explicit warehouse directory. */
+  def annServePqFrom(s: SparkSession, whDir: String,
+      queryVec: Seq[Double], nprobe: Int, k: Int,
+      rescore: Int = PqRescoreR): DataFrame =
+    singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
+      AnnServeOpts(nprobe, k, rescore = rescore, pq = true)),
+      filtered = false)
+
+  /** Batched PQ serve against an explicit warehouse — the corpus
+    * bench's stage form (one job per request population through the
+    * 8-byte tier, the q162 discipline on the PQ rung). */
+  def annServePqBatchFrom(s: SparkSession, whDir: String,
+      requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
+      rescore: Int = PqRescoreR): DataFrame =
+    serveFrom(s, whDir, requests,
+      AnnServeOpts(nprobe, k, rescore = rescore, pq = true))
+
+  private val pqRefreshedWh =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized PQ-REFRESHED fixture store: full warehouse build,
+    * then one [[graft.queries.Warehouse.refreshPq]] refit — the
+    * quantizer analogue of [[ensureSplit]]. */
+  private[queries] def ensurePqRefreshed(s: SparkSession, dir: String): String =
+    pqRefreshedWh.computeIfAbsent(dir, _ => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-pqrefresh-wh").toString
+      graft.queries.Warehouse.build(s, dir, wh)
+      graft.queries.Warehouse.refreshPq(s, wh)
+      wh
+    })
+
+  /** q180 — the PQ REFRESH certified (the q141 refresh discipline at
+    * the quantizer grain): after one [[graft.queries.Warehouse.refreshPq]]
+    * refit, every codebook entry's member count and mean
+    * reconstruction cosine under the RE-ENCODED stored codes, plus
+    * the micro-unit drift of the entry from its seed — all from the
+    * refreshed store's tables, hash-checked against DuckDB
+    * re-deriving seeds → codes → micro-unit means (carry-forward on
+    * empty entries) → re-encode from raw embeddings. A refit that
+    * averaged one wrong member, dropped an empty entry, or re-encoded
+    * against stale books diverges here. CellSplitSpec-style quality
+    * claims (mean recon non-decreasing) live in PqTierSpec. */
+  def pqRefreshCertify(s: SparkSession, dir: String): DataFrame = {
+    val wh = ensurePqRefreshed(s, dir)
+    def at(t: String) = graft.queries.Warehouse.read(s, wh, t)
+    val books = at("pq_books")
+    val cells = at("cells")
+    val dsub = books.select(size(col("bv"))).head.getInt(0)
+    // Seed entries re-derived from the stored cells (entry c of
+    // subspace j = subvector j of vector c) — the drift baseline.
+    val m = books.select(col("sub")).distinct().count().toInt
+    val seeds = cells.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("c_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("v"), j * dsub + 1, dsub)): _*)).as(Seq("sub", "seed_bv")))
+    val drift = books.join(seeds, Seq("sub", "c_id"))
+      .select(col("sub"), col("c_id"),
+        posexplode(zip_with(col("bv"), col("seed_bv"),
+          (a, b) => abs(floor(a * 1e6 + 0.5) - floor(b * 1e6 + 0.5))))
+          .as(Seq("pos", "d")))
+      .groupBy(col("sub"), col("c_id"))
+      .agg(max(col("d")).cast("long").as("drift_micro"))
+    books.select(col("sub"), col("c_id"))
+      .join(pqMemberStats(books, at("cells_pq"), cells),
+        Seq("sub", "c_id"), "left")
+      .join(drift, Seq("sub", "c_id"))
+      .select(col("sub"), col("c_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("recon_cos_ppm"), col("drift_micro"))
+      .orderBy("sub", "c_id")
+  }
+
+  /** Oracle refit: micro-unit means of `pcode`'s members per (sub,
+    * entry, pos) — the [[graft.queries.Warehouse.refreshSemantic]]
+    * arithmetic one tier down — carry-forward on empty entries →
+    * refit books `pr`. */
+  private val pqRefitCteSql: String =
+    s"""px AS (
+       |  SELECT p.sub, p.c, CAST(i - 1 AS INTEGER) AS pos, t.sv[i] AS x
+       |  FROM pcode p
+       |  JOIN psv t ON t.vec_id = p.vec_id AND t.sub = p.sub,
+       |  LATERAL (SELECT unnest(generate_series(1, len(t.sv))) AS i) r),
+       |pm AS (
+       |  SELECT sub, c, pos, count(*) AS n,
+       |    CAST(floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) + 0.5) AS BIGINT) AS mean_micro
+       |  FROM px GROUP BY sub, c, pos),
+       |bm AS (
+       |  SELECT sub, c AS c_id, list(mean_micro / 1000000.0 ORDER BY pos) AS bv
+       |  FROM pm GROUP BY sub, c),
+       |pr AS (
+       |  SELECT pb.sub, pb.c_id, COALESCE(bm.bv, pb.bv) AS bv
+       |  FROM pb LEFT JOIN bm ON bm.sub = pb.sub AND bm.c_id = pb.c_id)""".stripMargin
+
+  val pqRefreshCertifySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${pqEncodeCteSql(PqFixtureDim)},
+       |$pqRefitCteSql,
+       |${pqEncodeAgainstCteSql("pr", "2")},
+       |pg AS (
+       |  SELECT sub, c, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(floor(CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) + 0.5) AS BIGINT) AS recon_cos_ppm
+       |  FROM pcode2 GROUP BY sub, c),
+       |dz AS (
+       |  SELECT pr.sub, pr.c_id,
+       |    CAST(max(abs(floor(pr.bv[i] * 1e6 + 0.5)
+       |      - floor(pb.bv[i] * 1e6 + 0.5))) AS BIGINT) AS drift_micro
+       |  FROM pr
+       |  JOIN pb ON pb.sub = pr.sub AND pb.c_id = pr.c_id,
+       |  LATERAL (SELECT unnest(generate_series(1, len(pr.bv))) AS i) r
+       |  GROUP BY pr.sub, pr.c_id)
+       |SELECT pr.sub, pr.c_id,
+       |  COALESCE(pg.n_members, 0) AS n_members,
+       |  pg.recon_cos_ppm, dz.drift_micro
+       |FROM pr
+       |LEFT JOIN pg ON pg.sub = pr.sub AND pg.c = pr.c_id
+       |JOIN dz ON dz.sub = pr.sub AND dz.c_id = pr.c_id
+       |ORDER BY pr.sub, pr.c_id""".stripMargin
 }

@@ -76,7 +76,8 @@ object Warehouse {
   val TableNames: Seq[String] = Seq(
     "doc_stats", "token_hashes", "signatures", "bands", "clusters", "purge",
     "chunk_digests", "chunk_heavy", "chunk_clusters", "chunk_purge",
-    "centroids", "cells", "cells_q8", "sem_purge", "media_digests")
+    "centroids", "cells", "cells_q8", "pq_books", "cells_pq", "sem_purge",
+    "media_digests")
 
   private def pointerPath(whDir: String): Path = Paths.get(whDir, "_CURRENT")
 
@@ -509,6 +510,16 @@ object Warehouse {
       appendTable(s, whDir, cur, next, "cells", batchCells)
       appendTable(s, whDir, cur, next, "cells_q8",
         Similarity.cellsQ8Of(batchCells))
+      // PQ tier: codebooks are build artifacts (seeds; refreshPq is
+      // the refit) — link forward and encode ONLY the batch against
+      // them, the [[cellRowsWith]] stored-centroid discipline one
+      // tier down.
+      if (present.contains("pq_books")) {
+        linkTableForward(whDir, cur, next, "pq_books")
+        appendTable(s, whDir, cur, next, "cells_pq",
+          Similarity.cellsPqOf(batchCells,
+            Similarity.collectPqBooks(read(s, whDir, "pq_books"))))
+      }
       val touchedCells = batchCells.select("cell").distinct()
       val recomputed = Similarity.semanticPurgeFromCells(
         readBack("cells")
@@ -657,7 +668,8 @@ object Warehouse {
 
   /** The semantic-grain family [[refreshSemantic]] rewrites;
     * everything else hard-links forward through a refresh. */
-  private val SemTables = Seq("centroids", "cells", "cells_q8", "sem_purge")
+  private val SemTables =
+    Seq("centroids", "cells", "cells_q8", "cells_pq", "sem_purge")
 
   /** One Lloyd step of the SEMANTIC grain from STORED state only
     * (r14): new centroids = the micro-unit means of each stored
@@ -707,6 +719,8 @@ object Warehouse {
         cells.select(col("vec_id"), col("v")), cents)
       .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v")))
     write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
+    write("cells_pq", Similarity.cellsPqOf(readBack("cells"),
+      Similarity.collectPqBooks(read(s, whDir, "pq_books"))))
     write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
     commit(whDir, cur, next)
     next
@@ -733,6 +747,49 @@ object Warehouse {
         (cell, rows.sortBy(_.getInt(1))
           .map(_.getLong(3).toDouble / 1e6).toSeq)
       }.toArray
+
+  /** Refit the PQ codebooks from STORED state only (r17) — the
+    * [[refreshSemantic]] discipline at the quantizer grain: new entry
+    * (sub, c) = the micro-unit mean of the subvectors its STORED
+    * codes assigned (the stored `cells_pq` IS the Lloyd assignment —
+    * no re-assignment job), entries with no members carry their
+    * current value forward (a codebook is a fixed-shape artifact; an
+    * unused entry keeps its seed); every stored vector then
+    * re-encodes against the refit books. Everything non-PQ hard-links
+    * forward — the quantizer refits independently of the IVF geometry
+    * (and conversely [[refreshSemantic]]/split/merge rewrite
+    * `cells_pq`'s cell column against the books unchanged).
+    * Tombstoned vectors are excluded from the means (a deleted vector
+    * must not pull an entry) but their rows re-encode in place — the
+    * serve's tombstone gate owns exclusion; compact/refreshSemantic
+    * own the physical purge. Index-sized at any corpus scale; the
+    * corpus is never re-read. Returns the new version. */
+  def refreshPq(s: SparkSession, whDir: String): Long = {
+    val cur = version(whDir)
+    require(cur > 0, s"refreshPq needs a committed snapshot in $whDir")
+    val present = TableNames.filter(t =>
+      Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
+    require(Seq("cells", "pq_books", "cells_pq").forall(present.contains),
+      s"refreshPq needs the PQ tables; snapshot has $present")
+    val next = cur + 1
+    val base = freshVersionDir(whDir, next)
+    present.filterNot(Seq("pq_books", "cells_pq").contains)
+      .foreach(t => linkTableForward(whDir, cur, next, t))
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$base/$name")
+    val books = Similarity.collectPqBooks(read(s, whDir, "pq_books"))
+    val livePq = {
+      val pq0 = read(s, whDir, "cells_pq")
+      vecTombstones(s, whDir).fold(pq0)(t =>
+        pq0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    }
+    val refit = Similarity.pqRefitBooks(liveCells(s, whDir), livePq, books)
+    write("pq_books", Similarity.pqBookFrameOf(s, refit))
+    write("cells_pq", Similarity.cellsPqOf(read(s, whDir, "cells"), refit))
+    linkVecTombstones(whDir, cur, next)
+    commit(whDir, cur, next)
+    next
+  }
 
   /** Max |refreshed mean − stored centroid| over (cell, pos), in
     * micro units — the drift statistic gating a refresh (q116's
@@ -874,6 +931,8 @@ object Warehouse {
       write("cells", cells.filter(!col("cell").isin(hot: _*))
         .select("vec_id", "cell", "norm", "v").unionByName(re))
       write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
+      write("cells_pq", Similarity.cellsPqOf(readBack("cells"),
+        Similarity.collectPqBooks(read(s, whDir, "pq_books"))))
       write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
       commit(whDir, cur, next)
       Some(next)
@@ -950,6 +1009,8 @@ object Warehouse {
       write("cells", cells.filter(!col("cell").isin(cold: _*))
         .select("vec_id", "cell", "norm", "v").unionByName(re))
       write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
+      write("cells_pq", Similarity.cellsPqOf(readBack("cells"),
+        Similarity.collectPqBooks(read(s, whDir, "pq_books"))))
       write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
       commit(whDir, cur, next)
       Some(next)
@@ -1029,7 +1090,7 @@ object Warehouse {
     val present = TableNames.filter(t =>
       Files.isDirectory(Paths.get(whDir, s"v=$cur", t)))
     present.foreach { t =>
-      val isDense = t == "cells" || t == "cells_q8"
+      val isDense = t == "cells" || t == "cells_q8" || t == "cells_pq"
       val dataFiles = Option(
           new java.io.File(s"$whDir/v=$cur/$t").listFiles()).getOrElse(Array())
         .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -1094,6 +1155,16 @@ object Warehouse {
     // cells, so the two can never skew.
     measure("cells_q8", () =>
       write("cells_q8", Similarity.cellsQ8Of(readBack("cells"))))
+    // The PQ tier beside it (r17): codebooks are PURE SEEDS (the
+    // first-k discipline — merge/rebuild-stable by construction;
+    // refreshPq is the refit path), codes a per-row map of the
+    // just-written cells, so none of the three tiers can skew.
+    measure("pq_books", () =>
+      write("pq_books", Similarity.pqBookFrameOf(s,
+        Similarity.pqSeedBooksOf(emb))))
+    measure("cells_pq", () =>
+      write("cells_pq", Similarity.cellsPqOf(readBack("cells"),
+        Similarity.collectPqBooks(readBack("pq_books")))))
     measure("chunk_clusters", () => write("chunk_clusters",
       Dedup.chunkComponentFrameFrom(readBack("chunk_digests"))))
     measure("chunk_purge", () => {
@@ -1273,6 +1344,12 @@ object Warehouse {
        |  SELECT 'cells', CAST(count(*) AS BIGINT) FROM embeddings
        |  UNION ALL
        |  SELECT 'cells_q8', CAST(count(*) AS BIGINT) FROM embeddings
+       |  UNION ALL
+       |  SELECT 'cells_pq', CAST(count(*) AS BIGINT) FROM embeddings
+       |  UNION ALL
+       |  SELECT 'pq_books', ${Similarity.PqM} * (
+       |    SELECT CAST(count(*) AS BIGINT) FROM embeddings
+       |    WHERE vec_id < ${Similarity.PqK})
        |  UNION ALL
        |  SELECT 'centroids', CAST(count(*) AS BIGINT) FROM embeddings
        |  WHERE vec_id < ${Similarity.CentroidK}

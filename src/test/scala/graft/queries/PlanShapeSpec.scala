@@ -62,6 +62,7 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q155_ann_serve_batch",  // broadcast 60-request frame × k centroids (q46 probe shape)
     "q156_hybrid_serve_batch", // both batch legs' bounded broadcasts (q154+q155 shapes)
     "q157_quant_serve",      // broadcast 5-probe battery × stored index (q106 shape)
+    "q179_pq_serve",         // broadcast 5-probe battery × stored index (q157 shape)
     "q162_quant_serve_batch", // broadcast 60-request frame × k centroids (q155 shape)
     "q168_filtered_bm25",    // 1-row stats broadcast (q149 idiom, filter form)
     // The r17 unified serve kernel scores centroids against the
@@ -384,6 +385,21 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
           !boundedNestedLoops.contains(n) => n
     }
     offenders.toSeq.sorted shouldBe empty
+  }
+
+  test("the PQ tier serves and audits from stored tables — zero corpus scans") {
+    // q178/q180 group the STORED codes against the STORED books (the
+    // fixture/refreshed store); q179's only corpus-scale read is the
+    // 8-byte/vector cells_pq tier (pruned by the broadcast probe
+    // frame), the full-precision tier touched only through the
+    // bounded rescore join and the exact reference leg.
+    Seq("q178_pq_index", "q179_pq_serve", "q180_pq_refresh").foreach { n =>
+      plans(n) should not include "embeddings.parquet"
+      plans(n) should not include "documents.parquet"
+    }
+    plans("q178_pq_index") should include("pq_books")
+    plans("q179_pq_serve") should include("cells_pq")
+    plans("q180_pq_refresh") should include("graft-pqrefresh-wh")
   }
 
   test("selective scans push their predicates into parquet") {

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.core.Tables
+import graft.functions.PqOps
+
+/** The product-quantized dense-index tier (`pq_books` / `cells_pq`,
+  * q178–q180, r17): the oracle certifies the build, serve and refresh
+  * certificates; this spec pins the pieces it can't see — the
+  * pack/unpack/ADC kernels against plain-Scala replicas, the stored
+  * tables' derivation, the serve laws (full-depth losslessness, batch
+  * ≡ sequential, filter composition, tombstone exclusion), and the
+  * refit's quality direction.
+  */
+class PqTierSpec extends AnyFunSuite with SparkFixture {
+
+  private def dotRef(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+
+  /** Plain-Scala encode replica: per subspace the (cos, c_id)
+    * lexicographic max — the cell-assignment tie rule (larger entry
+    * wins a cosine tie), zero denominators to the -2.0 sentinel. */
+  private def encodeRef(v: Seq[Double],
+      books: Array[(Int, Long, Seq[Double])]): Seq[Int] = {
+    val dsub = books.head._3.length
+    (0 until Similarity.PqM).map { j =>
+      val sv = v.slice(j * dsub, (j + 1) * dsub)
+      val svn = math.sqrt(dotRef(sv, sv))
+      books.filter(_._1 == j).map { case (_, id, bv) =>
+        val bn = math.sqrt(dotRef(bv, bv))
+        val cos = if (svn * bn == 0.0) -2.0 else dotRef(sv, bv) / (svn * bn)
+        (cos, id)
+      }.max._2.toInt
+    }
+  }
+
+  test("PqOps pack/codes round-trip; pack refuses out-of-range entries") {
+    val c = Array(0, 7, 255, 3)
+    assert(PqOps.codes(PqOps.pack(c)).toSeq == c.toSeq)
+    assert(PqOps.pack(Array(0, 256)) == null, "256 is not a code byte")
+    assert(PqOps.pack(Array(-1, 0)) == null, "negative is not a code byte")
+  }
+
+  test("PqOps.adc matches a two-level plain-Scala reference; NULLs on misfit") {
+    val ksub = 4
+    val lut = Array.tabulate(2 * ksub)(i => math.sin(i + 1) * 0.37)
+    val code = PqOps.pack(Array(2, 3))
+    // Two-level order: per-subspace lookups summed j-ascending.
+    val expect = lut(2) + lut(ksub + 3)
+    assert(PqOps.adc(code, lut) == expect)
+    assert(PqOps.adc(code, lut.take(7)) == null, "non-tiling table")
+    assert(PqOps.adc(PqOps.pack(Array(2, 9)), lut) == null,
+      "code byte past the table")
+  }
+
+  test("graft_pq_pack/codes/adc agree with the driver statics") {
+    import spark.implicits._
+    val ksub = 3
+    val lut = (0 until Similarity.PqM * ksub).map(i => 0.1 * i - 0.7)
+    val rows = Seq(
+      (1L, (0 until Similarity.PqM).map(j => j % ksub)),
+      (2L, Seq.fill(Similarity.PqM)(ksub - 1)))
+    val got = rows.toDF("id", "cs")
+      .withColumn("code", call_function("graft_pq_pack", col("cs")))
+      .withColumn("back", call_function("graft_pq_codes", col("code")))
+      .withColumn("adc", call_function("graft_pq_adc", col("code"),
+        typedLit(lut)))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](3),
+        r.getDouble(4))).toMap
+    rows.foreach { case (id, cs) =>
+      val (back, adc) = got(id)
+      assert(back == cs, s"row $id round-trip")
+      assert(adc == PqOps.adc(PqOps.pack(cs.toArray), lut.toArray)
+        .doubleValue(), s"row $id adc")
+    }
+    val bad = Seq((1L, Seq(0, 1))).toDF("id", "cs")
+      .withColumn("adc", call_function("graft_pq_adc",
+        call_function("graft_pq_pack", col("cs")), typedLit(Seq(0.5, 0.25, 0.125))))
+      .select("adc").collect()(0)
+    assert(bad.isNullAt(0), "non-tiling table must surface as NULL")
+  }
+
+  test("stored pq_books are the seed subvectors; cells_pq is the per-row encode") {
+    val books = Similarity.collectPqBooks(
+      Warehouse.stored(spark, sfDir, "pq_books"))
+    val cells = Warehouse.stored(spark, sfDir, "cells")
+      .select("vec_id", "v", "norm").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+    val dsub = books.head._3.length
+    // Seeds: entry c of subspace j == subvector j of vector c.
+    books.foreach { case (j, c, bv) =>
+      assert(bv == cells(c)._1.slice(j * dsub, (j + 1) * dsub),
+        s"book ($j, $c) is not the seed subvector")
+    }
+    val pq = Warehouse.stored(spark, sfDir, "cells_pq")
+      .select("vec_id", "code", "norm").collect()
+    assert(pq.length == cells.size)
+    pq.take(50).foreach { r =>
+      val id = r.getLong(0)
+      assert(PqOps.codes(r.getAs[Array[Byte]](1)).toSeq ==
+        encodeRef(cells(id)._1, books), s"vec $id stored code")
+      assert(r.getDouble(2) == cells(id)._2, s"vec $id norm")
+    }
+  }
+
+  test("pq serve at full rescore depth returns the full-precision probed ranking verbatim") {
+    // The losslessness LAW (independent of ADC quality): with the
+    // rescore window covering every probed candidate, the PQ serve is
+    // exactly the full-precision pruned serve, rows and order.
+    Seq(17L, 123L, 401L).foreach { vid =>
+      val qv = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") === lit(vid))
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .collect()(0).getSeq[Double](0)
+      val exact = Similarity.annServe(spark, sfDir, qv, nprobe = 2, k = 10)
+        .collect().map(_.toSeq).toSeq
+      val pq = Similarity.annServePq(spark, sfDir, qv, nprobe = 2, k = 10,
+        rescore = 1000000)
+        .collect().map(_.toSeq).toSeq
+      assert(pq == exact, s"query $vid: full-depth pq serve != exact probed serve")
+    }
+  }
+
+  test("pq batch == sequential per request, and the filtered cell composes") {
+    val vecs = Seq(11L, 29L, 47L).map { vid =>
+      vid -> Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") === lit(vid))
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .collect()(0).getSeq[Double](0)
+    }
+    val opts = Similarity.AnnServeOpts(nprobe = 2, k = 8, pq = true,
+      rescore = Similarity.PqRescoreR)
+    val batch = Similarity.serve(spark, sfDir, vecs, opts)
+      .collect().groupBy(_.getLong(0))
+    vecs.foreach { case (vid, qv) =>
+      val solo = Similarity.serve(spark, sfDir, Seq((vid, qv)), opts)
+        .collect().map(_.toSeq).toSeq
+      assert(batch(vid).map(_.toSeq).toSeq == solo,
+        s"request $vid: batch row set != sequential")
+    }
+    // Filtered × pq × batch: every served row's source is allowed, and
+    // at FULL depth it equals post-filtering the full-precision
+    // filtered serve (the filter-before-rescore window-fill law).
+    val srcs = Seq("src1", "src2")
+    val fopts = opts.copy(sources = Some(srcs), rescore = 1000000)
+    val served = Similarity.serve(spark, sfDir, vecs, fopts).collect()
+    assert(served.nonEmpty, "filtered pq batch served nothing")
+    assert(served.forall(r => srcs.contains(r.getString(4))),
+      "a served row escaped the source filter")
+    val fullPrec = Similarity.serve(spark, sfDir, vecs,
+      fopts.copy(pq = false, quantized = false))
+      .collect().map(_.toSeq).toSeq
+    assert(served.map(_.toSeq).toSeq == fullPrec,
+      "full-depth filtered pq != full-precision filtered serve")
+  }
+
+  test("tombstoned vectors never surface through the pq tier") {
+    val wh = Similarity.ensureVecPurged(spark, sfDir)
+    val qv = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === lit(123L))
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      .collect()(0).getSeq[Double](0)
+    val rows = Similarity.annServePqFrom(spark, wh, qv, nprobe = 2, k = 10,
+      rescore = 1000000).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getLong(0) % Similarity.VecDeleteMod != Similarity.VecDeleteRem),
+      "a deleted vector surfaced through the pq serve")
+  }
+
+  test("the refit improves (never worsens) member-weighted mean reconstruction") {
+    def weighted(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.select("n_members", "recon_cos_ppm").collect()
+        .filter(!_.isNullAt(1))
+      val n = rows.map(_.getLong(0)).sum
+      rows.map(r => r.getLong(0) * r.getLong(1).toDouble).sum / n
+    }
+    val seed = weighted(Similarity.pqIndexCertify(spark, sfDir))
+    val refit = weighted(Similarity.pqRefreshCertify(spark, sfDir))
+    assert(refit >= seed,
+      s"refit mean recon $refit fell below the seed books' $seed")
+  }
+}

@@ -297,7 +297,8 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
         .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
         .toSet
     val nonSem = Warehouse.TableNames
-      .filterNot(Seq("centroids", "cells", "cells_q8", "sem_purge").contains)
+      .filterNot(Seq("centroids", "cells", "cells_q8", "cells_pq",
+        "sem_purge").contains)
     val pre = nonSem.map(t => t -> parts(1L, t)).toMap
     val cellsBefore = Warehouse.read(spark, wh, "cells").count()
     // The fixture's seed centroids are not cell means: drift is real,
