@@ -197,7 +197,7 @@ object Dedup {
     * `hs` a true set once, for all consumers — and is a no-op for the
     * MinHash path (min over duplicates is unchanged). Oracle mirror:
     * the `list_distinct` in [[bandsCteSql]]'s `t` CTE. */
-  private[queries] def tokenHashSetOf(docs: DataFrame): DataFrame =
+  private[graft] def tokenHashSetOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(call_function("graft_token_hashes",
         array_distinct(split(col("text"), " ")), lit(P))).as("hs"))
@@ -278,15 +278,22 @@ object Dedup {
     * instantiate the chain over TWO document populations (q143 diffs
     * the purge chain with and without the merged batch) — one rule
     * text, every instantiation spliced from it. */
-  private[queries] def bandsCteSqlFor(prefix: String = "",
-      where: String = ""): String = {
-    def band(cols: Seq[Int]): String =
-      "md5(" + cols.map(i => s"sig_$i::VARCHAR").mkString(" || ',' || ") + ")"
+  /** Oracle mirror of [[tokenHashSetOf]] alone — the `t` CTE text,
+    * factored (r17) so the q181 model-quality scorer's oracle reads
+    * the SAME token-hash-set rule the dedup chain does. */
+  private[queries] def tokenSetCteSqlFor(prefix: String = "",
+      where: String = ""): String =
     s"""${prefix}t AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(list_distinct(string_split(text, ' ')),
        |      tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)) AS hs
-       |  FROM documents$where),
+       |  FROM documents$where)""".stripMargin
+
+  private[queries] def bandsCteSqlFor(prefix: String = "",
+      where: String = ""): String = {
+    def band(cols: Seq[Int]): String =
+      "md5(" + cols.map(i => s"sig_$i::VARCHAR").mkString(" || ',' || ") + ")"
+    s"""${tokenSetCteSqlFor(prefix, where)},
        |${prefix}sg AS (
        |  SELECT doc_id,
        |${HashParams.zipWithIndex.map { case ((a, b), i) =>

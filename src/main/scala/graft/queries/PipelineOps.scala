@@ -1027,4 +1027,96 @@ object PipelineOps {
       |  (b = b_star) AS binding
       |FROM f
       |ORDER BY source""".stripMargin
+
+  // ---- q181: MODEL-BASED quality filter (r17) -------------------------
+
+  /** The committed q181 model artifact (`quality_lr.txt`): line 1 the
+    * bias, then one weight per hash bucket, all MICRO-INTEGERS
+    * (round(w·1e6)) — scoring is an exact integer dot product, so
+    * both engines agree bit for bit with no exp()/double-sum hazards.
+    * Bucket count derives from the artifact (retraining with a wider
+    * table re-certifies automatically — the bpe_pieces discipline).
+    * Trained by [[graft.tools.TrainQualityLr]] on the q27 hashed-
+    * token-set features, weak-labeled by the q37 heuristic gate. */
+  private[graft] val QualityLr: (Long, Seq[Long]) = {
+    val in = getClass.getResourceAsStream("/graft/quality_lr.txt")
+    require(in != null, "quality_lr.txt model artifact missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val vals =
+      try src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.toLong).toVector
+      finally src.close()
+    require(vals.length >= 3,
+      s"quality_lr.txt needs a bias and >= 2 bucket weights, got ${vals.length}")
+    (vals.head, vals.tail)
+  }
+
+  /** Per-document model logit (micro units) from a (doc_id, hs)
+    * token-hash-set frame: bias + Σ_{h ∈ hs} w[h mod buckets] — the
+    * exact-integer fold both q181 sides share. A null hash set (null
+    * text) contributes nothing beyond the bias. */
+  private[queries] def qualityLogitMicro(hs: Column): Column = {
+    val (bias, w) = QualityLr
+    val wLit = typedLit(w)
+    lit(bias) + coalesce(
+      aggregate(
+        transform(hs, h =>
+          element_at(wLit, (pmod(h, lit(w.length.toLong)) + 1).cast("int"))),
+        lit(0L), (a, x) => a + x),
+      lit(0L))
+  }
+
+  /** q181 — the MODEL-BASED quality filter (the CCNet-style
+    * distillation stage a 100 TB curation pipeline runs after the
+    * heuristics): every document scored by the pinned linear model
+    * over hashed-token bag features, aggregated per source — docs,
+    * passes (logit > 0 ⟺ p > 0.5), and the exact integer logit sum.
+    * Reads the STORED `token_hashes` and `doc_stats` tables only (the
+    * audit discipline: the features ARE the dedup chain's stored
+    * stage); the oracle re-derives the hash sets from raw text
+    * through the factored q27 `t` rule text and applies the SAME
+    * artifact weights. Scale: one map-side fold per doc (64 integer
+    * adds), one keyed exchange on source — the gate runs in the scan
+    * stage at any corpus size.
+    *
+    * The model is deliberately a DISTILLATION of the q37 heuristic
+    * (weak labels; committed train accuracy 0.707 vs 0.522 majority —
+    * the artifact header records it): the production swap-in is human
+    * or LM quality ratings on the same plumbing. */
+  def modelQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = Warehouse.stored(s, dir, "token_hashes")
+    val ds = Warehouse.stored(s, dir, "doc_stats")
+      .select(col("doc_id"), col("source"))
+    t.select(col("doc_id"), qualityLogitMicro(col("hs")).as("logit_micro"))
+      .join(ds, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("logit_micro") > 0L).cast("long")).as("n_pass"),
+        sum(col("logit_micro")).as("sum_logit_micro"))
+      .orderBy("source")
+  }
+
+  val modelQualityFilterSql: String = {
+    val (bias, w) = QualityLr
+    val values = w.zipWithIndex
+      .map { case (wm, b) => s"($b, CAST($wm AS BIGINT))" }.mkString(", ")
+    s"""WITH ${Dedup.tokenSetCteSqlFor()},
+       |w(b, wm) AS (VALUES $values),
+       |x AS (SELECT doc_id, unnest(hs) AS h FROM t),
+       |sw AS (
+       |  SELECT x.doc_id, SUM(w.wm) AS s
+       |  FROM x JOIN w ON w.b = x.h % ${w.length}
+       |  GROUP BY x.doc_id),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST($bias AS BIGINT) + COALESCE(sw.s, 0) AS logit_micro
+       |  FROM t LEFT JOIN sw ON sw.doc_id = t.doc_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN sc.logit_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pass,
+       |  CAST(sum(sc.logit_micro) AS BIGINT) AS sum_logit_micro
+       |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
 }

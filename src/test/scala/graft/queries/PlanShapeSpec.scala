@@ -402,6 +402,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q180_pq_refresh") should include("graft-pqrefresh-wh")
   }
 
+  test("the model quality gate reads stored features — zero corpus scans") {
+    // q181 scores the STORED token_hashes stage (the features ARE the
+    // dedup chain's first table) and attributes by stored doc_stats.
+    plans("q181_quality_model") should not include "documents.parquet"
+    plans("q181_quality_model") should include("token_hashes")
+  }
+
   test("selective scans push their predicates into parquet") {
     // q02: range + numeric predicates; q35: StringStartsWith prefix.
     Seq("q02_filter_project", "q35_prefix_filter").foreach { n =>
