@@ -130,18 +130,27 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
-  val packSequencesSql: String =
-    s"""WITH d AS (
+  /** The q65 pack rule as a reusable CTE chain (`pd` → `pk`) — ONE
+    * text shared with the q182 shard manifest, so the manifest can
+    * never describe a different layout than the pack emits. */
+  private[queries] val packCteSql: String =
+    s"""pd AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT % $PackShards AS shard
-       |  FROM documents)
-       |SELECT doc_id, shard, n_tokens,
-       |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
-       |  CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |    ROWS UNBOUNDED PRECEDING) - n_tokens) // $PackBudget AS BIGINT) AS bin
-       |FROM d
+       |  FROM documents),
+       |pk AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset,
+       |    CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens) // $PackBudget AS BIGINT) AS bin
+       |  FROM pd)""".stripMargin
+
+  val packSequencesSql: String =
+    s"""WITH $packCteSql
+       |SELECT doc_id, shard, n_tokens, start_offset, bin
+       |FROM pk
        |ORDER BY doc_id""".stripMargin
 
   /** q66: decontamination — flag training documents sharing any word
@@ -1119,4 +1128,47 @@ object PipelineOps {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
   }
+
+  // ---- q182: training-shard MANIFEST (r17) ----------------------------
+
+  /** Per-(shard, bin) manifest of a q65 pack assignment: row count,
+    * exact token sum, id range, and an md5 over the ordered doc_id
+    * list — the integrity record a trainer checks before consuming a
+    * shard (and the idempotence witness for re-exports: same corpus,
+    * same manifest, byte for byte). */
+  private[graft] def manifestOf(pack: DataFrame): DataFrame =
+    pack.groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("ids_md5"))
+      .orderBy("shard", "bin")
+
+  /** q182 — the training-shard manifest over the q65 pack (the LAST
+    * MILE of the curation pipeline: what actually ships to a
+    * trainer). One rule text with q65 on both engines (`packCteSql`),
+    * so the manifest can never drift from the layout; the digest
+    * column makes a silently dropped or duplicated document a hash
+    * mismatch, not a training-time surprise.
+    * [[graft.sources.Sinks.writeTrainingShards]] writes the physical
+    * tree this manifest describes (round-trip spec-pinned). Scale:
+    * the pack's per-shard window exchange, then a (shard, bin) keyed
+    * aggregate — rows out = shards · bins. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    manifestOf(packSequences(s, dir))
+
+  val shardManifestSql: String =
+    s"""WITH $packCteSql
+       |SELECT shard, bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+       |FROM pk
+       |GROUP BY shard, bin
+       |ORDER BY shard, bin""".stripMargin
 }

@@ -4101,4 +4101,104 @@ object Similarity {
        |LEFT JOIN pg ON pg.sub = pr.sub AND pg.c = pr.c_id
        |JOIN dz ON dz.sub = pr.sub AND dz.c_id = pr.c_id
        |ORDER BY pr.sub, pr.c_id""".stripMargin
+
+  // ---- q183: SNAPSHOT time-travel serve (r17) -------------------------
+
+  /** Serve AT an explicit retained snapshot version — the
+    * reproducibility seam: pin the version a training run read, and
+    * any query replays against it byte for byte regardless of the
+    * merges, refreshes or deletes committed since (within the store's
+    * retention window; [[graft.queries.Warehouse.setRetention]] widens
+    * it). Tombstones resolve AT that version, so a pre-delete snapshot
+    * replays WITH the later-deleted vectors — exactly what "which
+    * corpus trained run X" needs. Every [[AnnServeOpts]] cell
+    * composes, same as [[serveFrom]]. */
+  def serveAt(s: SparkSession, whDir: String, ver: Long,
+      requests: Seq[(Long, Seq[Double])], opts: AnnServeOpts): DataFrame =
+    annServeUnified(s,
+      graft.queries.Warehouse.readAt(s, whDir, _, ver),
+      requests, opts,
+      graft.queries.Warehouse.vecTombstonesAt(s, whDir, ver))
+
+  /** [[cellAssignCteSql]] with prefixed CTE names and an `e` filter —
+    * the q183 oracle runs TWO full assignment chains (standing vs
+    * merged corpus state) in one statement. */
+  private def cellAssignCteSqlFor(prefix: String, eWhere: String): String =
+    s"""${prefix}e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings$eWhere),
+       |${prefix}c AS (SELECT vec_id AS c_id, v AS qv FROM ${prefix}e WHERE vec_id < $CentroidK),
+       |${prefix}s AS (
+       |  SELECT e.vec_id, c.c_id, e.v, $cosineSql AS cos
+       |  FROM ${prefix}e e, ${prefix}c c),
+       |${prefix}a AS (
+       |  SELECT vec_id, v, c_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id DESC) AS rn
+       |  FROM ${prefix}s)""".stripMargin
+
+  /** [[annRequestProbeCteSql]] with prefixed names — second half of
+    * the q183 dual-leg oracle. */
+  private def annRequestProbeCteSqlFor(prefix: String, vecId: Long,
+      nprobe: Int): String =
+    s"""${prefix}sig AS (
+       |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
+       |  FROM ${prefix}a WHERE rn = 1),
+       |${prefix}aqp AS (SELECT v AS quv, sqrt(list_inner_product(v, v)) AS qn
+       |        FROM ${prefix}e WHERE vec_id = $vecId),
+       |${prefix}aqc AS (
+       |  SELECT c_id AS probe_cell FROM ${prefix}c c, ${prefix}aqp aqp
+       |  ORDER BY ${cosineSqlFor("c.qv", "aqp.quv")} DESC, c_id DESC
+       |  LIMIT $nprobe),
+       |${prefix}aqcand AS (
+       |  SELECT sig.vec_id, sig.cell,
+       |    CASE WHEN sig.norm * aqp.qn = 0 THEN -2.0
+       |      ELSE list_inner_product(sig.v, aqp.quv) / (sig.norm * aqp.qn)
+       |      END AS cos
+       |  FROM ${prefix}sig sig JOIN ${prefix}aqc aqc ON sig.cell = aqc.probe_cell, ${prefix}aqp aqp)""".stripMargin
+
+  /** q183 — the snapshot time-travel serve CERTIFIED: the q150
+    * request replayed against BOTH retained versions of the q139
+    * fixture store (v1 = the standing build without today's batches,
+    * v2 = the all-grain merge), one stage-labeled ranking each. The
+    * oracle re-derives both corpus states from raw embeddings — the
+    * standing leg assigns over the corpus MINUS the q126 new-vector
+    * slice, the merged leg over all of it (legitimate because the
+    * centroid seeds live below the slice boundary: the very invariant
+    * q139 certifies) — so a time-travel read that leaked one new
+    * vector into the old snapshot, or served the old index under the
+    * new pointer, hash-mismatches. The reproducibility claim in one
+    * certificate: version pinning replays the EXACT pre-merge
+    * ranking after the store moved on. */
+  def snapshotServe(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.queries.Warehouse.fullMergedFixture(s, dir)
+    val v2 = graft.queries.Warehouse.version(wh)
+    val v1 = v2 - 1
+    val qv = graft.queries.Warehouse.readAt(s, wh, "cells", v1)
+      .filter(col("vec_id") === lit(ParamQueryVecId))
+      .select(col("v")).head.getSeq[Double](0)
+    def leg(ver: Long, label: String): DataFrame =
+      serveAt(s, wh, ver, Seq((0L, qv)),
+        AnnServeOpts(ParamNprobe, ParamAnnK))
+        .select(lit(label).as("stage"), col("rank"), col("vec_id"),
+          col("cell"), col("cosine"))
+    leg(v1, "standing").unionByName(leg(v2, "merged"))
+      .orderBy("stage", "rank")
+  }
+
+  val snapshotServeSql: String = {
+    val newVec = s" WHERE vec_id % $IncrSemMod <> ${IncrSemMod - 1}"
+    def legSelect(prefix: String, label: String): String =
+      s"""SELECT '$label' AS stage, rank, vec_id, cell, cosine FROM (
+         |    SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+         |      vec_id, cell, round(cos, 6) AS cosine
+         |    FROM ${prefix}aqcand) WHERE rank <= $ParamAnnK""".stripMargin
+    s"""WITH ${cellAssignCteSqlFor("m1", newVec)},
+       |${annRequestProbeCteSqlFor("m1", ParamQueryVecId, ParamNprobe)},
+       |${cellAssignCteSqlFor("m2", "")},
+       |${annRequestProbeCteSqlFor("m2", ParamQueryVecId, ParamNprobe)}
+       |${legSelect("m1", "standing")}
+       |UNION ALL
+       |${legSelect("m2", "merged")}
+       |ORDER BY stage, rank""".stripMargin
+  }
 }

@@ -557,6 +557,17 @@ object Warehouse {
       Some(s.read.parquet(vecTombstoneDir(whDir, version(whDir)).toString))
     else None
 
+  /** [[vecTombstones]] at an EXPLICIT retained version — the
+    * time-travel serve's suppression list (absent on never-deleted
+    * stores and on versions committed before any delete, so a
+    * pre-delete snapshot replays WITH the later-deleted vectors — the
+    * reproducibility contract). */
+  private[queries] def vecTombstonesAt(s: SparkSession, whDir: String,
+      ver: Long): Option[DataFrame] =
+    if (Files.isDirectory(vecTombstoneDir(whDir, ver)))
+      Some(s.read.parquet(vecTombstoneDir(whDir, ver).toString))
+    else None
+
   /** Carry the vector tombstone table into a new version — every
     * writer that hard-links `cells` forward calls this (tombstoned
     * rows survive in the linked files, so the suppression list must
@@ -1584,6 +1595,13 @@ object Warehouse {
       }.toMap
       (wh, verdicts)
     })
+
+  /** The q139 fixture's store directory (standing build = v1, merged
+    * = v2) — the q183 snapshot-serve certificate reads BOTH versions
+    * of this store, so the time-travel claim rides on the same
+    * fixture whose merge ≡ rebuild is already certified. */
+  private[queries] def fullMergedFixture(s: SparkSession,
+      dir: String): String = ensureFullMerged(s, dir)._1
 
   /** q139 — the ALL-GRAIN maintenance certification (r13 verdict #4):
     * a standing 15-table index built WITHOUT today's batches (docs AND

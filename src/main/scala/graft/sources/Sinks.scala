@@ -84,4 +84,27 @@ object Sinks {
   // Bucketed+sorted table writes live in `graft.operators.Bucketing`
   // (single-file-per-bucket contract + co-located join; OperatorsSpec
   // pins zero-Exchange, zero-Sort, and the shuffling negative control).
+
+  /** Write the q65/q182 training shards as a partitioned parquet tree
+    * (`shards/shard=S/bin=B/…`) with the q182 manifest beside it
+    * (`manifest/`) — the physical delivery a trainer consumes. The
+    * manifest is written LAST: its presence is the commit mark, so a
+    * crashed export leaves no tree that looks complete. Layout is the
+    * pack assignment verbatim (one rule text), so the oracle-certified
+    * manifest describes these files exactly; ShardExportSpec pins the
+    * round trip (partition membership, counts, token sums, digests)
+    * and re-export determinism. Scale: one corpus scan + the pack's
+    * per-shard window exchange; partitioned write, no coalesce. */
+  def writeTrainingShards(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, outDir: String): Unit = {
+    val pack = graft.queries.PipelineOps.packSequences(s, corpusDir)
+    val docs = graft.core.Tables.documents(s, corpusDir)
+    pack.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("start_offset"), col("n_tokens"),
+        col("source"), col("text"), col("shard"), col("bin"))
+      .write.mode("overwrite").partitionBy("shard", "bin")
+      .parquet(s"$outDir/shards")
+    graft.queries.PipelineOps.manifestOf(pack)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+  }
 }

@@ -78,7 +78,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q172_filtered_quant_batch", // 50-request frame × k centroids (int8 tier)
     "q173_hybrid_inplan",    // both batch legs' bounded broadcasts (q156 shapes)
     "q174_seed_compare",     // broadcast 5 probe vectors × corpus, both legs (q152 shape)
-    "q175_cross_delete")     // 1-request frame × k centroids + 1-row stats (q150+q149 shapes)
+    "q175_cross_delete",     // 1-request frame × k centroids + 1-row stats (q150+q149 shapes)
+    "q183_snapshot_serve")   // 1-request frame × k centroids, both retained versions (q150 shape)
 
   test("audit queries read the STORED warehouse, never the corpus") {
     // The r13 warehouse contract: every dedup audit's plan scans
@@ -400,6 +401,14 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q178_pq_index") should include("pq_books")
     plans("q179_pq_serve") should include("cells_pq")
     plans("q180_pq_refresh") should include("graft-pqrefresh-wh")
+  }
+
+  test("the snapshot serve reads both retained versions, never the corpus") {
+    // q183: the request vector is fetched driver-side; both legs read
+    // the q139 fixture store's retained version directories only.
+    plans("q183_snapshot_serve") should not include "embeddings.parquet"
+    plans("q183_snapshot_serve") should not include "documents.parquet"
+    plans("q183_snapshot_serve") should include("graft-fullmerge-wh")
   }
 
   test("the model quality gate reads stored features — zero corpus scans") {
