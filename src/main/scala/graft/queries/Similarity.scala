@@ -3787,11 +3787,17 @@ object Similarity {
     * code, all probes, the two-level ADC sum (per-subspace partials
     * in subspace order — the kernel's exact addition order) and all
     * four leg rankings from raw embeddings in one statement. */
-  def pqServeRecall(s: SparkSession, dir: String): DataFrame = {
+  def pqServeRecall(s: SparkSession, dir: String): DataFrame =
+    pqServeRecallFrom(s, graft.queries.Warehouse.stored(s, dir, _))
+
+  /** [[pqServeRecall]] over an explicit table accessor — ONE
+    * certificate body for the seed store (q179) and the refreshed
+    * store (q184). */
+  private def pqServeRecallFrom(s: SparkSession,
+      stored: String => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val (nprobe, k) = (AnnProbeN, AnnServeK)
-    def stored(t: String) = graft.queries.Warehouse.stored(s, dir, t)
     val books = collectPqBooks(stored("pq_books"))
     val ksub = books.length / books.map(_._1).distinct.length
     val bookVecs = books.map(_._3.toArray)
@@ -3876,12 +3882,18 @@ object Similarity {
     (0 until PqM).map(j => s"max(CASE WHEN sub = $j THEN lj END)")
       .reduceLeft((a, b) => s"($a + $b)")
 
-  val pqServeRecallSql: String =
+  val pqServeRecallSql: String = pqServeCertSql("", "pcode", "pb")
+
+  /** The q179/q184 oracle statement over a parameterized code/book
+    * CTE pair: `extraCtes` splices the refit chain for the refreshed
+    * store's form. */
+  private def pqServeCertSql(extraCtes: String, codeCte: String,
+      bookCte: String): String =
     s"""WITH $cellAssignCteSql,
        |sig AS (
        |  SELECT vec_id, v, cell, sqrt(list_inner_product(v, v)) AS norm
        |  FROM a WHERE rn = 1),
-       |${pqEncodeCteSql(PqFixtureDim)},
+       |${pqEncodeCteSql(PqFixtureDim)},$extraCtes
        |cqe AS (
        |  SELECT vec_id AS query_id, v AS qv, norm AS qn FROM sig
        |  WHERE vec_id BETWEEN $PqQueryLo AND $PqQueryHi),
@@ -3902,13 +3914,13 @@ object Similarity {
        |  JOIN cqe ON cqe.query_id = qc.query_id
        |  WHERE sig.vec_id <> qc.query_id),
        |lp AS (
-       |  SELECT qc.query_id, sig.vec_id, pcode.sub,
-       |    list_inner_product(pb.bv, qsv.sv) AS lj
+       |  SELECT qc.query_id, sig.vec_id, pc.sub,
+       |    list_inner_product(pbk.bv, qsv.sv) AS lj
        |  FROM sig
        |  JOIN qc ON sig.cell = qc.probe_cell
-       |  JOIN pcode ON pcode.vec_id = sig.vec_id
-       |  JOIN pb ON pb.sub = pcode.sub AND pb.c_id = pcode.c
-       |  JOIN qsv ON qsv.query_id = qc.query_id AND qsv.sub = pcode.sub
+       |  JOIN $codeCte pc ON pc.vec_id = sig.vec_id
+       |  JOIN $bookCte pbk ON pbk.sub = pc.sub AND pbk.c_id = pc.c
+       |  JOIN qsv ON qsv.query_id = qc.query_id AND qsv.sub = pc.sub
        |  WHERE sig.vec_id <> qc.query_id),
        |adc AS (
        |  SELECT query_id, vec_id, $pqAdcPivotSql AS dotpq
@@ -4201,4 +4213,20 @@ object Similarity {
        |${legSelect("m2", "merged")}
        |ORDER BY stage, rank""".stripMargin
   }
+
+  /** q184 — the PQ serve certified on the REFRESHED store (the
+    * production configuration: [[graft.queries.Warehouse.refreshPq]]
+    * then serve): the q179 certificate body verbatim, reading the
+    * refit books and re-encoded codes, with the oracle re-deriving
+    * seeds → codes → carry-forward micro means → re-encode → ADC
+    * serve from raw embeddings in one statement. Read q179 and q184
+    * side by side for the refresh's effect on served recall — both
+    * REPORTED, neither assumed. */
+  def pqRefreshServe(s: SparkSession, dir: String): DataFrame =
+    pqServeRecallFrom(s,
+      graft.queries.Warehouse.read(s, ensurePqRefreshed(s, dir), _))
+
+  val pqRefreshServeSql: String = pqServeCertSql(
+    "\n" + pqRefitCteSql + ",\n" + pqEncodeAgainstCteSql("pr", "2") + ",",
+    "pcode2", "pr")
 }

@@ -63,6 +63,7 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q156_hybrid_serve_batch", // both batch legs' bounded broadcasts (q154+q155 shapes)
     "q157_quant_serve",      // broadcast 5-probe battery × stored index (q106 shape)
     "q179_pq_serve",         // broadcast 5-probe battery × stored index (q157 shape)
+    "q184_pq_refresh_serve", // the q179 shape over the refreshed store
     "q162_quant_serve_batch", // broadcast 60-request frame × k centroids (q155 shape)
     "q168_filtered_bm25",    // 1-row stats broadcast (q149 idiom, filter form)
     // The r17 unified serve kernel scores centroids against the
@@ -401,6 +402,8 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     plans("q178_pq_index") should include("pq_books")
     plans("q179_pq_serve") should include("cells_pq")
     plans("q180_pq_refresh") should include("graft-pqrefresh-wh")
+    plans("q184_pq_refresh_serve") should not include "embeddings.parquet"
+    plans("q184_pq_refresh_serve") should include("graft-pqrefresh-wh")
   }
 
   test("the snapshot serve reads both retained versions, never the corpus") {
