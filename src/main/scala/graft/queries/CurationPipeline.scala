@@ -198,9 +198,14 @@ object CurationPipeline {
   def curationRun(s: SparkSession, dir: String): DataFrame =
     stored(s, dir, "cur_summary").orderBy("source")
 
-  val curationRunSql: String = {
+  /** The oracle chain through the RETAINED set (`ret`) — quality
+    * gate, contamination, all three purge grains — factored (r17) so
+    * the q185 curated-shard manifest re-derives retention through the
+    * SAME rule text as the q136 summary. Splice after
+    * `WITH RECURSIVE `. */
+  private[queries] val curationRetainedCteSql: String = {
     val eval = PipelineOps.EvalSource
-    s"""WITH RECURSIVE ${Dedup.bandsCteSql},
+    s"""${Dedup.bandsCteSql},
        |${Dedup.ccCompCteSql},
        |${Dedup.chunkPairCteSql},
        |${Dedup.chunkCcCteSql},
@@ -237,7 +242,11 @@ object CurationPipeline {
        |ret AS (
        |  SELECT * FROM fl
        |  WHERE quality_pass AND NOT contaminated AND NOT doc_purged
-       |    AND NOT chunk_purged AND NOT sem_purged),
+       |    AND NOT chunk_purged AND NOT sem_purged)""".stripMargin
+  }
+
+  val curationRunSql: String =
+    s"""WITH RECURSIVE $curationRetainedCteSql,
        |mx AS (
        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
        |    CAST(substr(source, 4) AS BIGINT) + 1 AS w
@@ -283,5 +292,39 @@ object CurationPipeline {
        |  LEFT JOIN pb ON pb.source = fl.source
        |GROUP BY fl.source
        |ORDER BY fl.source""".stripMargin
-  }
+
+  /** q185 — the CURATED shard manifest: the q182 integrity record
+    * over the pipeline's retained set — per (shard, bin) of the
+    * STORED `cur_pack` stage: row count, exact token sum, id range,
+    * md5 over the ordered doc ids. The oracle re-derives RETENTION
+    * (quality gate, contamination, all three purge grains — the q136
+    * chain verbatim via the factored rule text) and then the pack
+    * layout and digests from the raw corpus in one statement, so a
+    * shard that smuggled one purged or contaminated document to the
+    * trainer is a hash mismatch. [[graft.sources.Sinks.writeCuratedShards]]
+    * writes the physical tree this manifest describes. */
+  def curatedShardManifest(s: SparkSession, dir: String): DataFrame =
+    PipelineOps.manifestOf(stored(s, dir, "cur_pack"))
+
+  val curatedShardManifestSql: String =
+    s"""WITH RECURSIVE $curationRetainedCteSql,
+       |pk AS (
+       |  SELECT doc_id, n_tokens,
+       |    ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      % ${PipelineOps.PackShards} AS shard
+       |  FROM ret),
+       |pk3 AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |    CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens)
+       |      // ${PipelineOps.PackBudget} AS BIGINT) AS bin
+       |  FROM pk)
+       |SELECT shard, bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+       |FROM pk3
+       |GROUP BY shard, bin
+       |ORDER BY shard, bin""".stripMargin
 }

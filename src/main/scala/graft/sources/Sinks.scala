@@ -107,4 +107,25 @@ object Sinks {
     graft.queries.PipelineOps.manifestOf(pack)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
   }
+
+  /** [[writeTrainingShards]] over the CURATION RUN's retained set —
+    * the tree ships exactly the documents that survived the quality
+    * gate, decontamination and all three dedup grains (the stored
+    * `cur_pack` stage; q185 certifies its manifest against a full
+    * from-raw re-derivation of retention + layout). */
+  def writeCuratedShards(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, outDir: String): Unit = {
+    val pack = graft.queries.CurationPipeline.stored(s, corpusDir, "cur_pack")
+    val docs = graft.core.Tables.documents(s, corpusDir)
+    pack.select(col("doc_id"), col("start_offset"), col("n_tokens"),
+        col("shard"), col("bin"))
+      .join(docs.select(col("doc_id"), col("source"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("start_offset"), col("n_tokens"),
+        col("source"), col("text"), col("shard"), col("bin"))
+      .write.mode("overwrite").partitionBy("shard", "bin")
+      .parquet(s"$outDir/shards")
+    graft.queries.PipelineOps.manifestOf(pack)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+  }
 }

@@ -66,4 +66,22 @@ class ShardExportSpec extends AnyFunSuite with SparkFixture {
       .count()
     assert(misplaced == 0L)
   }
+
+  test("curated shards ship ONLY retained documents, tree matching manifest") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cur-shards").toString
+    Sinks.writeCuratedShards(spark, sfDir, out)
+    val shipped = spark.read.parquet(s"$out/manifest")
+      .orderBy("shard", "bin").collect().map(_.toSeq).toSeq
+    assert(shipped.nonEmpty)
+    assert(treeManifest(out) == shipped,
+      "the curated manifest does not describe the written files")
+    // Exclusion: no shipped doc is flagged non-retained.
+    val flagged = graft.queries.CurationPipeline
+      .stored(spark, sfDir, "cur_flags")
+      .filter(!col("retained")).select("doc_id")
+    val leaked = spark.read.parquet(s"$out/shards")
+      .join(flagged, Seq("doc_id"), "left_semi").count()
+    assert(leaked == 0L, s"$leaked non-retained docs leaked into the shards")
+  }
 }
