@@ -198,9 +198,15 @@ object Dedup {
     * MinHash path (min over duplicates is unchanged). Oracle mirror:
     * the `list_distinct` in [[bandsCteSql]]'s `t` CTE. */
   private[graft] def tokenHashSetOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(call_function("graft_token_hashes",
-        array_distinct(split(col("text"), " ")), lit(P))).as("hs"))
+    docs.select(col("doc_id"), tokenHashSetCol(col("text")).as("hs"))
+
+  /** The token-hash-set COLUMN expression behind [[tokenHashSetOf]] —
+    * factored (r17) so the speed layer's quality gate scores incoming
+    * text with the exact feature definition the stored `token_hashes`
+    * table was built from. */
+  private[graft] def tokenHashSetCol(text: Column): Column =
+    array_distinct(call_function("graft_token_hashes",
+      array_distinct(split(text, " ")), lit(P)))
 
   private[queries] def tokenHashSet(s: SparkSession, dir: String): DataFrame =
     tokenHashSetOf(Tables.documents(s, dir))

@@ -1064,7 +1064,7 @@ object PipelineOps {
     * token-hash-set frame: bias + Σ_{h ∈ hs} w[h mod buckets] — the
     * exact-integer fold both q181 sides share. A null hash set (null
     * text) contributes nothing beyond the bias. */
-  private[queries] def qualityLogitMicro(hs: Column): Column = {
+  private[graft] def qualityLogitMicro(hs: Column): Column = {
     val (bias, w) = QualityLr
     val wLit = typedLit(w)
     lit(bias) + coalesce(

@@ -122,6 +122,24 @@ object StreamOps {
           b => call_function("graft_bloom_contains", lit(bloomBits), b)),
         lit(false))))
 
+  /** STREAMING model-quality gate (r17): the q181 pinned linear model
+    * scored per incoming document — the SAME micro-integer logit
+    * expression the batch filter runs (one loaded artifact, one
+    * feature rule text: [[graft.queries.Dedup.tokenHashSetCol]]), so
+    * the speed layer admits exactly the documents the warehouse-side
+    * q181 pass would. STATELESS: one codegen'd per-row fold (64
+    * integer adds), zero state-store rows, works identically on batch
+    * frames (the spec's stream ≡ batch parity). Adds
+    * `quality_logit_micro` and `quality_pass` (logit > 0 ⟺ p > 0.5);
+    * docs route on the flag — DROPPING is the caller's policy, the
+    * gate only measures (the flagIndexDuplicates discipline). NULL
+    * text scores exactly the bias, the batch contract. */
+  def qualityGate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("quality_logit_micro",
+        graft.queries.PipelineOps.qualityLogitMicro(
+          graft.queries.Dedup.tokenHashSetCol(col(textCol))))
+      .withColumn("quality_pass", col("quality_logit_micro") > 0L)
+
   /** Gap-based sessions via the built-in `session_window`: a session
     * extends while events keep arriving within `gap` of the previous
     * one and closes `gap` after the last. Emits one row per closed

@@ -331,4 +331,50 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 3L))
   }
+
+  test("the stream quality gate scores exactly like the batch q181 model") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(120).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // Batch parity reference: the same expression over a plain frame.
+    val batch = StreamOps.qualityGate(
+        docs.toSeq.toDF("doc_id", "text"), "text")
+      .select("doc_id", "quality_logit_micro", "quality_pass")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    // Plain-Scala rescoring against the loaded artifact (the
+    // QualityModelSpec law at the stream boundary).
+    val (bias, ws) = graft.queries.PipelineOps.QualityLr
+    val P = 2147483647L
+    batch.foreach { case (id, lm, pass) =>
+      val text = docs.find(_._1 == id).get._2
+      val hs = text.split(" ", -1).distinct.map { tok =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(tok.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16) % P
+      }.distinct
+      val expect = bias + hs.map(h => ws((h % ws.length).toInt)).sum
+      assert(lm == expect, s"doc $id logit")
+      assert(pass == (expect > 0L), s"doc $id flag")
+    }
+    // Stream: identical rows through a MemoryStream.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamOps.qualityGate(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      "text")
+    val query = gated.writeStream.format("memory")
+      .queryName("quality_gate_out").outputMode("append").start()
+    try {
+      input.addData(docs.toSeq: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("quality_gate_out")
+        .select("doc_id", "quality_logit_micro", "quality_pass")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch, "stream rows != batch rows")
+    } finally query.stop()
+  }
 }
