@@ -1257,16 +1257,26 @@ case class PqAdc(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_adc"
 
+  /** Reads ONLY the m addressed table entries straight off the
+    * ArrayData (no per-row copy of the whole table — the kernel's
+    * point is m loads per candidate); a NULL at an ADDRESSED position
+    * surfaces as NULL. Same j-ascending addition order as
+    * [[PqOps.adc]] (PqTierSpec pins agreement). */
   def compute(code: Array[Byte], lut: ArrayData): java.lang.Double = {
     val n = lut.numElements()
-    val arr = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      if (lut.isNullAt(i)) return null
-      arr(i) = lut.getDouble(i)
-      i += 1
+    if (code.length == 0 || n % code.length != 0) return null
+    val ksub = n / code.length
+    var s = 0.0
+    var j = 0
+    while (j < code.length) {
+      val c = code(j) & 0xff
+      if (c >= ksub) return null
+      val idx = j * ksub + c
+      if (lut.isNullAt(idx)) return null
+      s += lut.getDouble(idx)
+      j += 1
     }
-    PqOps.adc(code, arr)
+    java.lang.Double.valueOf(s)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
