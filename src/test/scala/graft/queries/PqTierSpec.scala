@@ -57,6 +57,22 @@ class PqTierSpec extends AnyFunSuite with SparkFixture {
       "code byte past the table")
   }
 
+  test("the ADC kernel NULLs on a NULL at an ADDRESSED table position only") {
+    import spark.implicits._
+    // Position 2 is null: code (2, 3) addresses it -> NULL; code
+    // (1, 3) never touches it -> a real sum. The kernel reads only
+    // the m addressed entries (no whole-table materialization), so
+    // unaddressed nulls must not poison the row.
+    val lut: Seq[java.lang.Double] = Seq(0.5, 0.25, null, 0.125, 1.0, 2.0, 3.0, 4.0)
+    val got = Seq((1L, Seq(2, 3)), (2L, Seq(1, 3))).toDF("id", "cs")
+      .withColumn("adc", call_function("graft_pq_adc",
+        call_function("graft_pq_pack", col("cs")), typedLit(lut)))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    assert(got(1L).isEmpty, "addressed null must surface as NULL")
+    assert(got(2L).contains(0.25 + 4.0), "unaddressed null must not poison")
+  }
+
   test("graft_pq_pack/codes/adc agree with the driver statics") {
     import spark.implicits._
     val ksub = 3
