@@ -1736,7 +1736,7 @@ object Similarity {
   def annServeQuant(s: SparkSession, dir: String, queryVec: Seq[Double],
       nprobe: Int, k: Int, rescore: Int = QuantRescoreR): DataFrame =
     singleServe(serve(s, dir, Seq((0L, queryVec)),
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore)),
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore))),
       filtered = false)
 
   /** [[annServeQuant]] against an explicit warehouse directory. */
@@ -1744,7 +1744,7 @@ object Similarity {
       queryVec: Seq[Double], nprobe: Int, k: Int,
       rescore: Int = QuantRescoreR): DataFrame =
     singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore)),
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore))),
       filtered = false)
 
   /** q157 — the quantized serve CERTIFIED against the exact paths,
@@ -1990,7 +1990,7 @@ object Similarity {
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
       rescore: Int = QuantRescoreR): DataFrame =
     serve(s, dir, requests,
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore))
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore)))
 
   /** [[annServeQuantBatch]] against an EXPLICIT warehouse directory —
     * the product form for callers owning their own index builds. */
@@ -1998,7 +1998,7 @@ object Similarity {
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
       rescore: Int = QuantRescoreR): DataFrame =
     serveFrom(s, whDir, requests,
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore))
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore)))
 
   /** q162 — the batched quantized serve certified per request against
     * a from-scratch DuckDB re-derivation of the index, BOTH tiers'
@@ -2093,9 +2093,31 @@ object Similarity {
       nprobe: Int,
       k: Int,
       quantized: Boolean = false,
-      rescore: Int = QuantRescoreR,
+      rescore: Option[Int] = None,
       sources: Option[Seq[String]] = None,
-      pq: Boolean = false)
+      pq: Boolean = false) {
+    /** The exact-rescore depth RESOLVED PER TIER (ADVICE r17): an
+      * unset `rescore` means the serving default of whichever code
+      * tier is active — [[PqRescoreR]] (120) for the 8-byte PQ codes,
+      * [[QuantRescoreR]] (40) for int8 — so constructing
+      * `AnnServeOpts(nprobe, k, pq = true)` directly serves with the
+      * PQ tier's documented recovery window instead of silently
+      * inheriting the int8 tier's shallower one. Irrelevant (and
+      * unused) on the full-precision path. */
+    def rescoreDepth: Int =
+      rescore.getOrElse(if (pq) PqRescoreR else QuantRescoreR)
+  }
+
+  /** Request-count ceiling of the driver-side probe-cell fast path
+    * (r17 verdict #2): at or below this, [[annServeUnified]] resolves
+    * probe cells on the driver (one k·dim centroid read + local
+    * arithmetic) and inlines them as plan literals, saving the ~2
+    * broadcast-exchange stages a single-request serve otherwise pays;
+    * above it, the one-job broadcast-frame probe amortizes across the
+    * batch. 32 keeps every interactive/param-battery call on the fast
+    * path while the 60-request batch batteries and the >100-request
+    * in-plan fusion populations stay on the batch form. */
+  private[queries] val ProbeLiteralMaxRequests = 32
 
   /** The unified serve over the memoized fixture store. Output one
     * row per (req_id, rank ≤ k): req_id, rank, vec_id, cell,
@@ -2147,7 +2169,8 @@ object Similarity {
       tomb: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val AnnServeOpts(nprobe, k, quantized, rescore, sources, pq) = opts
+    val AnnServeOpts(nprobe, k, quantized, _, sources, pq) = opts
+    val rescore = opts.rescoreDepth
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(k > 0, s"k must be positive, got $k")
     require(!(quantized && pq),
@@ -2164,11 +2187,26 @@ object Similarity {
         "serves nothing by definition; drop the filter for unfiltered"))
     val books = if (pq) collectPqBooks(table("pq_books")) else Array.empty[(Int, Long, Seq[Double])]
     val pqm = if (pq) books.map(_._1).distinct.length else 0
-    if (pq) require(books.nonEmpty && books.length % pqm == 0,
-      s"pq serve needs a well-formed pq_books table (got ${books.length} entries)")
+    if (pq) {
+      // Per-subspace layout validation (ADVICE r17): the flattened
+      // index `sub * ksub + c` misindexes bookVecs silently on a
+      // skewed table (sub 0 with 3 entries, sub 1 with 1) or
+      // non-contiguous c_ids, so mirror the pqSeedBooks build-time
+      // contract here — a corrupt or hand-edited store must refuse
+      // instead of mis-scoring every ADC table.
+      require(books.nonEmpty && books.length % pqm == 0,
+        s"pq serve needs a well-formed pq_books table (got ${books.length} entries)")
+      val perSub = books.length / pqm
+      books.groupBy(_._1).foreach { case (sub, entries) =>
+        val ids = entries.map(_._2).sorted.toSeq
+        require(ids == (0L until perSub.toLong),
+          s"pq_books subspace $sub must carry exactly $perSub entries " +
+            s"with contiguous c_ids 0..${perSub - 1}; got $ids")
+      }
+    }
     val bookVecs = books.map(_._3.toArray)
     val ksub = if (pq) books.length / pqm else 0
-    val reqDf = requests.map { case (rid, v) =>
+    val reqRows = requests.map { case (rid, v) =>
       val code =
         if (quantized) graft.functions.I8Quant.pack(v.toArray)
         else Array.empty[Byte]
@@ -2178,15 +2216,53 @@ object Similarity {
         else 0.0,
         if (pq) graft.functions.PqOps.lut(bookVecs, ksub, v.toArray).toSeq
         else Seq.empty[Double])
-    }.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut")
-    val wpc = Window.partitionBy(col("req_id"))
-      .orderBy(col("cos_c").desc, col("c_id").desc)
-    val probes = table("centroids").join(broadcast(reqDf))
-      .withColumn("cos_c", cosine(col("v"), col("qv")))
-      .withColumn("rn", row_number().over(wpc))
-      .filter(col("rn") <= nprobe)
-      .select(col("req_id"), col("qv"), col("qn"), col("qcode"),
-        col("qqn"), col("lut"), col("c_id").as("probe_cell"))
+    }
+    val reqDf = reqRows.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut")
+    // Probe-cell resolution, sized to the request population (r17
+    // verdict #2): the broadcast-exchange form (centroids ⋈
+    // broadcast(requests) → window → filter) is right for batches —
+    // one job regardless of |requests| — but adds ~2 driver-scheduled
+    // stages a SINGLE-request serve pays in full (q150/q158 measured
+    // ~2-3× wall through it). Below [[ProbeLiteralMaxRequests]] the
+    // centroids are k·dim driver rows by contract (the q72
+    // bounded-collect), so the probe cells resolve driver-side with
+    // the IDENTICAL arithmetic (sequential-fold cosine, the
+    // zero-denominator -2.0 pin, cos DESC / c_id DESC ties) and
+    // inline as plan literals — provably the same output, two fewer
+    // stages per call. UnifiedServeSpec pins literal ≡ broadcast row
+    // for row.
+    val probes =
+      if (requests.size <= ProbeLiteralMaxRequests) {
+        val cents = table("centroids").select(col("c_id"), col("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val rows = reqRows.flatMap { case (rid, qv, qn, qcode, qqn, lut) =>
+          cents.filter(_._2.length == qv.length)
+            .map { case (cid, cv) =>
+              val denom = math.sqrt(dotL(cv, cv)) * math.sqrt(dotL(qv, qv))
+              val cos = if (denom == 0.0) -2.0 else dotL(cv, qv) / denom
+              (cos, cid)
+            }
+            .sortBy { case (cos, cid) => (-cos, -cid) }
+            .take(nprobe)
+            .map { case (_, cid) => (rid, qv, qn, qcode, qqn, lut, cid) }
+        }
+        rows.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut", "probe_cell")
+      } else {
+        val wpc = Window.partitionBy(col("req_id"))
+          .orderBy(col("cos_c").desc, col("c_id").desc)
+        table("centroids").join(broadcast(reqDf))
+          .withColumn("cos_c", cosine(col("v"), col("qv")))
+          .withColumn("rn", row_number().over(wpc))
+          .filter(col("rn") <= nprobe)
+          .select(col("req_id"), col("qv"), col("qn"), col("qcode"),
+            col("qqn"), col("lut"), col("c_id").as("probe_cell"))
+      }
     val allowed = sources.map(ss => table("doc_stats")
       .filter(col("source").isin(ss: _*))
       .select(col("doc_id").as("vec_id"), col("source")))
@@ -2676,7 +2752,7 @@ object Similarity {
       queryVec: Seq[Double], nprobe: Int, k: Int, sources: Seq[String],
       rescore: Int = QuantRescoreR): DataFrame =
     singleServe(serve(s, dir, Seq((0L, queryVec)),
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore),
         sources = Some(sources))), filtered = true)
 
   /** [[annServeQuantFiltered]] against an explicit warehouse. */
@@ -2684,7 +2760,7 @@ object Similarity {
       queryVec: Seq[Double], nprobe: Int, k: Int, sources: Seq[String],
       rescore: Int = QuantRescoreR): DataFrame =
     singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore),
         sources = Some(sources))), filtered = true)
 
   /** FILTERED × QUANTIZED × BATCH — the full option vector: one job,
@@ -2693,7 +2769,7 @@ object Similarity {
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
       sources: Seq[String], rescore: Int = QuantRescoreR): DataFrame =
     serve(s, dir, requests,
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore),
         sources = Some(sources)))
 
   /** [[annServeQuantFilteredBatch]] against an explicit warehouse. */
@@ -2701,7 +2777,7 @@ object Similarity {
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
       sources: Seq[String], rescore: Int = QuantRescoreR): DataFrame =
     serveFrom(s, whDir, requests,
-      AnnServeOpts(nprobe, k, quantized = true, rescore = rescore,
+      AnnServeOpts(nprobe, k, quantized = true, rescore = Some(rescore),
         sources = Some(sources)))
 
   /** q167 — the filtered serve certified against a from-raw
@@ -3988,7 +4064,7 @@ object Similarity {
   def annServePq(s: SparkSession, dir: String, queryVec: Seq[Double],
       nprobe: Int, k: Int, rescore: Int = PqRescoreR): DataFrame =
     singleServe(serve(s, dir, Seq((0L, queryVec)),
-      AnnServeOpts(nprobe, k, rescore = rescore, pq = true)),
+      AnnServeOpts(nprobe, k, rescore = Some(rescore), pq = true)),
       filtered = false)
 
   /** [[annServePq]] against an explicit warehouse directory. */
@@ -3996,7 +4072,7 @@ object Similarity {
       queryVec: Seq[Double], nprobe: Int, k: Int,
       rescore: Int = PqRescoreR): DataFrame =
     singleServe(serveFrom(s, whDir, Seq((0L, queryVec)),
-      AnnServeOpts(nprobe, k, rescore = rescore, pq = true)),
+      AnnServeOpts(nprobe, k, rescore = Some(rescore), pq = true)),
       filtered = false)
 
   /** Batched PQ serve against an explicit warehouse — the corpus
@@ -4006,7 +4082,7 @@ object Similarity {
       requests: Seq[(Long, Seq[Double])], nprobe: Int, k: Int,
       rescore: Int = PqRescoreR): DataFrame =
     serveFrom(s, whDir, requests,
-      AnnServeOpts(nprobe, k, rescore = rescore, pq = true))
+      AnnServeOpts(nprobe, k, rescore = Some(rescore), pq = true))
 
   private val pqRefreshedWh =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

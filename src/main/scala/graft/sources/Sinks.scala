@@ -85,11 +85,30 @@ object Sinks {
   // (single-file-per-bucket contract + co-located join; OperatorsSpec
   // pins zero-Exchange, zero-Sort, and the shuffling negative control).
 
+  /** Retire the PREVIOUS export's commit mark before a rewrite: the
+    * manifest-last crash guarantee only holds if no stale manifest
+    * can pair with a half-rewritten shard tree. On a fresh output
+    * directory this is a no-op; on re-export it deletes `manifest/`
+    * FIRST, so every interruption window leaves either (old manifest
+    * + old tree), (no manifest + any tree) or (new manifest + new
+    * tree) — never a complete-looking manifest beside files it does
+    * not describe (ADVICE r17). */
+  private def retireManifest(outDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val m = new java.io.File(outDir, "manifest")
+    if (m.exists()) rm(m)
+  }
+
   /** Write the q65/q182 training shards as a partitioned parquet tree
     * (`shards/shard=S/bin=B/…`) with the q182 manifest beside it
     * (`manifest/`) — the physical delivery a trainer consumes. The
-    * manifest is written LAST: its presence is the commit mark, so a
-    * crashed export leaves no tree that looks complete. Layout is the
+    * manifest is written LAST and any previous manifest is deleted
+    * FIRST ([[retireManifest]]): its presence is the commit mark, so
+    * an interrupted export — fresh or re-export — never leaves a
+    * manifest beside a tree it does not describe. Layout is the
     * pack assignment verbatim (one rule text), so the oracle-certified
     * manifest describes these files exactly; ShardExportSpec pins the
     * round trip (partition membership, counts, token sums, digests)
@@ -97,6 +116,7 @@ object Sinks {
     * per-shard window exchange; partitioned write, no coalesce. */
   def writeTrainingShards(s: org.apache.spark.sql.SparkSession,
       corpusDir: String, outDir: String): Unit = {
+    retireManifest(outDir)
     val pack = graft.queries.PipelineOps.packSequences(s, corpusDir)
     val docs = graft.core.Tables.documents(s, corpusDir)
     pack.join(docs, Seq("doc_id"))
@@ -115,6 +135,7 @@ object Sinks {
     * from-raw re-derivation of retention + layout). */
   def writeCuratedShards(s: org.apache.spark.sql.SparkSession,
       corpusDir: String, outDir: String): Unit = {
+    retireManifest(outDir)
     val pack = graft.queries.CurationPipeline.stored(s, corpusDir, "cur_pack")
     val docs = graft.core.Tables.documents(s, corpusDir)
     pack.select(col("doc_id"), col("start_offset"), col("n_tokens"),

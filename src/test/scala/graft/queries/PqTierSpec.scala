@@ -149,7 +149,7 @@ class PqTierSpec extends AnyFunSuite with SparkFixture {
         .collect()(0).getSeq[Double](0)
     }
     val opts = Similarity.AnnServeOpts(nprobe = 2, k = 8, pq = true,
-      rescore = Similarity.PqRescoreR)
+      rescore = Some(Similarity.PqRescoreR))
     val batch = Similarity.serve(spark, sfDir, vecs, opts)
       .collect().groupBy(_.getLong(0))
     vecs.foreach { case (vid, qv) =>
@@ -162,7 +162,7 @@ class PqTierSpec extends AnyFunSuite with SparkFixture {
     // at FULL depth it equals post-filtering the full-precision
     // filtered serve (the filter-before-rescore window-fill law).
     val srcs = Seq("src1", "src2")
-    val fopts = opts.copy(sources = Some(srcs), rescore = 1000000)
+    val fopts = opts.copy(sources = Some(srcs), rescore = Some(1000000))
     val served = Similarity.serve(spark, sfDir, vecs, fopts).collect()
     assert(served.nonEmpty, "filtered pq batch served nothing")
     assert(served.forall(r => srcs.contains(r.getString(4))),
@@ -188,7 +188,18 @@ class PqTierSpec extends AnyFunSuite with SparkFixture {
       "a deleted vector surfaced through the pq serve")
   }
 
-  test("the refit improves (never worsens) member-weighted mean reconstruction") {
+  test("the refit improves member-weighted mean reconstruction on the fixture") {
+    // HONESTY BOUND (ADVICE r17): pqRefitBooks takes the EUCLIDEAN
+    // (unnormalized) mean of each entry's members under cosine-argmax
+    // assignments, and this statistic measures COSINE reconstruction
+    // — a combination that is not provably non-decreasing step to
+    // step (spherical k-means would be; the micro-integer Euclidean
+    // mean is the house arithmetic shared with the IVF tier). So this
+    // test pins what IS true and load-bearing: on the committed
+    // fixture the refit strictly lifts mean reconstruction, and the
+    // claim carries a small tolerance band rather than asserting a
+    // monotonicity the update rule does not guarantee on arbitrary
+    // corpora.
     def weighted(df: org.apache.spark.sql.DataFrame): Double = {
       val rows = df.select("n_members", "recon_cos_ppm").collect()
         .filter(!_.isNullAt(1))
@@ -197,7 +208,17 @@ class PqTierSpec extends AnyFunSuite with SparkFixture {
     }
     val seed = weighted(Similarity.pqIndexCertify(spark, sfDir))
     val refit = weighted(Similarity.pqRefreshCertify(spark, sfDir))
-    assert(refit >= seed,
-      s"refit mean recon $refit fell below the seed books' $seed")
+    // ppm scale: 1000 ppm = 0.001 cosine — far below any lift that
+    // would justify a refresh, far above float noise.
+    val tolerancePpm = 1000.0
+    assert(refit >= seed - tolerancePpm,
+      s"refit mean recon $refit fell more than $tolerancePpm ppm below " +
+        s"the seed books' $seed — the refit made reconstruction " +
+        "materially worse")
+    assert(refit > seed,
+      s"fixture pin: the committed corpus has always refit strictly " +
+        s"upward (got seed=$seed, refit=$refit) — if a legitimate " +
+        "fixture change made this non-strict, relax THIS assert, " +
+        "not the tolerance band above")
   }
 }

@@ -50,6 +50,38 @@ class UnifiedServeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("literal-probe fast path equals the broadcast-frame probe row for row") {
+    // r17 verdict #2: below ProbeLiteralMaxRequests the kernel
+    // resolves probe cells driver-side and inlines them as plan
+    // literals; above it, the broadcast-exchange form runs. A batch
+    // one past the threshold forces the broadcast path, while each
+    // sequential call takes the literal path — their row-identity is
+    // exactly the literal ≡ broadcast probe pin (same cosine
+    // arithmetic, same zero-denominator -2.0, same cos DESC / c_id
+    // DESC ties).
+    val n = Similarity.ProbeLiteralMaxRequests + 1
+    val reqs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .orderBy("vec_id").limit(n).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(reqs.size == n, s"fixture too small for a $n-request battery")
+    val opts = Similarity.AnnServeOpts(nprobe = 2, k = 6)
+    val batch = Similarity.serve(spark, sfDir, reqs, opts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .groupBy(_._1)
+    // Spot-check a spread of the batch's requests against the
+    // sequential (literal-probe) form — first, middle, last.
+    Seq(reqs.head, reqs(n / 2), reqs.last).foreach { case (rid, qv) =>
+      val solo = Similarity.serve(spark, sfDir, Seq((rid, qv)), opts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(batch(rid).sortBy(_._2).toSeq == solo,
+        s"request $rid: broadcast-probe batch slice != literal-probe serve")
+    }
+  }
+
   test("filtered quant batch slices are row-identical to the sequential form") {
     val reqs = battery(Seq(3L, 123L, 250L))
     val got = Similarity.annServeQuantFilteredBatch(spark, sfDir, reqs,
