@@ -881,13 +881,16 @@ object Bench {
             // shuffle + a map-only re-assignment — flat in k·dim, so
             // the row's wall divided by its step count is the per-step
             // figure the refit budget plans on.
+            // The step count rides IN the committed row (`n`) so the
+            // artifact distinguishes "more steps ran" from "each step
+            // got slower" (r17 verdict #3 — stderr-only before).
             var refreshSteps = 0
             bf += stageRow("refresh_converged") {
               refreshSteps = graft.queries.Warehouse
                 .refreshSemanticUntilConverged(spark, whFull,
                   thresholdMicro = graft.queries.Similarity.LloydEpsMicro,
                   maxSteps = 4)
-            }
+            }.copy(n = refreshSteps.toLong)
             System.err.println(
               s"[bench] refresh_converged ran $refreshSteps step(s)")
             // INCREMENTAL media dedup at corpus scale (r15 verdict

@@ -678,9 +678,42 @@ object Warehouse {
   }
 
   /** The semantic-grain family [[refreshSemantic]] rewrites;
-    * everything else hard-links forward through a refresh. */
+    * everything else hard-links forward through a refresh. The PQ
+    * tier (`cells_pq`) is handled separately — rewritten WHEN PRESENT
+    * by [[carryPqForward]], skipped on a pre-PQ store (ADVICE r17:
+    * maintenance must not strand a store committed before the PQ
+    * family existed; the mergeBatch presence guard, mirrored). */
   private val SemTables =
-    Seq("centroids", "cells", "cells_q8", "cells_pq", "sem_purge")
+    Seq("centroids", "cells", "cells_q8", "sem_purge")
+
+  /** Every table a semantic maintenance pass REWRITES (vs links
+    * forward): the core family plus the PQ tier when present — the
+    * set the q141 non-semantic-preservation check must exclude. */
+  private val SemRewritten = SemTables :+ "cells_pq"
+
+  /** Rewrite `cells_pq` for a NEW cells table by carrying the stored
+    * codes FORWARD (r17 verdict #3): a PQ code is a function of the
+    * vector and the BOOKS alone — cell re-assignment changes the
+    * `cell` column, never the code — so semantic maintenance
+    * (refresh/split/merge) joins the old codes onto the new
+    * (vec_id, cell, norm) rows instead of re-running the argmax
+    * encode over every vector. Re-encoding belongs to [[refreshPq]]
+    * alone (the only path that changes books). The inner join also
+    * executes the tombstone purge for free: a vector absent from the
+    * new cells drops its code row. Index-sized, one keyed exchange,
+    * zero argmax work. No-op (skip) when the snapshot predates the
+    * PQ family. */
+  private def carryPqForward(s: SparkSession, whDir: String,
+      present: Seq[String], newCells: DataFrame,
+      write: (String, DataFrame) => Unit): Unit =
+    if (present.contains("cells_pq")) {
+      val oldCodes = read(s, whDir, "cells_pq")
+        .select(col("vec_id"), col("code"))
+      write("cells_pq", newCells
+        .select(col("vec_id"), col("cell"), col("norm"))
+        .join(oldCodes, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("code"), col("norm")))
+    }
 
   /** One Lloyd step of the SEMANTIC grain from STORED state only
     * (r14): new centroids = the micro-unit means of each stored
@@ -694,6 +727,10 @@ object Warehouse {
     * any corpus scale. All non-semantic tables hard-link forward; one
     * atomic version; the stream high-water mark carries forward, so a
     * refresh between streamed merges cannot reopen the replay window.
+    * The PQ tier, when present, carries its CODES forward by join
+    * ([[carryPqForward]] — codes are a function of the books alone,
+    * so a refresh never re-encodes; [[refreshPq]] owns that) and a
+    * pre-PQ store refreshes fine without it.
     *
     * Production cadence: merges keep assigning new vectors against
     * the STORED centroids (q139/q140) — correct but slowly staling as
@@ -712,7 +749,7 @@ object Warehouse {
       s"refreshSemantic needs the semantic tables; snapshot has $present")
     val next = cur + 1
     val base = freshVersionDir(whDir, next)
-    present.filterNot(SemTables.contains)
+    present.filterNot(SemRewritten.contains)
       .foreach(t => linkTableForward(whDir, cur, next, t))
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$base/$name")
@@ -730,8 +767,7 @@ object Warehouse {
         cells.select(col("vec_id"), col("v")), cents)
       .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v")))
     write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
-    write("cells_pq", Similarity.cellsPqOf(readBack("cells"),
-      Similarity.collectPqBooks(read(s, whDir, "pq_books"))))
+    carryPqForward(s, whDir, present, readBack("cells"), write)
     write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
     commit(whDir, cur, next)
     next
@@ -933,7 +969,7 @@ object Warehouse {
         splitCents).sortBy(_._1)
       val next = cur + 1
       val base = freshVersionDir(whDir, next)
-      present.filterNot(SemTables.contains)
+      present.filterNot(SemRewritten.contains)
         .foreach(t => linkTableForward(whDir, cur, next, t))
       def write(name: String, df: DataFrame): Unit =
         df.write.mode("overwrite").parquet(s"$base/$name")
@@ -942,8 +978,7 @@ object Warehouse {
       write("cells", cells.filter(!col("cell").isin(hot: _*))
         .select("vec_id", "cell", "norm", "v").unionByName(re))
       write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
-      write("cells_pq", Similarity.cellsPqOf(readBack("cells"),
-        Similarity.collectPqBooks(read(s, whDir, "pq_books"))))
+      carryPqForward(s, whDir, present, readBack("cells"), write)
       write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
       commit(whDir, cur, next)
       Some(next)
@@ -1010,7 +1045,7 @@ object Warehouse {
         .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v"))
       val next = cur + 1
       val base = freshVersionDir(whDir, next)
-      present.filterNot(SemTables.contains)
+      present.filterNot(SemRewritten.contains)
         .foreach(t => linkTableForward(whDir, cur, next, t))
       def write(name: String, df: DataFrame): Unit =
         df.write.mode("overwrite").parquet(s"$base/$name")
@@ -1020,8 +1055,7 @@ object Warehouse {
       write("cells", cells.filter(!col("cell").isin(cold: _*))
         .select("vec_id", "cell", "norm", "v").unionByName(re))
       write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
-      write("cells_pq", Similarity.cellsPqOf(readBack("cells"),
-        Similarity.collectPqBooks(read(s, whDir, "pq_books"))))
+      carryPqForward(s, whDir, present, readBack("cells"), write)
       write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
       commit(whDir, cur, next)
       Some(next)
@@ -1749,7 +1783,7 @@ object Warehouse {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       refreshSemantic(s, wh)
       val preserved = TableNames
-        .filter(t => !SemTables.contains(t) &&
+        .filter(t => !SemRewritten.contains(t) &&
           Files.isDirectory(Paths.get(wh, "v=2", t)))
         .forall { t =>
           // v=1 is still on disk: superseded-before-last survives

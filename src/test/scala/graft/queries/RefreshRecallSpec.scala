@@ -73,4 +73,42 @@ class RefreshRecallSpec extends AnyFunSuite with SparkFixture {
       assert(Warehouse.refreshSemanticUntilConverged(spark, wh,
         thresholdMicro = eps, maxSteps = 6) == 0)
   }
+
+  test("semantic refresh carries PQ codes forward (== re-encode) and tolerates a pre-PQ store") {
+    // r17 verdict #3: codes are a function of the BOOKS alone, so a
+    // semantic refresh must join them forward, never re-encode — and
+    // the carried tier must be bit-identical to what a fresh encode
+    // against the (unchanged, linked-forward) books would produce.
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-refresh-pqcarry").toString
+    Warehouse.build(spark, sfDir, wh)
+    Warehouse.refreshSemantic(spark, wh)
+    def pqRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val books = Similarity.collectPqBooks(Warehouse.read(spark, wh, "pq_books"))
+    val carried = pqRows(Warehouse.read(spark, wh, "cells_pq"))
+    val reencoded = pqRows(
+      Similarity.cellsPqOf(Warehouse.read(spark, wh, "cells"), books))
+    assert(carried.nonEmpty && carried == reencoded,
+      "carried-forward cells_pq must equal a fresh re-encode bit for bit")
+    // ADVICE r17: a store committed BEFORE the PQ family existed must
+    // still accept semantic maintenance (refresh skips the absent
+    // tier) instead of refusing until rebuilt.
+    val wh2 = java.nio.file.Files
+      .createTempDirectory("graft-refresh-prepq").toString
+    Warehouse.build(spark, sfDir, wh2)
+    val v = Warehouse.version(wh2)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Seq("pq_books", "cells_pq")
+      .foreach(t => rm(new java.io.File(s"$wh2/v=$v/$t")))
+    val v2 = Warehouse.refreshSemantic(spark, wh2)
+    assert(!new java.io.File(s"$wh2/v=$v2/cells_pq").exists(),
+      "a pre-PQ store must refresh without inventing a PQ family")
+    assert(Warehouse.read(spark, wh2, "cells").count() > 0)
+  }
 }
