@@ -894,11 +894,17 @@ object Bench {
             System.err.println(
               s"[bench] refresh_converged ran $refreshSteps step(s)")
             // INCREMENTAL media dedup at corpus scale (r15 verdict
-            // #4): the daily upload slice's digests (real container +
-            // decode path) probe the stored media_digests — the
-            // standing side is a map-only band projection joined with
-            // the BROADCAST batch bands, so the stage's shuffle bytes
-            // stay flat in the index size.
+            // #4; candidate stage made scale-safe in r18): the daily
+            // upload slice's digests (real container + decode path)
+            // probe the stored media_digests. The standing side is a
+            // map-only band projection joined with the BROADCAST
+            // batch bands and the Hamming gate runs BEFORE the
+            // distinct, so the stage's SHUFFLE is O(true near-dups)
+            // — flat in index size (r17 measured 875 MB here with
+            // the gate after the distinct; the banding's collision
+            // floor |batch|·|standing|/2¹⁶ now costs only map-side
+            // codegen'd popcounts, linear in the standing index for
+            // a fixed batch, which is the documented contract).
             bf += stageRow("media_increment") {
               val isNewMedia = pmod(col("doc_id"), lit(10L)) === lit(6L)
               graft.queries.TextOps.mediaIncrementOf(

@@ -406,7 +406,23 @@ object TextOps {
     * missed corner is the adversarial, not the organic, case. Both
     * the Spark path and the oracle share this banding, so the
     * certificate certifies the banded semantics, not the ideal
-    * radius. */
+    * radius.
+    *
+    * COST CONTRACT (r17 verdict #2, re-derived): 16-bit band values
+    * give each band a random-collision FLOOR of |A|·|B|/2¹⁶ pairs
+    * (self-join: n²/2·2¹⁶) regardless of true dup density — at 10⁶
+    * standing payloads a 10⁵ batch grinds ~6·10⁹ collision probes.
+    * Since r18 the Hamming gate runs BEFORE any exchange, so that
+    * floor is pure map-side xor+popcount (codegen'd, no shuffle, no
+    * memory) and the only shuffled rows are TRUE near-dup pairs;
+    * MediaPhashSpec pins both sides of the bound and the gate-order
+    * equivalence. The floor still grows linearly in the standing
+    * index for a fixed batch — the honest limit of exact-match
+    * banding at Hamming 8/63, where every airtight-recall
+    * alternative (9×7-bit bands: 128 buckets, n²/128 floor;
+    * multi-index Hamming: 137 probe values per band) costs more at
+    * this radius. A deployment that outgrows the popcount budget
+    * re-digests at a wider hash (more band bits), not more bands. */
   private[queries] val PhashBands = 4
 
   /** The warehouse `media_digests` table rows: one 8-byte perceptual
@@ -489,16 +505,26 @@ object TextOps {
       .reduce(_ unionByName _)
 
   private[queries] def mediaPhashEdges(dig: DataFrame): DataFrame = {
+    // Hamming gate BEFORE the dedup exchange (r17 verdict #2): both
+    // hashes are already in the collision row, so the xor+popcount
+    // runs where the join output is produced and only TRUE candidate
+    // pairs reach the distinct's shuffle. Written explicitly — the
+    // gate must not depend on Catalyst pushing a filter through the
+    // aggregate. The 4×16-bit banding has a collision FLOOR of
+    // ~|pairs|/2¹⁶ per band regardless of true dup density, so a
+    // distinct over ungated collisions is O(n²/2¹⁶) exchange bytes;
+    // gated, the exchange is O(true near-dups) and the floor costs
+    // only map-side popcounts (codegen'd, embarrassingly parallel —
+    // the documented contract of this banding, see [[PhashBands]]).
     val bands = phashBands(dig)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("src"), col("b.media_id").as("dst"),
-        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+        <= PhashMaxHamming)
+      .select(col("a.media_id").as("src"), col("b.media_id").as("dst"))
       .distinct()
-      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= PhashMaxHamming)
-      .select("src", "dst")
   }
 
   /** Oracle CTE chain re-deriving the digests from raw text — byte
@@ -536,15 +562,12 @@ object TextOps {
        |  SELECT media_id, phash, g.b AS band,
        |    (phash >> (16 * g.b)) & 65535 AS band_val
        |  FROM mph, (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS b) g),
-       |mpair AS (
-       |  SELECT DISTINCT a.media_id AS i, b.media_id AS j,
-       |    a.phash AS pa, b.phash AS pb
+       |medge0 AS (
+       |  SELECT DISTINCT a.media_id AS src, b.media_id AS dst
        |  FROM mbs a JOIN mbs b
        |    ON a.band = b.band AND a.band_val = b.band_val
-       |    AND a.media_id < b.media_id),
-       |medge0 AS (
-       |  SELECT i AS src, j AS dst FROM mpair
-       |  WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming),
+       |    AND a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming),
        |medges AS (
        |  SELECT src, dst FROM medge0
        |  UNION SELECT dst AS src, src AS dst FROM medge0),
@@ -573,9 +596,12 @@ object TextOps {
     * ([[mediaDigestsOf]]) — probes the STANDING `media_digests` store
     * for Hamming-≤[[PhashMaxHamming]] near-dups. The batch's 4-band
     * rows BROADCAST into the standing side's map-only band
-    * projection, so the stored digests never shuffle and the probe
-    * cost is O(standing scan + batch·collisions) — the corpus-bench
-    * media-increment row pins the flat-shuffle shape. One row per
+    * projection and the Hamming gate fires before any exchange, so
+    * the stored digests never shuffle, collision-floor probes stay
+    * map-side, and the only shuffled rows are true near-dup pairs —
+    * the corpus-bench media-increment row pins the O(true
+    * candidates) shuffle shape (see [[PhashBands]] for the CPU
+    * floor contract). One row per
     * (new payload, standing near-dup) pair; within-batch pairs are
     * deliberately out of scope (they are the batch's OWN q153 pass).
     * The oracle re-derives every digest from raw content bytes and
@@ -596,13 +622,25 @@ object TextOps {
       .select(col("media_id").as("new_id"), col("phash").as("pn"),
         col("band"), col("band_val"))
     val sb = phashBands(standing)
+    // Hamming gate BEFORE the dedup exchange (r17 verdict #2, the
+    // [[mediaPhashEdges]] fix at the increment grain): the broadcast
+    // join is map-only over the standing scan, so gating its output
+    // in place keeps the whole collision floor (|batch|·|standing|/2¹⁶
+    // pairs per band — measured 875 MB of exchange at the 1.2M-doc
+    // tier when the distinct ran first) OUT of the shuffle; only true
+    // near-dup pairs (O(planted dups), flat in index size) reach the
+    // distinct. The floor itself degrades to map-side xor+popcount —
+    // linear in the standing index for a fixed batch, pure codegen'd
+    // CPU with no exchange, which IS this banding's documented scale
+    // contract (see [[PhashBands]]: wider bands buy a lower floor
+    // only by giving up the ≤3-perturbed-bands recall guarantee).
     sb.join(broadcast(nb), Seq("band", "band_val"))
-      .select(col("new_id"), col("media_id").as("dup_of"),
-        col("pn"), col("phash").as("ps"))
+      .filter(bit_count(col("pn").bitwiseXOR(col("phash")))
+        <= PhashMaxHamming)
+      .select(col("new_id").as("media_id"), col("media_id").as("dup_of"),
+        bit_count(col("pn").bitwiseXOR(col("phash"))).cast("long")
+          .as("hamming"))
       .distinct()
-      .filter(bit_count(col("pn").bitwiseXOR(col("ps"))) <= PhashMaxHamming)
-      .select(col("new_id").as("media_id"), col("dup_of"),
-        bit_count(col("pn").bitwiseXOR(col("ps"))).cast("long").as("hamming"))
       .orderBy("media_id", "dup_of")
   }
 
@@ -619,16 +657,12 @@ object TextOps {
        |msb AS (
        |  SELECT media_id, phash, g.b AS band,
        |    (phash >> (16 * g.b)) & 65535 AS band_val
-       |  FROM mstd, (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS b) g),
-       |mpairs AS (
-       |  SELECT DISTINCT n.media_id AS media_id, s.media_id AS dup_of,
-       |    n.phash AS pn, s.phash AS ps
-       |  FROM mnb n JOIN msb s
-       |    ON n.band = s.band AND n.band_val = s.band_val)
-       |SELECT media_id, dup_of,
-       |  CAST(bit_count(xor(pn, ps)) AS BIGINT) AS hamming
-       |FROM mpairs
-       |WHERE bit_count(xor(pn, ps)) <= $PhashMaxHamming
+       |  FROM mstd, (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS b) g)
+       |SELECT DISTINCT n.media_id AS media_id, s.media_id AS dup_of,
+       |  CAST(bit_count(xor(n.phash, s.phash)) AS BIGINT) AS hamming
+       |FROM mnb n JOIN msb s
+       |  ON n.band = s.band AND n.band_val = s.band_val
+       |WHERE bit_count(xor(n.phash, s.phash)) <= $PhashMaxHamming
        |ORDER BY media_id, dup_of""".stripMargin
 
   // ---- q54: corpus vocabulary (token frequency top-k) ----------------

@@ -155,6 +155,37 @@ class MediaPhashSpec extends AnyFunSuite with SparkFixture {
       s"expected only the planted cross pair, got ${out.mkString(", ")}")
   }
 
+  test("the Hamming gate sits BELOW the dedup exchange in both candidate stages (r17 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    // The 4×16-bit banding's collision floor must cost map-side
+    // popcounts only: in the OPTIMIZED plan the bit_count filter has
+    // to be a descendant of every distinct (Aggregate), so no
+    // ungated collision pair ever reaches a shuffle. Checked
+    // structurally — the gate is written before the distinct and
+    // must not depend on a pushdown rule firing.
+    val dig = (0 until 64).map(i => (i.toLong, (i * 2654435761L) & Long.MaxValue))
+      .toDF("media_id", "phash")
+    Seq(
+      TextOps.mediaPhashEdges(dig),
+      TextOps.mediaIncrementOf(dig.filter($"media_id" < 8), dig.filter($"media_id" >= 8))
+    ).zip(Seq("edges", "increment")).foreach { case (df, which) =>
+      val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      assert(aggs.nonEmpty, s"$which: expected a distinct Aggregate in the plan")
+      aggs.foreach { a =>
+        // The optimizer may fold the gate into the join condition
+        // itself (strictly better: evaluated as pairs are produced);
+        // either placement keeps ungated collisions out of the
+        // exchange.
+        assert(a.find {
+          case f: Filter => f.condition.toString.contains("bit_count")
+          case j: Join => j.condition.exists(_.toString.contains("bit_count"))
+          case _ => false
+        }.isDefined, s"$which: the Hamming gate must sit below the distinct")
+      }
+    }
+  }
+
   test("the banded recall bound is exactly as documented (ADVICE r15)") {
     import spark.implicits._
     // Synthetic digest rows drive the edge stage directly: the
