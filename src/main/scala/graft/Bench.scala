@@ -17,14 +17,19 @@ import org.apache.spark.sql.SparkSession
   * consecutive ones (the exact failure mode that made r4's q44–q49
   * look regressed).
   *
-  * Output contract, hardened after r5: the consumer keeps only the
-  * LAST ~2000 chars of stdout and truncation cuts from the FRONT, so
-  * the printed line must FIT ENTIRELY inside that tail: per-query
-  * keys are the bare `qNN` prefix at 3 decimals (~12 chars each —
-  * the full-name map at 76 queries measured 2.6 KB and was clipped
-  * mid-line in the r6 dry run), no rep arrays or plan hashes inline,
-  * and the headline fields (`metric`/`value`/`n_failed`/`sf`) are
-  * emitted LAST inside the object as a second line of defense.
+  * Output contract, hardened after r5 and re-compacted in r18 (the
+  * r17 run's 185-query `"qNN":0.123` map measured ~2.4 KB and
+  * front-truncated the first ~40 queries out of the driver's tail):
+  * the consumer keeps only the LAST ~2000 chars of stdout and
+  * truncation cuts from the FRONT, so the printed line must FIT
+  * ENTIRELY inside that tail. Per-query times ride in `q_cs` — a
+  * POSITIONAL array of CENTISECOND integers where index i is query
+  * q(i+1) and null marks a query not run in this invocation (~4
+  * chars each, ~0.8 KB at 190 queries, headroom to 400+); a query
+  * whose name lacks the `qNN` prefix would land in the `q_cs_extra`
+  * map (empty today). No rep arrays or plan hashes inline, and the
+  * headline fields (`metric`/`value`/`n_failed`/`sf`) are emitted
+  * LAST inside the object as a second line of defense.
   * build.sbt additionally disables sbt's `[success] Total time`
   * epilogue so on a clean run the JSON line is also the LAST stdout
   * line — robust to a consumer that only parses the final line.
@@ -1037,7 +1042,21 @@ object Bench {
       val cut = k.indexOf('_')
       if (k.startsWith("q") && cut > 1) k.substring(0, cut) else k
     }
-    val qs = jmap(results.map { case (k, v, _) => shortKey(k) -> num("%.3f", v) })
+    // Compact per-query stdout encoding (r17 verdict #7, see the
+    // output-contract scaladoc): positional centisecond integers.
+    def qNumOf(k: String): Option[Int] = {
+      val sk = shortKey(k)
+      if (sk.length > 1 && sk.startsWith("q") && sk.drop(1).forall(_.isDigit))
+        Some(sk.drop(1).toInt)
+      else None
+    }
+    val byNum = results.flatMap { case (k, v, _) =>
+      qNumOf(k).map(_ -> math.round(v * 100).toString) }.toMap
+    val qcs = (1 to (if (byNum.isEmpty) 0 else byNum.keys.max))
+      .map(n => byNum.getOrElse(n, "null")).mkString("[", ",", "]")
+    val qcsExtra = jmap(results.collect {
+      case (k, v, _) if qNumOf(k).isEmpty =>
+        shortKey(k) -> math.round(v * 100).toString })
     val repsJson = jmap(names.map(n =>
       n -> times(n).map(num("%.4f", _)).mkString("[", ",", "]")))
     val hashJson = jmap(names.map(n => n -> ("\"" + hashes(n) + "\"")))
@@ -1125,7 +1144,7 @@ object Bench {
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // Headline fields LAST: front-truncation of a long line must not
     // eat them (see the scaladoc's output contract).
-    println(s"""{"queries":$qs,"rawlog":$rawlogStdout,"core20":${num("%.3f", coreTotal)},"failed":${jarr(failedNames.map(shortKey))},"n_failed":$nFailed,"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}","unit":"sec","metric":"total","value":${num("%.3f", total)}}""")
+    println(s"""{"q_cs":$qcs,"q_cs_extra":$qcsExtra,"rawlog":$rawlogStdout,"core20":${num("%.3f", coreTotal)},"failed":${jarr(failedNames.map(shortKey))},"n_failed":$nFailed,"sf":"$sfDir","detail":"${detailPath.toAbsolutePath}","unit":"sec","metric":"total","value":${num("%.3f", total)}}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

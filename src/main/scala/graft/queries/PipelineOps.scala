@@ -1105,21 +1105,31 @@ object PipelineOps {
       .orderBy("source")
   }
 
-  val modelQualityFilterSql: String = {
+  /** The oracle's per-doc model logit chain — `t` (token hash sets
+    * from raw text, the factored q27 rule) → `sc(doc_id,
+    * logit_micro)` with the committed artifact weights inlined as a
+    * VALUES table. ONE rule text for q181 (per-source aggregate) and
+    * q187 (streamed per-doc admission), so the two certificates
+    * cannot drift on the model arithmetic. */
+  private def qualityLogitCteSql: String = {
     val (bias, w) = QualityLr
     val values = w.zipWithIndex
       .map { case (wm, b) => s"($b, CAST($wm AS BIGINT))" }.mkString(", ")
-    s"""WITH ${Dedup.tokenSetCteSqlFor()},
+    s"""${Dedup.tokenSetCteSqlFor()},
        |w(b, wm) AS (VALUES $values),
        |x AS (SELECT doc_id, unnest(hs) AS h FROM t),
        |sw AS (
-       |  SELECT x.doc_id, SUM(w.wm) AS s
+       |  SELECT x.doc_id, CAST(SUM(w.wm) AS BIGINT) AS s
        |  FROM x JOIN w ON w.b = x.h % ${w.length}
        |  GROUP BY x.doc_id),
        |sc AS (
        |  SELECT t.doc_id,
        |    CAST($bias AS BIGINT) + COALESCE(sw.s, 0) AS logit_micro
-       |  FROM t LEFT JOIN sw ON sw.doc_id = t.doc_id)
+       |  FROM t LEFT JOIN sw ON sw.doc_id = t.doc_id)""".stripMargin
+  }
+
+  val modelQualityFilterSql: String =
+    s"""WITH $qualityLogitCteSql
        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN sc.logit_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_pass,
@@ -1127,7 +1137,70 @@ object PipelineOps {
        |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
+
+  // ---- q187: the STREAMING quality gate certified (r17 verdict #6) ---
+
+  private val streamQualityFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+
+  /** Replay the corpus through a REAL micro-batch stream — the
+    * documents re-laid as multiple parquet files, a FileStreamSource
+    * with maxFilesPerTrigger=1 (so several genuine triggers fire),
+    * [[graft.streaming.StreamOps.qualityGate]] applied in-stream, a
+    * checkpointed parquet sink — then compare the drained admission
+    * rows against the batch gate over the same docs. Memoized per
+    * corpus dir (the q176 fixture discipline). */
+  private def ensureStreamQuality(s: SparkSession,
+      dir: String): (String, Boolean) =
+    streamQualityFixtures.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-streamq").toString
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      docs.repartition(3).write.parquet(s"$root/src")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+      val q = graft.streaming.StreamOps.qualityGate(stream, "text")
+        .select(col("doc_id"), col("quality_logit_micro"),
+          col("quality_pass"))
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ck")
+        .start()
+      q.processAllAvailable(); q.stop()
+      val streamed = s.read.parquet(s"$root/sink")
+      val batch = graft.streaming.StreamOps.qualityGate(docs, "text")
+        .select(col("doc_id"), col("quality_logit_micro"),
+          col("quality_pass"))
+      val matches = streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty
+      (s"$root/sink", matches)
+    })
+
+  /** q187 — STREAM ADMISSION ≡ the batch q181 pass, content level
+    * (the q176 idiom at the quality grain): every document's model
+    * logit and pass flag as the SPEED LAYER emitted them from a real
+    * replayed multi-trigger stream, hash-checked against DuckDB
+    * re-deriving the artifact logit from raw text — plus the live
+    * `matches_batch` flag pinning streamed ≡ batch row-identity. A
+    * gate that scored even one document differently in-stream (state
+    * leakage, a drifted feature text, a lost or duplicated trigger)
+    * is a hash mismatch here, not a curation-time surprise. Scale:
+    * the gate is stateless and map-only per micro-batch; the
+    * certificate's cost is the replay itself. */
+  def streamQualityCertify(s: SparkSession, dir: String): DataFrame = {
+    val (sink, matches) = ensureStreamQuality(s, dir)
+    s.read.parquet(sink)
+      .select(col("doc_id"), col("quality_logit_micro"),
+        col("quality_pass"), lit(matches).as("matches_batch"))
+      .orderBy("doc_id")
   }
+
+  val streamQualityCertifySql: String =
+    s"""WITH $qualityLogitCteSql
+       |SELECT doc_id, logit_micro AS quality_logit_micro,
+       |  logit_micro > 0 AS quality_pass, TRUE AS matches_batch
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
 
   // ---- q182: training-shard MANIFEST (r17) ----------------------------
 

@@ -3866,14 +3866,34 @@ object Similarity {
   def pqServeRecall(s: SparkSession, dir: String): DataFrame =
     pqServeRecallFrom(s, graft.queries.Warehouse.stored(s, dir, _))
 
-  /** [[pqServeRecall]] over an explicit table accessor — ONE
-    * certificate body for the seed store (q179) and the refreshed
-    * store (q184). */
-  private def pqServeRecallFrom(s: SparkSession,
-      stored: String => DataFrame): DataFrame = {
+  /** The three scored legs every PQ serve certificate ranks:
+    * full-precision PROBED candidates, the ADC prefilter over the
+    * same candidates, and the exact FULL-scan reference — one
+    * derivation shared by q179/q184 (serve certificate) and q186
+    * (rescore-depth sweep), so the certificates cannot drift on the
+    * candidate algebra. */
+  private final case class PqServeLegs(
+      cand: DataFrame, pre: DataFrame, exact: DataFrame)
+
+  private def pqRankWindow =
+    org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+
+  /** Per query: the ranked top-`limit` ids of a scored leg, as one
+    * array row (rank order preserved). */
+  private def pqTopIds(scored: DataFrame, limit: Int): DataFrame = scored
+    .withColumn("rk", row_number().over(pqRankWindow))
+    .filter(col("rk") <= limit)
+    .groupBy("query_id")
+    .agg(transform(
+      sort_array(collect_list(struct(col("rk"), col("vec_id")))),
+      x => x.getField("vec_id")).as("ids"))
+
+  private def pqServeLegsFrom(s: SparkSession,
+      stored: String => DataFrame): PqServeLegs = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val (nprobe, k) = (AnnProbeN, AnnServeK)
+    val nprobe = AnnProbeN
     val books = collectPqBooks(stored("pq_books"))
     val ksub = books.length / books.map(_._1).distinct.length
     val bookVecs = books.map(_._3.toArray)
@@ -3910,35 +3930,41 @@ object Similarity {
         .otherwise(call_function("graft_pq_adc", col("code"), col("lut"))
           / (col("norm") * col("qn"))))
       .select("query_id", "vec_id", "cos")
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    def topIds(scored: DataFrame, limit: Int): DataFrame = scored
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= limit)
-      .groupBy("query_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("rk"), col("vec_id")))),
-        x => x.getField("vec_id")).as("ids"))
     // Exact FULL-scan reference (all stored vectors, query excluded).
     val exact = stored("cells").join(broadcast(qs),
         col("vec_id") =!= col("query_id"))
       .withColumn("cos", when(col("norm") * col("qn") === 0.0, lit(-2.0))
         .otherwise(dot(col("v"), col("qv")) / (col("norm") * col("qn"))))
       .select("query_id", "vec_id", "cos")
-    val preRk = pre.withColumn("rk", row_number().over(wr))
-    val served = cand.join(
-        preRk.filter(col("rk") <= PqRescoreR)
-          .select(col("query_id").as("pq"), col("vec_id").as("pv")),
-        col("query_id") === col("pq") && col("vec_id") === col("pv"),
-        "left_semi")
-    val nProbed = cand.groupBy("query_id")
+    PqServeLegs(cand, pre, exact)
+  }
+
+  /** The top-k of `cand` RESTRICTED to the ADC window of depth `r` —
+    * the PQ serve's selection at an explicit rescore depth. */
+  private def pqServedAt(legs: PqServeLegs, r: Int): DataFrame =
+    legs.cand.join(
+      legs.pre.withColumn("rk", row_number().over(pqRankWindow))
+        .filter(col("rk") <= r)
+        .select(col("query_id").as("pq"), col("vec_id").as("pv")),
+      col("query_id") === col("pq") && col("vec_id") === col("pv"),
+      "left_semi")
+
+  /** [[pqServeRecall]] over an explicit table accessor — ONE
+    * certificate body for the seed store (q179) and the refreshed
+    * store (q184). */
+  private def pqServeRecallFrom(s: SparkSession,
+      stored: String => DataFrame): DataFrame = {
+    val k = AnnServeK
+    val legs = pqServeLegsFrom(s, stored)
+    val served = pqServedAt(legs, PqRescoreR)
+    val nProbed = legs.cand.groupBy("query_id")
       .agg(count(lit(1)).as("n_probed"))
-    topIds(exact, k).select(col("query_id"), col("ids").as("exact_ids"))
-      .join(topIds(pre, k).select(col("query_id"), col("ids").as("pq_ids")),
-        Seq("query_id"))
-      .join(topIds(served, k)
+    pqTopIds(legs.exact, k).select(col("query_id"), col("ids").as("exact_ids"))
+      .join(pqTopIds(legs.pre, k)
+        .select(col("query_id"), col("ids").as("pq_ids")), Seq("query_id"))
+      .join(pqTopIds(served, k)
         .select(col("query_id"), col("ids").as("served_ids")), Seq("query_id"))
-      .join(topIds(cand, k)
+      .join(pqTopIds(legs.cand, k)
         .select(col("query_id"), col("ids").as("probed_ids")), Seq("query_id"))
       .join(nProbed, Seq("query_id"))
       .select(col("query_id"), col("n_probed"),
@@ -3948,6 +3974,46 @@ object Similarity {
           .as("n_overlap_rescored"),
         (col("served_ids") === col("probed_ids")).as("rescore_lossless"))
       .orderBy("query_id")
+  }
+
+  /** The q186 sweep's rescore depths: {k, 2k, 4k, 8k} of the serve's
+    * top-[[AnnServeK]] — the bandwidth/recall pricing ladder (each
+    * step doubles the full-precision rows the rescore re-reads). */
+  private[queries] val PqSweepRs = Seq(1, 2, 4, 8).map(_ * AnnServeK)
+
+  /** q186 — the PQ RESCORE-DEPTH knob measured (r17 verdict #4):
+    * q179/q184 report honestly that the codebook refit is
+    * served-recall-neutral on the isotropic fixture and that rescore
+    * depth R is the recall knob — this certificate prices it. One
+    * row per (query, R ∈ [[PqSweepRs]]): recall@k of the PQ serve at
+    * window R against the exact full-scan top-k, plus whether R
+    * already recovers the full-precision probed ranking verbatim.
+    * Monotone in R BY CONSTRUCTION (a deeper ADC window only grows
+    * the exact-rescored pool, and a pool member displaced from the
+    * top-k is displaced by a strictly better exact cosine —
+    * PqTierSpec pins the measured monotonicity), so a deployment
+    * reads one column to trade ADC bandwidth against recall. The
+    * oracle re-derives the index, codes, ADC windows and all four
+    * depths from raw embeddings in one statement. */
+  def pqRescoreSweep(s: SparkSession, dir: String): DataFrame = {
+    val k = AnnServeK
+    val legs = pqServeLegsFrom(s,
+      graft.queries.Warehouse.stored(s, dir, _))
+    val exactIds = pqTopIds(legs.exact, k)
+      .select(col("query_id"), col("ids").as("exact_ids"))
+    val probedIds = pqTopIds(legs.cand, k)
+      .select(col("query_id"), col("ids").as("probed_ids"))
+    PqSweepRs.map { r =>
+      pqTopIds(pqServedAt(legs, r), k)
+        .select(col("query_id"), col("ids").as("served_ids"))
+        .join(exactIds, Seq("query_id"))
+        .join(probedIds, Seq("query_id"))
+        .select(col("query_id"), lit(r.toLong).as("rescore_r"),
+          size(array_intersect(col("served_ids"), col("exact_ids")))
+            .cast("long").as("n_overlap_rescored"),
+          (col("served_ids") === col("probed_ids")).as("window_lossless"))
+    }.reduce(_ unionByName _)
+      .orderBy("query_id", "rescore_r")
   }
 
   /** The explicit left-to-right per-subspace ADC sum — the oracle's
@@ -3960,10 +4026,69 @@ object Similarity {
 
   val pqServeRecallSql: String = pqServeCertSql("", "pcode", "pb")
 
+  /** The q186 oracle: the SAME leg CTEs as q179 ([[pqServeLegsSql]] —
+    * one rule text), finished with one branch per sweep depth. */
+  val pqRescoreSweepSql: String = {
+    val perR = PqSweepRs.map { r =>
+      s"""ls$r AS (
+         |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+         |    SELECT s0.query_id, s0.vec_id, row_number() OVER (
+         |      PARTITION BY s0.query_id
+         |      ORDER BY s0.cos DESC, s0.vec_id ASC) AS rk
+         |    FROM cand s0 JOIN p8r
+         |      ON p8r.query_id = s0.query_id AND p8r.vec_id = s0.vec_id
+         |    WHERE p8r.rk <= $r)
+         |  WHERE rk <= $AnnServeK GROUP BY query_id)""".stripMargin
+    }.mkString(",\n")
+    val branches = PqSweepRs.map { r =>
+      s"""SELECT le.query_id, CAST($r AS BIGINT) AS rescore_r,
+         |  CAST(len(list_intersect(ls$r.ids, le.ids)) AS BIGINT)
+         |    AS n_overlap_rescored,
+         |  (ls$r.ids = lpp.ids) AS window_lossless
+         |FROM le
+         |JOIN ls$r ON ls$r.query_id = le.query_id
+         |JOIN lpp ON lpp.query_id = le.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${pqServeLegsSql("", "pcode", "pb")},
+       |$perR
+       |$branches
+       |ORDER BY query_id, rescore_r""".stripMargin
+  }
+
   /** The q179/q184 oracle statement over a parameterized code/book
     * CTE pair: `extraCtes` splices the refit chain for the refreshed
     * store's form. */
   private def pqServeCertSql(extraCtes: String, codeCte: String,
+      bookCte: String): String =
+    s"""${pqServeLegsSql(extraCtes, codeCte, bookCte)},
+       |l8 AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM p8r
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |ls AS (
+       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM served0)
+       |  WHERE rk <= $AnnServeK GROUP BY query_id),
+       |np AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
+       |  FROM cand GROUP BY query_id)
+       |SELECT le.query_id, np.n_probed,
+       |  CAST(len(list_intersect(l8.ids, le.ids)) AS BIGINT) AS n_overlap_pq,
+       |  CAST(len(list_intersect(ls.ids, le.ids)) AS BIGINT) AS n_overlap_rescored,
+       |  (ls.ids = lpp.ids) AS rescore_lossless
+       |FROM le
+       |JOIN l8 ON l8.query_id = le.query_id
+       |JOIN ls ON ls.query_id = le.query_id
+       |JOIN lpp ON lpp.query_id = le.query_id
+       |JOIN np ON np.query_id = le.query_id
+       |ORDER BY le.query_id""".stripMargin
+
+  /** Every CTE through the ranked legs — candidates (`cand`), ADC
+    * ranking (`p8r`), the [[PqRescoreR]]-window serve (`served0`),
+    * exact full-scan top-k (`le`) and probed top-k (`lpp`) — shared
+    * verbatim by the serve certificates (q179/q184) and the rescore
+    * sweep (q186). */
+  private def pqServeLegsSql(extraCtes: String, codeCte: String,
       bookCte: String): String =
     s"""WITH $cellAssignCteSql,
        |sig AS (
@@ -4029,32 +4154,11 @@ object Similarity {
        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM ex)
        |  WHERE rk <= $AnnServeK GROUP BY query_id),
-       |l8 AS (
-       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM p8r
-       |  WHERE rk <= $AnnServeK GROUP BY query_id),
-       |ls AS (
-       |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
-       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, vec_id ASC) AS rk FROM served0)
-       |  WHERE rk <= $AnnServeK GROUP BY query_id),
        |lpp AS (
        |  SELECT query_id, list(vec_id ORDER BY rk) AS ids FROM (
        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM cand)
-       |  WHERE rk <= $AnnServeK GROUP BY query_id),
-       |np AS (
-       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
-       |  FROM cand GROUP BY query_id)
-       |SELECT le.query_id, np.n_probed,
-       |  CAST(len(list_intersect(l8.ids, le.ids)) AS BIGINT) AS n_overlap_pq,
-       |  CAST(len(list_intersect(ls.ids, le.ids)) AS BIGINT) AS n_overlap_rescored,
-       |  (ls.ids = lpp.ids) AS rescore_lossless
-       |FROM le
-       |JOIN l8 ON l8.query_id = le.query_id
-       |JOIN ls ON ls.query_id = le.query_id
-       |JOIN lpp ON lpp.query_id = le.query_id
-       |JOIN np ON np.query_id = le.query_id
-       |ORDER BY le.query_id""".stripMargin
+       |  WHERE rk <= $AnnServeK GROUP BY query_id)""".stripMargin
 
   /** Sequential PQ serve — the unified kernel with the 8-byte tier
     * ([[AnnServeOpts]] pq = true): ADC prefilter over `cells_pq`,

@@ -166,12 +166,17 @@ object ServingLatencyBench {
       }),
       "quant" -> battery("quant_param", annReqs.map(v =>
         () => Similarity.annServeQuant(spark, sfDir, v, nprobe = 2, k = 10)
+          .collect().length)),
+      // The 8-byte ADC tier through the same population (r17 verdict
+      // #5): per-request latency of the q179 serve path.
+      "pq" -> battery("pq_param", annReqs.map(v =>
+        () => Similarity.annServePq(spark, sfDir, v, nprobe = 2, k = 10)
           .collect().length)))
     val fams = namedFams.map(_._2)
     def seqTotalOf(name: String): Double = namedFams.toMap.apply(name)._3
     val budgetMs = 1000.0
     val paramJson =
-      s"""{"n_requests":${nBm25 + 2 * nAnn + nHybrid},""" +
+      s"""{"n_requests":${nBm25 + 3 * nAnn + nHybrid},""" +
         s""""poll_budget_ms":${num(budgetMs)},""" +
         s""""families":{${fams.map(_._1).mkString(",")}},""" +
         s""""within_budget":${fams.forall(_._2 < budgetMs)}}"""
@@ -208,7 +213,14 @@ object ServingLatencyBench {
         () => Similarity.annServeQuantBatch(spark, sfDir, annBatch.take(3),
           nprobe = 2, k = 10).collect().length,
         () => Similarity.annServeQuantBatch(spark, sfDir, annBatch,
-          nprobe = 2, k = 10).collect().length)))
+          nprobe = 2, k = 10).collect().length)),
+      ("pq", annBatch.size, seqTotalOf("pq"), timedBatch(
+        () => Similarity.serve(spark, sfDir, annBatch.take(3),
+          Similarity.AnnServeOpts(nprobe = 2, k = 10, pq = true))
+          .collect().length,
+        () => Similarity.serve(spark, sfDir, annBatch,
+          Similarity.AnnServeOpts(nprobe = 2, k = 10, pq = true))
+          .collect().length)))
     val famJson = batchFams.map { case (name, n, seqMs, (batchMs, rows)) =>
       val reqPerS = n / (batchMs / 1000.0)
       s""""$name":{"n_requests":$n,"batch_ms":${num(batchMs)},""" +
@@ -219,7 +231,7 @@ object ServingLatencyBench {
     val minSpeedup = batchFams
       .map { case (_, _, seqMs, (batchMs, _)) => seqMs / batchMs }.min
     val batchJson =
-      s"""{"n_requests":${nBm25 + 2 * nAnn + nHybrid},""" +
+      s"""{"n_requests":${nBm25 + 3 * nAnn + nHybrid},""" +
         s""""families":{${famJson.mkString(",")}},""" +
         s""""min_speedup_vs_sequential":${num(minSpeedup)}}"""
     (paramJson, batchJson)

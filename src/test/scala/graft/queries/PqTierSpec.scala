@@ -221,4 +221,20 @@ class PqTierSpec extends AnyFunSuite with SparkFixture {
         "fixture change made this non-strict, relax THIS assert, " +
         "not the tolerance band above")
   }
+
+  test("q186: served recall is monotone non-decreasing in the rescore depth") {
+    // Provable, and pinned on the measured battery: a deeper ADC
+    // window only grows the exact-rescored pool, and a pool member
+    // displaced from the top-k is displaced by a strictly better
+    // exact (cos, vec_id) rank -- if the displacer beat a global
+    // top-k member it would itself be global top-k.
+    val rows = Similarity.pqRescoreSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 5 * Similarity.PqSweepRs.length)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val byR = rs.sortBy(_._2).map(_._3).toSeq
+      assert(byR.zip(byR.tail).forall { case (a, b) => b >= a },
+        s"query $qid: recall not monotone in R: ${byR.mkString(",")}")
+    }
+  }
 }
