@@ -64,6 +64,7 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     "q157_quant_serve",      // broadcast 5-probe battery × stored index (q106 shape)
     "q179_pq_serve",         // broadcast 5-probe battery × stored index (q157 shape)
     "q184_pq_refresh_serve", // the q179 shape over the refreshed store
+    "q186_pq_rescore_sweep", // the q179 legs swept at 4 window depths
     "q162_quant_serve_batch", // broadcast 60-request frame × k centroids (q155 shape)
     "q168_filtered_bm25",    // 1-row stats broadcast (q149 idiom, filter form)
     // The r17 unified serve kernel scores centroids against the
