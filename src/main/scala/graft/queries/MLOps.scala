@@ -91,6 +91,51 @@ object MLOps {
     0.17656161618382346, 0.271388933886202)
   private[graft] val TrainedBias = 0.5123056462772183
 
+  /** Pin-time orientation of the exported literals: at the pin's
+    * sf0.01 fixture "anomaly" is the MAJORITY class, so StringIndexer
+    * (frequency desc) put it at index 0 and the trained logit z is
+    * the log-odds of index 1 = "normal" (visible in the export: the
+    * error-count weight is negative). Every refit-vs-pin comparison
+    * anchors decisions to THIS label, not to an index — the
+    * frequency-derived index orientation flips with the data (it
+    * differs between the driver's sf0.01 and sf0.1 fixtures), and an
+    * index-anchored compare would report a flipped indexer as
+    * wholesale model drift (r18: that is exactly what the retired
+    * `trained_matches_pinned` output column did at sf0.1). */
+  private[graft] val TrainedIndex1Label = "normal"
+
+  /** The refit-vs-pin AUDIT (r18, factored out of the q34 output):
+    * train fresh on `dir`, then count rows where the fresh model's
+    * LABEL-ANCHORED threshold-0.83 decision (P(normal) >= 0.83,
+    * resolved through the CURRENT indexer's orientation) differs
+    * from the pinned literals' decision. 0 at the pin's own fixture
+    * (bit-deterministic refit — LrPinnedScorerSpec certifies);
+    * nonzero means deployment drift (trained-on-X vs shipped
+    * literals) — the production retrain-audit question, answered as
+    * a COUNT the caller can threshold instead of a boolean baked
+    * into an oracle row (the retired flag hardcoded `true` in the
+    * oracle and so could only ever be red at any other scale). */
+  private[graft] def refitPinMismatches(s: SparkSession, dir: String,
+      pinWeights: Seq[Double], pinBias: Double): Long = {
+    val (weighted, assembled) = lrFrames(s, dir)
+    val model = Pipeline.trainLR(assembled, tol = LrEarlyStopTol)
+    val scorer = Pipeline.toScorer(model)
+    val zPinned = types.zip(pinWeights)
+      .map { case (t, wi) => col(s"n_$t") * lit(wi) }
+      .reduce(_ + _) + lit(pinBias)
+    val zTrained = types.zip(scorer.weights)
+      .map { case (t, wi) => col(s"n_$t") * lit(wi) }
+      .reduce(_ + _) + lit(scorer.bias)
+    val index1Label = weighted.filter(col("label_index") === 1.0)
+      .select(col("label")).head.getString(0)
+    val trainedPositive =
+      if (index1Label == TrainedIndex1Label) zTrained >= LogitCutoff
+      else zTrained <= -LogitCutoff
+    weighted
+      .filter((zPinned >= LogitCutoff) =!= trainedPositive)
+      .count()
+  }
+
   /** M1–M6 end to end on the events table: per-user event-count
     * features, a scale-free derived label (error share ≥ 20%), class
     * weights, weighted LR (reference hyperparameters + the certified
@@ -102,39 +147,37 @@ object MLOps {
     * rows-only query): the confusion matrix is computed from the
     * PINNED literal export of the trained model (`TrainedWeights`/
     * `TrainedBias`, q59's exp-free logit-space compare, so both
-    * engines evaluate the identical fixed-order arithmetic), and each
-    * cell carries `trained_matches_pinned` — whether the freshly
-    * RE-TRAINED model's threshold-0.83 decision agreed with the
-    * pinned scorer on every row in the cell. At the pinned snapshot's
-    * scale the flag is provably true (same data → bit-deterministic
-    * refit, `DiagLrCoefs`), so the oracle hard-codes true and any
-    * trainer/dataflow drift that moves a single decision flips the
-    * flag or the counts and fails the gate. At other scales the flag
-    * honestly reports deployment drift (trained-on-X vs shipped
-    * literals) — the production retrain-audit semantics, not a
-    * fixture artifact. */
+    * engines evaluate the identical fixed-order arithmetic); the
+    * refit itself still runs in-query (the trainer is part of the
+    * certified dataflow). The refit-vs-pin AGREEMENT moved out of
+    * the output and into [[refitPinMismatches]] + LrPinnedScorerSpec
+    * (r18): the retired `trained_matches_pinned` column hardcoded
+    * `true` in the oracle while the engine honestly reported drift,
+    * so at any fixture other than the pin's own (e.g. the driver's
+    * sf0.1, whose label-frequency orientation FLIPS relative to
+    * sf0.01) the row was structurally red — a certificate must not
+    * contain a column whose honest value the oracle cannot know. */
   def lrAnomaly(s: SparkSession, dir: String): DataFrame =
     lrAnomalyWith(s, dir, TrainedWeights, TrainedBias)
 
-  /** q34 with the pinned literals as parameters — the spec's mutation
-    * control trains the same model but pins perturbed literals and
-    * must see the agreement flag flip (proves the certificate is
-    * sensitive, not vacuously true). */
+  /** q34 with the pinned literals as parameters (the seam
+    * [[refitPinMismatches]] and the spec share). */
   private[graft] def lrAnomalyWith(s: SparkSession, dir: String,
       pinWeights: Seq[Double], pinBias: Double): DataFrame = {
     val (weighted, assembled) = lrFrames(s, dir)
-    val model = Pipeline.trainLR(assembled, tol = LrEarlyStopTol)
-    val featuresArr = array(types.map(t => col(s"n_$t")): _*)
+    // Train exactly as before — the refit IS part of what q34
+    // executes (M3's trainer on the reference hyperparameters); its
+    // agreement with the pin is certified by LrPinnedScorerSpec via
+    // refitPinMismatches at the pin's own scale (see that scaladoc
+    // for why the agreement is no longer an output column).
+    Pipeline.trainLR(assembled, tol = LrEarlyStopTol)
     val zPinned = types.zip(pinWeights)
       .map { case (t, wi) => col(s"n_$t") * lit(wi) }
       .reduce(_ + _) + lit(pinBias)
     weighted
       .withColumn("prediction", (zPinned >= LogitCutoff).cast("int"))
-      .withColumn("pred_trained", Pipeline.toScorer(model).predict(featuresArr))
       .groupBy(col("label_index"), col("prediction"))
-      .agg(count(lit(1)).as("n"),
-        (sum(when(col("pred_trained") =!= col("prediction"), 1L).otherwise(0L))
-          === 0L).as("trained_matches_pinned"))
+      .agg(count(lit(1)).as("n"))
       .orderBy("label_index", "prediction")
   }
 
@@ -152,8 +195,7 @@ object MLOps {
        |  FROM cnt)
        |SELECT i.label_index,
        |  CASE WHEN ($zExpr) >= $LogitCutoff THEN 1 ELSE 0 END AS prediction,
-       |  CAST(count(*) AS BIGINT) AS n,
-       |  true AS trained_matches_pinned
+       |  CAST(count(*) AS BIGINT) AS n
        |FROM lab l JOIN idx i ON l.label = i.label
        |GROUP BY i.label_index, prediction
        |ORDER BY label_index, prediction""".stripMargin

@@ -2229,10 +2229,15 @@ object Similarity {
     // the IDENTICAL arithmetic (sequential-fold cosine, the
     // zero-denominator -2.0 pin, cos DESC / c_id DESC ties) and
     // inline as plan literals — provably the same output, two fewer
-    // stages per call. UnifiedServeSpec pins literal ≡ broadcast row
-    // for row.
-    val probes =
-      if (requests.size <= ProbeLiteralMaxRequests) {
+    // stages per call, AND the probed cell ids become a pushable
+    // `isin` predicate on the candidate scans (parquet row-group
+    // pruning — the retired per-variant forms' last advantage over
+    // the broadcast-frame probe). UnifiedServeSpec pins literal ≡
+    // broadcast row for row.
+    val literalProbeRows: Option[Seq[(Long, Seq[Double], Double,
+        Array[Byte], Double, Seq[Double], Long)]] =
+      if (requests.size > ProbeLiteralMaxRequests) None
+      else {
         val cents = table("centroids").select(col("c_id"), col("v"))
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -2241,7 +2246,7 @@ object Similarity {
           while (i < a.length) { acc += a(i) * b(i); i += 1 }
           acc
         }
-        val rows = reqRows.flatMap { case (rid, qv, qn, qcode, qqn, lut) =>
+        Some(reqRows.flatMap { case (rid, qv, qn, qcode, qqn, lut) =>
           cents.filter(_._2.length == qv.length)
             .map { case (cid, cv) =>
               val denom = math.sqrt(dotL(cv, cv)) * math.sqrt(dotL(qv, qv))
@@ -2251,9 +2256,12 @@ object Similarity {
             .sortBy { case (cos, cid) => (-cos, -cid) }
             .take(nprobe)
             .map { case (_, cid) => (rid, qv, qn, qcode, qqn, lut, cid) }
-        }
+        })
+      }
+    val probes = literalProbeRows match {
+      case Some(rows) =>
         rows.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut", "probe_cell")
-      } else {
+      case None =>
         val wpc = Window.partitionBy(col("req_id"))
           .orderBy(col("cos_c").desc, col("c_id").desc)
         table("centroids").join(broadcast(reqDf))
@@ -2262,7 +2270,16 @@ object Similarity {
           .filter(col("rn") <= nprobe)
           .select(col("req_id"), col("qv"), col("qn"), col("qcode"),
             col("qqn"), col("lut"), col("c_id").as("probe_cell"))
-      }
+    }
+    // Literal path only: prune the candidate scan to the union of
+    // probed cells BEFORE the fan-out join — semantically a no-op
+    // (the join keeps exactly these cells) but the predicate reaches
+    // the parquet scan as PushedFilters, so a single-request serve
+    // reads nprobe cells' row groups instead of hashing the whole
+    // tier through the join.
+    val literalCellIds = literalProbeRows.map(_.map(_._7).distinct)
+    def prunedToProbes(cand: DataFrame): DataFrame =
+      literalCellIds.fold(cand)(ids => cand.filter(col("cell").isin(ids: _*)))
     val allowed = sources.map(ss => table("doc_stats")
       .filter(col("source").isin(ss: _*))
       .select(col("doc_id").as("vec_id"), col("source")))
@@ -2273,7 +2290,7 @@ object Similarity {
       if (!quantized && !pq) {
         val denom = col("norm") * col("qn")
         val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
-        gate(minusTomb(table("cells"), tomb)
+        gate(prunedToProbes(minusTomb(table("cells"), tomb))
             .join(broadcast(probes), col("cell") === col("probe_cell")))
           .withColumn("cos", when(denom === 0.0, lit(-2.0))
             .otherwise(dot(col("v"), col("qv")) / denom))
@@ -2294,7 +2311,7 @@ object Similarity {
         val preScored =
           if (pq) {
             val pdenom = col("norm") * col("qn")
-            gate(minusTomb(table("cells_pq"), tomb)
+            gate(prunedToProbes(minusTomb(table("cells_pq"), tomb))
                 .join(broadcast(probes), col("cell") === col("probe_cell")))
               .withColumn("qcos", when(pdenom === 0.0, lit(-2.0))
                 .otherwise(
@@ -2302,7 +2319,7 @@ object Similarity {
                     / pdenom))
           } else {
             val qdenom = col("qnorm") * col("qqn")
-            gate(minusTomb(table("cells_q8"), tomb)
+            gate(prunedToProbes(minusTomb(table("cells_q8"), tomb))
                 .join(broadcast(probes), col("cell") === col("probe_cell")))
               .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
                 .otherwise(
