@@ -644,8 +644,10 @@ object TextOps {
       .orderBy("media_id", "dup_of")
   }
 
-  val mediaIncrementSql: String =
-    s"""WITH $mediaPhashCteSql,
+  /** The split/band CTE chain shared by q161 (pair list) and q188
+    * (per-payload verdict) — one rule text, two finals. */
+  private def mediaIncrementCteSql: String =
+    s"""$mediaPhashCteSql,
        |mnew AS (SELECT media_id, phash FROM mph
        |         WHERE media_id % $MediaIncrMod = $MediaIncrRem),
        |mstd AS (SELECT media_id, phash FROM mph
@@ -657,13 +659,78 @@ object TextOps {
        |msb AS (
        |  SELECT media_id, phash, g.b AS band,
        |    (phash >> (16 * g.b)) & 65535 AS band_val
-       |  FROM mstd, (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS b) g)
+       |  FROM mstd, (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS b) g)""".stripMargin
+
+  val mediaIncrementSql: String =
+    s"""WITH $mediaIncrementCteSql
        |SELECT DISTINCT n.media_id AS media_id, s.media_id AS dup_of,
        |  CAST(bit_count(xor(n.phash, s.phash)) AS BIGINT) AS hamming
        |FROM mnb n JOIN msb s
        |  ON n.band = s.band AND n.band_val = s.band_val
        |WHERE bit_count(xor(n.phash, s.phash)) <= $PhashMaxHamming
        |ORDER BY media_id, dup_of""".stripMargin
+
+  // ---- q188: media increment VERDICT (the O(batch) daily shape) -----
+
+  /** q188 — the media increment's PRODUCTION-SHAPED output (r18):
+    * one row per NEW payload that near-dups the standing index, with
+    * its BEST standing match (min Hamming, ties to the smaller
+    * media_id). The q161 pair list is the complete evidence set and
+    * its shuffle is necessarily O(true pairs) — on a dup-saturated
+    * corpus (the 1.2M-doc bench fixture carries 37.5M true
+    * cross-boundary pairs) that is hundreds of MB of OUTPUT, not
+    * overhead. A daily admission gate doesn't need the pair list: it
+    * needs per-payload verdicts, and THIS form's per-new-id min fold
+    * runs map-side combine over the gated broadcast-join output, so
+    * the only exchange is O(|batch|) verdict rows at ANY true-dup
+    * density — the flat-in-index-AND-in-dup-density daily shape the
+    * corpus bench pins beside the pair form. */
+  def mediaIncrementVerdict(s: SparkSession, dir: String): DataFrame = {
+    val isNew = pmod(col("media_id"), lit(MediaIncrMod)) === lit(MediaIncrRem)
+    val standing = Warehouse.stored(s, dir, "media_digests").filter(!isNew)
+    val batch = mediaDigestsOf(Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(MediaIncrMod)) === lit(MediaIncrRem)))
+    mediaIncrementVerdictOf(batch, standing)
+  }
+
+  /** The verdict stage over explicit frames — the corpus bench's
+    * seam (the [[mediaIncrementOf]] discipline). */
+  private[graft] def mediaIncrementVerdictOf(batch: DataFrame,
+      standing: DataFrame): DataFrame = {
+    val nb = phashBands(batch)
+      .select(col("media_id").as("new_id"), col("phash").as("pn"),
+        col("band"), col("band_val"))
+    val sb = phashBands(standing)
+    sb.join(broadcast(nb), Seq("band", "band_val"))
+      .filter(bit_count(col("pn").bitwiseXOR(col("phash")))
+        <= PhashMaxHamming)
+      .select(col("new_id").as("media_id"),
+        struct(
+          bit_count(col("pn").bitwiseXOR(col("phash"))).cast("long")
+            .as("hamming"),
+          col("media_id").as("dup_of")).as("cand"))
+      .groupBy(col("media_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("media_id"), col("best.dup_of").as("dup_of"),
+        col("best.hamming").as("hamming"))
+      .orderBy("media_id")
+  }
+
+  val mediaIncrementVerdictSql: String =
+    s"""WITH $mediaIncrementCteSql,
+       |mgated AS (
+       |  SELECT n.media_id AS media_id, s.media_id AS dup_of,
+       |    CAST(bit_count(xor(n.phash, s.phash)) AS BIGINT) AS hamming
+       |  FROM mnb n JOIN msb s
+       |    ON n.band = s.band AND n.band_val = s.band_val
+       |  WHERE bit_count(xor(n.phash, s.phash)) <= $PhashMaxHamming)
+       |SELECT media_id, dup_of, hamming FROM (
+       |  SELECT media_id, dup_of, hamming,
+       |    row_number() OVER (PARTITION BY media_id
+       |      ORDER BY hamming ASC, dup_of ASC) AS rn
+       |  FROM mgated)
+       |WHERE rn = 1
+       |ORDER BY media_id""".stripMargin
 
   // ---- q54: corpus vocabulary (token frequency top-k) ----------------
 

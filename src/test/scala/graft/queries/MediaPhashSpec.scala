@@ -153,6 +153,36 @@ class MediaPhashSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((101L, 1L)),
       s"expected only the planted cross pair, got ${out.mkString(", ")}")
+    // The q188 verdict form: best match per new payload — on this
+    // plant, exactly the one pair, and in general the (hamming ASC,
+    // dup_of ASC)-minimal row of the pair list per media_id.
+    val verdict = TextOps.mediaIncrementVerdictOf(batch, standing).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(verdict.toSeq == Seq((101L, 1L)),
+      s"verdict must be the best pair per payload, got ${verdict.mkString(", ")}")
+  }
+
+  test("the verdict form is the per-payload minimum of the pair list") {
+    import spark.implicits._
+    // Denser plant: several standing near-dups per new payload with
+    // DIFFERENT Hamming distances — the verdict must pick the
+    // (hamming ASC, dup_of ASC) minimum of exactly the pair rows.
+    val base = 0x0123456789ABCDL
+    val standing = Seq(
+      (1L, base), (2L, base ^ 0x3L), (3L, base ^ 0xFFL), (4L, base ^ 0x1L))
+      .toDF("media_id", "phash")
+    val batch = Seq((101L, base)).toDF("media_id", "phash")
+    val pairs = TextOps.mediaIncrementOf(batch, standing).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pairs.groupBy(_._1).map { case (id, ps) =>
+      val best = ps.map(p => (p._3, p._2)).min
+      (id, best._2, best._1)
+    }.toSeq.sortBy(_._1)
+    val verdict = TextOps.mediaIncrementVerdictOf(batch, standing).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(verdict == want, s"verdict $verdict != min-of-pairs $want")
+    assert(verdict == Seq((101L, 1L, 0L)),
+      "the exact-match standing payload (hamming 0, smallest id) must win")
   }
 
   test("the Hamming gate sits BELOW the dedup exchange in both candidate stages (r17 #2)") {
@@ -168,8 +198,9 @@ class MediaPhashSpec extends AnyFunSuite with SparkFixture {
       .toDF("media_id", "phash")
     Seq(
       TextOps.mediaPhashEdges(dig),
-      TextOps.mediaIncrementOf(dig.filter($"media_id" < 8), dig.filter($"media_id" >= 8))
-    ).zip(Seq("edges", "increment")).foreach { case (df, which) =>
+      TextOps.mediaIncrementOf(dig.filter($"media_id" < 8), dig.filter($"media_id" >= 8)),
+      TextOps.mediaIncrementVerdictOf(dig.filter($"media_id" < 8), dig.filter($"media_id" >= 8))
+    ).zip(Seq("edges", "increment", "verdict")).foreach { case (df, which) =>
       val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
       assert(aggs.nonEmpty, s"$which: expected a distinct Aggregate in the plan")
       aggs.foreach { a =>
