@@ -2108,16 +2108,11 @@ object Similarity {
       rescore.getOrElse(if (pq) PqRescoreR else QuantRescoreR)
   }
 
-  /** Request-count ceiling of the driver-side probe-cell fast path
-    * (r17 verdict #2): at or below this, [[annServeUnified]] resolves
-    * probe cells on the driver (one k·dim centroid read + local
-    * arithmetic) and inlines them as plan literals, saving the ~2
-    * broadcast-exchange stages a single-request serve otherwise pays;
-    * above it, the one-job broadcast-frame probe amortizes across the
-    * batch. 32 keeps every interactive/param-battery call on the fast
-    * path while the 60-request batch batteries and the >100-request
-    * in-plan fusion populations stay on the batch form. */
-  private[queries] val ProbeLiteralMaxRequests = 32
+  /** Retained for the cross-path spec pin: any request population of
+    * at least 2 takes the broadcast-frame probe; exactly 1 takes the
+    * literal single-request fast path (see the branch comment in
+    * [[annServeUnified]]). */
+  private[queries] val ProbeLiteralMaxRequests = 1
 
   /** The unified serve over the memoized fixture store. Output one
     * row per (req_id, rank ≤ k): req_id, rank, vec_id, cell,
@@ -2217,80 +2212,92 @@ object Similarity {
         if (pq) graft.functions.PqOps.lut(bookVecs, ksub, v.toArray).toSeq
         else Seq.empty[Double])
     }
-    val reqDf = reqRows.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut")
-    // Probe-cell resolution, sized to the request population (r17
-    // verdict #2): the broadcast-exchange form (centroids ⋈
-    // broadcast(requests) → window → filter) is right for batches —
-    // one job regardless of |requests| — but adds ~2 driver-scheduled
-    // stages a SINGLE-request serve pays in full (q150/q158 measured
-    // ~2-3× wall through it). Below [[ProbeLiteralMaxRequests]] the
-    // centroids are k·dim driver rows by contract (the q72
-    // bounded-collect), so the probe cells resolve driver-side with
-    // the IDENTICAL arithmetic (sequential-fold cosine, the
-    // zero-denominator -2.0 pin, cos DESC / c_id DESC ties) and
-    // inline as plan literals — provably the same output, two fewer
-    // stages per call, AND the probed cell ids become a pushable
-    // `isin` predicate on the candidate scans (parquet row-group
-    // pruning — the retired per-variant forms' last advantage over
-    // the broadcast-frame probe). UnifiedServeSpec pins literal ≡
-    // broadcast row for row.
-    val literalProbeRows: Option[Seq[(Long, Seq[Double], Double,
-        Array[Byte], Double, Seq[Double], Long)]] =
-      if (requests.size > ProbeLiteralMaxRequests) None
-      else {
-        val cents = table("centroids").select(col("c_id"), col("v"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        def dotL(a: Seq[Double], b: Seq[Double]): Double = {
-          var acc = 0.0; var i = 0
-          while (i < a.length) { acc += a(i) * b(i); i += 1 }
-          acc
-        }
-        Some(reqRows.flatMap { case (rid, qv, qn, qcode, qqn, lut) =>
-          cents.filter(_._2.length == qv.length)
-            .map { case (cid, cv) =>
-              val denom = math.sqrt(dotL(cv, cv)) * math.sqrt(dotL(qv, qv))
-              val cos = if (denom == 0.0) -2.0 else dotL(cv, qv) / denom
-              (cos, cid)
-            }
-            .sortBy { case (cos, cid) => (-cos, -cid) }
-            .take(nprobe)
-            .map { case (_, cid) => (rid, qv, qn, qcode, qqn, lut, cid) }
-        })
-      }
-    val probes = literalProbeRows match {
-      case Some(rows) =>
-        rows.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut", "probe_cell")
-      case None =>
-        val wpc = Window.partitionBy(col("req_id"))
-          .orderBy(col("cos_c").desc, col("c_id").desc)
-        table("centroids").join(broadcast(reqDf))
-          .withColumn("cos_c", cosine(col("v"), col("qv")))
-          .withColumn("rn", row_number().over(wpc))
-          .filter(col("rn") <= nprobe)
-          .select(col("req_id"), col("qv"), col("qn"), col("qcode"),
-            col("qqn"), col("lut"), col("c_id").as("probe_cell"))
-    }
-    // Literal path only: prune the candidate scan to the union of
-    // probed cells BEFORE the fan-out join — semantically a no-op
-    // (the join keeps exactly these cells) but the predicate reaches
-    // the parquet scan as PushedFilters, so a single-request serve
-    // reads nprobe cells' row groups instead of hashing the whole
-    // tier through the join.
-    val literalCellIds = literalProbeRows.map(_.map(_._7).distinct)
-    def prunedToProbes(cand: DataFrame): DataFrame =
-      literalCellIds.fold(cand)(ids => cand.filter(col("cell").isin(ids: _*)))
+    // Lazy: the single-request fast path never materializes the
+    // request frame or the broadcast-frame probe — encoder derivation
+    // and the probe plan's analysis are a measurable slice of a
+    // sub-second serve's wall.
+    lazy val reqDf = reqRows.toDF("req_id", "qv", "qn", "qcode", "qqn", "lut")
+    lazy val wpc = Window.partitionBy(col("req_id"))
+      .orderBy(col("cos_c").desc, col("c_id").desc)
+    lazy val probes = table("centroids").join(broadcast(reqDf))
+      .withColumn("cos_c", cosine(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(wpc))
+      .filter(col("rn") <= nprobe)
+      .select(col("req_id"), col("qv"), col("qn"), col("qcode"),
+        col("qqn"), col("lut"), col("c_id").as("probe_cell"))
     val allowed = sources.map(ss => table("doc_stats")
       .filter(col("source").isin(ss: _*))
       .select(col("doc_id").as("vec_id"), col("source")))
     def gate(cand: DataFrame): DataFrame =
       allowed.fold(cand)(a =>
         cand.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    // SINGLE-REQUEST fast path (r17 verdict #2): the interactive /
+    // param-battery case pays the request-frame machinery (broadcast
+    // request join, per-request window or top-k aggregation,
+    // posexplode) in full for one request. With exactly one request
+    // every per-request structure collapses: the query vector, code
+    // and ADC table inline as plan LITERALS (no request frame), the
+    // probe is centroids × literal → TakeOrderedAndProject (nprobe
+    // rows, broadcast in-plan — zero extra driver actions), and every
+    // selection is orderBy+limit (TakeOrderedAndProject) instead of
+    // an aggregation. Arithmetic and tie rules are IDENTICAL to the
+    // batch form (same cosine/dot/i8/ADC kernels, cos DESC / vec_id
+    // ASC, probe ties cos_c DESC / c_id DESC), so the output is
+    // provably the batch-of-one slice — UnifiedServeSpec and the
+    // batch≡sequential pins exercise both paths against each other.
     val ranked =
-      if (!quantized && !pq) {
+      if (requests.size == 1) {
+        val (rid, qv0, qn0, qcode0, qqn0, lut0) = reqRows.head
+        val qvL = typedLit(qv0)
+        val qcells = table("centroids")
+          .withColumn("cos_c", cosine(col("v"), qvL))
+          .orderBy(col("cos_c").desc, col("c_id").desc)
+          .limit(nprobe)
+          .select(col("c_id").as("probe_cell"))
+        def cand(t: String): DataFrame =
+          gate(minusTomb(table(t), tomb)
+            .join(broadcast(qcells), col("cell") === col("probe_cell")))
+        val wr1 = Window.orderBy(col("cos").desc, col("vec_id").asc)
+        def finish(scored: DataFrame): DataFrame = scored
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(k)
+          .withColumn("rank", row_number().over(wr1).cast("long"))
+          .select(lit(rid).as("req_id"), col("rank"), col("vec_id"),
+            col("cell"), round(col("cos"), 6).as("cosine"))
+        if (!quantized && !pq) {
+          val denom = col("norm") * lit(qn0)
+          finish(cand("cells")
+            .withColumn("cos", when(denom === 0.0, lit(-2.0))
+              .otherwise(dot(col("v"), qvL) / denom)))
+        } else {
+          val preScored =
+            if (pq) {
+              val pdenom = col("norm") * lit(qn0)
+              cand("cells_pq")
+                .withColumn("qcos", when(pdenom === 0.0, lit(-2.0))
+                  .otherwise(call_function("graft_pq_adc", col("code"),
+                    typedLit(lut0)) / pdenom))
+            } else {
+              val qdenom = col("qnorm") * lit(qqn0)
+              cand("cells_q8")
+                .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
+                  .otherwise(call_function("graft_i8_dot", col("code"),
+                    lit(qcode0)).cast("double") / qdenom))
+            }
+          val pre = preScored
+            .orderBy(col("qcos").desc, col("vec_id").asc)
+            .limit(rescore)
+            .select(col("vec_id").as("p_vec"))
+          val denom = col("norm") * lit(qn0)
+          finish(table("cells")
+            .join(broadcast(pre), col("vec_id") === col("p_vec"))
+            .withColumn("cos", when(denom === 0.0, lit(-2.0))
+              .otherwise(dot(col("v"), qvL) / denom)))
+        }
+      } else if (!quantized && !pq) {
         val denom = col("norm") * col("qn")
         val topk = udaf(new TopKAggregator(k), Encoders.product[ScoredCand])
-        gate(prunedToProbes(minusTomb(table("cells"), tomb))
+        gate(minusTomb(table("cells"), tomb)
             .join(broadcast(probes), col("cell") === col("probe_cell")))
           .withColumn("cos", when(denom === 0.0, lit(-2.0))
             .otherwise(dot(col("v"), col("qv")) / denom))
@@ -2311,7 +2318,7 @@ object Similarity {
         val preScored =
           if (pq) {
             val pdenom = col("norm") * col("qn")
-            gate(prunedToProbes(minusTomb(table("cells_pq"), tomb))
+            gate(minusTomb(table("cells_pq"), tomb)
                 .join(broadcast(probes), col("cell") === col("probe_cell")))
               .withColumn("qcos", when(pdenom === 0.0, lit(-2.0))
                 .otherwise(
@@ -2319,7 +2326,7 @@ object Similarity {
                     / pdenom))
           } else {
             val qdenom = col("qnorm") * col("qqn")
-            gate(prunedToProbes(minusTomb(table("cells_q8"), tomb))
+            gate(minusTomb(table("cells_q8"), tomb)
                 .join(broadcast(probes), col("cell") === col("probe_cell")))
               .withColumn("qcos", when(qdenom === 0.0, lit(-2.0))
                 .otherwise(
@@ -2346,10 +2353,21 @@ object Similarity {
           .select(col("p_req").as("req_id"), col("rank"), col("vec_id"),
             col("cell"), round(col("cos"), 6).as("cosine"))
       }
-    allowed.fold(ranked)(a => ranked.join(a, Seq("vec_id"))
-        .select(col("req_id"), col("rank"), col("vec_id"), col("cell"),
-          col("source"), col("cosine")))
-      .orderBy("req_id", "rank")
+    val attached = allowed.fold(ranked)(a => ranked.join(a, Seq("vec_id"))
+      .select(col("req_id"), col("rank"), col("vec_id"), col("cell"),
+        col("source"), col("cosine")))
+    // Output ordering: a global orderBy range-partitions, and the
+    // range partitioner SAMPLES its input — one extra job that costs
+    // a single-request serve ~30% wall on a k-row frame. The
+    // unfiltered single-request path is ONE partition by construction
+    // (TakeOrderedAndProject → single-partition window), so
+    // sortWithinPartitions is already a TOTAL order there with zero
+    // extra jobs; every other form keeps the global sort. (The
+    // filtered single re-attaches `source` through a non-broadcast
+    // join and so may be multi-partition — it stays on orderBy.)
+    if (requests.size == 1 && sources.isEmpty)
+      attached.sortWithinPartitions("req_id", "rank")
+    else attached.orderBy("req_id", "rank")
   }
 
   /** Projection of a SINGLE-request unified serve to the sequential

@@ -172,10 +172,26 @@ object Warehouse {
     }
 
   /** Read one table of the CURRENT committed snapshot. */
+  /** Analyzed-frame cache keyed by the RESOLVED snapshot path
+    * (store, version, table) + session. `s.read.parquet` builds a
+    * fresh InMemoryFileIndex (a listing + footer read) and re-derives
+    * the relation per call — ~tens of ms that an interactive serve
+    * pays 2–3× per request (r18). A snapshot directory is IMMUTABLE
+    * once committed (the whole point of the versioned protocol), so
+    * the frame for a (version, table) can never go stale: a commit
+    * changes the resolved path, which is the cache key. Bounded by
+    * distinct snapshots touched in a session; entries for dropped
+    * versions are just dead map slots (frames hold no file handles). */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def cachedParquet(s: SparkSession, path: String): DataFrame =
+    frameCache.computeIfAbsent((s, path), _ => s.read.parquet(path))
+
   def read(s: SparkSession, whDir: String, table: String): DataFrame = {
     val v = version(whDir)
     require(v > 0, s"warehouse $whDir has no committed snapshot")
-    s.read.parquet(s"$whDir/v=$v/$table")
+    cachedParquet(s, s"$whDir/v=$v/$table")
   }
 
   /** The snapshot versions still on disk, ascending. The commit
@@ -198,7 +214,7 @@ object Warehouse {
       ver: Long): DataFrame = {
     require(versions(whDir).contains(ver),
       s"version $ver not retained in $whDir (have ${versions(whDir)})")
-    s.read.parquet(s"$whDir/v=$ver/$table")
+    cachedParquet(s, s"$whDir/v=$ver/$table")
   }
 
   /** The per-doc stats row (doc_id, source, n_tokens, quality_score)

@@ -50,16 +50,16 @@ class UnifiedServeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("literal-probe fast path equals the broadcast-frame probe row for row") {
-    // r17 verdict #2: below ProbeLiteralMaxRequests the kernel
-    // resolves probe cells driver-side and inlines them as plan
-    // literals; above it, the broadcast-exchange form runs. A batch
-    // one past the threshold forces the broadcast path, while each
-    // sequential call takes the literal path — their row-identity is
-    // exactly the literal ≡ broadcast probe pin (same cosine
-    // arithmetic, same zero-denominator -2.0, same cos DESC / c_id
-    // DESC ties).
-    val n = Similarity.ProbeLiteralMaxRequests + 1
+  test("single-request fast path equals the broadcast-frame batch row for row") {
+    // r17 verdict #2: exactly one request takes the literal
+    // single-request plan (typedLit vector, in-plan TakeOrdered
+    // probe, orderBy+limit selection); two or more take the
+    // broadcast-frame form. A multi-request batch forces the batch
+    // path, while each sequential call takes the fast path — their
+    // row-identity is exactly the single ≡ batch pin (same cosine
+    // arithmetic, same zero-denominator -2.0, same cos DESC /
+    // vec_id ASC selection and cos_c DESC / c_id DESC probe ties).
+    val n = 12
     val reqs = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
       .orderBy("vec_id").limit(n).collect()
