@@ -734,10 +734,20 @@ object RetrievalIndex {
   /** Collect two ≤k-row serving legs CONCURRENTLY (r14 verdict #6:
     * the lazy q146 plan runs them sequentially — p50 ≈ sum of legs)
     * and fuse by reciprocal rank fusion. Value-identical to the q146
-    * fusion: collect order of an orderBy+limit IS the leg's rank
-    * order, and the fusion algebra runs as the same Spark expressions
-    * over the ≤30 fused rows. The legs are independent Spark actions
-    * on a shared session — a bounded daemon pool overlaps them. */
+    * fusion (spec-pinned): collect order of an orderBy+limit IS the
+    * leg's rank order, and the fusion algebra runs ON THE DRIVER over
+    * the ≤ kSparse + kDense collected ids with the identical
+    * arithmetic — same IEEE double term `1.0 / (RrfK + rank)`, absent
+    * legs contributing exactly 0.0, and Spark's own HALF_UP
+    * `round(_, 6)` semantics (`BigDecimal(d)` is Spark Round's
+    * valueOf-style decimal form). r18 measured the old Spark-side
+    * fusion (two local relations full-outer joined) costing a THIRD
+    * driver action per request — planning + AQE on ≤30 rows dominated
+    * the serve once the legs rode the literal fast path — so the
+    * fusion is now plain Scala and the result a LocalRelation: the
+    * request pays exactly two overlapped leg jobs and nothing else.
+    * The legs are independent Spark actions on a shared session — a
+    * bounded daemon pool overlaps them. */
   private lazy val legPool = scala.concurrent.ExecutionContext
     .fromExecutorService(java.util.concurrent.Executors.newFixedThreadPool(
       4,
@@ -757,19 +767,18 @@ object RetrievalIndex {
     val sp = Await.result(spF, Duration(600, "s"))
     val dn = Await.result(dnF, Duration(600, "s"))
     import s.implicits._
-    val spDf = sp.toSeq.zipWithIndex
-      .map { case (id, i) => (id, i + 1L) }.toDF("doc_id", "rank_sparse")
-    val dnDf = dn.toSeq.zipWithIndex
-      .map { case (id, i) => (id, i + 1L) }.toDF("doc_id", "rank_dense")
-    def term(r: Column): Column =
-      when(r.isNull, lit(0.0))
-        .otherwise(lit(1.0) / (lit(Similarity.RrfK) + r))
-    spDf.join(dnDf, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
-        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
-        round(term(col("rank_sparse")) + term(col("rank_dense")), 6).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
+    val spRank = sp.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    val dnRank = dn.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    def term(r: Long): Double =
+      if (r == 0L) 0.0 else 1.0 / (Similarity.RrfK + r)
+    val fused = (sp ++ dn).distinct.toSeq.map { id =>
+      val rs = spRank.getOrElse(id, 0L)
+      val rd = dnRank.getOrElse(id, 0L)
+      val rrf = BigDecimal(term(rs) + term(rd))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, rs, rd, rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+    fused.toDF("doc_id", "rank_sparse", "rank_dense", "rrf")
   }
 
   /** PARAMETERIZED hybrid serving: an arbitrary (terms, query vector)
@@ -805,8 +814,17 @@ object RetrievalIndex {
         .select("vec_id").collect().map(_.getLong(0)))
 
   /** The q146 search through the CONCURRENT path — same legs, same
-    * fusion values, ~half the latency (benched as `hybrid_conc` in
-    * the index_serve section; a spec pins value-identity to q146). */
+    * fusion values (a spec pins value-identity to q146). Routing
+    * history (r18 verdict #1): in r18 this path regressed to 801 ms
+    * p50 — past the lazy plan's 433 — because its fusion ran as a
+    * THIRD Spark action (two local relations full-outer joined, AQE
+    * planning dominating a ≤30-row join) after the literal fast path
+    * had made each leg cheap. With [[fuseRrf]]'s fusion moved to the
+    * driver the request pays exactly two overlapped leg jobs, and
+    * this path measures max(legs) + ε ≈ 183 ms p50 vs the lazy
+    * plan's 451 (sum of legs) at sf0.1 — the serving default again
+    * ([[hybridServeDefault]]), benched as the budgeted `q146_hybrid`
+    * row in the index_serve section. */
   def hybridServeConcurrent(s: SparkSession, dir: String): DataFrame =
     fuseRrf(s,
       () => bm25ServeScoredFrom(s, ensure(s, dir))
@@ -816,6 +834,18 @@ object RetrievalIndex {
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(Similarity.AnnServeK)
         .select("vec_id").collect().map(_.getLong(0)))
+
+  /** The SERVING DEFAULT for a single fixture hybrid request — the
+    * path a deployment's request handler runs, routed to the
+    * measured-faster form (r18 verdict #1): the concurrent legs with
+    * DRIVER-side fusion (r19: 183 ms p50 / 222 ms p95 vs the lazy
+    * single plan's 451/554 at sf0.1 — overlap wins again once the
+    * fusion stopped being a third Spark action). The `index_serve`
+    * budget verdict benches THIS symbol; the value-identity spec pins
+    * it ≡ q146 ≡ the lazy twin, so re-routing is a one-line flip if
+    * the economics change again. */
+  def hybridServeDefault(s: SparkSession, dir: String): DataFrame =
+    hybridServeConcurrent(s, dir)
 
   /** The q151 pinned request: different terms than q144/q149 and a
     * different probe vector than q142 — the parameterized hybrid

@@ -185,6 +185,13 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq)
     assert(concRows.toSeq == lazyRows.toSeq,
       "concurrent hybrid diverged from the oracle-certified q146 fusion")
+    // The serving DEFAULT (whatever it is currently routed to) must
+    // also equal the oracle-certified q146 fusion — re-routing the
+    // default can never change served values (r18 verdict #1).
+    val defRows = RetrievalIndex.hybridServeDefault(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(defRows.toSeq == lazyRows.toSeq,
+      "hybridServeDefault diverged from the oracle-certified q146 fusion")
   }
 
   test("parameterized ANN at nprobe = K equals the brute-force cosine top-k") {
