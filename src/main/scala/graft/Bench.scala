@@ -890,12 +890,54 @@ object Bench {
             // artifact distinguishes "more steps ran" from "each step
             // got slower" (r17 verdict #3 — stderr-only before).
             var refreshSteps = 0
-            bf += stageRow("refresh_converged") {
+            // Per-stage refresh attribution (r18 verdict #3): the
+            // refresh's internal stages — refit+re-assign, int8
+            // re-encode, the PQ carry-forward join, the purge
+            // recompute — accumulate across the loop's steps into one
+            // committed `refresh_<stage>` row each (`n` = stage
+            // executions), so a refresh regression attributes to the
+            // stage that moved instead of hiding in the loop total.
+            // No per-stage sentinel probe (it would inflate the outer
+            // row ~0.2 s per stage per step); stage rows inherit the
+            // outer row's sentinel. Stage walls undershoot the outer
+            // wall by the per-step drift-gate aggregate, by design.
+            val refreshStageAgg =
+              scala.collection.mutable.LinkedHashMap[String, StageRow]()
+            val refreshMeasure: (String, () => Unit) => Unit =
+              (name, work) => {
+                val g0 = gcSnap(); val s0 = sysSnap()
+                val k0 = taskTime.millis.get()
+                val w0 = taskTime.shufWrite.get()
+                val r0 = taskTime.shufRead.get()
+                val t0 = System.nanoTime()
+                work()
+                val wall = (System.nanoTime() - t0) / 1e9
+                val s1 = sysSnap(); val g1 = gcSnap()
+                taskTime.drain(spark.sparkContext)
+                val d = StageRow(s"refresh_$name", wall, 0.0,
+                  (s1.stealJiffies - s0.stealJiffies) / userHz,
+                  (g1._1 - g0._1) / 1e3,
+                  (taskTime.millis.get() - k0) / 1e3,
+                  (taskTime.shufWrite.get() - w0) / 1048576.0,
+                  (taskTime.shufRead.get() - r0) / 1048576.0)
+                refreshStageAgg.get(d.name) match {
+                  case Some(p) => refreshStageAgg(d.name) = p.copy(
+                    wall = p.wall + d.wall, stealS = p.stealS + d.stealS,
+                    gcS = p.gcS + d.gcS, taskS = p.taskS + d.taskS,
+                    shufWriteMb = p.shufWriteMb + d.shufWriteMb,
+                    shufReadMb = p.shufReadMb + d.shufReadMb, n = p.n + 1)
+                  case None => refreshStageAgg(d.name) = d.copy(n = 1L)
+                }
+              }
+            val refreshRow = stageRow("refresh_converged") {
               refreshSteps = graft.queries.Warehouse
                 .refreshSemanticUntilConverged(spark, whFull,
                   thresholdMicro = graft.queries.Similarity.LloydEpsMicro,
-                  maxSteps = 4)
+                  maxSteps = 4, measure = refreshMeasure)
             }.copy(n = refreshSteps.toLong)
+            bf += refreshRow
+            refreshStageAgg.values
+              .foreach(r => bf += r.copy(sent = refreshRow.sent))
             System.err.println(
               s"[bench] refresh_converged ran $refreshSteps step(s)")
             // INCREMENTAL media dedup at corpus scale (r15 verdict
@@ -1067,8 +1109,16 @@ object Bench {
         Some(sk.drop(1).toInt)
       else None
     }
-    val byNum = results.flatMap { case (k, v, _) =>
-      qNumOf(k).map(_ -> math.round(v * 100).toString) }.toMap
+    val byNumPairs = results.flatMap { case (k, v, _) =>
+      qNumOf(k).map(_ -> math.round(v * 100).toString) }
+    // A qNN prefix collision would silently last-win through .toMap
+    // and drop a timing from the positional q_cs array (ADVICE r18) —
+    // fail loudly instead; registry names are the fix.
+    require(byNumPairs.map(_._1).distinct.size == byNumPairs.size,
+      "duplicate qNN prefixes in the bench registry: " +
+        byNumPairs.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+          .mkString(", "))
+    val byNum = byNumPairs.toMap
     val qcs = (1 to (if (byNum.isEmpty) 0 else byNum.keys.max))
       .map(n => byNum.getOrElse(n, "null")).mkString("[", ",", "]")
     val qcsExtra = jmap(results.collect {

@@ -126,8 +126,16 @@ object MLOps {
     val zTrained = types.zip(scorer.weights)
       .map { case (t, wi) => col(s"n_$t") * lit(wi) }
       .reduce(_ + _) + lit(scorer.bias)
+    // headOption, not head (ADVICE r18): a degenerate single-class
+    // fixture has no index-1 rows and the audit must report that
+    // cause, not a bare NoSuchElementException.
     val index1Label = weighted.filter(col("label_index") === 1.0)
-      .select(col("label")).head.getString(0)
+      .select(col("label")).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "refitPinMismatches: fixture has a single label class; " +
+          "indexer orientation is undefined — re-pin on a two-class " +
+          "scale (see LrPinnedScorerSpec)"))
+      .getString(0)
     val trainedPositive =
       if (index1Label == TrainedIndex1Label) zTrained >= LogitCutoff
       else zTrained <= -LogitCutoff

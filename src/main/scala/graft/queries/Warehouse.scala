@@ -171,22 +171,50 @@ object Warehouse {
         }
     }
 
-  /** Read one table of the CURRENT committed snapshot. */
   /** Analyzed-frame cache keyed by the RESOLVED snapshot path
-    * (store, version, table) + session. `s.read.parquet` builds a
-    * fresh InMemoryFileIndex (a listing + footer read) and re-derives
-    * the relation per call — ~tens of ms that an interactive serve
-    * pays 2–3× per request (r18). A snapshot directory is IMMUTABLE
-    * once committed (the whole point of the versioned protocol), so
-    * the frame for a (version, table) can never go stale: a commit
-    * changes the resolved path, which is the cache key. Bounded by
-    * distinct snapshots touched in a session; entries for dropped
-    * versions are just dead map slots (frames hold no file handles). */
+    * (store, version, table) + session + the table directory's
+    * MTIME. `s.read.parquet` builds a fresh InMemoryFileIndex (a
+    * listing + footer read) and re-derives the relation per call —
+    * ~tens of ms that an interactive serve pays 2–3× per request
+    * (r18). A snapshot directory is IMMUTABLE once committed (the
+    * whole point of the versioned protocol), so the frame for a
+    * (version, table) can never go stale through the protocol: a
+    * commit changes the resolved path, which is in the key. The
+    * mtime component covers the one case outside the protocol
+    * (ADVICE r18): a warehouse directory dropped and REBUILT at the
+    * same path within one session — the rebuilt table dir carries a
+    * new mtime, so the stale cached file index is never served. LRU
+    * bound ([[FrameCacheMax]], access-ordered) keeps a long-running
+    * maintainer that commits many versions from growing without
+    * bound — dead slots for reaped versions age out. */
+  private val FrameCacheMax = 256
   private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, Long), DataFrame](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Long), DataFrame])
+        : Boolean = size() > FrameCacheMax
+    }
 
-  private def cachedParquet(s: SparkSession, path: String): DataFrame =
-    frameCache.computeIfAbsent((s, path), _ => s.read.parquet(path))
+  private def cachedParquet(s: SparkSession, path: String): DataFrame = {
+    val mtime =
+      try java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val key = (s, path, mtime)
+    val hit = frameCache.synchronized(Option(frameCache.get(key)))
+    hit.getOrElse {
+      // Build OUTSIDE the lock: a cold read is tens of ms and the
+      // concurrent hybrid legs resolve their stores in parallel — a
+      // racing double-build is harmless (last put wins).
+      val df = s.read.parquet(path)
+      frameCache.synchronized {
+        Option(frameCache.get(key)).getOrElse { frameCache.put(key, df); df }
+      }
+    }
+  }
+
+  /** Read one table of the CURRENT committed snapshot. */
 
   def read(s: SparkSession, whDir: String, table: String): DataFrame = {
     val v = version(whDir)
@@ -756,7 +784,8 @@ object Warehouse {
     * centroids automatically (they read the stored table). A cell
     * with no members keeps no centroid (its vectors re-home to the
     * surviving cells). Returns the new version. */
-  def refreshSemantic(s: SparkSession, whDir: String): Long = {
+  def refreshSemantic(s: SparkSession, whDir: String,
+      measure: (String, () => Unit) => Unit = (_, f) => f()): Long = {
     val cur = version(whDir)
     require(cur > 0, s"refreshSemantic needs a committed snapshot in $whDir")
     val present = TableNames.filter(t =>
@@ -776,15 +805,25 @@ object Warehouse {
     // their rows — the tombstone list is NOT carried forward (the
     // deferred physical-delete the deletion-vector discipline owes).
     val cells = liveCells(s, whDir)
-    val cents = refreshedCentroids(s, whDir)
     import s.implicits._
-    write("centroids", cents.toSeq.toDF("c_id", "v"))
-    write("cells", Similarity.assignCellsWith(
-        cells.select(col("vec_id"), col("v")), cents)
-      .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v")))
-    write("cells_q8", Similarity.cellsQ8Of(readBack("cells")))
-    carryPqForward(s, whDir, present, readBack("cells"), write)
-    write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells")))
+    // Stage hook (r18 verdict #3): the per-stage walls — refit,
+    // re-assignment, int8 re-encode, the PQ carry-forward join, the
+    // purge recompute — are measurable individually, so a maintenance
+    // bench can attribute a refresh regression to the stage that
+    // moved (the mergeBatch `measure` discipline, mirrored).
+    measure("refit_assign", () => {
+      val cents = refreshedCentroids(s, whDir)
+      write("centroids", cents.toSeq.toDF("c_id", "v"))
+      write("cells", Similarity.assignCellsWith(
+          cells.select(col("vec_id"), col("v")), cents)
+        .select(col("vec_id"), col("cell"), col("nv").as("norm"), col("v")))
+    })
+    measure("q8_encode", () =>
+      write("cells_q8", Similarity.cellsQ8Of(readBack("cells"))))
+    measure("pq_carry", () =>
+      carryPqForward(s, whDir, present, readBack("cells"), write))
+    measure("sem_purge", () =>
+      write("sem_purge", Similarity.semanticPurgeFromCells(readBack("cells"))))
     commit(whDir, cur, next)
     next
   }
@@ -874,9 +913,10 @@ object Warehouse {
     * when the stored centroids are still within tolerance (the
     * maintenance job's one-call policy entry). */
   def refreshSemanticIfDrifted(s: SparkSession, whDir: String,
-      thresholdMicro: Long): Option[Long] =
+      thresholdMicro: Long,
+      measure: (String, () => Unit) => Unit = (_, f) => f()): Option[Long] =
     if (semanticDriftMicro(s, whDir) > thresholdMicro)
-      Some(refreshSemantic(s, whDir))
+      Some(refreshSemantic(s, whDir, measure))
     else None
 
   /** Drift-gated refresh UNTIL CONVERGED (r15 verdict #5): iterate
@@ -891,11 +931,12 @@ object Warehouse {
     * partially-refitted store the next run resumes gating on.
     * Returns the number of refresh steps committed. */
   def refreshSemanticUntilConverged(s: SparkSession, whDir: String,
-      thresholdMicro: Long, maxSteps: Int = 8): Int = {
+      thresholdMicro: Long, maxSteps: Int = 8,
+      measure: (String, () => Unit) => Unit = (_, f) => f()): Int = {
     require(maxSteps > 0, s"maxSteps must be positive, got $maxSteps")
     var n = 0
     while (n < maxSteps &&
-        refreshSemanticIfDrifted(s, whDir, thresholdMicro).nonEmpty)
+        refreshSemanticIfDrifted(s, whDir, thresholdMicro, measure).nonEmpty)
       n += 1
     n
   }
