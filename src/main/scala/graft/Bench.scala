@@ -725,6 +725,23 @@ object Bench {
               "text", bloomBits)
             .agg(sum(col("dup_candidate").cast("long"))).first().getLong(0)
         }
+        // Media popcount floor, MEASURED PER TIER (r18 verdict #4):
+        // `n` = band-collision probes the daily media batch pays
+        // against the standing index (each = one map-side codegen'd
+        // xor+popcount; expected ≈ true band hits +
+        // |batch|·|standing|·4/2¹⁶ random collisions). The floor is
+        // the documented linear-in-standing-index CPU cost of the
+        // 4×16-bit banding (TextOps.PhashBands) — committing the
+        // count at every corpus scale tracks its growth round over
+        // round instead of leaving it folded into task_sec.
+        val isNewMediaDoc = pmod(col("doc_id"), lit(10L)) === lit(6L)
+        var mediaProbes = 0L
+        val mediaFloorRow = stageRow("media_probe_floor") {
+          mediaProbes = graft.queries.TextOps.mediaProbeCountOf(
+            graft.queries.TextOps.mediaDigestsOf(docs.filter(isNewMediaDoc)),
+            graft.queries.TextOps.mediaDigestsOf(docs.filter(!isNewMediaDoc)))
+        }.copy(n = mediaProbes)
+        rows += mediaFloorRow
         // MERGE of the fixed batch (r13 verdict #2/#3's criterion):
         // leaf appends are O(batch) I/O and the recluster touches only
         // the batch's components, so merge wall must stay ~flat across

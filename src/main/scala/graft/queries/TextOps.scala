@@ -504,6 +504,24 @@ object TextOps {
         shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("band_val")))
       .reduce(_ unionByName _)
 
+  /** The media increment's popcount FLOOR, MEASURED (r18 verdict
+    * #4): the number of band-collision probes (pre-gate join rows —
+    * every one costs exactly one map-side xor+popcount) a batch pays
+    * against a standing index. This is the quantity documented as
+    * linear-in-standing-index at [[PhashBands]] (expected
+    * ≈ true-dup band hits + |batch|·|standing|·4/2¹⁶ random
+    * collisions); the corpus bench commits it per tier so the
+    * floor's growth is tracked round over round instead of hiding
+    * inside `task_sec`. Map-only probe + a count partial — no pair
+    * materialization, no exchange beyond the count. */
+  private[graft] def mediaProbeCountOf(batch: DataFrame,
+      standing: DataFrame): Long =
+    phashBands(standing)
+      .join(broadcast(phashBands(batch)
+        .select(col("media_id").as("new_id"), col("band"), col("band_val"))),
+        Seq("band", "band_val"))
+      .count()
+
   private[queries] def mediaPhashEdges(dig: DataFrame): DataFrame = {
     // Hamming gate BEFORE the dedup exchange (r17 verdict #2): both
     // hashes are already in the collision row, so the xor+popcount

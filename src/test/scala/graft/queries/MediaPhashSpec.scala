@@ -217,6 +217,57 @@ class MediaPhashSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the Hamming gate precedes every pair-level EXCHANGE on all media paths (r18 #4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // PHYSICAL-plan complement of the logical pin above: no shuffle
+    // may move ungated collision pairs. Every ShuffleExchangeExec
+    // whose subtree produces pairs (contains the banding join) must
+    // have the popcount gate below it — as a FilterExec or folded
+    // into the join condition. Exchanges BELOW the join (the edge
+    // path's band-row repartition, O(n) digest rows) are exempt:
+    // they move band rows, not pairs. Pinned on the EXECUTED plan's
+    // initial tree (exchanges only exist after EnsureRequirements);
+    // inputs repartitioned so the test-scale plan carries the same
+    // exchanges a multi-partition production input does.
+    // Round-robin repartition: hash-partitioning by media_id would
+    // legitimately let the distinct skip its exchange (rows already
+    // clustered by src), leaving nothing to pin.
+    val dig = (0 until 64).map(i => (i.toLong, (i * 2654435761L) & Long.MaxValue))
+      .toDF("media_id", "phash").repartition(3)
+    def gatedBelow(p: SparkPlan): Boolean = p.collectFirst {
+      case f: FilterExec if f.condition.toString.contains("bit_count") => f
+      case j: BaseJoinExec
+        if j.condition.exists(_.toString.contains("bit_count")) => j
+    }.isDefined
+    def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+    Seq(
+      TextOps.mediaPhashEdges(dig),
+      TextOps.mediaIncrementOf(dig.filter($"media_id" < 8), dig.filter($"media_id" >= 8)),
+      TextOps.mediaIncrementVerdictOf(dig.filter($"media_id" < 8), dig.filter($"media_id" >= 8))
+    ).zip(Seq("edges", "increment", "verdict")).foreach { case (df, which) =>
+      val plan = physical(df)
+      val pairExchanges = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.child.collectFirst { case j: BaseJoinExec => j }.isDefined => e
+      }
+      assert(pairExchanges.nonEmpty,
+        s"$which: expected at least one pair-level exchange (distinct/agg)" +
+          s"\n${plan.treeString}")
+      pairExchanges.foreach(e =>
+        assert(gatedBelow(e.child),
+          s"$which: an exchange moves ungated collision pairs:\n${e.treeString}"))
+    }
+  }
+
   test("the banded recall bound is exactly as documented (ADVICE r15)") {
     import spark.implicits._
     // Synthetic digest rows drive the edge stage directly: the

@@ -320,6 +320,41 @@ class PlanShapeSpec extends AnyFunSuite with Matchers with SparkFixture {
     edges should not include "embeddings.parquet"
   }
 
+  test("q188's min-fold combines map-side — no pair set crosses an exchange (r18 #6)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // The O(batch) claim, shape-pinned: the verdict's per-new-id min
+    // runs as a PARTIAL aggregate on the gated broadcast-join output
+    // BEFORE any shuffle, so every exchange above the pair-producing
+    // join moves ≤ |batch| combined verdict rows, never the pair
+    // set. Structurally: each ShuffleExchangeExec whose subtree
+    // contains the banding join must have an aggregate BETWEEN
+    // itself and that join (the executed plan's initial tree —
+    // exchanges only exist after EnsureRequirements).
+    val plan = graft.SparkEntry
+      .queries("q188_media_verdict")(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+    val pairExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.child.collectFirst { case j: BaseJoinExec => j }.isDefined => e
+    }
+    pairExchanges should not be empty
+    pairExchanges.foreach { e =>
+      val combined = e.child.collectFirst {
+        case a: BaseAggregateExec
+          if a.collectFirst { case j: BaseJoinExec => j }.isDefined => a
+      }
+      assert(combined.isDefined,
+        s"q188: an exchange moves raw pairs (no map-side combine below " +
+          s"it):\n${e.treeString}")
+    }
+  }
+
   test("the merge-diff audit reads two snapshot versions, never the corpus") {
     // q143: both purge versions + doc_stats come from the merged
     // fixture warehouse via the retention window — time travel is a
