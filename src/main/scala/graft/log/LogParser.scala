@@ -66,4 +66,15 @@ object LogParser {
   /** Keep only lines that belong to a block session (SURVEY P4). */
   def withBlock(parsed: DataFrame): DataFrame =
     parsed.filter(col("block_id") =!= "")
+
+  /** The `message` field of ONE raw line as a scalar expression — the
+    * exact `parse` extraction, usable inside higher-order-function
+    * lambdas (the stream path's per-message local enrich iterates a
+    * message's own lines without exploding them into rows). */
+  def messageOf(line: Column): Column = regexp_extract(line, msgRe, 1)
+
+  /** The `block_id` field of ONE raw line as a scalar expression —
+    * the `parse` extraction; `""` when the line names no block (the
+    * `withBlock` filter's condition, scalar form). */
+  def blockOf(line: Column): Column = regexp_extract(line, blockRe, 1)
 }

@@ -37,7 +37,14 @@ object StreamPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val enriched = StreamTransform.enrich(batch, templates, scorer, threshold)
+        // enrichLocal (r18 verdict #5): per-message map-only features
+        // — the reference's one-message-at-a-time transform semantics
+        // and ~5× the batch-formulated enrich's rows/s at micro-batch
+        // sizes (its explode → keyed agg → join chain paid ~5
+        // scheduled stages per batch; see StreamTransform.enrichLocal
+        // for the exact semantic boundary, spec-pinned).
+        val enriched =
+          StreamTransform.enrichLocal(batch, templates, scorer, threshold)
         ServingStore.upsert(enriched, storePath, "block_id", batchId)
         ()
       }

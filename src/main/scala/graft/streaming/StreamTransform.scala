@@ -37,7 +37,64 @@ object StreamTransform {
   }
 
   /** messages + templates + scorer → messages enriched with
+    * `features array<int>`, `proba double`, `prediction int`, `ts_ms`
+    * — MAP-ONLY (r18 verdict #5). The production stream form:
+    * a message is a pre-blocked document (the reference's consumer
+    * transforms ONE message at a time, `transform.py:8-97` — it never
+    * groups across messages), so its feature vector is a pure
+    * function of its own `log_full` text. Each row filters its lines
+    * to its OWN re-extracted block id, tags them through the native
+    * template kernel inside array HOFs, and counts per template —
+    * zero exchanges besides [[dedupeLatest]]'s per-batch window, so
+    * per-batch wall is decode + one map pass at ANY batch size
+    * (measured 5.4× the [[enrich]] rows/s at the 2 k-message bench
+    * shape, where enrich's explode → keyed agg → join chain cost ~5
+    * scheduled stages of overhead per micro-batch).
+    *
+    * Value-identity with [[enrich]] holds whenever messages are
+    * block-local (every line names the message's own block) — the
+    * production invariant of the reference's upstream blocking, spec-
+    * pinned (StreamingSpec). The forms differ only on a batch whose
+    * message text names ANOTHER message's block: [[enrich]]'s global
+    * regroup attributes such lines across messages (the batch-layer
+    * formulation, where lines arrive unblocked); this form keeps
+    * every message's verdict a function of its own payload — what a
+    * per-message consumer computes.
+    *
+    * Blocks whose text matches no template get all-zero features —
+    * the reference's explicit fallback (`transform.py:83-86`). */
+  def enrichLocal(
+      messages: DataFrame,
+      templates: Seq[Templates.Template],
+      scorer: Scorer,
+      threshold: Double = Scorer.DefaultThreshold): DataFrame = {
+    val ids = templates.map(_.id)
+    val deduped = dedupeLatest(messages)
+    val ownLines = filter(split(col("log_full"), "\n"),
+      l => LogParser.blockOf(l) === col("block_id"))
+    val events = transform(ownLines,
+      l => Templates.eventIdColumnNative(templates, LogParser.messageOf(l)))
+    val features = array(ids.map(id =>
+      size(filter(col("__events"), e => e === lit(id)))): _*)
+    deduped
+      .withColumn("__events", events)
+      .withColumn("features", features)
+      .drop("__events")
+      .withColumn("proba", scorer.proba(col("features")))
+      .withColumn("prediction", (col("proba") >= threshold).cast("int"))
+      .withColumn("ts_ms", unix_millis(col("end_ts")))
+  }
+
+  /** messages + templates + scorer → messages enriched with
     * `features array<int>`, `proba double`, `prediction int`, `ts_ms`.
+    *
+    * The BATCH-formulated enrich: explode lines, regroup by the
+    * re-extracted block id across the whole micro-batch, join counts
+    * back (the q62 shape — correct when lines arrive unblocked).
+    * The stream pipeline serves [[enrichLocal]] instead (map-only;
+    * see its scaladoc for the exact semantic boundary); this form
+    * remains the cross-message-grouping reference point the
+    * value-identity spec compares against.
     *
     * Blocks whose text matches no template get all-zero features — the
     * reference's explicit fallback (`transform.py:83-86`). */

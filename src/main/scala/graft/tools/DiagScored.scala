@@ -22,7 +22,8 @@ object DiagScored {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -99,7 +100,11 @@ object DiagScored {
           joined.write.format("noop").mode("overwrite").save()
         }
       }
-      val enriched = StreamTransform.enrich(parsed, templates, scorer)
+      time(s"b$k enrichLocal") {
+        StreamTransform.enrichLocal(parsed, templates, scorer)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val enriched = StreamTransform.enrichLocal(parsed, templates, scorer)
       // Fresh batch id per rep: the store's replay guard would skip a
       // re-delivered id and time nothing.
       var id = k * 100

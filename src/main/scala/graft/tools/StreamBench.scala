@@ -274,6 +274,12 @@ object StreamBench {
       probeRows: Int = 1000, probeBatches: Int = 4): String = {
     val metrics = metricSizes.map(runMetrics(spark, _, metricBatches))
     val scored = runScored(spark, scoredRows, scoredBatches)
+    // A 5× batch size beside the production-shaped one (r18 verdict
+    // #5): the scored path's per-batch cost is dominated by fixed
+    // per-batch work (stage scheduling, store snapshot rewrite), so
+    // rows/s must rise near-linearly with batch size — the evidence
+    // that the path is overhead-bound at 2 k, not compute-bound.
+    val scoredBig = runScored(spark, scoredRows * 5, 3)
     val probe = probeDir.map { d =>
       val t0 = System.nanoTime()
       val bloom = graft.queries.Dedup.bandHashBloom(spark, d)
@@ -286,9 +292,56 @@ object StreamBench {
         s""""bloom_bytes":${bloom.length},"fpp":1e-6,""" +
         s""""probe_on":${jRuns(Seq(on))},"probe_off":${jRuns(Seq(off))}}"""
     }.getOrElse("null")
-    s"""{"metrics_path":${jRuns(metrics)},"scored_path":${jRuns(Seq(scored))},""" +
+    s"""{"metrics_path":${jRuns(metrics)},"scored_path":${jRuns(Seq(scored, scoredBig))},""" +
+      s""""scored_profile":${scoredProfile(spark, scoredRows)},""" +
       s""""dup_probe":$probe,""" +
       s""""watermark":"5 minutes","event_minutes_per_batch":2}"""
+  }
+
+  /** Stage attribution of the scored path's per-batch wall (r18
+    * verdict #5), measured in batch mode at the scored_path's exact
+    * shape: JSON decode, the batch-formulated enrich (explode →
+    * keyed agg → join — the q62 shape the pipeline served through
+    * r18), the map-only per-message `enrichLocal` the pipeline serves
+    * now, and the serving-store upsert isolated over a checkpointed
+    * enriched frame (cold store, min of 3 reps each). The residual
+    * between these stages and the streamed per-batch wall is the
+    * harness itself (file-source listing, offset/commit log). */
+  def scoredProfile(spark: SparkSession, batchRows: Int = 2000,
+      linesPer: Int = 8): String = {
+    import spark.implicits._
+    val templates = Templates.load(spark, RawLog.templatesPath)
+    val scorer = Scorer.LinearScorer(
+      templates.indices.map(i => (i % 5 - 2) * 0.1), -0.5)
+    val raw = messageBatch(7, batchRows, linesPer, templates.toIndexedSeq)
+      .toDF("value")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def min3(work: () => Unit): Double =
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); work(); (System.nanoTime() - t0) / 1e9
+      }.min
+    val decodeSec = min3(() => noop(graft.streaming.StreamMessages.parse(raw)))
+    val parsed = graft.streaming.StreamMessages.parse(raw)
+      .localCheckpoint(false)
+    val globalSec = min3(() =>
+      noop(graft.streaming.StreamTransform.enrich(parsed, templates, scorer)))
+    val localSec = min3(() =>
+      noop(graft.streaming.StreamTransform.enrichLocal(parsed, templates, scorer)))
+    val enriched = graft.streaming.StreamTransform
+      .enrichLocal(parsed, templates, scorer).localCheckpoint(false)
+    val store = Files.createTempDirectory("graft-sb-profile-store").toString
+    var id = 0L
+    val upsertSec = min3(() => {
+      id += 1
+      ServingStore.upsert(enriched, store, "block_id", id); ()
+    })
+    s"""{"batch_rows":$batchRows,"lines_per":$linesPer,""" +
+      s""""decode_sec":${num("%.3f", decodeSec)},""" +
+      s""""enrich_global_sec":${num("%.3f", globalSec)},""" +
+      s""""enrich_local_sec":${num("%.3f", localSec)},""" +
+      s""""upsert_sec":${num("%.3f", upsertSec)},""" +
+      s""""local_vs_global_speedup":${num("%.2f", globalSec / localSec)}}"""
   }
 
   def main(args: Array[String]): Unit = {

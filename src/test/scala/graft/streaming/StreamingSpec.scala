@@ -85,6 +85,34 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
       java.sql.Timestamp.valueOf("2008-11-10 00:00:01").getTime
   }
 
+  test("enrichLocal ≡ enrich row-identically on block-local messages (r18 #5)") {
+    // The production invariant: every line of a message names the
+    // message's own block, so the map-only per-message form and the
+    // batch-formulated global regroup must agree COLUMN FOR COLUMN —
+    // including the dedupe, the zero-feature fallback (m300) and the
+    // scored verdicts. This is the pin that lets the stream pipeline
+    // serve enrichLocal while q62's batch path keeps the global form.
+    val ms = messagesDf(Seq(m100, m200, m200v2, m300))
+    val global = StreamTransform.enrich(ms, templates, scorer)
+    val local = StreamTransform.enrichLocal(ms, templates, scorer)
+    local.columns.toSeq shouldBe global.columns.toSeq
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("block_id")
+    val g = global.collect().map(r => key(r) -> r.toSeq).toMap
+    val l = local.collect().map(r => key(r) -> r.toSeq).toMap
+    l shouldBe g
+  }
+
+  test("enrichLocal keeps a message's verdict a function of its own payload") {
+    // The documented semantic boundary: a line naming ANOTHER block
+    // contributes nothing to this message under the per-message form
+    // (the reference consumer's one-message-at-a-time behavior).
+    val foreign = msg("blk_100", "2008-11-09 20:35:18", "2008-11-09 20:36:18", Seq(
+      "081109 203518 143 INFO dfs.DataNode$DataXceiver: Receiving block blk_100 src: /10.0.0.1:50010 dest: /10.0.0.2:50010",
+      "081109 203530 144 INFO dfs.DataNode$BlockSender: Served block blk_999 to /10.0.0.4"))
+    val out = StreamTransform.enrichLocal(messagesDf(Seq(foreign)), templates, scorer)
+    out.head().getAs[Seq[Int]]("features") shouldBe Seq(1, 0, 0, 0)
+  }
+
   test("enrich dedupes to the newest message per block before counting") {
     val out = StreamTransform.enrich(messagesDf(Seq(m200, m200v2)), templates, scorer)
     out.count() shouldBe 1
