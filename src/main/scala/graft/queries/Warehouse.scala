@@ -215,7 +215,6 @@ object Warehouse {
   }
 
   /** Read one table of the CURRENT committed snapshot. */
-
   def read(s: SparkSession, whDir: String, table: String): DataFrame = {
     val v = version(whDir)
     require(v > 0, s"warehouse $whDir has no committed snapshot")
