@@ -125,9 +125,11 @@ object RawLog {
        |  FROM read_csv('${sqlQuote(labelsPath)}', header=true)
        |)""".stripMargin
 
-  lazy val rawLogSessionsSql: String =
-    s"""$parseCtes,
-       |sess AS (
+  /** The q61 sessionize rule text (`sess`), factored so the q189
+    * stream-scored certificate splices the IDENTICAL message-payload
+    * derivation (one rule text, two finals — the house discipline). */
+  private def sessCte: String =
+    s"""sess AS (
        |  SELECT block_id,
        |    strftime(min(datetime), '%Y-%m-%d %H:%M:%S') AS start_ts,
        |    strftime(max(datetime), '%Y-%m-%d %H:%M:%S') AS end_ts,
@@ -135,29 +137,111 @@ object RawLog {
        |    count(*) AS num_lines,
        |    string_agg(clean_line, chr(10) ORDER BY datetime, clean_line) AS log_full
        |  FROM blocks GROUP BY block_id
-       |)
+       |)""".stripMargin
+
+  lazy val rawLogSessionsSql: String =
+    s"""$parseCtes,
+       |$sessCte
        |SELECT s.block_id, s.start_ts, s.end_ts, s.duration_sec, s.num_lines,
        |  s.log_full, l.label
        |FROM sess s LEFT JOIN labels l USING (block_id)
        |ORDER BY s.block_id""".stripMargin
 
-  lazy val rawLogFeaturesSql: String = {
+  /** The q62 tag/count rule text (`tagged`, `feat`), factored so the
+    * q189 stream-scored certificate splices the IDENTICAL per-block
+    * feature derivation. */
+  private lazy val taggedFeatCtes: String = {
     val caseChain = templateSeq.map { case (id, pattern) =>
       s"WHEN regexp_matches(message, '${sqlQuote(toRegexRe2(pattern))}') THEN '$id'"
     }.mkString("CASE ", " ", " END")
     val countCols = templateSeq.map { case (id, _) =>
       s"CAST(sum(CASE WHEN event_id = '$id' THEN 1 ELSE 0 END) AS BIGINT) AS $id"
     }.mkString(",\n    ")
-    s"""$parseCtes,
-       |tagged AS (
+    s"""tagged AS (
        |  SELECT block_id, $caseChain AS event_id FROM blocks
        |), feat AS (
        |  SELECT block_id,
        |    $countCols
        |  FROM tagged WHERE event_id IS NOT NULL GROUP BY block_id
-       |)
+       |)""".stripMargin
+  }
+
+  lazy val rawLogFeaturesSql: String =
+    s"""$parseCtes,
+       |$taggedFeatCtes
        |SELECT f.*, l.label
        |FROM feat f LEFT JOIN labels l USING (block_id)
        |ORDER BY f.block_id""".stripMargin
+
+  // ---- q189: the stream scored path, oracle-certified end to end -----
+
+  /** Pinned literal serving weights for [[streamScoredCertify]]: a
+    * deterministic function of the template order ((i mod 5 − 2)/10,
+    * bias −0.5 — the StreamBench stand-in, now certified). The
+    * artifact-TRAINED scorers ride q34/q59; this row certifies the
+    * SERVING algebra — per-message local features → literal-weight
+    * sigmoid → the reference's 0.83 verdict (`kafka_consumer.py:35`)
+    * — with weights the oracle can inline (the reference ships its
+    * model as a file and inlines it into the consumer the same way,
+    * `ML_predict.py:78-115`). */
+  private[graft] lazy val streamScorerWeights: Seq[Double] =
+    templateSeq.indices.map(i => (i % 5 - 2) * 0.1)
+  private[graft] val StreamScorerBias = -0.5
+
+  /** q189 — the SPEED LAYER's served enrichment, oracle-certified
+    * (rows+schema+hash): q61's block sessions ARE the message
+    * payloads the reference publishes to Kafka
+    * (`kafka_producer.py:10-28` sends exactly these rows), and the
+    * stream pipeline's per-message transform
+    * ([[graft.streaming.StreamTransform.enrichLocal]] — the map-only
+    * form `StreamPipeline.run` serves since r19) re-parses each
+    * payload's own lines, counts the 29 templates through the native
+    * kernel, and scores at 0.83. The oracle re-derives the whole
+    * chain from the RAW LOG FILE in one statement — parse → q61's
+    * sessionize rule → q62's tag/count rule (per-message local ≡
+    * global grouping here because a session's `log_full` holds
+    * exactly the lines whose extracted id IS its block — how `sess`
+    * is grouped) → the literal-weight sigmoid and verdict. This
+    * lifts ST3/A8–A9 from spec-certified to oracle-certified: the
+    * exact frame the serving store ingests, hash-matched against an
+    * independent engine. */
+  def streamScoredCertify(s: SparkSession, dir: String): DataFrame = {
+    val msgs = rawLogSessions(s, dir).select(
+      col("block_id"),
+      to_timestamp(col("start_ts")).as("start_ts"),
+      to_timestamp(col("end_ts")).as("end_ts"),
+      col("duration_sec"), col("log_full"), col("num_lines"))
+    val templates = Templates.load(s, templatesPath)
+    val scorer = graft.ml.Scorer.LinearScorer(
+      streamScorerWeights, StreamScorerBias)
+    graft.streaming.StreamTransform.enrichLocal(msgs, templates, scorer)
+      .select(col("block_id"), col("num_lines"),
+        array_join(col("features"), ",").as("features_csv"),
+        round(col("proba"), 6).as("proba"),
+        col("prediction"), col("ts_ms"))
+      .orderBy("block_id")
+  }
+
+  lazy val rawLogStreamScoredSql: String = {
+    val csv = templateSeq.map { case (id, _) =>
+      s"CAST(COALESCE(f.$id, 0) AS VARCHAR)" }
+      .mkString("concat_ws(',', ", ", ", ")")
+    val zExpr = templateSeq.zip(streamScorerWeights).map {
+      case ((id, _), w) => s"COALESCE(f.$id, 0) * ($w)" }
+      .mkString(s"($StreamScorerBias) + ", " + ", "")
+    s"""$parseCtes,
+       |$sessCte,
+       |$taggedFeatCtes,
+       |z AS (
+       |  SELECT s.block_id, s.num_lines, $csv AS features_csv,
+       |    $zExpr AS z,
+       |    epoch_ms(strptime(s.end_ts, '%Y-%m-%d %H:%M:%S')) AS ts_ms
+       |  FROM sess s LEFT JOIN feat f USING (block_id))
+       |SELECT block_id, num_lines, features_csv,
+       |  round(1.0 / (1.0 + exp(-z)), 6) AS proba,
+       |  CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.83
+       |    THEN 1 ELSE 0 END AS INTEGER) AS prediction,
+       |  ts_ms
+       |FROM z ORDER BY block_id""".stripMargin
   }
 }
