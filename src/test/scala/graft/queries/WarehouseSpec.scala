@@ -40,6 +40,31 @@ class WarehouseSpec extends AnyFunSuite with Matchers with SparkFixture {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "v=3")))
   }
 
+  test("a warehouse dropped and rebuilt at the same path never serves a stale frame (ADVICE r18)") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-rebuild").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    Warehouse.buildDocChainOf(spark, docs.filter(col("doc_id") % 2 === 0), wh)
+    val evenCount = Warehouse.read(spark, wh, "doc_stats").count()
+    // Drop the whole store and rebuild AT THE SAME PATH with a
+    // different slice — outside the snapshot protocol (the resolved
+    // v=1 path repeats), so only the frame cache's mtime key stands
+    // between the second read and the first build's deleted
+    // part-files.
+    val root = java.nio.file.Paths.get(wh)
+    java.nio.file.Files.walk(root)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    // Directory mtime is millisecond-grained on this filesystem; the
+    // rebuild lands well past the original's stamp either way, but
+    // keep the ordering explicit rather than racy.
+    Thread.sleep(5)
+    Warehouse.buildDocChainOf(spark, docs.filter(col("doc_id") % 4 === 1), wh)
+    val quarterCount = Warehouse.read(spark, wh, "doc_stats").count()
+    quarterCount should not be evenCount
+    quarterCount shouldBe docs.filter(col("doc_id") % 4 === 1).count()
+  }
+
   test("a configured retention widens the time-travel window (r14 verdict #7)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh-ret").toString
     intercept[IllegalArgumentException](Warehouse.setRetention(wh, 1))
