@@ -178,6 +178,33 @@ class RetrievalIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("driver-side RRF rounding is bit-identical to Spark's round(_, 6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round => sparkRound}
+    // fuseRrf rounds the fused score on the driver with
+    // BigDecimal(d).setScale(6, HALF_UP) — Spark's Round expression
+    // for DoubleType evaluates the SAME Scala form, so the driver
+    // fusion can never diverge from the lazy plan's display value.
+    // Pin it over every score the RRF algebra can actually produce
+    // (all rank pairs up to 60 — includes the 1/(60+r) + 1/(60+r')
+    // sums whose decimal expansions sit near rounding boundaries)
+    // plus half-ulp adversarial literals.
+    val rrfVals = (for {
+      a <- 0L to 60L; b <- 0L to 60L
+    } yield (if (a == 0) 0.0 else 1.0 / (Similarity.RrfK + a)) +
+        (if (b == 0) 0.0 else 1.0 / (Similarity.RrfK + b))).distinct
+    val adversarial = Seq(0.0000005, 0.0000015, 0.1234565, 0.9999995,
+      1.0000005, 0.0163934426229508, 0.032786885245901634)
+    val vals = (rrfVals ++ adversarial).toVector
+    val sparkSide = vals.toDF("v")
+      .select(sparkRound(col("v"), 6).as("r"))
+      .collect().map(_.getDouble(0))
+    val driverSide = vals.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(sparkSide.toSeq == driverSide.toSeq,
+      "driver-side HALF_UP rounding diverged from Spark round(_, 6)")
+  }
+
   test("the concurrent hybrid path is value-identical to the q146 plan") {
     val lazyRows = RetrievalIndex.hybridServe(spark, sfDir)
       .collect().map(_.toSeq)
