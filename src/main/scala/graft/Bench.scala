@@ -139,6 +139,24 @@ object Bench {
     * loop away. `volatile` forbids hoisting the store out of line. */
   @volatile private var sentinelSink: Long = 0L
 
+  /** Sentinel GATE (r19 verdict #2/#6), shared by the corpus/rawlog
+    * stage rows and the serving batteries: a measurement window is
+    * DEGRADED when a sentinel probe bracketing it exceeds
+    * [[SentinelGateFactor]] × the session's calibration median. Pure
+    * (read-only) measurement bodies are re-run ONCE on a degraded
+    * window; every committed row carries an explicit `degraded` flag
+    * either way, so a hot-host row can never again read as a plan
+    * regression (r19: ~15 max-tier corpus rows at sentinel 0.46–0.91
+    * vs calib 0.21 voided that round's trend claims). Side-effecting
+    * stages (builds, merges, refreshes) are never re-run — replaying
+    * a merge would corrupt the downstream tables — they are flagged
+    * only. */
+  val SentinelGateFactor = 1.5
+  @volatile private var sentinelCalibMedian: Double = 0.0
+  def sentinelDegraded(probe: Double): Boolean =
+    sentinelCalibMedian > 0 &&
+      probe > SentinelGateFactor * sentinelCalibMedian
+
   /** Fixed-work CPU probe: 1e8 iterations of a 64-bit xorshift mix —
     * no I/O, no allocation, no memory traffic beyond two registers.
     * Wall time ≈ constant on an idle core (~0.1–0.2 s); under CPU
@@ -253,6 +271,11 @@ object Bench {
     // attribution the 100 TB scaling argument is graded on.
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Scan-input bytes (r20 rawlog attribution): with wall, this gives
+    // the read-MB/s page-cache signal the r19 verdict asked for — a
+    // first rep reading from disk and a second from cache differ in
+    // THIS column's rate while sentinel/steal stay flat.
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     private val markerStages =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val markerJobs =
@@ -275,6 +298,7 @@ object Bench {
         if (e.taskMetrics != null) {
           shufWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
           shufRead.addAndGet(e.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          inputBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
         }
         ()
       }
@@ -425,6 +449,7 @@ object Bench {
     // an unloaded rep should reproduce within a few percent.
     (1 to 3).foreach(_ => sentinel())
     val calib = Vector.fill(5)(sentinel()).sorted
+    sentinelCalibMedian = calib(2)
 
     // Registry filter (r13 verdict #8): `--only=q113,q122` argument or
     // SPARK_GRAFT_ONLY env — bare qNN prefix or full name. Default =
@@ -536,11 +561,21 @@ object Bench {
     // Reps carry the same sentinel/steal/GC/task attribution as the
     // main suite. Failures degrade to an "error" field, never abort
     // the bench.
+    // Per-stage attribution row, shared by the rawlog and corpus
+    // sections (hoisted in r20 — the rawlog battery now needs it too).
+    // `n` is an optional per-stage cardinality; < 0 omits the field.
+    // `inputMb` (r20) is scan-input bytes: with wall it yields the
+    // read-MB/s page-cache signal (verdict r19 #1).
+    final case class StageRow(name: String, wall: Double, sent: Double,
+        stealS: Double, gcS: Double, taskS: Double,
+        shufWriteMb: Double, shufReadMb: Double, n: Long = -1L,
+        inputMb: Double = -1.0, sentAfter: Double = -1.0,
+        degraded: Boolean = false)
     final case class RawScaleResult(blocks: Int, lines: Long, bytes: Long,
         genSec: Double,
         q61: Seq[Double], q62: Seq[Double],
         sent: Seq[Double], stealS: Seq[Double], gcS: Seq[Double],
-        taskS: Seq[Double])
+        taskS: Seq[Double], stages: Seq[StageRow])
     // Env parsing lives INSIDE Try so a malformed knob degrades this
     // section to an "error" field like any other failure here — the
     // documented never-abort contract covers config too (review r11).
@@ -549,21 +584,12 @@ object Bench {
           "SPARK_GRAFT_RAWLOG_BLOCKS", "47000,508000")
         .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt).filter(_ > 0))
         .toEither.left.map(e => s"bad SPARK_GRAFT_RAWLOG_BLOCKS: ${e.getMessage}")
+    // Default 3 since r20 (r19 verdict #1: more samples where the min
+    // estimator is weakest — the 1.6 GiB tier's 5× swing was recorded
+    // with only two reps and no stage split).
     val rawlogReps = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_RAWLOG_REPS", "2").toInt.max(1)).getOrElse(2)
+      sys.env.getOrElse("SPARK_GRAFT_RAWLOG_REPS", "3").toInt.max(1)).getOrElse(3)
     val rawRoot = sys.env.getOrElse("SPARK_GRAFT_RAWLOG_DIR", "/tmp/graft_rawlog")
-    def timedRep(mk: => org.apache.spark.sql.DataFrame): (Double, Double, Double, Double, Double) = {
-      val sent = sentinel()
-      val g0 = gcSnap(); val s0 = sysSnap(); val k0 = taskTime.millis.get()
-      val t0 = System.nanoTime()
-      mk.write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = sysSnap(); val g1 = gcSnap()
-      taskTime.drain(spark.sparkContext)
-      val k1 = taskTime.millis.get()
-      (wall, sent, (s1.stealJiffies - s0.stealJiffies) / userHz,
-        (g1._1 - g0._1) / 1e3, (k1 - k0) / 1e3)
-    }
     val rawlogResults: Either[String, Seq[RawScaleResult]] =
       if (rawlogScales.isLeft) Left(rawlogScales.swap.toOption.get)
       else if (rawlogScales.toOption.get.isEmpty) Right(Nil)
@@ -582,16 +608,67 @@ object Bench {
             new scala.collection.mutable.ArrayBuffer[Double],
             new scala.collection.mutable.ArrayBuffer[Double],
             new scala.collection.mutable.ArrayBuffer[Double])
-          (1 to rawlogReps).foreach { _ =>
-            val (w1, se1, st1, g1, t1) = timedRep(
+          // Per-STAGE attribution (r19 verdict #1): the committed r19
+          // artifact carried only per-rep q61 totals, so its 5.7→29.3 s
+          // swing at the 1.6 GiB tier could not be attributed to parse,
+          // the sessionize exchange+agg, or the label-join+sort. Each
+          // rep now also times the pipeline's prefixes — q61_parse
+          // (scan+parse+filter, map-only: its input-MB/s is the
+          // page-cache signal) and q61_sessions (parse + the sessionize
+          // exchange + agg, no labels/sort) — with shuffle and input
+          // bytes per row; q61_full/q62_full rows carry the same
+          // columns for the headline reps. `n` = rep index.
+          val stageRows = new scala.collection.mutable.ArrayBuffer[StageRow]
+          def rawStage(name: String, rep: Int)(
+              mk: => org.apache.spark.sql.DataFrame): StageRow = {
+            def once(): StageRow = {
+              val sent = sentinel()
+              val g0 = gcSnap(); val s0 = sysSnap()
+              val k0 = taskTime.millis.get()
+              val w0 = taskTime.shufWrite.get(); val r0 = taskTime.shufRead.get()
+              val i0 = taskTime.inputBytes.get()
+              val t0 = System.nanoTime()
+              mk.write.format("noop").mode("overwrite").save()
+              val wall = (System.nanoTime() - t0) / 1e9
+              val s1 = sysSnap(); val g1 = gcSnap()
+              taskTime.drain(spark.sparkContext)
+              val sentAfter = sentinel()
+              StageRow(name, wall, sent,
+                (s1.stealJiffies - s0.stealJiffies) / userHz,
+                (g1._1 - g0._1) / 1e3,
+                (taskTime.millis.get() - k0) / 1e3,
+                (taskTime.shufWrite.get() - w0) / 1048576.0,
+                (taskTime.shufRead.get() - r0) / 1048576.0,
+                n = rep.toLong,
+                inputMb = (taskTime.inputBytes.get() - i0) / 1048576.0,
+                sentAfter = sentAfter,
+                degraded = sentinelDegraded(sent) || sentinelDegraded(sentAfter))
+            }
+            // Sentinel gate (r19 verdict #2): these stages are PURE
+            // (noop sinks), so a degraded window is re-run once; the
+            // second measurement is committed, flagged if still hot.
+            val first = once()
+            val row = if (first.degraded) once() else first
+            stageRows += row
+            row
+          }
+          (1 to rawlogReps).foreach { rep =>
+            rawStage("q61_parse", rep)(
+              graft.queries.RawLog.parsedBlocksAt(spark, fx.logDir))
+            rawStage("q61_sessions", rep)(
+              graft.queries.RawLog.sessionsOnlyAt(spark, fx.logDir))
+            val full1 = rawStage("q61_full", rep)(
               graft.queries.RawLog.rawLogSessionsAt(spark, fx.logDir, fx.labelsPath))
-            val (w2, se2, st2, g2, t2) = timedRep(
+            val full2 = rawStage("q62_full", rep)(
               graft.queries.RawLog.rawLogFeaturesAt(spark, fx.logDir, fx.labelsPath))
-            q61s += w1; q62s += w2
-            ss += se1; ss += se2; sts += st1 + st2; gs += g1 + g2; ts += t1 + t2
+            q61s += full1.wall; q62s += full2.wall
+            ss += full1.sent; ss += full2.sent
+            sts += full1.stealS + full2.stealS
+            gs += full1.gcS + full2.gcS; ts += full1.taskS + full2.taskS
           }
           RawScaleResult(nb, fx.nLines, fx.bytes, fx.genSec,
-            q61s.toSeq, q62s.toSeq, ss.toSeq, sts.toSeq, gs.toSeq, ts.toSeq)
+            q61s.toSeq, q62s.toSeq, ss.toSeq, sts.toSeq, gs.toSeq, ts.toSeq,
+            stageRows.toSeq)
         })
         finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
       } catch { case e: Throwable =>
@@ -614,10 +691,8 @@ object Bench {
     // request count); < 0 means "not applicable" and the field is
     // omitted from the JSON. Kept OUT of the stage name so round-over-
     // round BENCH_DETAIL comparisons align on a fixed key even when
-    // the corpus size moves the count (ADVICE r16).
-    final case class StageRow(name: String, wall: Double, sent: Double,
-        stealS: Double, gcS: Double, taskS: Double,
-        shufWriteMb: Double, shufReadMb: Double, n: Long = -1L)
+    // the corpus size moves the count (ADVICE r16). The StageRow class
+    // itself is defined above the rawlog section (shared since r20).
     final case class CorpusResult(nDocs: Long, textBytes: Long,
         parquetBytes: Long, genSec: Double, purgeRows: Long,
         clusterRows: Long, stages: Seq[StageRow],
@@ -658,12 +733,21 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           val s1 = sysSnap(); val g1 = gcSnap()
           taskTime.drain(spark.sparkContext)
+          // Sentinel gate (r19 verdict #2): corpus stages MUTATE the
+          // warehouse under measurement (builds/merges/refreshes), so
+          // a degraded window cannot be re-run — it is bracketed
+          // (probe before AND after) and FLAGGED, which removes it
+          // from round-over-round trend claims explicitly instead of
+          // silently (the r19 failure mode).
+          val sentAfter = sentinel()
           StageRow(name, wall, sent,
             (s1.stealJiffies - s0.stealJiffies) / userHz,
             (g1._1 - g0._1) / 1e3,
             (taskTime.millis.get() - k0) / 1e3,
             (taskTime.shufWrite.get() - w0) / 1048576.0,
-            (taskTime.shufRead.get() - r0) / 1048576.0)
+            (taskTime.shufRead.get() - r0) / 1048576.0,
+            sentAfter = sentAfter,
+            degraded = sentinelDegraded(sent) || sentinelDegraded(sentAfter))
         }
         // STANDING index = corpus minus src19 (production-true since
         // r14: the index never contains the incoming batch, so the
@@ -1157,6 +1241,27 @@ object Bench {
     val failedNames = results.collect { case (k, _, false) => k }
     def jarr(ks: Seq[String]): String =
       ks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Shared stage-row emitter (rawlog + corpus sections). input_mb
+    // rides only on rows that measured it (rawlog, r20) — absent
+    // elsewhere so corpus rows keep their r13–r19 key set.
+    def stageJson(st: StageRow): String =
+      s"""{"stage":"${st.name}","wall_sec":${num("%.3f", st.wall)},""" +
+      s""""sentinel":${num("%.4f", st.sent)},"steal_sec":${num("%.2f", st.stealS)},""" +
+      s""""gc_sec":${num("%.3f", st.gcS)},"task_sec":${num("%.2f", st.taskS)},""" +
+      s""""shuffle_write_mb":${num("%.2f", st.shufWriteMb)},""" +
+      s""""shuffle_read_mb":${num("%.2f", st.shufReadMb)}""" +
+      (if (st.inputMb >= 0)
+        s""","input_mb":${num("%.2f", st.inputMb)},""" +
+        s""""read_mb_per_sec":${num("%.1f",
+          st.inputMb / math.max(st.wall, 1e-9))}"""
+      else "") +
+      (if (st.sentAfter >= 0)
+        s""","sentinel_after":${num("%.4f", st.sentAfter)},""" +
+        s""""degraded":${st.degraded}"""
+      else "") +
+      (if (st.n >= 0) s""","n":${st.n}}""" else "}")
+    def stagesJson(sts: Seq[StageRow]): String =
+      sts.map(stageJson).mkString("[", ",", "]")
     // Raw-log scale JSON: full fidelity to the detail file, min-only
     // summary to stdout (the 2 KB tail contract).
     val rawlogDetail = rawlogResults match {
@@ -1166,21 +1271,13 @@ object Bench {
         s""""gen_sec":${num("%.2f", r.genSec)},"q61_sec":${darr(r.q61)},""" +
         s""""q62_sec":${darr(r.q62)},"sentinel":${darr(r.sent)},""" +
         s""""steal_sec":${darr(r.stealS, "%.2f")},"gc_sec":${darr(r.gcS, "%.3f")},""" +
-        s""""task_sec":${darr(r.taskS, "%.2f")}}"""
+        s""""task_sec":${darr(r.taskS, "%.2f")},""" +
+        s""""stages":${stagesJson(r.stages)}}"""
       }.mkString("[", ",", "]")
     }
     val corpusDedupDetail = corpusResults match {
       case Left(err) => "{\"error\":\"" + jsonEsc(err) + "\"}"
       case Right(rs) => rs.map { r =>
-        def stageJson(st: StageRow): String =
-          s"""{"stage":"${st.name}","wall_sec":${num("%.3f", st.wall)},""" +
-          s""""sentinel":${num("%.4f", st.sent)},"steal_sec":${num("%.2f", st.stealS)},""" +
-          s""""gc_sec":${num("%.3f", st.gcS)},"task_sec":${num("%.2f", st.taskS)},""" +
-          s""""shuffle_write_mb":${num("%.2f", st.shufWriteMb)},""" +
-          s""""shuffle_read_mb":${num("%.2f", st.shufReadMb)}""" +
-          (if (st.n >= 0) s""","n":${st.n}}""" else "}")
-        def stagesJson(sts: Seq[StageRow]): String =
-          sts.map(stageJson).mkString("[", ",", "]")
         def incJson(inc: StageRow, rows: Long, dups: Long): String =
           s"""{"wall_sec":${num("%.3f", inc.wall)},"rows":$rows,""" +
           s""""dups":$dups,"sentinel":${num("%.4f", inc.sent)},""" +

@@ -46,6 +46,18 @@ object RawLog {
   private def parsedBlocks(s: SparkSession, path: String): DataFrame =
     LogParser.withBlock(LogParser.parse(s.read.text(path)))
 
+  /** The scan→parse→filter prefix of q61/q62 as its own frame — the
+    * bench's rawlog battery times it as a standalone stage (r19
+    * verdict #1: parse-cost and page-cache attribution). */
+  def parsedBlocksAt(s: SparkSession, log: String): DataFrame =
+    parsedBlocks(s, log)
+
+  /** q61's sessionize sub-pipeline (parse → exchange → aggregate)
+    * WITHOUT the label join and final global sort — the bench stage
+    * whose delta against q61_full prices exactly the join+sort leg. */
+  def sessionsOnlyAt(s: SparkSession, log: String): DataFrame =
+    Sessionize.sessions(parsedBlocks(s, log))
+
   /** q61: one row per block session, labels joined. */
   def rawLogSessions(s: SparkSession, dir: String): DataFrame =
     rawLogSessionsAt(s, logPath, labelsPath)

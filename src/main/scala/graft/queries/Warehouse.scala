@@ -186,8 +186,18 @@ object Warehouse {
     * new mtime, so the stale cached file index is never served. LRU
     * bound ([[FrameCacheMax]], access-ordered) keeps a long-running
     * maintainer that commits many versions from growing without
-    * bound — dead slots for reaped versions age out. */
+    * bound — dead slots for reaped versions age out.
+    * Known edges (ADVICE r19, accepted): directory mtime is
+    * MILLISECOND-grained, so a drop-and-rebuild at the same path
+    * whose rebuild lands in the same millisecond as the original
+    * would still serve the stale index (a full parquet write +
+    * pointer commit inside 1 ms does not occur in practice); and a
+    * path where `getLastModifiedTime` throws (a non-local URI)
+    * degrades to mtime = -1 — rebuild detection lost for that path —
+    * now logged once per path so the degradation is visible. */
   private val FrameCacheMax = 256
+  private val mtimeFallbackLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val frameCache =
     new java.util.LinkedHashMap[(SparkSession, String, Long), DataFrame](
         64, 0.75f, true) {
@@ -200,7 +210,12 @@ object Warehouse {
     val mtime =
       try java.nio.file.Files
         .getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
-      catch { case scala.util.control.NonFatal(_) => -1L }
+      catch { case scala.util.control.NonFatal(_) =>
+        if (mtimeFallbackLogged.add(path))
+          System.err.println(s"[warehouse] frame-cache mtime unreadable for " +
+            s"$path — rebuild-at-same-path detection degraded to path-only")
+        -1L
+      }
     val key = (s, path, mtime)
     val hit = frameCache.synchronized(Option(frameCache.get(key)))
     hit.getOrElse {

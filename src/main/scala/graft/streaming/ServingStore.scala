@@ -35,6 +35,42 @@ object ServingStore {
 
   private def pointerPath(store: String): Path = Paths.get(store, "_CURRENT")
 
+  /** Target snapshot file size (guide §6: aim for output files in the
+    * 128 MB–1 GB range). Conf-overridable so a cluster deployment can
+    * size for its object store; the LOCAL effect is the r19 verdict-#3
+    * fix: a 2 k-row micro-batch snapshot no longer inherits the
+    * session's 32-way shuffle parallelism (32 near-empty parquet
+    * files + 32 write tasks per batch, then 32 file opens on the next
+    * batch's anti-join — ~20 task-seconds of pure fixed cost per q99
+    * rep), it writes the one file its bytes call for. */
+  val TargetFileBytesConf = "spark.graft.serving.targetFileBytes"
+  private val DefaultTargetFileBytes = 128L * 1024 * 1024
+
+  private def snapshotBytes(store: String, ver: Long): Long =
+    Option(new java.io.File(s"$store/v=$ver").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+      .map(_.length).sum
+
+  /** Scale-adaptive file count for the NEXT snapshot: the max of the
+    * committed previous snapshot's bytes (a hard floor on the merged
+    * size, read from the filesystem — no extra Spark job) and the
+    * catalyst size estimate of the frame being written (covers the
+    * FIRST snapshot and a batch larger than the store — a bulk load
+    * must not collapse to one partition), divided by the target file
+    * size, floored at 1 and capped at the session's default
+    * parallelism. A store below one target file writes exactly one
+    * file; a 100 TB store keeps full write parallelism. */
+  private def writeFiles(frame: DataFrame, store: String, curVer: Long): Int = {
+    val spark = frame.sparkSession
+    val target = spark.conf.getOption(TargetFileBytesConf)
+      .map(_.toLong).getOrElse(DefaultTargetFileBytes).max(1L)
+    val prev = if (curVer > 0) snapshotBytes(store, curVer) else 0L
+    val est = BigInt(prev).max(frame.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val want = ((est + target - 1) / target).max(1)
+    want.min(BigInt(spark.sparkContext.defaultParallelism)).toInt
+  }
+
   /** (current version, highest applied batch id); (0, -1) = empty. */
   def pointer(store: String): (Long, Long) = {
     val p = pointerPath(store)
@@ -66,7 +102,8 @@ object ServingStore {
         .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(batch)
     val newVer = curVer + 1
-    merged.write.mode("overwrite").parquet(s"$store/v=$newVer")
+    merged.coalesce(writeFiles(merged, store, curVer))
+      .write.mode("overwrite").parquet(s"$store/v=$newVer")
     commit(store, curVer, newVer, batchId)
     true
   }
@@ -117,7 +154,8 @@ object ServingStore {
       keys: Seq[String], batchId: Long): Boolean = {
     val (curVer, lastBatch) = pointer(store)
     if (batchId <= lastBatch || curVer == 0) return false
-    val remaining = read(spark, store).filter(!col(keyCol).isin(keys: _*))
+    val base = read(spark, store).filter(!col(keyCol).isin(keys: _*))
+    val remaining = base.coalesce(writeFiles(base, store, curVer))
     val newVer = curVer + 1
     remaining.write.mode("overwrite").parquet(s"$store/v=$newVer")
     commit(store, curVer, newVer, batchId)

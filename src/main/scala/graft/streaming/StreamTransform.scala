@@ -62,7 +62,17 @@ object StreamTransform {
     * per-message consumer computes.
     *
     * Blocks whose text matches no template get all-zero features —
-    * the reference's explicit fallback (`transform.py:83-86`). */
+    * the reference's explicit fallback (`transform.py:83-86`).
+    * INTENTIONAL divergence (documented, ADVICE r19): the reference
+    * has an EARLIER branch (`transform.py:79-82`) that, when a
+    * payload's lines name only FOREIGN blocks, falls back to the
+    * first parsed block's features and returns THAT block's id; this
+    * form instead keeps the message's own `block_id` with all-zero
+    * features. Under the block-local invariant above (every line
+    * names its own block — how the reference's producer builds the
+    * payload) the branch is unreachable, so the two agree on every
+    * production message; on an adversarial foreign-lines payload this
+    * form's per-message attribution is the deliberate choice. */
   def enrichLocal(
       messages: DataFrame,
       templates: Seq[Templates.Template],

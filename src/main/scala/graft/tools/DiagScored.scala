@@ -104,7 +104,14 @@ object DiagScored {
         StreamTransform.enrichLocal(parsed, templates, scorer)
           .write.format("noop").mode("overwrite").save()
       }
+      // Materialized BEFORE the timed upsert (ADVICE r19): without the
+      // checkpoint the upsert wall re-runs enrichLocal and this tool
+      // misattributes the very split it exists to produce (StreamBench.
+      // scoredProfile already does this; the count() forces the lazy
+      // checkpoint outside the timed window).
       val enriched = StreamTransform.enrichLocal(parsed, templates, scorer)
+        .localCheckpoint(false)
+      enriched.count()
       // Fresh batch id per rep: the store's replay guard would skip a
       // re-delivered id and time nothing.
       var id = k * 100

@@ -148,8 +148,13 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("serving store compaction shrinks file count, keeps data and high-water") {
     val store = Files.createTempDirectory("graft-store").toString
     val b0 = StreamTransform.enrich(messagesDf(Seq(m100, m200)), templates, scorer)
-      .repartition(4) // force a many-small-files snapshot
-    ServingStore.upsert(b0, store, "block_id", 0L) shouldBe true
+      .repartition(4)
+    // Force a many-small-files snapshot: since r20 the upsert write is
+    // scale-adaptively coalesced (one file per targetFileBytes), so the
+    // fragmented fixture needs a 1-byte target for its first write.
+    spark.conf.set(ServingStore.TargetFileBytesConf, "1")
+    try ServingStore.upsert(b0, store, "block_id", 0L) shouldBe true
+    finally spark.conf.unset(ServingStore.TargetFileBytesConf)
     val rowsBefore = ServingStore.read(spark, store).collect().map(_.toSeq).toSet
     def dataFiles(v: Long) = Files.list(java.nio.file.Paths.get(store, s"v=$v"))
       .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
@@ -167,6 +172,35 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     // Compacting an empty store is a no-op.
     val empty = Files.createTempDirectory("graft-store-empty").toString
     ServingStore.compact(spark, empty) shouldBe false
+  }
+
+  test("upsert snapshots are scale-adaptively sized: a small store writes one file") {
+    // r20 (r19 verdict #3): a micro-batch snapshot no longer inherits
+    // the session's shuffle parallelism — its file count follows its
+    // BYTES (default 128 MB/file), so a tiny store is exactly one file
+    // per version regardless of the batch frame's partitioning.
+    val store = Files.createTempDirectory("graft-store-sized").toString
+    val b0 = StreamTransform.enrich(messagesDf(Seq(m100, m200)), templates, scorer)
+      .repartition(4)
+    ServingStore.upsert(b0, store, "block_id", 0L) shouldBe true
+    def dataFiles(v: Long) = Files.list(java.nio.file.Paths.get(store, s"v=$v"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+    val (v0, _) = ServingStore.pointer(store)
+    dataFiles(v0) shouldBe 1
+    val rows0 = ServingStore.read(spark, store).collect().map(_.toSeq).toSet
+    // The merged (anti-join + union) path sizes the same way and the
+    // coalesce changes layout only, never content.
+    val b1 = StreamTransform.enrich(messagesDf(Seq(m200v2, m300)), templates, scorer)
+      .repartition(4)
+    ServingStore.upsert(b1, store, "block_id", 1L) shouldBe true
+    val (v1, _) = ServingStore.pointer(store)
+    dataFiles(v1) shouldBe 1
+    ServingStore.read(spark, store).count() shouldBe 3
+    // Last write won for the re-keyed block; the untouched key survived.
+    val byKey = ServingStore.read(spark, store).collect()
+      .map(r => r.getAs[String]("block_id")).toSet
+    byKey shouldBe Set("blk_100", "blk_-200", "blk_300")
+    rows0 should not be empty
   }
 
   test("e2e: MemoryStream -> from_json -> enrich -> foreachBatch upsert") {
