@@ -221,6 +221,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "usage: graft_kll_quantile(sketch, rank)")
         KllQuantile(args(0), args(1))
       }))
+    // Raw-log line kernels (r20): exact byte-scan twins of the parse
+    // regexes — see graft.functions.LogLineExprs.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_log_ts_raw"),
+      new ExpressionInfo(classOf[graft.functions.LogTsRaw].getName,
+        "graft_log_ts_raw"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_log_ts_raw(line)")
+        graft.functions.LogTsRaw(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_log_rest"),
+      new ExpressionInfo(classOf[graft.functions.LogRestAfterTs].getName,
+        "graft_log_rest"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_log_rest(line)")
+        graft.functions.LogRestAfterTs(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_log_block_id"),
+      new ExpressionInfo(classOf[graft.functions.LogBlockId].getName,
+        "graft_log_block_id"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_log_block_id(line)")
+        graft.functions.LogBlockId(args.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_template_match"),
       new ExpressionInfo(classOf[TemplateMatch].getName, "graft_template_match"),

@@ -22,12 +22,16 @@ object LogParser {
   /** `081109 203518` → 2008-11-09 20:35:18 (2-digit year, base 2000). */
   val TimestampFormat = "yyMMdd HHmmss"
 
-  private val tsRe    = "^(\\d{6}\\s+\\d{6})"
+  // tsRe/blockRe/restRe remain the DOCUMENTED regex contracts of the
+  // r20 native kernels (graft.functions.LogLineExprs) — the oracle SQL
+  // still uses them verbatim and LogLineKernelSpec pins kernel ≡ regex.
+  private[graft] val tsRe   = "^(\\d{6}\\s+\\d{6})"
+  private[graft] val restRe = "^\\d{6}\\s+\\d{6}\\s+"
   private val pidRe   = "^\\d{6}\\s+\\d{6}\\s+(\\d+)"
   private val levelRe = "\\b(INFO|WARN|ERROR|DEBUG|FATAL|TRACE)\\b"
   private val compRe  = "\\b(?:INFO|WARN|ERROR|DEBUG|FATAL|TRACE)\\s+([A-Za-z0-9$_.*]+):"
   private val msgRe   = "\\b(?:INFO|WARN|ERROR|DEBUG|FATAL|TRACE)\\s+[A-Za-z0-9$_.*]+:\\s*(.*)"
-  private val blockRe = "(blk_[\\-0-9]+)"
+  private[graft] val blockRe = "(blk_[\\-0-9]+)"
 
   /** Parse a raw-lines frame into the canonical event schema. Unmatched
     * fields come back as `""` (regexp_extract semantics); rows without a
@@ -35,12 +39,12 @@ object LogParser {
   def parse(raw: DataFrame, lineCol: String = "value"): DataFrame = {
     val line = col(lineCol)
     raw
-      .withColumn("ts_raw", regexp_extract(line, tsRe, 1))
+      .withColumn("ts_raw", tsRawOf(line))
       .withColumn("pid", regexp_extract(line, pidRe, 1))
       .withColumn("level", regexp_extract(line, levelRe, 1))
       .withColumn("component", regexp_extract(line, compRe, 1))
       .withColumn("message", regexp_extract(line, msgRe, 1))
-      .withColumn("block_id", regexp_extract(line, blockRe, 1))
+      .withColumn("block_id", blockOf(line))
       // try_to_timestamp, not to_timestamp: Spark 4 runs ANSI mode by
       // default, where a malformed timestamp THROWS and would kill the
       // whole scan on one bad log line. NULL-on-garbage matches the
@@ -58,10 +62,18 @@ object LogParser {
   def cleanLine(line: Column): Column =
     concat(
       date_format(
-        try_to_timestamp(regexp_extract(line, tsRe, 1), lit(TimestampFormat)),
+        try_to_timestamp(tsRawOf(line), lit(TimestampFormat)),
         "yyyy-MM-dd HH:mm:ss"),
       lit(" "),
-      regexp_replace(line, "^\\d{6}\\s+\\d{6}\\s+", ""))
+      call_function("graft_log_rest", line))
+
+  /** The `^(\d{6}\s+\d{6})` timestamp-prefix extraction as the NATIVE
+    * byte-scan kernel (r20; exact regex twin —
+    * `functions.LogLineExprs`, equivalence pinned by
+    * LogLineKernelSpec). Requires a session built
+    * `withExtensions(new GraftExtensions)` — all graft entry points
+    * are. */
+  def tsRawOf(line: Column): Column = call_function("graft_log_ts_raw", line)
 
   /** Keep only lines that belong to a block session (SURVEY P4). */
   def withBlock(parsed: DataFrame): DataFrame =
@@ -75,6 +87,9 @@ object LogParser {
 
   /** The `block_id` field of ONE raw line as a scalar expression —
     * the `parse` extraction; `""` when the line names no block (the
-    * `withBlock` filter's condition, scalar form). */
-  def blockOf(line: Column): Column = regexp_extract(line, blockRe, 1)
+    * `withBlock` filter's condition, scalar form). Native byte-scan
+    * kernel since r20 (exact regex twin; the unanchored `(blk_[\-0-9]+)`
+    * find was the parse stage's hottest regex AND runs twice per line
+    * — once in the pushed-down filter, once in the projection). */
+  def blockOf(line: Column): Column = call_function("graft_log_block_id", line)
 }

@@ -187,11 +187,20 @@ object RetrievalEval {
     // denominator.
     def selfOf(ranks: DataFrame, rank: String): DataFrame =
       ranks.filter(col("doc_id") === col("q_id")).select(col("q_id"), col(rank))
+    // rd and rf ride on ONE filter of `fused` instead of separate
+    // selfOf(drk)/selfOf(fused) joins (r20, guide §2.4 / the q99
+    // no-duplicated-subplan discipline): Catalyst re-executes every
+    // extra reference to `drk`/`fused` — each a full dense cosine
+    // cross-join + per-query rank window — and `fused` is drk
+    // LEFT-joined with srk, so a (q, q) row exists in `fused` iff it
+    // exists in `drk` and carries the identical rd (and rf) in both
+    // the exact and top-K modes. rs must keep its own selfOf(srk):
+    // under the top-K flag a self row can be in the sparse top-K but
+    // out of the dense top-K, where `fused` has no (q, q) row at all.
     val self = qv.select(col("q_id"))
       .join(selfOf(srk, "rs"), Seq("q_id"), "left")
-      .join(selfOf(drk, "rd"), Seq("q_id"), "left")
-      .join(selfOf(fused.select(col("q_id"), col("doc_id"), col("rf")), "rf"),
-        Seq("q_id"), "left")
+      .join(fused.filter(col("doc_id") === col("q_id"))
+        .select(col("q_id"), col("rd"), col("rf")), Seq("q_id"), "left")
     def m(r: String) = Seq(
       sum(when(col(r) === 1, 1L).otherwise(0L)).as(s"${r}1"),
       sum(when(col(r) <= 10, 1L).otherwise(0L)).as(s"${r}10"),

@@ -42,6 +42,50 @@ class TemplateMatchNativeSpec extends AnyFunSuite with Matchers with SparkFixtur
       Some("E21"), Some("E2"), None, Some("E9"))
   }
 
+  test("indexOf fast path (r20) agrees with the regex on multi-line and adversarial inputs") {
+    import spark.implicits._
+    // The r20 TemplateMatcher matches decomposable patterns via ordered
+    // indexOf, but ONLY on terminator-free strings — `.` does not cross
+    // \n \r U+0085 U+2028 U+2029, so e.g. "Served block\nblk to x"
+    // must NOT match E3 even though plain containment would. These rows
+    // force both the fallback (terminators present) and the fast path
+    // (segment-order traps, repeated segments, empty-adjacent holes).
+    val rows = Seq(
+      "Served block\nblk_9 to /x",               // newline splits the chain
+      "Served block blk_9\nto /x",               // ditto, later gap
+      "Served block blk_9\rto /x",               // carriage return
+      "Served block blk_9\u0085to /x",           // NEL
+      "Served block blk_9\u2028to /x",           // line separator
+      "to Served block blk_9",                    // segments out of order
+      "Served blockto",                           // adjacent, no gap chars
+      "Served block to",                          // zero-width hole match
+      "xxServed block yy to zz Served block",     // repeats, first-occurrence
+      "Receiving block b src: dest: src: dest:",  // repeated later segments
+      "",                                          // empty message
+      "to to to",                                  // only later segments
+      "Served block 日本語 to ünïcode"             // multibyte in the holes
+    ).toDF("message")
+    val builtin = rows.withColumn("id",
+      Templates.eventIdColumn(templates, col("message"))).collect().map(_.toSeq)
+    val native = rows.withColumn("id",
+      Templates.eventIdColumnNative(templates, col("message"))).collect().map(_.toSeq)
+    native shouldBe builtin
+  }
+
+  test("decompose accepts exactly the toRegex chain grammar") {
+    import graft.functions.TemplateMatcher
+    TemplateMatcher.decompose(Templates.toRegex("A[*]B[*]C")).map(_.toSeq) shouldBe
+      Some(Seq("A", "B", "C"))
+    TemplateMatcher.decompose(Templates.toRegex("[*]only middle[*]")).map(_.toSeq) shouldBe
+      Some(Seq("only middle"))
+    TemplateMatcher.decompose(Templates.toRegex("lit.with+specials[*](tail)"))
+      .map(_.toSeq) shouldBe Some(Seq("lit.with+specials", "(tail)"))
+    // Anchored form is NOT decomposable: it must keep the regex engine
+    // (the $ anchor makes last-occurrence semantics matter).
+    TemplateMatcher.decompose(Templates.toRegex("A[*]B", anchored = true)) shouldBe None
+    TemplateMatcher.decompose("a.*b") shouldBe None // unquoted literal
+  }
+
   test("native expression survives NULL input rows") {
     import spark.implicits._
     val withNull = Seq(Some("Served block blk_9 to /1.2.3.4"), None)
