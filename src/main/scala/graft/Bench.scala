@@ -369,6 +369,13 @@ object Bench {
       .appName("graft-bench")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // r20: let AQE re-coalesce the output partitioning of CACHED
+      // plans (default false): persisted intermediates (q99's replay
+      // batches, bounded certificate frames) otherwise pin the
+      // session's static shuffle parallelism into every downstream
+      // scan — 32 near-empty tasks per cache read at sf scale, the
+      // right number of size-adaptive partitions at cluster scale.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -137,14 +137,22 @@ object RetrievalEval {
       .select(col("doc_id"), PipelineOps.hash60(col("term")).as("th"))
       .join(broadcast(queriedTerms), Seq("th"), "left_semi")
       .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
-    val dfq = posting.groupBy("th").agg(count(lit(1)).as("dfq"))
+    // dfq as a WINDOW over posting, not a second aggregate of it
+    // (r20, guide §2.4 / the q99 no-duplicated-subplan discipline):
+    // `posting.groupBy(th).count` as a separate frame re-executes the
+    // whole token-explode + md5 subtree — the registry's hottest
+    // single-task stage — once more per reference; the window computes
+    // the identical per-term posting count (partition = th over the
+    // full posting frame) inside ONE evaluation for one narrow
+    // exchange on the 8-byte hash.
+    val postingDfq = posting.withColumn("dfq",
+      count(lit(1)).over(Window.partitionBy(col("th"))))
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = (col("n_docs") - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5))
     val tfd = col("tf").cast("double")
     val contrib = qterms
-      .join(posting, "th")
-      .join(broadcast(dfq), "th")
+      .join(postingDfq, "th")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("cm", floor(
@@ -187,20 +195,32 @@ object RetrievalEval {
     // denominator.
     def selfOf(ranks: DataFrame, rank: String): DataFrame =
       ranks.filter(col("doc_id") === col("q_id")).select(col("q_id"), col(rank))
-    // rd and rf ride on ONE filter of `fused` instead of separate
-    // selfOf(drk)/selfOf(fused) joins (r20, guide §2.4 / the q99
-    // no-duplicated-subplan discipline): Catalyst re-executes every
-    // extra reference to `drk`/`fused` — each a full dense cosine
-    // cross-join + per-query rank window — and `fused` is drk
-    // LEFT-joined with srk, so a (q, q) row exists in `fused` iff it
-    // exists in `drk` and carries the identical rd (and rf) in both
-    // the exact and top-K modes. rs must keep its own selfOf(srk):
-    // under the top-K flag a self row can be in the sparse top-K but
-    // out of the dense top-K, where `fused` has no (q, q) row at all.
-    val self = qv.select(col("q_id"))
-      .join(selfOf(srk, "rs"), Seq("q_id"), "left")
-      .join(fused.filter(col("doc_id") === col("q_id"))
-        .select(col("q_id"), col("rd"), col("rf")), Seq("q_id"), "left")
+    // All self-ranks ride on ONE filter of `fused` instead of separate
+    // selfOf(srk)/selfOf(drk)/selfOf(fused) joins (r20, guide §2.4 /
+    // the q99 no-duplicated-subplan discipline): Catalyst re-executes
+    // every extra DataFrame reference — each a full leg (dense cosine
+    // cross-join + rank window, or the BM25 contrib chain + window).
+    // `fused` is drk LEFT-joined with srk, so a (q, q) row exists in
+    // `fused` iff it exists in `drk`, carrying identical rd/rf in both
+    // modes and identical rs whenever the row exists. In the EXACT
+    // default the dense leg scores every (q, doc) pair, so the (q, q)
+    // row always exists and fused-rs ≡ selfOf(srk)-rs; under the
+    // top-K flag a self row can be in the sparse top-K but out of the
+    // dense top-K (no fused row at all), so THAT mode keeps the
+    // separate selfOf(srk) join — semantics preserved exactly, and
+    // the flag mode was never the benched default.
+    val topKOn = s.conf.getOption(TopKConf).exists(_.trim.toInt > 0)
+    val self =
+      if (!topKOn)
+        qv.select(col("q_id"))
+          .join(fused.filter(col("doc_id") === col("q_id"))
+            .select(col("q_id"), col("rs"), col("rd"), col("rf")),
+            Seq("q_id"), "left")
+      else
+        qv.select(col("q_id"))
+          .join(selfOf(srk, "rs"), Seq("q_id"), "left")
+          .join(fused.filter(col("doc_id") === col("q_id"))
+            .select(col("q_id"), col("rd"), col("rf")), Seq("q_id"), "left")
     def m(r: String) = Seq(
       sum(when(col(r) === 1, 1L).otherwise(0L)).as(s"${r}1"),
       sum(when(col(r) <= 10, 1L).otherwise(0L)).as(s"${r}10"),

@@ -52,24 +52,43 @@ object ServingStore {
       .filter(f => f.isFile && !f.getName.startsWith("_"))
       .map(_.length).sum
 
-  /** Scale-adaptive file count for the NEXT snapshot: the max of the
-    * committed previous snapshot's bytes (a hard floor on the merged
-    * size, read from the filesystem — no extra Spark job) and the
-    * catalyst size estimate of the frame being written (covers the
-    * FIRST snapshot and a batch larger than the store — a bulk load
-    * must not collapse to one partition), divided by the target file
-    * size, floored at 1 and capped at the session's default
-    * parallelism. A store below one target file writes exactly one
-    * file; a 100 TB store keeps full write parallelism. */
-  private def writeFiles(frame: DataFrame, store: String, curVer: Long): Int = {
+  /** Scale-adaptive file count for the NEXT snapshot, or None to keep
+    * the frame's natural partitioning. With a committed previous
+    * snapshot, its on-disk bytes (read from the filesystem — no extra
+    * Spark job) are the honest size estimate for the merge: catalyst
+    * stats over the anti-join + union OVERSHOOT wildly (join
+    * estimates multiply) and in the first cut of this sizing pushed
+    * every micro-batch write back to 32 near-empty tasks — each
+    * paying ~150 ms of parquet-writer setup (measured on q99, the
+    * exact cost this function exists to remove). For the FIRST
+    * snapshot the plan estimate is all there is: it is used when
+    * known, and an unknown estimate (catalyst's Long.MaxValue-ish
+    * default) keeps the frame's own partitioning — a bulk first load
+    * must not collapse to one partition. Capped at the session's
+    * default parallelism either way; a store below one target file
+    * writes exactly one file, a 100 TB store keeps full write
+    * parallelism. */
+  private def writeFiles(frame: DataFrame, store: String,
+      curVer: Long): Option[Int] = {
     val spark = frame.sparkSession
     val target = spark.conf.getOption(TargetFileBytesConf)
       .map(_.toLong).getOrElse(DefaultTargetFileBytes).max(1L)
-    val prev = if (curVer > 0) snapshotBytes(store, curVer) else 0L
-    val est = BigInt(prev).max(frame.queryExecution.optimizedPlan.stats.sizeInBytes)
-    val want = ((est + target - 1) / target).max(1)
-    want.min(BigInt(spark.sparkContext.defaultParallelism)).toInt
+    val cap = BigInt(spark.sparkContext.defaultParallelism)
+    val est: BigInt =
+      if (curVer > 0) BigInt(snapshotBytes(store, curVer))
+      else {
+        val s = frame.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (s >= BigInt(Long.MaxValue) / 4) return None // unknown size
+        s
+      }
+    Some(((est + target - 1) / target).max(1).min(cap).toInt)
   }
+
+  private def sized(frame: DataFrame, store: String, curVer: Long): DataFrame =
+    writeFiles(frame, store, curVer) match {
+      case Some(n) => frame.coalesce(n)
+      case None => frame
+    }
 
   /** (current version, highest applied batch id); (0, -1) = empty. */
   def pointer(store: String): (Long, Long) = {
@@ -102,7 +121,7 @@ object ServingStore {
         .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(batch)
     val newVer = curVer + 1
-    merged.coalesce(writeFiles(merged, store, curVer))
+    sized(merged, store, curVer)
       .write.mode("overwrite").parquet(s"$store/v=$newVer")
     commit(store, curVer, newVer, batchId)
     true
@@ -154,8 +173,8 @@ object ServingStore {
       keys: Seq[String], batchId: Long): Boolean = {
     val (curVer, lastBatch) = pointer(store)
     if (batchId <= lastBatch || curVer == 0) return false
-    val base = read(spark, store).filter(!col(keyCol).isin(keys: _*))
-    val remaining = base.coalesce(writeFiles(base, store, curVer))
+    val remaining = sized(
+      read(spark, store).filter(!col(keyCol).isin(keys: _*)), store, curVer)
     val newVer = curVer + 1
     remaining.write.mode("overwrite").parquet(s"$store/v=$newVer")
     commit(store, curVer, newVer, batchId)

@@ -23,11 +23,16 @@ class RetrievalTopKSpec extends AnyFunSuite with Matchers with SparkFixture {
       spark.conf.set(RetrievalEval.TopKConf, k.toString)
       val flagged = RetrievalEval.retrievalEval(spark, sfDir)
       // The flagged plan ranks both corpus-sized legs via the bounded
-      // aggregator; the only window left is the fusion re-rank over
-      // the ≤ 2K-rows-per-query joined lists (bounded by construction).
+      // aggregator; the only RANKING window left is the fusion re-rank
+      // over the ≤ 2K-rows-per-query joined lists. What this pin
+      // forbids is a full-rank LEG window (row_number over a
+      // corpus-per-query partition), so it counts row_number windows —
+      // the r20 dfq per-term posting-count window (partitioned by the
+      // 8-byte term hash, bounded by a term's posting list) is a
+      // count(1) window and deliberately not in scope.
       val plan = flagged.queryExecution.executedPlan.toString
       plan should include("TopKAggregator")
-      "Window".r.findAllMatchIn(plan).size should be <= 1
+      "row_number".r.findAllMatchIn(plan).size should be <= 1
       val approx = metricsOf(flagged)
       exact.keySet shouldBe approx.keySet
       exact.foreach { case (leg, (r1, r10, mrr)) =>
